@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query: the full-outer checksum
+reconciliation (SURVEY.md §2.4 Q3) between the lineitem "source" and
+its deterministically perturbed "target replica", summarized per
+mismatch type.  Exercises the canonical-checksum function surface, the
+keyed full-outer join, and the drift classification in one plan.
+
+``queries()`` / ``oracle_sql()`` — the declared operator inventory,
+re-exported from :mod:`cass_cdc_pg_spark.registry`.
 """
 
 from __future__ import annotations
@@ -12,27 +15,28 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from cass_cdc_pg_spark.registry import q3_checksum_diff
+
+    diff = q3_checksum_diff(spark, "/root/testdata/sf0.001")
+    return (
+        diff.groupBy("mismatch_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("mismatch_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cass_cdc_pg_spark.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cass_cdc_pg_spark.registry import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract, BASELINE.md §BENCH).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus a CDC
+ingest-throughput microbench (events replayed through
+parse→validate→LWW→merge), and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "ingest_events_per_sec": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_row_count",
+    "q3_checksum_diff",
+    "q10_job_stats",
+    "q11_listing_orders",
+    "c1_lww_state",
+    "q9_dlq_stats",
+    "dedup_exact_groups",
+    "text_token_stats",
+    "text_fingerprint",
+    "ann_cosine_topk",
+]
+
+
+def ingest_bench(spark, sf_dir: str, warehouse: str) -> float:
+    """Replay the events table as CDC CREATE events through the full
+    merge path; returns events/sec."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cass_cdc_pg_spark.sources.tables import events_with_micros
+    from cass_cdc_pg_spark.streaming.ingest import CdcIngest
+
+    ev = events_with_micros(spark, sf_dir)
+    n = ev.count()
+    as_change_events = ev.select(
+        F.concat(
+            F.lit("00000000-0000-4000-8000-"), F.format_string("%012d", F.col("event_id"))
+        ).alias("cdc_event_id"),
+        F.lit("events").alias("source_table"),
+        F.lit("CREATE").alias("operation_type"),
+        F.col("ts_us").alias("timestamp_micros"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.create_map(
+            F.lit("event_id"), F.col("event_id").cast("string"),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("value"), F.col("value").cast("string"),
+        ).alias("after"),
+        F.lit(1).alias("schema_version"),
+        F.lit(None).cast("int").alias("ttl_seconds"),
+        F.lit(False).alias("is_tombstone"),
+    ).withColumnRenamed("cdc_event_id", "event_id")
+    payload = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ingest = CdcIngest(
+        spark,
+        warehouse,
+        table_schemas={"events": payload},
+        key_cols={"events": ["event_id"]},
+        num_buckets=32,
+    )
+    t0 = time.time()
+    ingest.process_batch(as_change_events)
+    dt = time.time() - t0
+    return n / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cass_cdc_pg_spark.registry import QUERIES
+    from cass_cdc_pg_spark.session import get_spark
+
+    spark = get_spark(app_name="cass-cdc-pg-spark-bench")
+    # warm the JVM/codegen once so timings measure the plans, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as wh:
+        eps = ingest_bench(spark, sf_dir, wh)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_events_per_sec": round(eps, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. **exact**        — hash-groupBy on md5(text).  One shuffle on a
+   32-hex key; at 100 TB, group on the hash (never the full text) so
+   shuffle rows are ~40 bytes.
+2. **ngram-jaccard** — token-shingle inverted index + self-join;
+   exact set similarity, quadratic only within shingle buckets.
+3. **MinHash-LSH**  — signature bands → candidate buckets → verify;
+   sub-quadratic near-dup at corpus scale.
+4. **SimHash**      — 64-bit fingerprints, hamming-near buckets.
+
+Token hashing is md5-based (`_token_hash`) rather than xxhash64 so
+the DuckDB oracle can reproduce signatures bit-for-bit (both engines
+ship md5; they do not share any cheaper hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cass_cdc_pg_spark.operators.text import tokens
+
+#: MinHash modulus — small enough that (h % P) * a fits in int64
+#: under ANSI arithmetic: both factors < 2^30·... (P ≈ 2^30, so the
+#: product is < 2^60).
+MINHASH_P = 1_000_000_007
+
+
+def _token_hash(col: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5 → bigint.
+
+    15 hex = 60 bits, safely inside a signed 64-bit integer, so the
+    same `CAST(CONCAT('0x', SUBSTR(md5(t),1,15)) AS BIGINT)` is
+    expressible in DuckDB (`('0x'||substr(md5(t),1,15))::BIGINT`).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """Exact dedup: one row per distinct text with count + keeper id."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per distinct text."""
+    keep = exact_dup_groups(documents).select(F.col("keep_doc_id").alias("doc_id"))
+    return documents.join(keep, "doc_id", "left_semi")
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct n-token shingles per document."""
+    toks = tokens(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return documents.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index.
+
+    Plan: shingle → self-join on shingle (only docs sharing ≥1
+    shingle ever meet) → per-pair intersection count → Jaccard.
+    The join key is the shingle string; at corpus scale swap in
+    `_token_hash(shingle)` to shrink shuffle width, and drop
+    super-frequent shingles (stop-shingles) before the join.
+    """
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures.
+
+    hash_i(s) = (a_i * h(s) + b_i) mod M61 with h = portable md5-based
+    token hash, (a_i, b_i) from a fixed seeded table — deterministic
+    across runs and engines.
+    """
+    import random
+
+    rng = random.Random(42)
+    coeffs = [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+    sh = shingles(documents, n).withColumn(
+        "h", _token_hash(F.col("shingle")) % F.lit(MINHASH_P)
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, Jaccard-estimated.
+
+    rows-per-band = num_hashes/bands; docs agreeing on any full band
+    become candidates (join on band hash — the classic LSH bucket
+    join); candidates are scored by signature agreement fraction.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — per-token md5-hash bit-vote fingerprint.
+
+    bit b of the fingerprint = 1 iff more distinct tokens have bit b
+    set than clear.  Pure column algebra: explode tokens → per-bit
+    votes via shiftright/AND → sum → reassemble.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    ).withColumn("h", _token_hash(F.col("t")))
+    votes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(bits)
+        ],
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(1 << b)
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))

@@ -1,0 +1,141 @@
+"""Reconciliation query layer (SURVEY.md §2.4, Q1-Q8 + Q20).
+
+The reference reconciles source vs target with four strategies
+(``src/services/reconciliation_engine.py``): ROW_COUNT, CHECKSUM,
+TIMESTAMP_RANGE, SAMPLE.  Its CHECKSUM strategy does N point lookups
+in a Python loop (``reconciliation_engine.py:213-267``); here each
+strategy is ONE distributed plan:
+
+- row counts   → two aggregates, no shuffle of data rows
+- checksum     → full-outer join on the PK with per-side checksums;
+  classification of all three mismatch kinds in a single pass
+  (MISSING_IN_TARGET / MISSING_IN_SOURCE / DATA_MISMATCH,
+  ``src/models/reconciliation_mismatch.py:15-20``)
+- field diff   → unpivot of the mismatching columns
+  (``reconciliation_mismatch.py:134-169``)
+
+Scale: the join shuffles both sides by PK — at 100 TB enable AQE skew
+join (on by default in our session) and optionally bucket both tables
+by PK so the join is shuffle-free.  Nothing is collected to the
+driver; mismatch rows stay distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cass_cdc_pg_spark.functions.checksum import row_checksum
+
+MISSING_IN_TARGET = "MISSING_IN_TARGET"
+MISSING_IN_SOURCE = "MISSING_IN_SOURCE"
+DATA_MISMATCH = "DATA_MISMATCH"
+
+
+def drift_pct(src_count: Column, tgt_count: Column) -> Column:
+    """|a-b|/a*100 rounded to 2 dp (``reconciliation_engine.py:107-119``)."""
+    return F.round(
+        F.abs(src_count - tgt_count) * F.lit(100.0) / src_count, 2
+    )
+
+
+def drift_severity(drift: Column, warning: float = 1.0, critical: float = 5.0) -> Column:
+    """Threshold classification (``src/services/alert_service.py:135-151``)."""
+    return (
+        F.when(drift >= critical, F.lit("critical"))
+        .when(drift >= warning, F.lit("warning"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def row_count_validation(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Q1 ROW_COUNT: counts, |diff|, drift%, severity — one row."""
+    a = src.agg(F.count(F.lit(1)).alias("src_count"))
+    b = tgt.agg(F.count(F.lit(1)).alias("tgt_count"))
+    joined = a.crossJoin(b)
+    return joined.select(
+        "src_count",
+        "tgt_count",
+        F.abs(F.col("src_count") - F.col("tgt_count")).alias("mismatch_count"),
+        drift_pct(F.col("src_count"), F.col("tgt_count")).alias("drift_pct"),
+        drift_severity(
+            drift_pct(F.col("src_count"), F.col("tgt_count"))
+        ).alias("severity"),
+    )
+
+
+def with_checksum(df: DataFrame, pk: list[str], compare_cols: list[str]) -> DataFrame:
+    """Q2: project PK + canonical SHA-256 checksum of *compare_cols*."""
+    return df.select(*pk, row_checksum(df, compare_cols).alias("checksum"))
+
+
+def checksum_diff(
+    src: DataFrame,
+    tgt: DataFrame,
+    pk: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Q3+Q4: full-outer checksum join → one row per divergent key.
+
+    Output: pk columns, mismatch_type, src_checksum, tgt_checksum.
+    """
+    s = with_checksum(src, pk, compare_cols).withColumnRenamed("checksum", "src_checksum")
+    t = with_checksum(tgt, pk, compare_cols).withColumnRenamed("checksum", "tgt_checksum")
+    joined = s.join(t, on=pk, how="full_outer")
+    mismatch = (
+        F.when(F.col("tgt_checksum").isNull(), F.lit(MISSING_IN_TARGET))
+        .when(F.col("src_checksum").isNull(), F.lit(MISSING_IN_SOURCE))
+        .when(F.col("src_checksum") != F.col("tgt_checksum"), F.lit(DATA_MISMATCH))
+    )
+    return (
+        joined.withColumn("mismatch_type", mismatch)
+        .filter(F.col("mismatch_type").isNotNull())
+        .select(*pk, "mismatch_type", "src_checksum", "tgt_checksum")
+    )
+
+
+def field_diff(
+    src: DataFrame,
+    tgt: DataFrame,
+    pk: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Q8: long-format per-column diff for keys present on both sides.
+
+    Output: pk columns, column (name), src_val, tgt_val (canonical
+    strings) — only where the values differ.
+    """
+    from cass_cdc_pg_spark.functions.checksum import _canon_spark  # local, intentional
+
+    schema = {f.name: f.dataType for f in src.schema.fields}
+    s = src.select(*pk, *[
+        _canon_spark(c, schema[c]).alias(f"s_{c}") for c in compare_cols
+    ])
+    schema_t = {f.name: f.dataType for f in tgt.schema.fields}
+    t = tgt.select(*pk, *[
+        _canon_spark(c, schema_t[c]).alias(f"t_{c}") for c in compare_cols
+    ])
+    joined = s.join(t, on=pk, how="inner")
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"s_{c}").alias("src_val"),
+            F.col(f"t_{c}").alias("tgt_val"),
+        )
+        for c in sorted(compare_cols)
+    ])
+    exploded = joined.select(*pk, F.explode(pairs).alias("d"))
+    return exploded.filter(F.col("d.src_val") != F.col("d.tgt_val")).select(
+        *pk,
+        F.col("d.column").alias("column"),
+        F.col("d.src_val").alias("src_val"),
+        F.col("d.tgt_val").alias("tgt_val"),
+    )
+
+
+def deterministic_sample(df: DataFrame, mod_col: Column, buckets: int, keep: int) -> DataFrame:
+    """Q6 SAMPLE, made oracle-checkable: keep rows whose deterministic
+    ``mod_col % buckets`` lands below *keep* (the reference samples with
+    an unseeded RNG, ``reconciliation_engine.py:461-499``, which cannot
+    be hash-compared)."""
+    return df.filter((mod_col % F.lit(buckets)) < F.lit(keep))

@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small)
+  query set against the (huge) corpus; per-partition top-k heap via
+  ``TakeOrderedAndProject``-style window, no corpus shuffle.
+- ``lsh_topk``: random-hyperplane (sign-LSH) bucketed variant — the
+  scale path: corpus is pre-bucketed once, probes only touch matching
+  buckets, turning O(|Q|·|C|) into O(|Q|·|C|/2^bits) expected.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM higher-order
+functions, evaluated left-to-right in array order, which keeps results
+bit-identical with a left-to-right fold in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: query_id, neighbor_id, rank (1-based), sim (6 dp).
+    Ties at 6 dp break on neighbor_id ascending (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit b = 1 iff dot(vec, plane_b) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        d = _dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    At 100 TB the corpus side is written out partitioned by ``bucket``
+    once; each probe prunes to one partition (multi-probe = flip one
+    bit per extra bucket).  Recall < 1.0 by construction; the exact
+    variant is the correctness baseline.
+    """
+    planes = _hyperplanes(dim, bits)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join."""
+    planes = _hyperplanes(dim, bits)
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

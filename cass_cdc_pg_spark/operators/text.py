@@ -1,0 +1,119 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline surface: token counting, quality
+scoring, language ID, document fingerprinting.  All expressions are
+JVM-side builtins (split / array ops / md5) so they stay inside
+whole-stage codegen; nothing here is a Python UDF.
+
+Portability: every function has a DuckDB-SQL twin in the oracle
+registry; canonical tokenization is ``split on single space`` (the
+synthetic corpus is single-space separated) with empty tokens
+dropped, so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language marker lexicons for the n-gram/stopword heuristic
+#: language-ID.  Deterministic and reproducible in plain SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "de", "et"),
+    "zh": ("de5", "shi4", "le5", "he2"),  # pinyin-ish placeholders
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties removed."""
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, n_unique, avg_token_len (4 dp)."""
+    toks = tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """doc_id, n_chars, stopword_ratio, unique_ratio, quality_bucket.
+
+    The length/stopword/uniqueness heuristics of C4-style corpus
+    filtering, as pure column expressions.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(toks))
+    stop_ratio = F.round(stop_hits.cast("double") / n, 4)
+    uniq_ratio = F.round(uniq.cast("double") / n, 4)
+    bucket = (
+        F.when(n < 20, F.lit("too_short"))
+        .when(uniq_ratio < 0.3, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return documents.select(
+        "doc_id",
+        F.col("n_chars"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """doc_id, fp = md5 of the sorted distinct token set.
+
+    Content-defined fingerprint: word-order-insensitive, so texts that
+    are permutations of the same vocabulary collide — the cheap first
+    stage of near-dup detection.
+    """
+    toks = tokens(F.col("text"))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return documents.select("doc_id", F.md5(canon).alias("fp"))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """doc_id, declared lang, predicted lang by marker-word hits.
+
+    Scoring: count of marker-lexicon hits per language over the
+    distinct token set; ties broken by language code ascending —
+    fully deterministic.
+    """
+    toks = F.array_distinct(tokens(F.col("text")))
+
+    def _hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        F.struct(
+            _hits(ws).alias("hits"),
+            # negate the lexicographic rank so greatest() favors the
+            # alphabetically-first language on tied hit counts
+            F.lit(-i).alias("rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, ws) in enumerate(sorted(LANG_MARKERS.items()))
+    ]
+    best = F.greatest(*scores)
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        best["lang"].alias("predicted_lang"),
+    )

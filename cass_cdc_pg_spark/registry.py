@@ -1,0 +1,843 @@
+"""Declared query registry: SURVEY.md §2 operators bound to the
+driver's synthetic tables, each with a DuckDB-oracle SQL twin.
+
+Conventions (driver contract):
+- every Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+- column names/aliases match the oracle SQL exactly;
+- event time is exposed as ``ts_us`` (bigint µs) because Spark reads
+  the nanosecond parquet column as bigint nanos while DuckDB truncates
+  to µs — µs is the shared precision;
+- floating-point outputs are either raw stored values (bit-identical
+  in both engines) or derived with an order-pinned fold + ``round``.
+
+Entries whose semantics are not SQL-expressible (MinHash-LSH, SimHash,
+sign-LSH ANN) appear in QUERIES without an ORACLE twin; the driver
+records the weaker rows-only check for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cass_cdc_pg_spark.operators import dedup, listings, lww, reconcile, similarity, text
+from cass_cdc_pg_spark.sources import tables as src
+
+# ---------------------------------------------------------------------------
+# shared bindings
+# ---------------------------------------------------------------------------
+
+LINEITEM_PK = ["l_orderkey", "l_linenumber"]
+LINEITEM_COMPARE = [
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+ORDERS_PK = ["o_orderkey"]
+ORDERS_COMPARE = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_LINEITEM_TYPES: dict[str, T.DataType] = {
+    "l_orderkey": T.LongType(),
+    "l_partkey": T.LongType(),
+    "l_suppkey": T.LongType(),
+    "l_linenumber": T.IntegerType(),
+    "l_quantity": T.DoubleType(),
+    "l_extendedprice": T.DoubleType(),
+    "l_discount": T.DoubleType(),
+    "l_tax": T.DoubleType(),
+    "l_returnflag": T.StringType(),
+    "l_linestatus": T.StringType(),
+    "l_shipdate": T.TimestampType(),
+}
+_ORDERS_TYPES: dict[str, T.DataType] = {
+    "o_orderkey": T.LongType(),
+    "o_custkey": T.LongType(),
+    "o_orderstatus": T.StringType(),
+    "o_totalprice": T.DoubleType(),
+    "o_orderdate": T.TimestampType(),
+    "o_orderpriority": T.StringType(),
+}
+
+from cass_cdc_pg_spark.functions.checksum import row_checksum_sql  # noqa: E402
+
+_LI_CK_SQL = row_checksum_sql(_LINEITEM_TYPES, LINEITEM_COMPARE)
+_ORD_CK_SQL = row_checksum_sql(_ORDERS_TYPES, ORDERS_COMPARE)
+
+#: DLQ error-taxonomy binding of events.event_type
+#: (``src/models/dlq_record.py:10-17``).  Lazy: Column construction
+#: needs an active session, and this module must import without one.
+def _errtype_spark():
+    return (
+        F.when(F.col("event_type") == "error", F.lit("UNKNOWN"))
+        .when(F.col("event_type") == "signup", F.lit("SCHEMA_MISMATCH"))
+        .when(F.col("event_type") == "purchase", F.lit("TYPE_CONVERSION_ERROR"))
+        .when(F.col("event_type") == "view", F.lit("CONSTRAINT_VIOLATION"))
+        .otherwise(F.lit("NETWORK_TIMEOUT"))
+    )
+_ERRTYPE_SQL = (
+    "CASE event_type WHEN 'error' THEN 'UNKNOWN'"
+    " WHEN 'signup' THEN 'SCHEMA_MISMATCH'"
+    " WHEN 'purchase' THEN 'TYPE_CONVERSION_ERROR'"
+    " WHEN 'view' THEN 'CONSTRAINT_VIOLATION'"
+    " ELSE 'NETWORK_TIMEOUT' END"
+)
+
+#: TTL binding (sessions-table semantics, ``type_mapper.py:136-168``).
+def _ttl_spark():
+    return (
+        F.when(F.col("event_type") == "signup", F.lit(86400))
+        .when(F.col("event_type") == "purchase", F.lit(3600))
+        .otherwise(F.lit(None).cast("int"))
+    )
+_TTL_SQL = (
+    "CASE event_type WHEN 'signup' THEN 86400"
+    " WHEN 'purchase' THEN 3600 ELSE NULL END"
+)
+
+_RETENTION_CUTOFF_US = 1705708800000000  # 2024-01-20 00:00:00 UTC
+
+
+def _li(spark, sf_dir):
+    return src.load_table(spark, sf_dir, "lineitem")
+
+
+def _li_tgt(spark, sf_dir):
+    return src.perturbed_lineitem_target(_li(spark, sf_dir))
+
+
+def _ev(spark, sf_dir):
+    return src.events_with_micros(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q8, Q20 — reconciliation
+# ---------------------------------------------------------------------------
+
+def q1_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reconcile.row_count_validation(_li(spark, sf_dir), _li_tgt(spark, sf_dir))
+
+
+Q1_SQL = f"""
+WITH tgt AS ({src.LINEITEM_TGT_SQL}),
+a AS (SELECT COUNT(*) AS src_count FROM lineitem),
+b AS (SELECT COUNT(*) AS tgt_count FROM tgt)
+SELECT src_count, tgt_count,
+       ABS(src_count - tgt_count) AS mismatch_count,
+       ROUND(ABS(src_count - tgt_count) * 100.0 / src_count, 2) AS drift_pct,
+       CASE WHEN ROUND(ABS(src_count - tgt_count) * 100.0 / src_count, 2) >= 5 THEN 'critical'
+            WHEN ROUND(ABS(src_count - tgt_count) * 100.0 / src_count, 2) >= 1 THEN 'warning'
+            ELSE 'ok' END AS severity
+FROM a, b
+"""
+
+
+def _ord(spark, sf_dir):
+    return src.load_table(spark, sf_dir, "orders")
+
+
+def _ord_tgt(spark, sf_dir):
+    return src.perturbed_orders_target(_ord(spark, sf_dir))
+
+
+def q2_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reconcile.with_checksum(_ord(spark, sf_dir), ORDERS_PK, ORDERS_COMPARE)
+
+
+Q2_SQL = f"""
+SELECT o_orderkey, {_ORD_CK_SQL} AS checksum FROM orders
+"""
+
+
+def q3_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reconcile.checksum_diff(
+        _ord(spark, sf_dir), _ord_tgt(spark, sf_dir), ORDERS_PK, ORDERS_COMPARE
+    )
+
+
+Q3_SQL = f"""
+WITH tgt AS ({src.ORDERS_TGT_SQL}),
+s AS (SELECT o_orderkey, {_ORD_CK_SQL} AS src_checksum FROM orders),
+t AS (SELECT o_orderkey, {_ORD_CK_SQL} AS tgt_checksum FROM tgt)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN t.tgt_checksum IS NULL THEN 'MISSING_IN_TARGET'
+            WHEN s.src_checksum IS NULL THEN 'MISSING_IN_SOURCE'
+            WHEN s.src_checksum <> t.tgt_checksum THEN 'DATA_MISMATCH' END AS mismatch_type,
+       s.src_checksum AS src_checksum, t.tgt_checksum AS tgt_checksum
+FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+WHERE t.tgt_checksum IS NULL OR s.src_checksum IS NULL
+   OR s.src_checksum <> t.tgt_checksum
+"""
+
+
+def q4_missing_in_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tgt = _ord_tgt(spark, sf_dir)
+    return tgt.join(_ord(spark, sf_dir), on=ORDERS_PK, how="left_anti").select(
+        "o_orderkey"
+    )
+
+
+Q4_SQL = f"""
+WITH tgt AS ({src.ORDERS_TGT_SQL})
+SELECT t.o_orderkey FROM tgt t
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders s WHERE s.o_orderkey = t.o_orderkey)
+"""
+
+
+def q5_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = "1995-01-01", "1995-12-31"
+    o = src.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(lo, hi)
+    )
+    t = src.perturbed_orders_target(src.load_table(spark, sf_dir, "orders")).filter(
+        F.col("o_orderdate").between(lo, hi)
+    )
+    return reconcile.checksum_diff(o, t, ORDERS_PK, ORDERS_COMPARE)
+
+
+Q5_SQL = f"""
+WITH tgt0 AS ({src.ORDERS_TGT_SQL}),
+s0 AS (SELECT * FROM orders
+       WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'),
+t0 AS (SELECT * FROM tgt0
+       WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'),
+s AS (SELECT o_orderkey, {_ORD_CK_SQL} AS src_checksum FROM s0),
+t AS (SELECT o_orderkey, {_ORD_CK_SQL} AS tgt_checksum FROM t0)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN t.tgt_checksum IS NULL THEN 'MISSING_IN_TARGET'
+            WHEN s.src_checksum IS NULL THEN 'MISSING_IN_SOURCE'
+            WHEN s.src_checksum <> t.tgt_checksum THEN 'DATA_MISMATCH' END AS mismatch_type,
+       s.src_checksum AS src_checksum, t.tgt_checksum AS tgt_checksum
+FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+WHERE t.tgt_checksum IS NULL OR s.src_checksum IS NULL
+   OR s.src_checksum <> t.tgt_checksum
+"""
+
+
+def q6_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    return reconcile.deterministic_sample(
+        li,
+        F.col("l_orderkey") * F.lit(31) + F.col("l_linenumber"),
+        100,
+        10,
+    )
+
+
+Q6_SQL = """
+SELECT * FROM lineitem WHERE (l_orderkey*31 + l_linenumber) % 100 < 10
+"""
+
+
+def q7_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return src.load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+Q7_SQL = "SELECT * FROM customer WHERE c_custkey = 42"
+
+
+def q8_field_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reconcile.field_diff(
+        _ord(spark, sf_dir), _ord_tgt(spark, sf_dir), ORDERS_PK, ORDERS_COMPARE
+    )
+
+
+Q8_SQL = f"""
+WITH tgt AS ({src.ORDERS_TGT_SQL}),
+j AS (SELECT s.o_orderkey,
+             CAST(s.o_custkey AS VARCHAR) AS s_ck, CAST(t.o_custkey AS VARCHAR) AS t_ck,
+             s.o_orderstatus AS s_st, t.o_orderstatus AS t_st,
+             printf('%.4f', CAST(s.o_totalprice AS DOUBLE)) AS s_tp,
+             printf('%.4f', CAST(t.o_totalprice AS DOUBLE)) AS t_tp,
+             strftime(s.o_orderdate, '%Y-%m-%d %H:%M:%S') AS s_od,
+             strftime(t.o_orderdate, '%Y-%m-%d %H:%M:%S') AS t_od,
+             s.o_orderpriority AS s_op, t.o_orderpriority AS t_op
+      FROM orders s JOIN tgt t ON s.o_orderkey = t.o_orderkey),
+u AS (
+  SELECT o_orderkey, 'o_custkey' AS column, s_ck AS src_val, t_ck AS tgt_val FROM j
+  UNION ALL SELECT o_orderkey, 'o_orderdate', s_od, t_od FROM j
+  UNION ALL SELECT o_orderkey, 'o_orderpriority', s_op, t_op FROM j
+  UNION ALL SELECT o_orderkey, 'o_orderstatus', s_st, t_st FROM j
+  UNION ALL SELECT o_orderkey, 'o_totalprice', s_tp, t_tp FROM j)
+SELECT * FROM u WHERE src_val <> tgt_val
+"""
+
+
+def q20_drift_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sums = lambda df: df.groupBy("l_orderkey").agg(  # noqa: E731
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty")
+    )
+    s = sums(_li(spark, sf_dir)).withColumnRenamed("qty", "src_qty")
+    t = sums(_li_tgt(spark, sf_dir)).withColumnRenamed("qty", "tgt_qty")
+    joined = s.join(t, "l_orderkey", "inner")
+    drift = F.round(
+        F.abs(F.col("src_qty") - F.col("tgt_qty")) * 100.0 / F.col("src_qty"), 2
+    )
+    return joined.select(
+        "l_orderkey",
+        "src_qty",
+        "tgt_qty",
+        drift.alias("drift_pct"),
+        reconcile.drift_severity(drift).alias("severity"),
+    )
+
+
+Q20_SQL = f"""
+WITH tgt AS ({src.LINEITEM_TGT_SQL}),
+s AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS src_qty
+      FROM lineitem GROUP BY l_orderkey),
+t AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tgt_qty
+      FROM tgt GROUP BY l_orderkey)
+SELECT s.l_orderkey AS l_orderkey, src_qty, tgt_qty,
+       ROUND(ABS(src_qty - tgt_qty) * 100.0 / src_qty, 2) AS drift_pct,
+       CASE WHEN ROUND(ABS(src_qty - tgt_qty) * 100.0 / src_qty, 2) >= 5 THEN 'critical'
+            WHEN ROUND(ABS(src_qty - tgt_qty) * 100.0 / src_qty, 2) >= 1 THEN 'warning'
+            ELSE 'ok' END AS severity
+FROM s JOIN t ON s.l_orderkey = t.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9-Q13, Q17 — DLQ stats & listings
+# ---------------------------------------------------------------------------
+
+def q9_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.select(_errtype_spark().alias("error_type"))
+        .groupBy("error_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q9_SQL = f"""
+SELECT {_ERRTYPE_SQL} AS error_type, COUNT(*) AS n FROM events GROUP BY 1
+"""
+
+
+def q10_job_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    sum_disc = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(sum_disc / F.count(F.lit(1)), 6).alias("avg_discount"),
+        F.max("l_discount").alias("max_discount"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias("n_returned"),
+    )
+
+
+Q10_SQL = """
+SELECT COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_discount,
+       MAX(l_discount) AS max_discount,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+FROM lineitem
+"""
+
+
+def q11_listing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = src.load_table(spark, sf_dir, "orders")
+    return listings.listing(
+        o,
+        [F.col("o_orderstatus") == "O", F.col("o_orderdate") >= "1996-01-01"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        limit=100,
+        offset=50,
+    )
+
+
+Q11_SQL = """
+SELECT * FROM orders
+WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1996-01-01'
+ORDER BY o_orderdate DESC, o_orderkey
+LIMIT 100 OFFSET 50
+"""
+
+
+def q12_listing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    filtered = listings.listing(
+        ev,
+        [F.col("event_type") == "purchase", F.col("value") >= 50.0],
+        [F.col("event_id").desc()],
+        limit=200,
+        offset=20,
+    )
+    return filtered.select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+
+
+Q12_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events
+WHERE event_type = 'purchase' AND value >= 50.0
+ORDER BY event_id DESC
+LIMIT 200 OFFSET 20
+"""
+
+
+def q13_listing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    return listings.listing(
+        li,
+        [
+            F.col("l_returnflag") == "R",
+            F.col("l_quantity") > 30,
+            F.col("l_shipdate") >= "1995-06-01",
+        ],
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        limit=150,
+    )
+
+
+Q13_SQL = """
+SELECT * FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 30
+  AND l_shipdate >= TIMESTAMP '1995-06-01'
+ORDER BY l_orderkey, l_linenumber
+LIMIT 150
+"""
+
+
+def q17_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        src.load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n")
+        )
+        for t in src.TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+Q17_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n FROM {t}" for t in src.TABLES
+)
+
+
+# ---------------------------------------------------------------------------
+# C1/T7/T9 + ops queries over the event stream binding
+# ---------------------------------------------------------------------------
+
+def c1_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW current state per user_id (C1+C2+C4 as a batch query)."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "event_type",
+        "value",
+    )
+    latest = lww.lww_latest(ev, ["user_id"], ts_col="ts_us", tiebreak_col="event_id")
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        (F.col("event_type") == "error").alias("_cdc_deleted"),
+    )
+
+
+C1_SQL = """
+SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+       event_type AS last_event_type, value AS last_value,
+       event_type = 'error' AS _cdc_deleted
+FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def t7_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event validation (T7): classify and count, DLQ-style."""
+    ev = _ev(spark, sf_dir)
+    status = (
+        F.when(F.col("value") < 1.0, F.lit("CONSTRAINT_VIOLATION"))
+        .when(F.col("ts_us") > F.lit(_RETENTION_CUTOFF_US + 10 * 86400 * 1000000), F.lit("FUTURE_TIMESTAMP"))
+        .when(~F.col("event_type").isin("signup", "purchase", "view", "click", "error"), F.lit("SCHEMA_MISMATCH"))
+        .otherwise(F.lit("VALID"))
+    )
+    return ev.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+T7_SQL = f"""
+SELECT CASE
+         WHEN value < 1.0 THEN 'CONSTRAINT_VIOLATION'
+         WHEN epoch_us(ts) > {_RETENTION_CUTOFF_US + 10 * 86400 * 1000000} THEN 'FUTURE_TIMESTAMP'
+         WHEN event_type NOT IN ('signup','purchase','view','click','error') THEN 'SCHEMA_MISMATCH'
+         ELSE 'VALID'
+       END AS status, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def t9_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.withColumn("ttl_seconds", _ttl_spark())
+        .filter(F.col("ttl_seconds").isNotNull())
+        .select(
+            "event_id",
+            "ts_us",
+            "ttl_seconds",
+            (F.col("ts_us") + F.col("ttl_seconds").cast("long") * F.lit(1000000)).alias(
+                "expiry_us"
+            ),
+        )
+    )
+
+
+T9_SQL = f"""
+SELECT event_id, epoch_us(ts) AS ts_us,
+       {_TTL_SQL} AS ttl_seconds,
+       epoch_us(ts) + CAST({_TTL_SQL} AS BIGINT) * 1000000 AS expiry_us
+FROM events
+WHERE {_TTL_SQL} IS NOT NULL
+"""
+
+
+def q18_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR cascade erasure audit for user_id=7: backup size + remainder."""
+    ev = _ev(spark, sf_dir)
+    return ev.agg(
+        F.count(F.when(F.col("user_id") == 7, F.lit(1))).alias("backup_rows"),
+        F.count(F.when(F.col("user_id") != 7, F.lit(1))).alias("remaining_rows"),
+    )
+
+
+Q18_SQL = """
+SELECT COUNT(CASE WHEN user_id = 7 THEN 1 END) AS backup_rows,
+       COUNT(CASE WHEN user_id <> 7 THEN 1 END) AS remaining_rows
+FROM events
+"""
+
+
+def q19_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.filter(F.col("ts_us") >= _RETENTION_CUTOFF_US).select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    )
+
+
+Q19_SQL = f"""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events WHERE epoch_us(ts) >= {_RETENTION_CUTOFF_US}
+"""
+
+
+def q21_dlq_replay_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.filter(F.col("event_id") % 997 == 17).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.concat(F.lit("cdc-events-"), F.col("event_type")).alias("replay_topic"),
+    )
+
+
+Q21_SQL = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+       'cdc-events-' || event_type AS replay_topic
+FROM events WHERE event_id % 997 = 17
+"""
+
+
+def q22_resolve_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).filter(F.col("event_id") % 997 == 17)
+    resolved = F.col("event_id") % 10 < 3
+    return ev.select(
+        "event_id",
+        F.when(resolved, F.lit("MANUAL_RESOLVED")).otherwise(F.lit("PENDING")).alias(
+            "resolution_status"
+        ),
+        F.when(resolved, F.lit("replayed batch 1")).otherwise(F.lit(None).cast("string")).alias(
+            "resolution_notes"
+        ),
+    )
+
+
+Q22_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 10 < 3 THEN 'MANUAL_RESOLVED' ELSE 'PENDING' END AS resolution_status,
+       CASE WHEN event_id % 10 < 3 THEN 'replayed batch 1' ELSE NULL END AS resolution_notes
+FROM events WHERE event_id % 997 = 17
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(src.load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        src.load_table(spark, sf_dir, "documents"), n=2, threshold=0.1
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+         )) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.1
+"""
+
+
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.token_stats(src.load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        "avg_token_len",
+    )
+
+
+TEXT_TOKEN_SQL = """
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_unique,
+       ROUND(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk), 4) AS avg_token_len
+FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents)
+"""
+
+
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(src.load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id, n_chars,
+       ROUND(CAST(len(list_filter(tk, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
+       ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS unique_ratio,
+       CASE WHEN len(tk) < 20 THEN 'too_short'
+            WHEN ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) < 0.3 THEN 'repetitive'
+            ELSE 'ok' END AS quality_bucket
+FROM (SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents)
+"""
+
+
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(src.load_table(spark, sf_dir, "documents"))
+
+
+TEXT_FP_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
+FROM documents
+"""
+
+
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(src.load_table(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    branches = []
+    for lang, ws in sorted(text.LANG_MARKERS.items()):
+        arr = "['" + "','".join(ws) + "']"
+        branches.append(
+            f"SELECT doc_id, lang AS declared_lang, '{lang}' AS cand,"
+            f" len(list_filter(tkd, t -> list_contains({arr}, t))) AS hits FROM toks"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tkd
+  FROM documents),
+scores AS ({union})
+SELECT doc_id, declared_lang, cand AS predicted_lang
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY hits DESC, cand ASC) AS rn
+      FROM scores)
+WHERE rn = 1
+"""
+
+
+TEXT_LANG_SQL = _lang_sql()
+
+
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"(0.0 + {d}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb}))"
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_cos_sql('qv', 'cv')}, 6) AS sim
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, rank, sim
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+# --- non-SQL-expressible (weaker rows-only check) --------------------------
+
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        src.load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8, n=2,
+        threshold=0.2,
+    )
+
+
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(src.load_table(spark, sf_dir, "documents"))
+
+
+def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic embeddings top out near cos ≈ 0.48 — 0.35 marks
+    # the "suspiciously similar" tail without being empty
+    return similarity.embedding_neardup_pairs(
+        src.load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_row_count": q1_row_count,
+    "q2_checksums": q2_checksums,
+    "q3_checksum_diff": q3_checksum_diff,
+    "q4_missing_in_source": q4_missing_in_source,
+    "q5_range_diff": q5_range_diff,
+    "q6_sample": q6_sample,
+    "q7_point_lookup": q7_point_lookup,
+    "q8_field_diff": q8_field_diff,
+    "q9_dlq_stats": q9_dlq_stats,
+    "q10_job_stats": q10_job_stats,
+    "q11_listing_orders": q11_listing_orders,
+    "q12_listing_events": q12_listing_events,
+    "q13_listing_lineitem": q13_listing_lineitem,
+    "q17_table_counts": q17_table_counts,
+    "q18_gdpr_erasure": q18_gdpr_erasure,
+    "q19_retention": q19_retention,
+    "q20_drift_severity": q20_drift_severity,
+    "q21_dlq_replay_select": q21_dlq_replay_select,
+    "q22_resolve_update": q22_resolve_update,
+    "c1_lww_state": c1_lww_state,
+    "t7_validation_split": t7_validation_split,
+    "t9_ttl_expiry": t9_ttl_expiry,
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "dedup_simhash": dedup_simhash_q,
+    "text_token_stats": text_token_stats_q,
+    "text_quality": text_quality_q,
+    "text_fingerprint": text_fingerprint_q,
+    "text_lang_id": text_lang_id_q,
+    "ann_cosine_topk": ann_cosine_topk_q,
+    "similarity_lsh_topk": similarity_lsh_topk_q,
+    "embedding_neardup": embedding_neardup_q,
+}
+
+ORACLE = {
+    "q1_row_count": Q1_SQL,
+    "q2_checksums": Q2_SQL,
+    "q3_checksum_diff": Q3_SQL,
+    "q4_missing_in_source": Q4_SQL,
+    "q5_range_diff": Q5_SQL,
+    "q6_sample": Q6_SQL,
+    "q7_point_lookup": Q7_SQL,
+    "q8_field_diff": Q8_SQL,
+    "q9_dlq_stats": Q9_SQL,
+    "q10_job_stats": Q10_SQL,
+    "q11_listing_orders": Q11_SQL,
+    "q12_listing_events": Q12_SQL,
+    "q13_listing_lineitem": Q13_SQL,
+    "q17_table_counts": Q17_SQL,
+    "q18_gdpr_erasure": Q18_SQL,
+    "q19_retention": Q19_SQL,
+    "q20_drift_severity": Q20_SQL,
+    "q21_dlq_replay_select": Q21_SQL,
+    "q22_resolve_update": Q22_SQL,
+    "c1_lww_state": C1_SQL,
+    "t7_validation_split": T7_SQL,
+    "t9_ttl_expiry": T9_SQL,
+    "dedup_exact_groups": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "text_token_stats": TEXT_TOKEN_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_fingerprint": TEXT_FP_SQL,
+    "text_lang_id": TEXT_LANG_SQL,
+    "ann_cosine_topk": ANN_TOPK_SQL,
+}

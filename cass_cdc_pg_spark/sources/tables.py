@@ -1,0 +1,132 @@
+"""Parquet table sources for the synthetic test data.
+
+The driver materializes TPC-H-ish tables plus ``events`` /
+``documents`` / ``embeddings`` under ``/root/testdata/sf*/``
+(TESTDATA.md).  The reconciliation operators (SURVEY.md §2.4) compare
+a *source* table against a *target* replica; since the harness ships
+no target copy, we derive one **deterministically** so the same
+construction is expressible in the DuckDB oracle SQL:
+
+- ``m = (l_orderkey*31 + l_linenumber) % 97``
+- rows with ``m = 0``  are dropped          → MISSING_IN_TARGET
+- rows with ``m = 1``  get ``l_quantity+1`` → DATA_MISMATCH
+- rows with ``m = 2``  are duplicated into the target under key
+  ``l_orderkey + 2000000000``               → MISSING_IN_SOURCE
+
+This mirrors the drift classes the reference detects
+(``src/models/reconciliation_mismatch.py:15-20``) with a reproducible
+fixture instead of a live Cassandra/Postgres pair.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cass_cdc_pg_spark.session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: lineitem composite primary key (mirrors the keyed-table model of
+#: the reference's replicated tables, init-db.sql:146-195).
+LINEITEM_PK = ("l_orderkey", "l_linenumber")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_with_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` (µs since epoch, bigint).
+
+    ``ts`` arrives as bigint *nanoseconds* (nanosAsLong).  DuckDB
+    truncates the same parquet column to µs, so µs is the shared
+    precision for oracle-checked outputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def _lineitem_mod(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "_m", (F.col("l_orderkey") * F.lit(31) + F.col("l_linenumber")) % F.lit(97)
+    )
+
+
+def perturbed_lineitem_target(lineitem: DataFrame) -> DataFrame:
+    """Deterministic 'target replica' of lineitem (see module doc)."""
+    src = _lineitem_mod(lineitem)
+    kept = src.filter(F.col("_m") != 0)
+    mutated = kept.withColumn(
+        "l_quantity",
+        F.when(F.col("_m") == 1, F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
+    )
+    extras = src.filter(F.col("_m") == 2).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(2000000000)
+    )
+    return mutated.unionByName(extras).drop("_m")
+
+
+def perturbed_orders_target(orders: DataFrame) -> DataFrame:
+    """Target replica of orders: ``m = o_orderkey % 89``; drop m=0,
+    ``o_totalprice+1`` when m=1, duplicate m=2 under key+2e9."""
+    src = orders.withColumn("_m", F.col("o_orderkey") % F.lit(89))
+    kept = src.filter(F.col("_m") != 0)
+    mutated = kept.withColumn(
+        "o_totalprice",
+        F.when(F.col("_m") == 1, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    extras = src.filter(F.col("_m") == 2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(2000000000)
+    )
+    return mutated.unionByName(extras).drop("_m")
+
+
+#: SQL fragments recreating the same perturbations for the DuckDB
+#: oracle.  Any change here must stay in lock-step with the DataFrame
+#: builders above.
+LINEITEM_TGT_SQL = """
+    SELECT * REPLACE (
+        CASE WHEN (l_orderkey*31 + l_linenumber) % 97 = 1
+             THEN l_quantity + 1 ELSE l_quantity END AS l_quantity)
+    FROM lineitem
+    WHERE (l_orderkey*31 + l_linenumber) % 97 <> 0
+    UNION ALL
+    SELECT * REPLACE (l_orderkey + 2000000000 AS l_orderkey)
+    FROM lineitem
+    WHERE (l_orderkey*31 + l_linenumber) % 97 = 2
+"""
+
+ORDERS_TGT_SQL = """
+    SELECT * REPLACE (
+        CASE WHEN o_orderkey % 89 = 1
+             THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice)
+    FROM orders
+    WHERE o_orderkey % 89 <> 0
+    UNION ALL
+    SELECT * REPLACE (o_orderkey + 2000000000 AS o_orderkey)
+    FROM orders
+    WHERE o_orderkey % 89 = 2
+"""

@@ -1,0 +1,173 @@
+"""CDC ingest pipeline (SURVEY.md §3.1) on Structured Streaming.
+
+Source → parse (S2/S3) → validate/split (T7/S5) → unwrap+type (T1/T8)
+→ cdc metadata+TTL (T4-T6/T9) → intra-batch LWW dedup (C1a) →
+keyed-table merge (C1b/S4), with the DLQ appended per batch.
+
+One streaming query serves all tables (the reference's
+``subscribePattern cdc-events-.*``): ``foreachBatch`` fans out by
+``source_table``.  Checkpointing is Spark's ``checkpointLocation`` —
+offsets+commits replace the reference's ``_cdc_checkpoints`` table —
+and end-to-end effectively-once = checkpoint replay + idempotent LWW
+merge (C5).
+
+Backpressure (C8 / FR-024): ``maxFilesPerTrigger`` here,
+``maxOffsetsPerTrigger`` on a Kafka source — native rate limiting.
+
+Test transport is a JSONL directory source (file streams are the
+Kafka stand-in this container supports); ``kafka_stream`` shows the
+production wiring, gated on the connector jar being present.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+from cass_cdc_pg_spark.schema import CHANGE_EVENT_SCHEMA
+from cass_cdc_pg_spark.streaming import transforms
+from cass_cdc_pg_spark.streaming.reliability import CircuitBreaker, retry_with_backoff
+
+
+def jsonl_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("multiLine", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(events_dir)
+
+
+def kafka_stream(
+    spark: SparkSession, bootstrap: str, pattern: str = "cdc-events-.*"
+) -> DataFrame:
+    """Kafka wiring (S1/S2): per-table topics, JSON values.
+
+    Requires the spark-sql-kafka package on the classpath; not
+    available in the test container, so this path is exercised only
+    when deployed with it.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribePattern", pattern)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+class CdcIngest:
+    """Assembles and runs the ingest pipeline for a set of tables.
+
+    ``table_schemas``: per-table pinned payload StructType (schema
+    registry stand-in, §1.2).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        table_schemas: dict[str, T.StructType],
+        key_cols: dict[str, list[str]],
+        num_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.table_schemas = table_schemas
+        self.key_cols = key_cols
+        self.num_buckets = num_buckets
+        self.breaker = CircuitBreaker()
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    def table(self, name: str) -> KeyedTable:
+        return KeyedTable(
+            self.spark,
+            f"{self.warehouse}/cdc_{name}",
+            self.key_cols[name],
+            self.num_buckets,
+        )
+
+    @property
+    def dlq_path(self) -> str:
+        return f"{self.warehouse}/dlq_records"
+
+    def dlq(self) -> DataFrame:
+        return self.spark.read.parquet(self.dlq_path)
+
+    # -- batch core (also used directly by tests and replay) ---------------
+
+    def process_batch(self, events: DataFrame, batch_id: int = 0) -> None:
+        """Validate → split → per-table unwrap/convert/merge."""
+        events = events.persist()
+        try:
+            good, dlq = transforms.split_valid(events)
+            # DLQ append (S5). Append-only parquet: idempotent enough for
+            # the error path (duplicates possible on replay, never losses —
+            # matches `errors.tolerance=all` semantics).
+            dlq_rows = dlq.count()
+            if dlq_rows:
+                dlq.write.mode("append").parquet(self.dlq_path)
+            for name, payload_schema in self.table_schemas.items():
+                subset = good.filter(F.col("source_table") == name)
+                rows = transforms.unwrap(subset, payload_schema)
+                rows = transforms.add_cdc_metadata(rows)
+                target = self.table(name)
+                commit = lambda r=rows, t=target: t.merge(r)  # noqa: E731
+                self.breaker.call(lambda: retry_with_backoff(commit, max_attempts=3))
+        finally:
+            events.unpersist()
+
+    # -- streaming ---------------------------------------------------------
+
+    def start(
+        self,
+        source: DataFrame,
+        checkpoint: str,
+        trigger_once: bool = False,
+        processing_time: str = "1 second",
+    ):
+        writer = (
+            source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    # -- DLQ replay (Q21, ``dlq_service.py:165-301``) ----------------------
+
+    def replay_dlq(self, dlq_ids: list[str]) -> int:
+        """Re-run selected DLQ events through the pipeline, then mark
+        them MANUAL_RESOLVED.  Replay is safe because the merge is
+        idempotent (C5)."""
+        dlq = self.dlq()
+        selected = dlq.filter(F.col("dlq_id").isin(dlq_ids))
+        n = selected.count()
+        if n == 0:
+            return 0
+        events = selected.select(
+            F.from_json(F.col("original_event"), CHANGE_EVENT_SCHEMA).alias("e")
+        ).select("e.*")
+        self.process_batch(events)
+        resolved = dlq.withColumn(
+            "resolution_status",
+            F.when(F.col("dlq_id").isin(dlq_ids), F.lit("MANUAL_RESOLVED")).otherwise(
+                F.col("resolution_status")
+            ),
+        )
+        tmp = f"{self.dlq_path}.tmp"
+        resolved.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.dlq_path)
+        return n

@@ -1,0 +1,200 @@
+"""End-to-end streaming ingest: JSONL → validate → DLQ split →
+unwrap/type → LWW merge → keyed table; checkpoint restart idempotence.
+
+Mirrors the reference's integration scenarios
+(``test_end_to_end_replication.py``, ``test_dlq_routing.py``,
+``test_checkpoint_resume.py``) as deterministic local-mode tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cass_cdc_pg_spark.streaming.ingest import CdcIngest, jsonl_stream
+
+USERS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("username", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+    ]
+)
+
+U1 = "11111111-1111-1111-1111-111111111111"
+U2 = "22222222-2222-2222-2222-222222222222"
+
+
+def _event(event_id, op, ts, after=None, before=None, table="users", ttl=None, tomb=False):
+    return {
+        "event_id": event_id,
+        "source_table": table,
+        "operation_type": op,
+        "timestamp_micros": ts,
+        "before": before,
+        "after": after,
+        "schema_version": 1,
+        "ttl_seconds": ttl,
+        "is_tombstone": tomb,
+    }
+
+
+def _eid(n: int) -> str:
+    return str(uuid.UUID(int=n))
+
+
+def _write_batch(events_dir, name, events):
+    os.makedirs(events_dir, exist_ok=True)
+    with open(f"{events_dir}/{name}.jsonl", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+@pytest.fixture()
+def ingest(spark, tmp_path):
+    return CdcIngest(
+        spark,
+        str(tmp_path / "wh"),
+        table_schemas={"users": USERS_SCHEMA},
+        key_cols={"users": ["id"]},
+        num_buckets=4,
+    )
+
+
+def _run(spark, ingest, events_dir, checkpoint):
+    q = ingest.start(
+        jsonl_stream(spark, events_dir), checkpoint=checkpoint, trigger_once=True
+    )
+    q.awaitTermination(120)
+
+
+def test_crud_replication_end_to_end(spark, ingest, tmp_path):
+    events_dir = str(tmp_path / "events")
+    _write_batch(
+        events_dir,
+        "b1",
+        [
+            _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "ann", "age": "34"}),
+            _event(_eid(2), "CREATE", 1000, after={"id": U2, "username": "bob", "age": "55"}),
+            _event(_eid(3), "UPDATE", 2000,
+                   before={"id": U1, "username": "ann", "age": "34"},
+                   after={"id": U1, "username": "ann2", "age": "35"}),
+            _event(_eid(4), "DELETE", 3000, before={"id": U2, "username": "bob", "age": "55"}),
+        ],
+    )
+    _run(spark, ingest, events_dir, str(tmp_path / "cp"))
+
+    t = ingest.table("users")
+    rows = {r["id"]: r.asDict() for r in t.read().collect()}
+    assert rows[U1]["username"] == "ann2"
+    assert rows[U1]["age"] == 35  # typed via pinned schema (T8)
+    assert rows[U1]["_cdc_deleted"] is False
+    assert rows[U2]["_cdc_deleted"] is True  # soft delete (T11)
+    assert t.read_live().count() == 1
+
+
+def test_invalid_events_routed_to_dlq(spark, ingest, tmp_path):
+    events_dir = str(tmp_path / "events")
+    _write_batch(
+        events_dir,
+        "b1",
+        [
+            _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "x", "age": "1"}),
+            _event("not-a-uuid", "CREATE", 1000, after={"id": U2}),          # bad UUID
+            _event(_eid(3), "UPDATE", 1000, after={"id": U2}),               # missing before
+            _event(_eid(4), "CREATE", 4102444800_000_000, after={"id": U2}),  # far future
+        ],
+    )
+    _run(spark, ingest, events_dir, str(tmp_path / "cp"))
+
+    dlq = ingest.dlq()
+    by_type = {r["error_type"]: r["n"] for r in dlq.groupBy("error_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type.get("SCHEMA_MISMATCH") == 2
+    assert by_type.get("CONSTRAINT_VIOLATION") == 1
+    assert ingest.table("users").read().count() == 1
+
+
+def test_checkpoint_restart_no_duplicates(spark, ingest, tmp_path):
+    events_dir = str(tmp_path / "events")
+    cp = str(tmp_path / "cp")
+    _write_batch(
+        events_dir, "b1",
+        [_event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "a", "age": "1"})],
+    )
+    _run(spark, ingest, events_dir, cp)
+    # restart with one new file: only it is processed; state stays consistent
+    _write_batch(
+        events_dir, "b2",
+        [_event(_eid(2), "UPDATE", 2000,
+                before={"id": U1, "username": "a", "age": "1"},
+                after={"id": U1, "username": "b", "age": "2"})],
+    )
+    _run(spark, ingest, events_dir, cp)
+    t = ingest.table("users")
+    assert t.read().count() == 1
+    assert t.read().collect()[0]["username"] == "b"
+
+
+def test_replayed_batch_is_idempotent(spark, ingest, tmp_path):
+    """Reprocessing the same microbatch (crash between commit and
+    checkpoint) must not change state (C5)."""
+    events = [
+        _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "a", "age": "1"}),
+        _event(_eid(2), "UPDATE", 2000,
+               before={"id": U1, "username": "a", "age": "1"},
+               after={"id": U1, "username": "b", "age": "2"}),
+    ]
+    df = spark.createDataFrame(
+        [tuple(e.values()) for e in events],
+        "event_id string, source_table string, operation_type string, "
+        "timestamp_micros long, before map<string,string>, after map<string,string>, "
+        "schema_version int, ttl_seconds int, is_tombstone boolean",
+    )
+    ingest.process_batch(df)
+    first = {r["id"]: r.asDict() for r in ingest.table("users").read().collect()}
+    ingest.process_batch(df)  # replay
+    second = {r["id"]: r.asDict() for r in ingest.table("users").read().collect()}
+    assert first == second
+
+
+def test_ttl_event_sets_expiry_and_sweeps(spark, ingest, tmp_path):
+    events_dir = str(tmp_path / "events")
+    _write_batch(
+        events_dir, "b1",
+        [
+            _event(_eid(1), "CREATE", 1_000_000, ttl=3600,
+                   after={"id": U1, "username": "s", "age": "1"}),
+            _event(_eid(2), "CREATE", 1_000_000,
+                   after={"id": U2, "username": "t", "age": "2"}),
+        ],
+    )
+    _run(spark, ingest, events_dir, str(tmp_path / "cp"))
+    t = ingest.table("users")
+    rows = {r["id"]: r.asDict() for r in t.read().collect()}
+    assert rows[U1]["_ttl_expiry_timestamp_us"] == 1_000_000 + 3600 * 1_000_000
+    assert rows[U2]["_ttl_expiry_timestamp_us"] is None
+    removed = t.expire_ttl(now_us=2 * 3600 * 1_000_000)
+    assert removed == 1
+    assert set(r["id"] for r in t.read().collect()) == {U2}
+
+
+def test_dlq_replay_marks_resolved(spark, ingest, tmp_path):
+    events_dir = str(tmp_path / "events")
+    # UPDATE without `before` → DLQ'd
+    bad = _event(_eid(3), "UPDATE", 1000, after={"id": U1, "username": "x", "age": "9"})
+    _write_batch(events_dir, "b1", [bad])
+    _run(spark, ingest, events_dir, str(tmp_path / "cp"))
+    assert ingest.table("users").exists() is False
+
+    dlq_ids = [r["dlq_id"] for r in ingest.dlq().collect()]
+    # fix-and-replay is out of scope for validation failures, but the
+    # mechanics must mark replayed rows MANUAL_RESOLVED
+    n = ingest.replay_dlq(dlq_ids)
+    assert n == 1
+    statuses = {r["resolution_status"] for r in ingest.dlq().collect()}
+    assert "MANUAL_RESOLVED" in statuses

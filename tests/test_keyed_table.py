@@ -1,0 +1,107 @@
+"""KeyedTable merge semantics: upsert, LWW guard, soft delete, TTL."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+SCHEMA = (
+    "id string, val string, _cdc_deleted boolean, _cdc_timestamp_micros long, "
+    "_last_event_id string, _ttl_expiry_timestamp_us long"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+
+
+def _state(t: KeyedTable):
+    return {
+        r["id"]: (r["val"], r["_cdc_deleted"], r["_cdc_timestamp_micros"])
+        for r in t.read().collect()
+    }
+
+
+def test_insert_then_update(table, spark):
+    table.merge(_batch(spark, [("a", "v1", False, 100, "e1", None)]))
+    table.merge(_batch(spark, [("a", "v2", False, 200, "e2", None)]))
+    assert _state(table) == {"a": ("v2", False, 200)}
+
+
+def test_stale_update_rejected(table, spark):
+    table.merge(_batch(spark, [("a", "v2", False, 200, "e2", None)]))
+    table.merge(_batch(spark, [("a", "v1", False, 100, "e1", None)]))
+    assert _state(table) == {"a": ("v2", False, 200)}
+
+
+def test_merge_is_idempotent_on_replay(table, spark):
+    b = _batch(spark, [("a", "v1", False, 100, "e1", None), ("b", "w", False, 50, "e0", None)])
+    table.merge(b)
+    before = _state(table)
+    table.merge(b)  # replay same microbatch (crash-recovery, C5)
+    assert _state(table) == before
+    assert table.read().count() == 2
+
+
+def test_soft_delete_keeps_tombstone(table, spark):
+    table.merge(_batch(spark, [("a", "v1", False, 100, "e1", None)]))
+    table.merge(_batch(spark, [("a", "v1", True, 200, "e2", None)]))
+    assert _state(table) == {"a": ("v1", True, 200)}
+    assert table.read_live().count() == 0
+    assert table.read().count() == 1
+
+
+def test_multi_bucket_partial_rewrite(table, spark):
+    rows = [(f"k{i}", "v", False, 100, f"e{i}", None) for i in range(20)]
+    table.merge(_batch(spark, rows))
+    # second merge touches a single key → only its bucket rewritten
+    table.merge(_batch(spark, [("k3", "v2", False, 200, "x", None)]))
+    st = _state(table)
+    assert len(st) == 20
+    assert st["k3"] == ("v2", False, 200)
+    assert st["k7"] == ("v", False, 100)
+
+
+def test_ttl_expiry_sweep(table, spark):
+    table.merge(
+        _batch(
+            spark,
+            [
+                ("a", "v", False, 100, "e1", 1_000),      # expired long ago
+                ("b", "v", False, 100, "e2", None),        # no TTL
+                ("c", "v", False, 100, "e3", 2**62),       # far future
+            ],
+        )
+    )
+    removed = table.expire_ttl(now_us=1_000_000)
+    assert removed == 1
+    assert set(_state(table)) == {"b", "c"}
+
+
+def test_hard_delete_where(table, spark):
+    table.merge(
+        _batch(spark, [(f"k{i}", "v", False, 100, f"e{i}", None) for i in range(10)])
+    )
+    n = table.delete_where(F.col("id").isin("k1", "k2"))
+    assert n == 2
+    assert set(_state(table)) == {f"k{i}" for i in range(10)} - {"k1", "k2"}
+
+
+def test_schema_evolution_add_column(table, spark):
+    table.merge(_batch(spark, [("a", "v1", False, 100, "e1", None)]))
+    evolved = spark.createDataFrame(
+        [("b", "v2", "extra", False, 200, "e2", None)],
+        "id string, val string, new_col string, _cdc_deleted boolean, "
+        "_cdc_timestamp_micros long, _last_event_id string, _ttl_expiry_timestamp_us long",
+    )
+    table.merge(evolved)
+    rows = {r["id"]: r.asDict() for r in table.read().collect()}
+    assert rows["a"]["new_col"] is None  # backfilled NULL (ADD_COLUMN)
+    assert rows["b"]["new_col"] == "extra"

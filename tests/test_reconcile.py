@@ -1,0 +1,68 @@
+"""Reconciliation operator unit tests on tiny in-memory tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cass_cdc_pg_spark.operators.reconcile import (
+    checksum_diff,
+    field_diff,
+    row_count_validation,
+)
+
+SRC = [
+    (1, "a", 10.0),
+    (2, "b", 20.0),
+    (3, "c", 30.0),
+]
+TGT = [
+    (1, "a", 10.0),     # identical
+    (2, "b", 99.0),     # mutated → DATA_MISMATCH
+    # 3 missing          → MISSING_IN_TARGET
+    (4, "d", 40.0),     # extra → MISSING_IN_SOURCE
+]
+DDL = "id long, name string, amount double"
+
+
+def test_row_count_and_drift(spark):
+    src = spark.createDataFrame(SRC, DDL)
+    tgt = spark.createDataFrame(TGT, DDL)
+    row = row_count_validation(src, tgt).collect()[0]
+    assert row["src_count"] == 3 and row["tgt_count"] == 3
+    assert row["mismatch_count"] == 0 and row["severity"] == "ok"
+
+
+def test_checksum_diff_classifies_all_three(spark):
+    src = spark.createDataFrame(SRC, DDL)
+    tgt = spark.createDataFrame(TGT, DDL)
+    out = {
+        r["id"]: r["mismatch_type"]
+        for r in checksum_diff(src, tgt, ["id"], ["name", "amount"]).collect()
+    }
+    assert out == {
+        2: "DATA_MISMATCH",
+        3: "MISSING_IN_TARGET",
+        4: "MISSING_IN_SOURCE",
+    }
+
+
+def test_field_diff_pinpoints_column(spark):
+    src = spark.createDataFrame(SRC, DDL)
+    tgt = spark.createDataFrame(TGT, DDL)
+    rows = field_diff(src, tgt, ["id"], ["name", "amount"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id"], r["column"]) == (2, "amount")
+    assert r["src_val"] == "20.0000" and r["tgt_val"] == "99.0000"
+
+
+def test_drift_severity_thresholds(spark):
+    from cass_cdc_pg_spark.operators.reconcile import drift_severity
+
+    df = spark.range(1).select(
+        drift_severity(F.lit(0.5)).alias("a"),
+        drift_severity(F.lit(1.0)).alias("b"),
+        drift_severity(F.lit(7.2)).alias("c"),
+    )
+    r = df.collect()[0]
+    assert (r["a"], r["b"], r["c"]) == ("ok", "warning", "critical")

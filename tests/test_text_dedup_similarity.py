@@ -1,0 +1,103 @@
+"""Unit tests for the training-data pipeline operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cass_cdc_pg_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s", 44),  # exact dup
+        (3, "the quick brown fox jumps over a lazy dog", "en", "s", 42),    # near dup
+        (4, "completely different words entirely unrelated text", "en", "s", 50),
+        (5, "el gato la casa de madrid y barcelona", "es", "s", 37),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3, 4, 5}  # doc 2 collapses into 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_agrees_with_exact_on_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=2, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+
+
+def test_simhash_identical_docs_same_fingerprint(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_lang_id_marker_scoring(docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "es"  # el/la/de/y markers
+
+
+def test_quality_and_tokens(docs):
+    stats = {r["doc_id"]: r.asDict() for r in text.token_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[1]["n_unique"] == 8  # 'the' twice
+    q = {r["doc_id"]: r.asDict() for r in text.quality_score(docs).collect()}
+    assert q[1]["quality_bucket"] == "too_short"  # < 20 tokens
+    assert 0 < q[1]["stopword_ratio"] < 1
+
+
+def test_fingerprint_order_insensitive(spark):
+    rows = [(1, "alpha beta gamma", "en", "s", 1), (2, "gamma alpha beta", "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fp = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in out.collect())
+    assert rows == [(1, 1), (2, 2)] or rows[0] == (1, 1)
+
+
+def test_lsh_recall_on_close_pairs(vectors):
+    # identical-direction vectors share every hyperplane sign → same bucket
+    out = similarity.lsh_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2, bits=4, dim=3)
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert 1 in neighbors  # the near neighbor is found
+
+
+def test_embedding_neardup(vectors):
+    pairs = similarity.embedding_neardup_pairs(vectors, threshold=0.95, bits=2, dim=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got

@@ -1,0 +1,129 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same sf dir, then compares:
+
+- row count
+- column names (sorted)
+- order-insensitive value hash: per row, values of columns sorted by
+  name are canonically stringified and joined; the multiset of row
+  strings is hashed.
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def canon_value(v) -> str:
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def hash_rows(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from cass_cdc_pg_spark.session import get_spark
+    from cass_cdc_pg_spark.sources.tables import TABLES
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(s_rows)} (no oracle — rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            hs, hd = hash_rows(s_cols, s_rows), hash_rows(d_cols, d_rows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                set_s = {"\x1f".join(canon_value(r[i]) for i in order_s) for r in s_rows}
+                set_d = {"\x1f".join(canon_value(r[i]) for i in order_d) for r in d_rows}
+                for x in list(set_s - set_d)[:3]:
+                    print(f"  spark-only: {x!r}")
+                for x in list(set_d - set_s)[:3]:
+                    print(f"  duck-only:  {x!r}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok   {name}: rows={len(s_rows)} hash-match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
