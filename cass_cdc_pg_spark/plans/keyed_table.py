@@ -167,21 +167,35 @@ class KeyedTable:
                 tiebreak_col="_last_event_id",
             )
 
+        self._publish(merged, touched)
+
+    def _publish(self, df_with_bucket: DataFrame, touched: list[int]) -> None:
+        """Write *df_with_bucket* (must carry ``_bucket``) as the new
+        content of the *touched* buckets and swap the manifest
+        atomically.  A bucket that ends up empty gets an empty-schema
+        marker dir so reads stay consistent."""
         snap = f"{self.path}/snap-{uuid.uuid4().hex[:12]}"
         (
-            merged.repartition(len(touched), "_bucket")
+            df_with_bucket.repartition(max(len(touched), 1), "_bucket")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(snap)
         )
         # parquet writer materializes dirs named `_bucket=<n>`; keep
         # manifest keys as plain bucket ids
-        new_manifest = dict(manifest)
+        manifest = dict(self._read_manifest())
         for b in touched:
-            os.rename(f"{snap}/_bucket={b}", f"{snap}/bucket={b}")
-            new_manifest[str(b)] = snap
-        self._write_manifest(new_manifest)
-        self._gc(new_manifest)
+            src_dir = f"{snap}/_bucket={b}"
+            if os.path.isdir(src_dir):
+                os.rename(src_dir, f"{snap}/bucket={b}")
+            else:
+                # bucket emptied entirely: write an empty marker dir
+                df_with_bucket.drop("_bucket").limit(0).write.mode(
+                    "overwrite"
+                ).parquet(f"{snap}/bucket={b}")
+            manifest[str(b)] = snap
+        self._write_manifest(manifest)
+        self._gc(manifest)
 
     def _gc(self, manifest: dict[str, str]) -> None:
         """Drop snapshot dirs no bucket points at anymore."""
@@ -195,9 +209,15 @@ class KeyedTable:
     def delete_where(self, predicate) -> int:
         """Hard delete (T12/Q18): rewrite buckets dropping matches.
 
+        NULL-safe: a predicate evaluating to NULL on a row (e.g. a
+        comparison against a NULL column) means "no match" — the row
+        is KEPT and not counted, never silently dropped.  (GDPR-erasure
+        path; silent loss here would be unrecoverable.)
+
         Returns number of rows removed."""
+        hit = F.coalesce(predicate, F.lit(False))
         df = self.read().withColumn("_bucket", self._bucket_col())
-        hits = df.filter(predicate)
+        hits = df.filter(hit)
         touched = [r[0] for r in hits.select("_bucket").distinct().collect()]
         if not touched:
             return 0
@@ -205,30 +225,49 @@ class KeyedTable:
         keep = (
             self.read(buckets=touched)
             .withColumn("_bucket", self._bucket_col())
-            .filter(~predicate)
+            .filter(~hit)
         )
-        snap = f"{self.path}/snap-{uuid.uuid4().hex[:12]}"
-        (
-            keep.repartition(max(len(touched), 1), "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(snap)
+        self._publish(keep, touched)
+        return n
+
+    def soft_delete_all(self, ts_us: int, event_id: str = "") -> int:
+        """TRUNCATE semantics (``change_event.py:115``): soft-delete
+        every current row the truncate event wins over by LWW order
+        ((ts, event_id) strictly greater than the row's).  Losing rows
+        (written after the truncate) are untouched, so out-of-order
+        delivery converges exactly like C1-C4.
+
+        Returns number of rows tombstoned."""
+        if not self.exists():
+            return 0
+        wins = (F.col("_cdc_timestamp_micros") < F.lit(ts_us)) | (
+            (F.col("_cdc_timestamp_micros") == F.lit(ts_us))
+            & (F.col("_last_event_id") < F.lit(event_id))
         )
-        manifest = self._read_manifest()
-        for b in touched:
-            src_dir = f"{snap}/_bucket={b}"
-            if os.path.isdir(src_dir):
-                os.rename(src_dir, f"{snap}/bucket={b}")
-                manifest[str(b)] = snap
-            else:
-                # bucket emptied entirely: write an empty marker dir
-                os.makedirs(f"{snap}/bucket={b}", exist_ok=True)
-                keep.filter(F.col("_bucket") == b).drop("_bucket").limit(0).write.mode(
-                    "overwrite"
-                ).parquet(f"{snap}/bucket={b}")
-                manifest[str(b)] = snap
-        self._write_manifest(manifest)
-        self._gc(manifest)
+        df = self.read().withColumn("_bucket", self._bucket_col())
+        df = df.withColumn("_trunc_win", F.coalesce(wins, F.lit(False)))
+        n = df.filter(F.col("_trunc_win") & ~F.col("_cdc_deleted")).count()
+        updated = (
+            df.withColumn(
+                "_cdc_deleted",
+                F.when(F.col("_trunc_win"), F.lit(True)).otherwise(F.col("_cdc_deleted")),
+            )
+            .withColumn(
+                "_cdc_timestamp_micros",
+                F.when(F.col("_trunc_win"), F.lit(ts_us)).otherwise(
+                    F.col("_cdc_timestamp_micros")
+                ),
+            )
+            .withColumn(
+                "_last_event_id",
+                F.when(F.col("_trunc_win"), F.lit(event_id)).otherwise(
+                    F.col("_last_event_id")
+                ),
+            )
+            .drop("_trunc_win")
+        )
+        touched = [int(b) for b in self._read_manifest()]
+        self._publish(updated, touched)
         return n
 
     def expire_ttl(self, now_us: int | None = None) -> int:

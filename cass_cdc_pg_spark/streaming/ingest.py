@@ -107,23 +107,87 @@ class CdcIngest:
     # -- batch core (also used directly by tests and replay) ---------------
 
     def process_batch(self, events: DataFrame, batch_id: int = 0) -> None:
-        """Validate → split → per-table unwrap/convert/merge."""
+        """Validate → split → per-table unwrap/convert/merge.
+
+        One summary aggregation up front tells us which tables the
+        batch actually touches, whether any rows failed validation, and
+        the winning TRUNCATE per table — so a microbatch for one table
+        costs jobs proportional to that table, not to the configured
+        table count.
+        """
         events = events.persist()
         try:
-            good, dlq = transforms.split_valid(events)
-            # DLQ append (S5). Append-only parquet: idempotent enough for
-            # the error path (duplicates possible on replay, never losses —
-            # matches `errors.tolerance=all` semantics).
-            dlq_rows = dlq.count()
-            if dlq_rows:
-                dlq.write.mode("append").parquet(self.dlq_path)
+            tagged = events.withColumn(
+                "_error_type", transforms.validation_status()
+            )
+            stats = (
+                tagged.groupBy(
+                    "source_table",
+                    "operation_type",
+                    F.col("_error_type").isNotNull().alias("bad"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(F.struct("timestamp_micros", "event_id")).alias("mx"),
+                )
+                .collect()
+            )
+            any_bad = any(r["bad"] for r in stats)
+            row_tables: set[str] = set()
+            truncates: dict[str, tuple[int, str]] = {}
+            for r in stats:
+                if r["bad"]:
+                    continue
+                if r["operation_type"] == "TRUNCATE":
+                    cand = (r["mx"]["timestamp_micros"], r["mx"]["event_id"])
+                    if r["source_table"] not in truncates or cand > truncates[r["source_table"]]:
+                        truncates[r["source_table"]] = cand
+                else:
+                    row_tables.add(r["source_table"])
+
+            dlq_parts = []
+            if any_bad:
+                bad = tagged.filter(F.col("_error_type").isNotNull())
+                dlq_parts.append(
+                    transforms.to_dlq_rows(
+                        bad,
+                        events.columns,
+                        F.col("_error_type"),
+                        F.concat(F.lit("validation failed: "), F.col("_error_type")),
+                    )
+                )
+            good = tagged.filter(F.col("_error_type").isNull()).drop("_error_type")
+
             for name, payload_schema in self.table_schemas.items():
-                subset = good.filter(F.col("source_table") == name)
-                rows = transforms.unwrap(subset, payload_schema)
-                rows = transforms.add_cdc_metadata(rows)
-                target = self.table(name)
-                commit = lambda r=rows, t=target: t.merge(r)  # noqa: E731
-                self.breaker.call(lambda: retry_with_backoff(commit, max_attempts=3))
+                if name in row_tables:
+                    subset = good.filter(
+                        (F.col("source_table") == name)
+                        & (F.col("operation_type") != "TRUNCATE")
+                    )
+                    # T8 error contract: raw-non-null → typed-null rows
+                    # go to the DLQ as TYPE_CONVERSION_ERROR, never
+                    # merged as NULL columns (type_mapper.py:88-134).
+                    ok, conv_dlq = transforms.split_convertible(subset, payload_schema)
+                    dlq_parts.append(conv_dlq)
+                    rows = transforms.unwrap(ok, payload_schema)
+                    rows = transforms.add_cdc_metadata(rows)
+                    target = self.table(name)
+                    commit = lambda r=rows, t=target: t.merge(r)  # noqa: E731
+                    self.breaker.call(lambda: retry_with_backoff(commit, max_attempts=3))
+                # TRUNCATE: table-level operation, applied via LWW
+                # soft-delete-all — never merged as a row (ADVICE r1).
+                if name in truncates:
+                    ts_us, eid = truncates[name]
+                    self.table(name).soft_delete_all(ts_us, eid)
+
+            if dlq_parts:
+                # DLQ append (S5). Append-only parquet: idempotent enough
+                # for the error path (duplicates possible on replay, never
+                # losses — matches `errors.tolerance=all` semantics).
+                dlq = dlq_parts[0]
+                for p in dlq_parts[1:]:
+                    dlq = dlq.unionByName(p)
+                dlq.write.mode("append").parquet(self.dlq_path)
         finally:
             events.unpersist()
 

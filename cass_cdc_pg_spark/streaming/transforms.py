@@ -55,71 +55,167 @@ def validation_status(now_us: Column | None = None) -> Column:
     )
 
 
+def to_dlq_rows(
+    bad: DataFrame,
+    original_cols: list[str],
+    error_type: Column,
+    error_message: Column,
+) -> DataFrame:
+    """S5: project failed events into the DLQ record shape
+    (``src/models/dlq_record.py:10-64``)."""
+    return bad.select(
+        F.expr("uuid()").alias("dlq_id"),
+        F.col("source_table"),
+        F.to_json(F.struct(*original_cols)).alias("original_event"),
+        error_type.alias("error_type"),
+        error_message.alias("error_message"),
+        F.lit(0).alias("retry_count"),
+        F.unix_micros(F.current_timestamp()).alias("first_failed_at_us"),
+        F.lit(None).cast("long").alias("last_retry_at_us"),
+        F.lit("PENDING").alias("resolution_status"),
+    )
+
+
 def split_valid(events: DataFrame, now_us: Column | None = None) -> tuple[DataFrame, DataFrame]:
     """T7+S5: (valid events, DLQ rows with error metadata)."""
     tagged = events.withColumn("_error_type", validation_status(now_us))
     good = tagged.filter(F.col("_error_type").isNull()).drop("_error_type")
     bad = tagged.filter(F.col("_error_type").isNotNull())
-    dlq = bad.select(
-        F.expr("uuid()").alias("dlq_id"),
-        F.col("source_table"),
-        F.to_json(F.struct(*events.columns)).alias("original_event"),
-        F.col("_error_type").alias("error_type"),
-        F.concat(F.lit("validation failed: "), F.col("_error_type")).alias("error_message"),
-        F.lit(0).alias("retry_count"),
-        F.unix_micros(F.current_timestamp()).alias("first_failed_at_us"),
-        F.lit(None).cast("long").alias("last_retry_at_us"),
-        F.lit("PENDING").alias("resolution_status"),
+    dlq = to_dlq_rows(
+        bad,
+        events.columns,
+        F.col("_error_type"),
+        F.concat(F.lit("validation failed: "), F.col("_error_type")),
+    )
+    return good, dlq
+
+
+#: Envelope fields carried through unwrap under reserved aliases so a
+#: payload column legitimately named ``event_id`` / ``source_table`` /
+#: ... can never collide with the envelope (AMBIGUOUS_REFERENCE).
+ENVELOPE_ALIASES = {
+    "event_id": "_cdc_env_event_id",
+    "source_table": "_cdc_env_source_table",
+    "operation_type": "_cdc_env_op",
+    "timestamp_micros": "_cdc_env_ts_micros",
+    "ttl_seconds": "_cdc_env_ttl_seconds",
+    "is_tombstone": "_cdc_env_tombstone",
+}
+
+#: Names a payload schema may never use: the reserved envelope aliases
+#: plus the final sink-side metadata columns (init-db.sql:146-195).
+RESERVED_PAYLOAD_NAMES = frozenset(ENVELOPE_ALIASES.values()) | {
+    "_cdc_deleted",
+    "_cdc_timestamp_micros",
+    "_last_event_id",
+    "_ttl_expiry_timestamp_us",
+}
+
+
+def check_payload_schema(payload_type: T.StructType) -> None:
+    """Fail fast on payload columns that collide with reserved names."""
+    bad = [f.name for f in payload_type.fields if f.name in RESERVED_PAYLOAD_NAMES]
+    if bad:
+        raise ValueError(
+            f"payload schema uses reserved column names: {bad}; "
+            f"reserved: {sorted(RESERVED_PAYLOAD_NAMES)}"
+        )
+
+
+def _body() -> Column:
+    return F.when(F.col("operation_type") == "DELETE", F.col("before")).otherwise(
+        F.col("after")
+    )
+
+
+def conversion_failures(payload_type: T.StructType) -> Column:
+    """T8 error contract (``type_mapper.py:88-134``): array of payload
+    field names whose raw value is non-null but whose ``try_cast`` to
+    the pinned type yields NULL — i.e. a genuine conversion failure,
+    not a missing value.  Empty array = row converts cleanly.
+    """
+    body = _body()
+    probes = []
+    for f in payload_type.fields:
+        if isinstance(f.dataType, T.StringType):
+            continue  # string → string cannot fail
+        raw = body.getItem(f.name)
+        probes.append(
+            F.when(raw.isNotNull() & raw.try_cast(f.dataType).isNull(), F.lit(f.name))
+        )
+    if not probes:
+        return F.array().cast("array<string>")
+    return F.array_compact(F.array(*probes))
+
+
+def split_convertible(
+    events: DataFrame, payload_type: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """T8+S5: (cleanly-converting events, DLQ rows tagged
+    TYPE_CONVERSION_ERROR).  Run *after* validation, *before* unwrap,
+    so DLQ rows keep the full original envelope."""
+    probe_cols = list(events.columns)
+    tagged = events.withColumn("_conv_fail", conversion_failures(payload_type))
+    good = tagged.filter(F.size("_conv_fail") == 0).drop("_conv_fail")
+    bad = tagged.filter(F.size("_conv_fail") > 0)
+    dlq = to_dlq_rows(
+        bad,
+        probe_cols,
+        F.lit("TYPE_CONVERSION_ERROR"),
+        F.concat(
+            F.lit("type conversion failed for columns: "),
+            F.concat_ws(",", F.col("_conv_fail")),
+        ),
     )
     return good, dlq
 
 
 def unwrap(events: DataFrame, payload_type: T.StructType) -> DataFrame:
     """T1 ExtractNewRecordState: row = after (or before for DELETE),
-    typed via the pinned per-table schema (T8), plus envelope fields.
+    typed via the pinned per-table schema (T8), plus envelope fields
+    under reserved ``_cdc_env_*`` aliases (see ENVELOPE_ALIASES) so
+    payload columns named like envelope fields cannot collide.
 
     ``before``/``after`` arrive as map<string,string>; each payload
     column is extracted and ``try_cast`` to its pinned type (T8,
     ``type_mapper.py:88-134``) — ANSI-safe: a value that cannot
-    convert becomes NULL instead of failing the batch, and the caller
-    routes rows whose raw value was non-null but typed value is null
-    to the DLQ as TYPE_CONVERSION_ERROR.
+    convert becomes NULL instead of failing the batch.  Callers that
+    honor the reference's error contract route conversion failures to
+    the DLQ first via :func:`split_convertible`.
+
+    TRUNCATE events (no before/after) must be split out *before*
+    unwrap — they are table-level operations, not rows
+    (``change_event.py:115``); see ``CdcIngest.process_batch``.
     """
-    body = F.when(F.col("operation_type") == "DELETE", F.col("before")).otherwise(
-        F.col("after")
-    )
+    check_payload_schema(payload_type)
+    body = _body()
     typed = [
         body.getItem(f.name).try_cast(f.dataType).alias(f.name)
         for f in payload_type.fields
     ]
-    return events.select(
-        *typed,
-        "event_id",
-        "source_table",
-        "operation_type",
-        "timestamp_micros",
-        "ttl_seconds",
-        "is_tombstone",
-    )
+    envelope = [F.col(src).alias(dst) for src, dst in ENVELOPE_ALIASES.items()]
+    return events.select(*typed, *envelope)
 
 
 def add_cdc_metadata(rows: DataFrame) -> DataFrame:
     """T4/T5/T6/T9: sink-side metadata columns
-    (``postgres-sink.json:32-46``, ``type_mapper.py:136-168``)."""
+    (``postgres-sink.json:32-46``, ``type_mapper.py:136-168``).
+    Consumes the ``_cdc_env_*`` aliases produced by :func:`unwrap`."""
+    op = F.col("_cdc_env_op")
+    ts = F.col("_cdc_env_ts_micros")
+    ttl = F.col("_cdc_env_ttl_seconds")
     return (
-        rows.withColumn("_cdc_deleted", F.col("operation_type") == "DELETE")
-        .withColumn("_cdc_timestamp_micros", F.col("timestamp_micros"))
-        .withColumn("_last_event_id", F.col("event_id"))
+        rows.withColumn("_cdc_deleted", op == "DELETE")
+        .withColumn("_cdc_timestamp_micros", ts)
+        .withColumn("_last_event_id", F.col("_cdc_env_event_id"))
         .withColumn(
             "_ttl_expiry_timestamp_us",
             F.when(
-                F.col("ttl_seconds").isNotNull() & (F.col("ttl_seconds") > 0),
-                F.col("timestamp_micros")
-                + F.col("ttl_seconds").cast("long") * F.lit(1_000_000),
+                ttl.isNotNull() & (ttl > 0),
+                ts + ttl.cast("long") * F.lit(1_000_000),
             ),
         )
-        .drop("operation_type", "timestamp_micros", "event_id", "ttl_seconds",
-              "is_tombstone", "source_table")
+        .drop(*ENVELOPE_ALIASES.values())
     )
 
 

@@ -1,0 +1,196 @@
+"""Regression tests for round-1 verdict/advice findings:
+
+1. `unwrap` envelope/payload column collision — a payload legitimately
+   containing `event_id` / `source_table` must merge cleanly (this was
+   the BENCH_r01 crash: AMBIGUOUS_REFERENCE in add_cdc_metadata).
+2. TRUNCATE events are table-level operations: never merged as phantom
+   NULL-key rows; they LWW-soft-delete the table state.
+3. T8 error contract: raw-non-null → typed-null conversion failures go
+   to the DLQ as TYPE_CONVERSION_ERROR, not merged as NULL columns.
+4. `delete_where` is NULL-safe: predicate-NULL rows are kept, never
+   silently dropped (GDPR path).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+from cass_cdc_pg_spark.streaming.ingest import CdcIngest
+from cass_cdc_pg_spark.streaming.transforms import check_payload_schema
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),   # collides with envelope name
+        T.StructField("source_table", T.StringType()),  # collides too
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+USERS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("username", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+    ]
+)
+
+U1 = "11111111-1111-1111-1111-111111111111"
+U2 = "22222222-2222-2222-2222-222222222222"
+
+CHANGE_EVENT_DDL = (
+    "event_id string, source_table string, operation_type string, "
+    "timestamp_micros long, before map<string,string>, after map<string,string>, "
+    "schema_version int, ttl_seconds int, is_tombstone boolean"
+)
+
+
+def _eid(n: int) -> str:
+    return str(uuid.UUID(int=n))
+
+
+def _event(event_id, op, ts, after=None, before=None, table="users", ttl=None, tomb=False):
+    return (event_id, table, op, ts, before, after, 1, ttl, tomb)
+
+
+def _df(spark, events):
+    return spark.createDataFrame(events, CHANGE_EVENT_DDL)
+
+
+def test_payload_envelope_name_collision_merges(spark, tmp_path):
+    """The BENCH_r01 crash: payload columns named event_id/source_table."""
+    ingest = CdcIngest(
+        spark,
+        str(tmp_path / "wh"),
+        table_schemas={"events": EVENTS_SCHEMA},
+        key_cols={"events": ["event_id"]},
+        num_buckets=4,
+    )
+    batch = _df(
+        spark,
+        [
+            _event(_eid(1), "CREATE", 1000, table="events",
+                   after={"event_id": "7", "source_table": "orders", "value": "1.5"}),
+            _event(_eid(2), "CREATE", 2000, table="events",
+                   after={"event_id": "8", "source_table": "users", "value": "2.5"}),
+        ],
+    )
+    ingest.process_batch(batch)
+    rows = {r["event_id"]: r.asDict() for r in ingest.table("events").read().collect()}
+    assert rows[7]["source_table"] == "orders"  # payload col, typed long key
+    assert rows[8]["value"] == 2.5
+    assert rows[7]["_cdc_timestamp_micros"] == 1000
+
+
+def test_reserved_payload_names_rejected():
+    bad = T.StructType([T.StructField("_cdc_deleted", T.BooleanType())])
+    with pytest.raises(ValueError, match="reserved"):
+        check_payload_schema(bad)
+
+
+@pytest.fixture()
+def users_ingest(spark, tmp_path):
+    return CdcIngest(
+        spark,
+        str(tmp_path / "wh"),
+        table_schemas={"users": USERS_SCHEMA},
+        key_cols={"users": ["id"]},
+        num_buckets=4,
+    )
+
+
+def test_truncate_soft_deletes_not_phantom_row(spark, users_ingest):
+    users_ingest.process_batch(_df(spark, [
+        _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "a", "age": "1"}),
+        _event(_eid(2), "CREATE", 1500, after={"id": U2, "username": "b", "age": "2"}),
+    ]))
+    users_ingest.process_batch(_df(spark, [
+        _event(_eid(3), "TRUNCATE", 2000),
+    ]))
+    t = users_ingest.table("users")
+    rows = t.read().collect()
+    # no phantom NULL-key row, both rows tombstoned with truncate's ts
+    assert {r["id"] for r in rows} == {U1, U2}
+    assert all(r["_cdc_deleted"] for r in rows)
+    assert all(r["_cdc_timestamp_micros"] == 2000 for r in rows)
+    assert t.read_live().count() == 0
+
+
+def test_truncate_loses_to_newer_row_event(spark, users_ingest):
+    """A row event newer than the TRUNCATE survives (LWW ordering),
+    regardless of arrival order within the batch stream."""
+    users_ingest.process_batch(_df(spark, [
+        _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "old", "age": "1"}),
+        _event(_eid(2), "CREATE", 3000, after={"id": U2, "username": "new", "age": "2"}),
+        _event(_eid(3), "TRUNCATE", 2000),
+    ]))
+    t = users_ingest.table("users")
+    rows = {r["id"]: r.asDict() for r in t.read().collect()}
+    assert rows[U1]["_cdc_deleted"] is True        # older than truncate
+    assert rows[U2]["_cdc_deleted"] is False       # newer than truncate
+    assert t.read_live().count() == 1
+
+
+def test_truncate_is_idempotent(spark, users_ingest):
+    users_ingest.process_batch(_df(spark, [
+        _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "a", "age": "1"}),
+    ]))
+    trunc = _df(spark, [_event(_eid(3), "TRUNCATE", 2000)])
+    users_ingest.process_batch(trunc)
+    first = sorted(r.asDict() for r in users_ingest.table("users").read().collect())
+    users_ingest.process_batch(trunc)  # replay
+    second = sorted(r.asDict() for r in users_ingest.table("users").read().collect())
+    assert first == second
+
+
+def test_type_conversion_error_routed_to_dlq(spark, users_ingest):
+    """CREATE with age='abc' lands in the DLQ as TYPE_CONVERSION_ERROR,
+    not as a NULL-aged row (type_mapper.py:88-134 semantics)."""
+    users_ingest.process_batch(_df(spark, [
+        _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "ok", "age": "30"}),
+        _event(_eid(2), "CREATE", 1000, after={"id": U2, "username": "bad", "age": "abc"}),
+    ]))
+    t = users_ingest.table("users")
+    assert {r["id"] for r in t.read().collect()} == {U1}
+    dlq = users_ingest.dlq()
+    conv = dlq.filter(F.col("error_type") == "TYPE_CONVERSION_ERROR").collect()
+    assert len(conv) == 1
+    assert "age" in conv[0]["error_message"]
+    # the original event is preserved for replay-after-fix
+    assert U2 in conv[0]["original_event"]
+
+
+def test_missing_value_is_not_a_conversion_error(spark, users_ingest):
+    """A genuinely-missing column (raw NULL) is fine — only raw-non-null
+    → typed-null counts as a conversion failure."""
+    users_ingest.process_batch(_df(spark, [
+        _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "x"}),  # no age
+    ]))
+    rows = users_ingest.table("users").read().collect()
+    assert len(rows) == 1
+    assert rows[0]["age"] is None
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """Rows where the predicate evaluates NULL must be kept (ADVICE r1:
+    silent GDPR data loss otherwise)."""
+    t = KeyedTable(spark, str(tmp_path / "kt"), ["id"], num_buckets=4)
+    df = spark.createDataFrame(
+        [
+            ("a", "x@y.com", False, 1000, "e1", None),
+            ("b", None, False, 1000, "e2", None),  # NULL email
+            ("c", "z@y.com", False, 1000, "e3", None),
+        ],
+        "id string, email string, _cdc_deleted boolean, "
+        "_cdc_timestamp_micros long, _last_event_id string, "
+        "_ttl_expiry_timestamp_us long",
+    )
+    t.merge(df)
+    n = t.delete_where(F.col("email") == "x@y.com")
+    assert n == 1
+    remaining = {r["id"] for r in t.read().collect()}
+    assert remaining == {"b", "c"}  # NULL-email row survived
