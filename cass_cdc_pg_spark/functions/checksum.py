@@ -12,9 +12,12 @@ DuckDB oracle produce byte-identical checksums:
 - timestamp → ``yyyy-MM-dd HH:mm:ss`` (UTC, second precision)
 - checksum = lower-hex SHA-256 of the joined string
 
-NULL handling: ``concat_ws`` skips NULLs in both engines; the test
-tables are NULL-free, and keyed tables must include the PK (non-null)
-so a NULL column never silently aliases two distinct rows.
+NULL handling: NULL is canonicalized **explicitly** to the sentinel
+``"\\x00NULL"`` (NUL byte prefix — unrepresentable in real column
+text) *before* joining.  ``concat_ws`` skips NULLs in both engines,
+so without the sentinel rows differing only in *which* column is NULL
+— ``('a', NULL)`` vs ``(NULL, 'a')`` — or NULL-vs-empty-string would
+collide to the same checksum and reconciliation would miss them.
 
 All of this runs JVM-side (``sha2``, ``format_string``,
 ``date_format``) inside whole-stage codegen — no Python UDF.
@@ -28,6 +31,9 @@ from pyspark.sql import types as T
 
 _NUMERIC_INT = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOATING = (T.FloatType, T.DoubleType)
+
+#: explicit NULL canonicalization — see module docstring
+NULL_SENTINEL = "\x00NULL"
 
 
 def _canon_spark(col: str, dt: T.DataType) -> Column:
@@ -71,11 +77,15 @@ def canonical_cols(df: DataFrame, cols: list[str] | None = None) -> list[Column]
 
 def row_checksum(df: DataFrame, cols: list[str] | None = None) -> Column:
     """SHA-256 checksum Column over the canonical form of *cols*."""
-    return F.sha2(F.concat_ws("|", *canonical_cols(df, cols)), 256)
+    parts = [F.coalesce(c, F.lit(NULL_SENTINEL)) for c in canonical_cols(df, cols)]
+    return F.sha2(F.concat_ws("|", *parts), 256)
 
 
 def canonical_sql(schema: dict[str, T.DataType], cols: list[str]) -> list[str]:
-    return [_canon_sql(n, schema[n]) for n in sorted(cols)]
+    return [
+        f"COALESCE({_canon_sql(n, schema[n])}, chr(0) || 'NULL')"
+        for n in sorted(cols)
+    ]
 
 
 def row_checksum_sql(schema: dict[str, T.DataType], cols: list[str]) -> str:

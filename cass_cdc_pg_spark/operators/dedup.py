@@ -57,30 +57,56 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct n-token shingles per document."""
+    """(doc_id, shingle) — distinct n-token shingles per document.
+
+    Documents with fewer than *n* tokens produce no shingles (the
+    unguarded ``sequence(0, size-n)`` would generate a descending
+    range and crash ``slice`` with INVALID_PARAMETER_VALUE.START)."""
     toks = tokens(F.col("text"))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return documents.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
     Plan: shingle → self-join on shingle (only docs sharing ≥1
     shingle ever meet) → per-pair intersection count → Jaccard.
-    The join key is the shingle string; at corpus scale swap in
-    `_token_hash(shingle)` to shrink shuffle width, and drop
-    super-frequent shingles (stop-shingles) before the join.
+
+    *max_doc_freq* is the 100 TB scale guard: a shingle appearing in
+    more than that many documents is a **stop-shingle** and is dropped
+    from the join (the self-join is quadratic *within* a shingle
+    bucket, so one corpus-common bigram otherwise explodes the
+    candidate set).  Dropping it undercounts intersections for the
+    affected pairs, so computed Jaccard becomes a lower bound — the
+    standard trade (set it high enough that only boilerplate shingles
+    are hit).  ``None`` (exact mode, the oracle-checked default)
+    keeps everything.
     """
     sh = shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        # broadcast the (small) stop set, not its (huge) complement
+        stop = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -125,7 +125,8 @@ def field_diff(
         for c in sorted(compare_cols)
     ])
     exploded = joined.select(*pk, F.explode(pairs).alias("d"))
-    return exploded.filter(F.col("d.src_val") != F.col("d.tgt_val")).select(
+    # null-safe inequality: NULL-vs-value IS a difference (ADVICE r1)
+    return exploded.filter(~F.col("d.src_val").eqNullSafe(F.col("d.tgt_val"))).select(
         *pk,
         F.col("d.column").alias("column"),
         F.col("d.src_val").alias("src_val"),

@@ -272,7 +272,7 @@ u AS (
   UNION ALL SELECT o_orderkey, 'o_orderpriority', s_op, t_op FROM j
   UNION ALL SELECT o_orderkey, 'o_orderstatus', s_st, t_st FROM j
   UNION ALL SELECT o_orderkey, 'o_totalprice', s_tp, t_tp FROM j)
-SELECT * FROM u WHERE src_val <> tgt_val
+SELECT * FROM u WHERE src_val IS DISTINCT FROM tgt_val
 """
 
 

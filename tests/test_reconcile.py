@@ -66,3 +66,26 @@ def test_drift_severity_thresholds(spark):
     )
     r = df.collect()[0]
     assert (r["a"], r["b"], r["c"]) == ("ok", "warning", "critical")
+
+
+def test_checksum_null_canonicalization(spark):
+    """Rows differing only in WHICH column is NULL, or NULL-vs-empty,
+    must produce different checksums (ADVICE r1)."""
+    from cass_cdc_pg_spark.functions.checksum import row_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "", None), (4, None, None)],
+        "id long, x string, y string",
+    )
+    cks = [r["c"] for r in df.select(row_checksum(df, ["x", "y"]).alias("c")).collect()]
+    assert len(set(cks)) == 4  # all four rows distinct
+
+
+def test_field_diff_reports_null_vs_value(spark):
+    from cass_cdc_pg_spark.operators.reconcile import field_diff
+
+    src = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    tgt = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    got = field_diff(src, tgt, ["id"], ["v"]).collect()
+    assert len(got) == 1
+    assert got[0]["id"] == 1 and got[0]["src_val"] == "a" and got[0]["tgt_val"] is None

@@ -101,3 +101,38 @@ def test_embedding_neardup(vectors):
     pairs = similarity.embedding_neardup_pairs(vectors, threshold=0.95, bits=2, dim=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 1) in got
+
+
+def test_shingles_short_doc_no_crash(spark):
+    """Docs with fewer than n tokens produce zero shingles instead of
+    crashing slice() with INVALID_PARAMETER_VALUE.START (ADVICE r1)."""
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two tokens"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs, n=3).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 1 not in by_doc and 2 not in by_doc
+    assert len(by_doc[3]) == 3
+    # downstream operators survive short docs too
+    assert dedup.minhash_signatures(docs, num_hashes=4, n=3).count() == 1
+
+
+def test_stop_shingle_drop_bounds_join(spark):
+    """max_doc_freq drops corpus-common shingles from the inverted
+    index; Jaccard becomes a lower bound for affected pairs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common alpha beta"),
+            (2, "common common gamma delta"),
+            (3, "common common alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'common common' appears in all 3 docs; cap df at 2 → dropped
+    capped = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.01, max_doc_freq=2)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1, 3) in got          # still found via their unique shingles
+    assert (1, 2) not in got      # only shared the stop-shingle
