@@ -48,12 +48,9 @@ def drift_severity(drift: Column, warning: float = 1.0, critical: float = 5.0) -
     )
 
 
-def row_count_validation(src: DataFrame, tgt: DataFrame) -> DataFrame:
-    """Q1 ROW_COUNT: counts, |diff|, drift%, severity — one row."""
-    a = src.agg(F.count(F.lit(1)).alias("src_count"))
-    b = tgt.agg(F.count(F.lit(1)).alias("tgt_count"))
-    joined = a.crossJoin(b)
-    return joined.select(
+def _row_count_projection(counts: DataFrame) -> DataFrame:
+    """(src_count, tgt_count) → the Q1 result row shape."""
+    return counts.select(
         "src_count",
         "tgt_count",
         F.abs(F.col("src_count") - F.col("tgt_count")).alias("mismatch_count"),
@@ -62,6 +59,27 @@ def row_count_validation(src: DataFrame, tgt: DataFrame) -> DataFrame:
             drift_pct(F.col("src_count"), F.col("tgt_count"))
         ).alias("severity"),
     )
+
+
+def row_count_validation(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Q1 ROW_COUNT: counts, |diff|, drift%, severity — one row."""
+    a = src.agg(F.count(F.lit(1)).alias("src_count"))
+    b = tgt.agg(F.count(F.lit(1)).alias("tgt_count"))
+    return _row_count_projection(a.crossJoin(b))
+
+
+def row_count_validation_from_counts(
+    spark, src_count: int, tgt_count: int
+) -> DataFrame:
+    """Q1 fast path: build the validation row from pre-computed counts
+    (parquet footer statistics — ``tables.stats_row_count``).  The
+    drift arithmetic stays in Spark expressions so rounding semantics
+    are identical to the generic path."""
+    counts = spark.range(1).select(
+        F.lit(src_count).cast("long").alias("src_count"),
+        F.lit(tgt_count).cast("long").alias("tgt_count"),
+    )
+    return _row_count_projection(counts)
 
 
 def with_checksum(df: DataFrame, pk: list[str], compare_cols: list[str]) -> DataFrame:

@@ -115,7 +115,7 @@ def _li(spark, sf_dir):
 
 
 def _li_tgt(spark, sf_dir):
-    return src.perturbed_lineitem_target(_li(spark, sf_dir))
+    return src.materialized_target(spark, sf_dir, "lineitem")
 
 
 def _ev(spark, sf_dir):
@@ -127,7 +127,14 @@ def _ev(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q1_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return reconcile.row_count_validation(_li(spark, sf_dir), _li_tgt(spark, sf_dir))
+    """ROW_COUNT validation from parquet footer statistics: both sides
+    are metadata-only counts (``stats_row_count``), the arithmetic is
+    a one-row Spark projection.  ``reconcile.row_count_validation`` is
+    the generic-DataFrame path for non-parquet inputs."""
+    src.materialized_target(spark, sf_dir, "lineitem")  # ensure built
+    src_n = src.stats_row_count(spark, src.table_path(sf_dir, "lineitem"))
+    tgt_n = src.stats_row_count(spark, src._target_cache_dir(sf_dir, "lineitem"))
+    return reconcile.row_count_validation_from_counts(spark, src_n, tgt_n)
 
 
 Q1_SQL = f"""
@@ -149,7 +156,7 @@ def _ord(spark, sf_dir):
 
 
 def _ord_tgt(spark, sf_dir):
-    return src.perturbed_orders_target(_ord(spark, sf_dir))
+    return src.materialized_target(spark, sf_dir, "orders")
 
 
 def q2_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +209,7 @@ def q5_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = src.load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between(lo, hi)
     )
-    t = src.perturbed_orders_target(src.load_table(spark, sf_dir, "orders")).filter(
+    t = src.materialized_target(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between(lo, hi)
     )
     return reconcile.checksum_diff(o, t, ORDERS_PK, ORDERS_COMPARE)
@@ -416,16 +423,13 @@ LIMIT 150
 
 
 def q17_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [
-        src.load_table(spark, sf_dir, t).agg(
-            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n")
-        )
+    """Row-count per table from parquet footer statistics (metadata
+    only — no data pages; see ``tables.stats_row_count``)."""
+    rows = [
+        (t, src.stats_row_count(spark, src.table_path(sf_dir, t)))
         for t in src.TABLES
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return spark.createDataFrame(rows, "table_name string, n long")
 
 
 Q17_SQL = " UNION ALL ".join(
