@@ -136,3 +136,17 @@ def test_stop_shingle_drop_bounds_join(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert (1, 3) in got          # still found via their unique shingles
     assert (1, 2) not in got      # only shared the stop-shingle
+
+
+def test_cosine_topk_arrow_jvm_bit_identical(spark):
+    """The vectorized numpy kernel must reproduce the JVM fold's
+    results bit-for-bit (same float64 op sequence, see _scored_arrow)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(tuple(r) for r in similarity.cosine_topk(emb, q, k=4, kernel="arrow").collect())
+    j = sorted(tuple(r) for r in similarity.cosine_topk(emb, q, k=4, kernel="jvm").collect())
+    assert a == j
