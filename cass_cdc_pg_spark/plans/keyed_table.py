@@ -8,25 +8,33 @@ metadata columns ``_cdc_deleted`` / ``_cdc_timestamp_micros`` /
 conditional LWW upsert (``timestamp_conflict_resolver.py:247-285``).
 
 This container ships no Delta/Iceberg, so MERGE is implemented
-directly over parquet with the same *partition-pruned rewrite* shape
-those formats use:
+directly over parquet with the **LSM shape** those formats use for
+merge-on-read:
 
-- rows live under ``bucket=<pmod(xxhash64(key), n)>`` partitions;
-- a merge hashes the incoming batch to its buckets, reads **only
-  those buckets** (partition pruning on the bucket filter), unions,
-  LWW-reduces per key, and rewrites **only those buckets** (dynamic
-  partition overwrite).
+- rows live under ``bucket = pmod(xxhash64(key), n)``; each bucket has
+  a *base* file set plus an ordered list of *delta* file sets;
+- a merge LWW-reduces the incoming batch (intra-batch dedup) and
+  appends it as a new delta, partitioned by bucket — **cost is
+  O(batch), never O(table)**: base files are not read and not
+  rewritten;
+- reads union base+deltas and LWW-reduce per key (merge-on-read);
+  buckets with no deltas skip the reduce;
+- a bucket whose delta count exceeds ``compact_threshold`` is
+  compacted (base∪deltas → LWW reduce → new base) — the amortized
+  O(table/threshold) background cost that keeps reads fast.
 
-Cost per merge is O(touched buckets), not O(table) — the property
-that keeps upsert viable at 100 TB (with Delta/Iceberg you'd swap
-``_merge_impl`` for ``MERGE INTO``; the surrounding semantics are
-identical and the tests pin them).
+At 100 TB this is exactly the upsert cost model of Delta/Hudi MoR:
+ingest throughput is bounded by batch size, not table size; bucket
+count spreads compaction work (thousands of buckets for TB-scale
+tables — set ``num_buckets`` accordingly; it is fixed at table
+creation like any hash-bucketing scheme).
 
-Writes are made atomic-by-rename: each merge writes the new bucket
-files to a staging dir, then swaps pointers via an fsync'd manifest —
-a crash mid-merge leaves the previous manifest (and thus the previous
-snapshot) intact, which is what makes ``foreachBatch`` replays
-idempotent (C5 / crash tests ``test_crash_recovery.py:41-343``).
+Writes are atomic-by-manifest: delta/base dirs are written first, then
+the fsync'd manifest swaps in one ``os.replace`` — a crash mid-merge
+leaves the previous manifest (and thus the previous snapshot) intact,
+which is what makes ``foreachBatch`` replays idempotent (C5 / crash
+tests ``test_crash_recovery.py:41-343``).  Orphaned dirs from crashed
+writes are garbage-collected on the next successful commit.
 """
 
 from __future__ import annotations
@@ -59,11 +67,13 @@ class KeyedTable:
         path: str,
         key_cols: list[str],
         num_buckets: int = 32,
+        compact_threshold: int = 8,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
+        self.compact_threshold = compact_threshold
         os.makedirs(self.path, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -72,15 +82,20 @@ class KeyedTable:
     def _manifest_path(self) -> str:
         return f"{self.path}/_manifest.json"
 
-    def _read_manifest(self) -> dict[str, str]:
-        """bucket-id (str) → snapshot dir currently holding that bucket."""
+    def _read_manifest(self) -> dict[str, dict]:
+        """bucket-id (str) → {"base": dir|None, "deltas": [dir, ...]}."""
         try:
             with open(self._manifest_path) as f:
-                return json.load(f)["buckets"]
+                buckets = json.load(f)["buckets"]
         except FileNotFoundError:
             return {}
+        # migrate the pre-LSM format (bucket → snapshot dir string)
+        return {
+            b: (e if isinstance(e, dict) else {"base": e, "deltas": []})
+            for b, e in buckets.items()
+        }
 
-    def _write_manifest(self, buckets: dict[str, str]) -> None:
+    def _write_manifest(self, buckets: dict[str, dict]) -> None:
         tmp = f"{self._manifest_path}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump({"buckets": buckets, "updated_at": time.time()}, f)
@@ -96,22 +111,45 @@ class KeyedTable:
     def exists(self) -> bool:
         return bool(self._read_manifest())
 
+    def _bucket_dirs(self, b: str, entry: dict) -> list[str]:
+        dirs = []
+        if entry.get("base"):
+            dirs.append(f"{self.path}/{entry['base']}/bucket={b}")
+        dirs.extend(f"{self.path}/{d}/bucket={b}" for d in entry.get("deltas", ()))
+        return dirs
+
+    def _reduce(self, df: DataFrame) -> DataFrame:
+        return lww_latest(
+            df,
+            self.key_cols,
+            ts_col="_cdc_timestamp_micros",
+            tiebreak_col="_last_event_id",
+        )
+
     def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current state (all rows, incl. soft-deleted tombstones)."""
+        """Current state per key (incl. soft-deleted tombstones).
+
+        Merge-on-read: buckets carrying deltas are LWW-reduced; a
+        fully-compacted table is a plain parquet scan."""
         manifest = self._read_manifest()
         if not manifest:
             raise FileNotFoundError(f"empty keyed table at {self.path}")
         wanted = (
             manifest.items()
             if buckets is None
-            else [(b, manifest[str(b)]) for b in map(str, buckets) if b in manifest]
+            else [(b, manifest[b]) for b in map(str, buckets) if b in manifest]
         )
-        dirs = sorted({f"{snap}/bucket={b}" for b, snap in wanted})
+        dirs: list[str] = []
+        has_deltas = False
+        for b, entry in wanted:
+            dirs.extend(self._bucket_dirs(b, entry))
+            has_deltas = has_deltas or bool(entry.get("deltas"))
         if not dirs:
             return None  # no state for these buckets yet
-        # mergeSchema: buckets written before an ADD_COLUMN evolution
-        # lack the new column; the merged read backfills it as NULL
-        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        # mergeSchema: buckets/deltas written before an ADD_COLUMN
+        # evolution lack the new column; the merged read backfills NULL
+        df = self.spark.read.option("mergeSchema", "true").parquet(*sorted(set(dirs)))
+        return self._reduce(df) if has_deltas else df
 
     def read_live(self) -> DataFrame:
         """Visible rows: not soft-deleted, TTL not expired (T10 view)."""
@@ -127,81 +165,113 @@ class KeyedTable:
     def merge(self, batch: DataFrame) -> None:
         """LWW-upsert *batch* (must carry key cols + META_COLS).
 
-        The batch need not be pre-deduped; the LWW reduce handles
-        intra-batch duplicates and replays in the same pass (C1+C5).
+        O(batch): the intra-batch LWW reduce (C1a) plus one delta
+        write.  Base files are neither read nor rewritten — conflict
+        resolution against existing state happens lazily at read time
+        and durably at compaction (C1b), both through the same total
+        order, so any interleaving/replay converges (C5/C6).
         """
         missing = [c for c in (*self.key_cols, *META_COLS) if c not in batch.columns]
         if missing:
             raise ValueError(f"merge batch missing columns: {missing}")
 
-        batch = batch.withColumn("_bucket", self._bucket_col())
-        # Small CDC microbatches: the touched-bucket set is tiny; at
-        # scale this collect is ≤ num_buckets ints, never data rows.
-        touched = [r[0] for r in batch.select("_bucket").distinct().collect()]
-        if not touched:
-            return
-
-        manifest = self._read_manifest()
-        current = self.read(buckets=touched) if manifest else None
-        if current is not None:
-            current = current.withColumn("_bucket", self._bucket_col())
-            # align schemas (schema evolution: new cols appear as NULL
-            # in old snapshots — ADD_COLUMN path, `auto.evolve`)
-            for c in batch.columns:
-                if c not in current.columns:
-                    current = current.withColumn(
-                        c, F.lit(None).cast(batch.schema[c].dataType)
-                    )
-            current = current.select(*batch.columns)
-            merged = lww_latest(
-                current.unionByName(batch),
-                [*self.key_cols, "_bucket"],
-                ts_col="_cdc_timestamp_micros",
-                tiebreak_col="_last_event_id",
-            )
-        else:
-            merged = lww_latest(
-                batch,
-                [*self.key_cols, "_bucket"],
-                ts_col="_cdc_timestamp_micros",
-                tiebreak_col="_last_event_id",
-            )
-
-        self._publish(merged, touched)
-
-    def _publish(self, df_with_bucket: DataFrame, touched: list[int]) -> None:
-        """Write *df_with_bucket* (must carry ``_bucket``) as the new
-        content of the *touched* buckets and swap the manifest
-        atomically.  A bucket that ends up empty gets an empty-schema
-        marker dir so reads stay consistent."""
-        snap = f"{self.path}/snap-{uuid.uuid4().hex[:12]}"
+        reduced = lww_latest(
+            batch.withColumn("_bucket", self._bucket_col()),
+            [*self.key_cols, "_bucket"],
+            ts_col="_cdc_timestamp_micros",
+            tiebreak_col="_last_event_id",
+        )
+        delta = f"delta-{uuid.uuid4().hex[:12]}"
         (
-            df_with_bucket.repartition(max(len(touched), 1), "_bucket")
+            reduced.repartition("_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(f"{self.path}/{delta}")
+        )
+        # the written partition dirs ARE the touched-bucket set — no
+        # extra job needed to discover it
+        touched = []
+        for d in os.listdir(f"{self.path}/{delta}"):
+            if d.startswith("_bucket="):
+                b = d.split("=", 1)[1]
+                os.rename(f"{self.path}/{delta}/{d}", f"{self.path}/{delta}/bucket={b}")
+                touched.append(b)
+        if not touched:
+            shutil.rmtree(f"{self.path}/{delta}", ignore_errors=True)
+            return
+        manifest = self._read_manifest()
+        for b in touched:
+            entry = manifest.setdefault(b, {"base": None, "deltas": []})
+            entry["deltas"].append(delta)
+        self._write_manifest(manifest)
+        self._compact_if_needed(manifest)
+        self._gc(self._read_manifest())
+
+    # -- compaction ---------------------------------------------------------
+
+    def _compact_if_needed(self, manifest: dict[str, dict]) -> None:
+        over = [
+            int(b)
+            for b, e in manifest.items()
+            if len(e.get("deltas", ())) >= self.compact_threshold
+        ]
+        if over:
+            self.compact(over)
+
+    def compact(self, buckets: list[int] | None = None) -> int:
+        """Fold deltas into a new base for *buckets* (default: every
+        bucket carrying deltas).  Returns number of buckets compacted."""
+        manifest = self._read_manifest()
+        targets = [
+            b
+            for b, e in manifest.items()
+            if e.get("deltas")
+            and (buckets is None or int(b) in set(buckets))
+        ]
+        if not targets:
+            return 0
+        dirs: list[str] = []
+        for b in targets:
+            dirs.extend(self._bucket_dirs(b, manifest[b]))
+        df = self.spark.read.option("mergeSchema", "true").parquet(*sorted(set(dirs)))
+        merged = self._reduce(df).withColumn("_bucket", self._bucket_col())
+        self._publish(merged, targets)
+        return len(targets)
+
+    def _publish(self, df_with_bucket: DataFrame, buckets: list) -> None:
+        """Write *df_with_bucket* as the new **base** of *buckets*
+        (deltas cleared) and swap the manifest atomically.  A bucket
+        that ends up empty gets an empty-schema marker dir."""
+        snap_name = f"snap-{uuid.uuid4().hex[:12]}"
+        snap = f"{self.path}/{snap_name}"
+        (
+            df_with_bucket.repartition(max(len(buckets), 1), "_bucket")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(snap)
         )
-        # parquet writer materializes dirs named `_bucket=<n>`; keep
-        # manifest keys as plain bucket ids
-        manifest = dict(self._read_manifest())
-        for b in touched:
+        manifest = self._read_manifest()
+        for b in map(str, buckets):
             src_dir = f"{snap}/_bucket={b}"
             if os.path.isdir(src_dir):
                 os.rename(src_dir, f"{snap}/bucket={b}")
             else:
-                # bucket emptied entirely: write an empty marker dir
                 df_with_bucket.drop("_bucket").limit(0).write.mode(
                     "overwrite"
                 ).parquet(f"{snap}/bucket={b}")
-            manifest[str(b)] = snap
+            manifest[b] = {"base": snap_name, "deltas": []}
         self._write_manifest(manifest)
         self._gc(manifest)
 
-    def _gc(self, manifest: dict[str, str]) -> None:
-        """Drop snapshot dirs no bucket points at anymore."""
-        live = {os.path.basename(s) for s in manifest.values()}
+    def _gc(self, manifest: dict[str, dict]) -> None:
+        """Drop snapshot/delta dirs no bucket points at anymore."""
+        live = set()
+        for e in manifest.values():
+            if e.get("base"):
+                live.add(e["base"])
+            live.update(e.get("deltas", ()))
         for d in os.listdir(self.path):
-            if d.startswith("snap-") and d not in live:
+            if (d.startswith("snap-") or d.startswith("delta-")) and d not in live:
                 shutil.rmtree(f"{self.path}/{d}", ignore_errors=True)
 
     # -- maintenance (T10/T12/Q18/Q19) -------------------------------------
@@ -266,8 +336,7 @@ class KeyedTable:
             )
             .drop("_trunc_win")
         )
-        touched = [int(b) for b in self._read_manifest()]
-        self._publish(updated, touched)
+        self._publish(updated, list(self._read_manifest()))
         return n
 
     def expire_ttl(self, now_us: int | None = None) -> int:

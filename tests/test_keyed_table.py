@@ -105,3 +105,100 @@ def test_schema_evolution_add_column(table, spark):
     rows = {r["id"]: r.asDict() for r in table.read().collect()}
     assert rows["a"]["new_col"] is None  # backfilled NULL (ADD_COLUMN)
     assert rows["b"]["new_col"] == "extra"
+
+
+def _base_file_state(path):
+    """(file → (size, mtime_ns)) for every base snapshot parquet file."""
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        if "/snap-" not in root and not os.path.basename(root).startswith("snap-"):
+            continue
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_merge_is_o_batch_base_files_untouched(spark, tmp_path):
+    """A merge appends a delta; existing base files are not rewritten
+    (the 100 TB ingest property: cost O(batch), not O(table))."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "kt"), ["id"], num_buckets=256)
+    big = spark.range(2000).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit(False).alias("_cdc_deleted"),
+        F.lit(1000).cast("long").alias("_cdc_timestamp_micros"),
+        F.lit("e1").alias("_last_event_id"),
+        F.lit(None).cast("long").alias("_ttl_expiry_timestamp_us"),
+    )
+    t.merge(big)
+    t.compact()  # establish a base across ~all 256 buckets
+    before = _base_file_state(t.path)
+    assert before, "expected base files after compaction"
+
+    tiny = spark.createDataFrame(
+        [("5", False, 2000, "e2", None), ("6", False, 2000, "e2", None)],
+        "id string, _cdc_deleted boolean, _cdc_timestamp_micros long, "
+        "_last_event_id string, _ttl_expiry_timestamp_us long",
+    )
+    t.merge(tiny)
+    after = _base_file_state(t.path)
+    assert before == after  # byte-for-byte: no base file touched
+    deltas = [d for d in os.listdir(t.path) if d.startswith("delta-")]
+    assert len(deltas) == 1  # exactly one delta dir for the tiny batch
+    # and the merged view reflects the update
+    got = {r["id"]: r["_cdc_timestamp_micros"] for r in t.read().collect()}
+    assert got["5"] == 2000 and got["7"] == 1000
+    assert len(got) == 2000
+
+
+def test_compaction_folds_deltas_and_preserves_state(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "kt"), ["id"], num_buckets=4,
+                   compact_threshold=100)  # no auto-compaction
+    for ts in (1000, 2000, 3000):
+        batch = spark.createDataFrame(
+            [("a", False, ts, f"e{ts}", None)],
+            "id string, _cdc_deleted boolean, _cdc_timestamp_micros long, "
+            "_last_event_id string, _ttl_expiry_timestamp_us long",
+        )
+        t.merge(batch)
+    before = sorted(r.asDict() for r in t.read().collect())
+    n = t.compact()
+    assert n >= 1
+    after = sorted(r.asDict() for r in t.read().collect())
+    assert before == after
+    assert after[0]["_cdc_timestamp_micros"] == 3000
+    # post-compaction manifest carries no deltas
+    assert all(not e["deltas"] for e in t._read_manifest().values())
+
+
+def test_auto_compaction_triggers_at_threshold(spark, tmp_path):
+    import os
+
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "kt"), ["id"], num_buckets=2,
+                   compact_threshold=3)
+    for ts in (1, 2, 3, 4):
+        batch = spark.createDataFrame(
+            [("k", False, ts * 1000, f"e{ts}", None)],
+            "id string, _cdc_deleted boolean, _cdc_timestamp_micros long, "
+            "_last_event_id string, _ttl_expiry_timestamp_us long",
+        )
+        t.merge(batch)
+    # threshold 3 → at most 2 uncompacted deltas survive at any time
+    deltas = [d for d in os.listdir(t.path) if d.startswith("delta-")]
+    assert len(deltas) < 3
+    assert t.read().collect()[0]["_cdc_timestamp_micros"] == 4000
