@@ -101,8 +101,17 @@ class CdcIngest:
     def dlq_path(self) -> str:
         return f"{self.warehouse}/dlq_records"
 
+    def dlq_table(self) -> KeyedTable:
+        """The DLQ as a keyed table (S5/S12 storage): status changes
+        are atomic LWW merges, never full-file rewrites — a crash
+        mid-replay can only lose the *pending* status flip, never DLQ
+        records (the never-lose-errors guarantee)."""
+        return KeyedTable(self.spark, self.dlq_path, ["dlq_id"], num_buckets=8)
+
     def dlq(self) -> DataFrame:
-        return self.spark.read.parquet(self.dlq_path)
+        from cass_cdc_pg_spark.plans.keyed_table import META_COLS
+
+        return self.dlq_table().read_live().drop(*META_COLS)
 
     # -- batch core (also used directly by tests and replay) ---------------
 
@@ -181,13 +190,13 @@ class CdcIngest:
                     self.table(name).soft_delete_all(ts_us, eid)
 
             if dlq_parts:
-                # DLQ append (S5). Append-only parquet: idempotent enough
-                # for the error path (duplicates possible on replay, never
-                # losses — matches `errors.tolerance=all` semantics).
+                # DLQ merge (S5): deterministic dlq_id + LWW merge make
+                # replays idempotent — no duplicate PENDING rows, never
+                # a lost error (`errors.tolerance=all` semantics).
                 dlq = dlq_parts[0]
                 for p in dlq_parts[1:]:
                     dlq = dlq.unionByName(p)
-                dlq.write.mode("append").parquet(self.dlq_path)
+                self.dlq_table().merge(dlq)
         finally:
             events.unpersist()
 
@@ -214,24 +223,57 @@ class CdcIngest:
 
     def replay_dlq(self, dlq_ids: list[str]) -> int:
         """Re-run selected DLQ events through the pipeline, then mark
-        them MANUAL_RESOLVED.  Replay is safe because the merge is
-        idempotent (C5)."""
-        dlq = self.dlq()
-        selected = dlq.filter(F.col("dlq_id").isin(dlq_ids))
-        n = selected.count()
-        if n == 0:
+        them MANUAL_RESOLVED via an atomic status merge.
+
+        Replay is safe end-to-end: the table merge is idempotent (C5);
+        the status flip is a keyed merge stamped with wall time, which
+        outranks the deterministic failure timestamp — so even if the
+        replayed event fails again (same dlq_id re-merged), the final
+        state is a single MANUAL_RESOLVED row with retry_count bumped,
+        not a duplicate PENDING.  A crash between replay and status
+        merge leaves the DLQ fully readable with the rows still
+        PENDING — re-running the replay converges."""
+        import time as _time
+
+        dt = self.dlq_table()
+        # small, bounded selection (explicit id list) — materialize it
+        # before process_batch re-merges the DLQ underneath the plan
+        selected = dt.read_live().filter(F.col("dlq_id").isin(dlq_ids)).collect()
+        if not selected:
             return 0
-        events = selected.select(
-            F.from_json(F.col("original_event"), CHANGE_EVENT_SCHEMA).alias("e")
+        events = self.spark.createDataFrame(
+            [(r["original_event"],) for r in selected], "j string"
+        ).select(
+            F.from_json(F.col("j"), CHANGE_EVENT_SCHEMA).alias("e")
         ).select("e.*")
         self.process_batch(events)
-        resolved = dlq.withColumn(
-            "resolution_status",
-            F.when(F.col("dlq_id").isin(dlq_ids), F.lit("MANUAL_RESOLVED")).otherwise(
-                F.col("resolution_status")
-            ),
+
+        now_us = int(_time.time() * 1_000_000)
+        resolved = self.spark.createDataFrame(
+            [
+                (
+                    r["dlq_id"],
+                    r["source_table"],
+                    r["original_event"],
+                    r["error_type"],
+                    r["error_message"],
+                    r["retry_count"] + 1,
+                    r["first_failed_at_us"],
+                    now_us,
+                    "MANUAL_RESOLVED",
+                    False,
+                    now_us,
+                    r["_last_event_id"],
+                    None,
+                )
+                for r in selected
+            ],
+            "dlq_id string, source_table string, original_event string, "
+            "error_type string, error_message string, retry_count int, "
+            "first_failed_at_us long, last_retry_at_us long, "
+            "resolution_status string, _cdc_deleted boolean, "
+            "_cdc_timestamp_micros long, _last_event_id string, "
+            "_ttl_expiry_timestamp_us long",
         )
-        tmp = f"{self.dlq_path}.tmp"
-        resolved.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.dlq_path)
-        return n
+        dt.merge(resolved)
+        return len(selected)

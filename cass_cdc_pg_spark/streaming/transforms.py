@@ -62,17 +62,30 @@ def to_dlq_rows(
     error_message: Column,
 ) -> DataFrame:
     """S5: project failed events into the DLQ record shape
-    (``src/models/dlq_record.py:10-64``)."""
+    (``src/models/dlq_record.py:10-64``), plus the keyed-table
+    metadata columns that make DLQ writes idempotent merges.
+
+    ``dlq_id`` is **deterministic** — md5 over (error_type, original
+    event JSON) — so replaying a microbatch merges the same DLQ key
+    instead of appending a duplicate PENDING row.  The LWW timestamp
+    is the event's own ``timestamp_micros`` (deterministic), so a
+    later *resolution* merge (stamped with wall time) always wins."""
+    original = F.to_json(F.struct(*original_cols))
+    ts = F.coalesce(F.col("timestamp_micros"), F.lit(0))
     return bad.select(
-        F.expr("uuid()").alias("dlq_id"),
+        F.md5(F.concat(error_type, F.lit("|"), original)).alias("dlq_id"),
         F.col("source_table"),
-        F.to_json(F.struct(*original_cols)).alias("original_event"),
+        original.alias("original_event"),
         error_type.alias("error_type"),
         error_message.alias("error_message"),
         F.lit(0).alias("retry_count"),
-        F.unix_micros(F.current_timestamp()).alias("first_failed_at_us"),
+        ts.alias("first_failed_at_us"),
         F.lit(None).cast("long").alias("last_retry_at_us"),
         F.lit("PENDING").alias("resolution_status"),
+        F.lit(False).alias("_cdc_deleted"),
+        ts.alias("_cdc_timestamp_micros"),
+        F.coalesce(F.col("event_id"), F.lit("")).alias("_last_event_id"),
+        F.lit(None).cast("long").alias("_ttl_expiry_timestamp_us"),
     )
 
 

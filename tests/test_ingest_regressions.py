@@ -194,3 +194,52 @@ def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
     assert n == 1
     remaining = {r["id"] for r in t.read().collect()}
     assert remaining == {"b", "c"}  # NULL-email row survived
+
+
+def test_dlq_replay_no_duplicate_rows(spark, users_ingest):
+    """Replaying a batch whose events re-fail must not duplicate DLQ
+    rows (deterministic dlq_id + LWW merge), and replay_dlq of a
+    still-invalid event converges to one MANUAL_RESOLVED row."""
+    bad_batch = _df(spark, [
+        _event(_eid(9), "UPDATE", 1000, after={"id": U1, "username": "x", "age": "9"}),
+    ])
+    users_ingest.process_batch(bad_batch)
+    users_ingest.process_batch(bad_batch)  # replayed microbatch
+    assert users_ingest.dlq().count() == 1  # no duplicate PENDING
+
+    ids = [r["dlq_id"] for r in users_ingest.dlq().collect()]
+    n = users_ingest.replay_dlq(ids)
+    assert n == 1
+    rows = users_ingest.dlq().collect()
+    assert len(rows) == 1  # still-invalid replay did not fork a new row
+    assert rows[0]["resolution_status"] == "MANUAL_RESOLVED"
+    assert rows[0]["retry_count"] == 1
+
+
+def test_dlq_readable_after_interrupted_replay(spark, users_ingest):
+    """A crash between re-processing and the status merge must leave
+    the DLQ fully readable with rows still PENDING (atomic manifest
+    swap, no partial rewrite)."""
+    bad = _df(spark, [
+        _event(_eid(9), "UPDATE", 1000, after={"id": U1, "username": "x", "age": "9"}),
+    ])
+    users_ingest.process_batch(bad)
+    ids = [r["dlq_id"] for r in users_ingest.dlq().collect()]
+
+    # simulate the crash: do what replay_dlq does, but stop before the
+    # status merge (the only non-atomic window in the old design)
+    selected = users_ingest.dlq_table().read_live().collect()
+    events = spark.createDataFrame(
+        [(r["original_event"],) for r in selected], "j string"
+    )
+    from pyspark.sql import functions as F2
+    from cass_cdc_pg_spark.schema import CHANGE_EVENT_SCHEMA
+    ev = events.select(F2.from_json("j", CHANGE_EVENT_SCHEMA).alias("e")).select("e.*")
+    users_ingest.process_batch(ev)
+    # ---- crash here: no status merge ----
+
+    rows = users_ingest.dlq().collect()
+    assert len(rows) == 1 and rows[0]["resolution_status"] == "PENDING"
+    # re-running the full replay converges
+    assert users_ingest.replay_dlq(ids) == 1
+    assert users_ingest.dlq().collect()[0]["resolution_status"] == "MANUAL_RESOLVED"
