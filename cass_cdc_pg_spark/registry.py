@@ -748,6 +748,54 @@ WHERE rank <= 5
 """
 
 
+def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution detection (S8 + schema service): diff the
+    *introspected* orders schema (v1) against a simulated v2 ALTER set
+    (MODIFY o_totalprice→string, DROP o_orderpriority, ADD o_channel)
+    — the detector from ``streaming/schema_evolution.py`` over real
+    schema introspection, like ``schema_service.py:155-207`` over
+    ``system_schema.columns``."""
+    from cass_cdc_pg_spark.streaming.schema_evolution import detect_changes
+
+    st = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    old = {
+        f.name: f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
+        for f in st.fields
+    }
+    new = dict(old)
+    new["o_totalprice"] = "string"
+    del new["o_orderpriority"]
+    new["o_channel"] = "string"
+    rows = [
+        (c["type"], c["column"], c["old_type"], c["new_type"])
+        for c in detect_changes(old, new)
+    ]
+    return spark.createDataFrame(
+        rows, "change_type string, column_name string, old_type string, new_type string"
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+WITH old AS (
+  SELECT column_name AS c,
+         CASE lower(column_type) WHEN 'varchar' THEN 'string'
+              WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS t
+  FROM (DESCRIBE orders)),
+new AS (
+  SELECT c, CASE c WHEN 'o_totalprice' THEN 'string' ELSE t END AS t
+  FROM old WHERE c <> 'o_orderpriority'
+  UNION ALL SELECT 'o_channel', 'string'),
+j AS (SELECT COALESCE(o.c, n.c) AS column_name, o.t AS old_t, n.t AS new_t
+      FROM old o FULL OUTER JOIN new n ON o.c = n.c)
+SELECT CASE WHEN old_t IS NULL THEN 'ADD_COLUMN'
+            WHEN new_t IS NULL THEN 'DROP_COLUMN'
+            ELSE 'MODIFY_COLUMN' END AS change_type,
+       column_name, old_t AS old_type, new_t AS new_type
+FROM j
+WHERE old_t IS NULL OR new_t IS NULL OR old_t <> new_t
+"""
+
+
 # --- non-SQL-expressible (weaker rows-only check) --------------------------
 
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,6 +860,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
     "embedding_neardup": embedding_neardup_q,
+    "schema_evolution": schema_evolution_q,
 }
 
 ORACLE = {
@@ -844,4 +893,5 @@ ORACLE = {
     "text_fingerprint": TEXT_FP_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
+    "schema_evolution": SCHEMA_EVOLUTION_SQL,
 }

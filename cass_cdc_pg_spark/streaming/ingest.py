@@ -80,14 +80,49 @@ class CdcIngest:
         table_schemas: dict[str, T.StructType],
         key_cols: dict[str, list[str]],
         num_buckets: int = 32,
+        auto_evolve: bool = True,
+        compatibility: str = "BACKWARD",
     ) -> None:
+        from cass_cdc_pg_spark.streaming.schema_evolution import SchemaRegistry
+
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
-        self.table_schemas = table_schemas
+        self.table_schemas = dict(table_schemas)
         self.key_cols = key_cols
         self.num_buckets = num_buckets
+        self.auto_evolve = auto_evolve
         self.breaker = CircuitBreaker()
         os.makedirs(self.warehouse, exist_ok=True)
+        self.schema_registry = SchemaRegistry(f"{self.warehouse}/_schema_meta")
+        for name, schema in self.table_schemas.items():
+            self.schema_registry.register(name, schema, compatibility)
+
+    # -- schema evolution (FR-017, auto.evolve) -----------------------------
+
+    def evolve_table_schema(
+        self, name: str, new_schema: T.StructType
+    ) -> tuple[bool, int, list]:
+        """Propose a new payload schema for *name* through the
+        compatibility gate.  Accepted (e.g. ADD_COLUMN): the pinned
+        schema advances — new merges carry the column, old buckets
+        backfill NULL via mergeSchema, nothing is rewritten.  Rejected
+        (e.g. MODIFY_COLUMN under BACKWARD): the version is recorded
+        REJECTED and events carrying it are DLQ'd as SCHEMA_MISMATCH."""
+        ok, version, changes = self.schema_registry.evolve(name, new_schema)
+        if ok:
+            self.table_schemas[name] = new_schema
+        return ok, version, changes
+
+    def _auto_add_columns(self, name: str, unknown_keys: list[str]) -> None:
+        """auto.evolve (``postgres-sink.json:13-14``): unseen payload
+        keys become nullable string columns (the map transport carries
+        no richer type; an explicit ``evolve_table_schema`` can retype
+        later tables)."""
+        schema = self.table_schemas[name]
+        fields = list(schema.fields) + [
+            T.StructField(k, T.StringType(), True) for k in sorted(unknown_keys)
+        ]
+        self.evolve_table_schema(name, T.StructType(fields))
 
     def table(self, name: str) -> KeyedTable:
         return KeyedTable(
@@ -138,12 +173,20 @@ class CdcIngest:
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.max(F.struct("timestamp_micros", "event_id")).alias("mx"),
+                    F.array_distinct(
+                        F.flatten(
+                            F.collect_set(
+                                F.map_keys(F.coalesce(F.col("after"), F.col("before")))
+                            )
+                        )
+                    ).alias("payload_keys"),
                 )
                 .collect()
             )
             any_bad = any(r["bad"] for r in stats)
             row_tables: set[str] = set()
             truncates: dict[str, tuple[int, str]] = {}
+            seen_keys: dict[str, set[str]] = {}
             for r in stats:
                 if r["bad"]:
                     continue
@@ -153,6 +196,20 @@ class CdcIngest:
                         truncates[r["source_table"]] = cand
                 else:
                     row_tables.add(r["source_table"])
+                    seen_keys.setdefault(r["source_table"], set()).update(
+                        r["payload_keys"] or ()
+                    )
+
+            # schema-change detection (auto.evolve): unseen payload keys
+            # advance the pinned schema through the compatibility gate
+            if self.auto_evolve:
+                for name in row_tables:
+                    if name not in self.table_schemas:
+                        continue
+                    known = {f.name for f in self.table_schemas[name].fields}
+                    unknown = seen_keys.get(name, set()) - known
+                    if unknown:
+                        self._auto_add_columns(name, sorted(unknown))
 
             dlq_parts = []
             if any_bad:
@@ -173,6 +230,25 @@ class CdcIngest:
                         (F.col("source_table") == name)
                         & (F.col("operation_type") != "TRUNCATE")
                     )
+                    # FR-017: events written under a REJECTED schema
+                    # version go to the DLQ as SCHEMA_MISMATCH
+                    rejected = self.schema_registry.rejected_versions(name)
+                    if rejected:
+                        rej = subset.filter(F.col("schema_version").isin(*rejected))
+                        dlq_parts.append(
+                            transforms.to_dlq_rows(
+                                rej,
+                                events.columns,
+                                F.lit("SCHEMA_MISMATCH"),
+                                F.concat(
+                                    F.lit("rejected schema version "),
+                                    F.col("schema_version").cast("string"),
+                                ),
+                            )
+                        )
+                        subset = subset.filter(
+                            ~F.col("schema_version").isin(*rejected)
+                        )
                     # T8 error contract: raw-non-null → typed-null rows
                     # go to the DLQ as TYPE_CONVERSION_ERROR, never
                     # merged as NULL columns (type_mapper.py:88-134).
