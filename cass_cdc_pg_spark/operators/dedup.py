@@ -135,22 +135,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The fixed seeded (a_i, b_i) table — shared with the DuckDB
+    oracle generator so signatures are bit-identical across engines."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, n: int = 3
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures.
 
-    hash_i(s) = (a_i * h(s) + b_i) mod M61 with h = portable md5-based
+    hash_i(s) = (a_i * h(s) + b_i) mod P with h = portable md5-based
     token hash, (a_i, b_i) from a fixed seeded table — deterministic
     across runs and engines.
     """
-    import random
-
-    rng = random.Random(42)
-    coeffs = [
-        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
-        for _ in range(num_hashes)
-    ]
+    coeffs = minhash_coeffs(num_hashes)
     sh = shingles(documents, n).withColumn(
         "h", _token_hash(F.col("shingle")) % F.lit(MINHASH_P)
     )
@@ -229,26 +235,102 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
-    """(doc_id, simhash) — per-token md5-hash bit-vote fingerprint.
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) — 64-bit per-token md5 bit-vote fingerprint.
 
     bit b of the fingerprint = 1 iff more distinct tokens have bit b
-    set than clear.  Pure column algebra: explode tokens → per-bit
-    votes via shiftright/AND → sum → reassemble.
+    set than clear.  Bits 0-31 vote from the first md5 half, bits
+    32-63 from the second (two independent 60-bit hashes — a single
+    60-bit hash cannot feed 64 independent bits).  Pure column
+    algebra: explode tokens → per-bit votes via shiftright/AND → sum →
+    reassemble; bit 63 is assembled with ``shiftleft`` so the sign bit
+    lands without 64-bit literal overflow.
     """
-    tok = documents.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
-    ).withColumn("h", _token_hash(F.col("t")))
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    md5 = F.md5(F.col("t"))
+    tok = (
+        documents.select(
+            "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+        )
+        .withColumn("h1", F.conv(F.substring(md5, 1, 15), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring(md5, 17, 15), 16, 10).cast("long"))
+    )
+
+    def _vote_src(b: int):
+        return F.col("h1") if b < 32 else F.col("h2")
+
     votes = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            F.sum(F.shiftright(_vote_src(b), b % 32).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(bits)
         ],
     )
     fp = None
     for b in range(bits):
         bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0))
-        term = bit * F.lit(1 << b)
+        term = F.shiftleft(bit.cast("long"), b)
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairing stage: (doc_a, doc_b, hamming) for all
+    pairs within *max_hamming* fingerprint bits.
+
+    Banded exact-match join (``bands`` equal-width slices of the
+    fingerprint): by pigeonhole, a pair differing in ≤ ``bands - 1``
+    bits agrees on at least one full band, so with the defaults
+    (4 bands, hamming ≤ 3) recall is 1.0 — no all-pairs comparison,
+    candidates only meet inside a band bucket, exactly the MinHash-LSH
+    join shape.  Verification is one ``bit_count(xor)`` per candidate.
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(documents, bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -796,7 +796,13 @@ WHERE old_t IS NULL OR new_t IS NULL OR old_t <> new_t
 """
 
 
-# --- non-SQL-expressible (weaker rows-only check) --------------------------
+# --- LSH / fingerprint operators with generated DuckDB oracles -------------
+#
+# The oracle SQL below is *generated from the same Python coefficient
+# and hyperplane tables the Spark operators use* (seeded, fixed), so
+# MinHash signatures, SimHash fingerprints, and sign-LSH buckets are
+# bit-identical across engines — these entries get full rows+schema+
+# hash checks instead of the round-1 "no_oracle" rows-only pass.
 
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
@@ -805,13 +811,135 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    coeffs = dedup.minhash_coeffs(num_hashes)
+    P = dedup.MINHASH_P
+    rpb = num_hashes // bands
+    mh_defs = ",\n       ".join(
+        f"MIN((h*{a}+{b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', "
+        + ", ".join(f"mh{bi * rpb + r}" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+              FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))) AS shingle
+       FROM toks),
+h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % {P} AS h FROM sh),
+sig AS (SELECT doc_id, {mh_defs} FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (SELECT doc_a, doc_b, ROUND(({eq_sum}) / {num_hashes}.0, 4) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.doc_a
+        JOIN sig sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold!r}
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
+
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(src.load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_fp_ctes(bits: int = 64) -> str:
+    """Shared CTEs computing (doc_id, simhash) — mirrors dedup.simhash."""
+    votes = ",\n       ".join(
+        f"SUM((h{1 if b < 32 else 2} >> {b % 32}) & 1) AS b{b}" for b in range(bits)
+    )
+    terms = []
+    for b in range(bits):
+        one = "(-9223372036854775807 - 1)" if b == 63 else f"{1 << b}"
+        terms.append(f"(CASE WHEN 2*b{b} > n THEN ({one})::BIGINT ELSE 0::BIGINT END)")
+    fp = "\n     + ".join(terms)
+    return f"""
+toks AS (SELECT doc_id,
+                unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+         FROM documents),
+h AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h1,
+             ('0x'||substr(md5(t),17,15))::BIGINT AS h2 FROM toks),
+votes AS (SELECT doc_id, COUNT(*) AS n, {votes} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp}) AS simhash FROM votes)"""
+
+
+DEDUP_SIMHASH_SQL = f"WITH {_simhash_fp_ctes()}\nSELECT doc_id, simhash FROM fp"
+
+
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(src.load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_sql(bits: int = 64, bands: int = 4, max_hamming: int = 3) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS bucket FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_simhash_fp_ctes(bits)},
+banded AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS fa, b.simhash AS fb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
+DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
 def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = src.load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _lsh_bucket_sql(vec_expr: str, bits: int = 8, dim: int = 64) -> str:
+    planes = similarity._hyperplanes(dim, bits)
+    terms = []
+    for b, plane in enumerate(planes):
+        lits = ", ".join(repr(x) for x in plane)
+        dot = (
+            f"list_reduce(list_transform(list_zip({vec_expr}, [{lits}]),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_sql(k: int = 5) -> str:
+    bucket = _lsh_bucket_sql("embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {bucket} AS bucket
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {bucket} AS bucket
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({_cos_sql('qv', 'cv')}, 6) AS sim
+  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, rank, sim
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+LSH_TOPK_SQL = _lsh_topk_sql()
 
 
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,6 +948,19 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
         src.load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
+
+
+def _neardup_sql(threshold: float = 0.35) -> str:
+    bucket = _lsh_bucket_sql("embedding")
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding AS vv, {bucket} AS bucket FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b, ROUND({_cos_sql('a.vv', 'b.vv')}, 6) AS sim
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+WHERE ROUND({_cos_sql('a.vv', 'b.vv')}, 6) >= {threshold!r}
+"""
+
+
+EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -853,6 +994,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "text_token_stats": text_token_stats_q,
     "text_quality": text_quality_q,
     "text_fingerprint": text_fingerprint_q,
@@ -894,4 +1036,9 @@ ORACLE = {
     "text_lang_id": TEXT_LANG_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "similarity_lsh_topk": LSH_TOPK_SQL,
+    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
 }

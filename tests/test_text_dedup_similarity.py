@@ -150,3 +150,24 @@ def test_cosine_topk_arrow_jvm_bit_identical(spark):
     a = sorted(tuple(r) for r in similarity.cosine_topk(emb, q, k=4, kernel="arrow").collect())
     j = sorted(tuple(r) for r in similarity.cosine_topk(emb, q, k=4, kernel="jvm").collect())
     assert a == j
+
+
+def test_simhash_pairs_finds_exact_and_near_dups(docs):
+    """Identical docs are hamming-0 pairs; recall for hamming<=3 is
+    guaranteed by the 4-band pigeonhole construction."""
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0          # exact dup
+    assert (1, 4) not in pairs             # unrelated text
+
+
+def test_exact_jaccard_pairs_contained_in_minhash_candidates(docs):
+    """Containment oracle (VERDICT r1 #6): every exact-Jaccard>=0.5
+    pair must surface as a MinHash-LSH candidate at a loose band
+    threshold (recall check, not just cardinality)."""
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, n=2,
+                                             threshold=0.3).collect()}
+    assert exact <= cand
