@@ -69,6 +69,18 @@ def deterministic_fake_decoder(payload: bytes, fmt: str) -> list[float]:
     return [c / n for c in counts]
 
 
+def byte_histogram_counts(payload: bytes, fmt: str) -> list[float]:
+    """Oracle-checkable decoder: 8 raw byte-histogram bin counts
+    (bin = byte >> 5).  Counts are exact integers (lossless in
+    float32), so the declared correctness query hash-compares cleanly
+    against a DuckDB recomputation — unlike normalized ratios, which
+    hit binary-midpoint rounding hazards."""
+    counts = [0] * 8
+    for b in payload or b"":
+        counts[b >> 5] += 1
+    return [float(c) for c in counts]
+
+
 def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Fill size_bytes from the payload; callers supply the rest."""
     return df.withColumn(

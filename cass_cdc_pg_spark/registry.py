@@ -748,6 +748,51 @@ WHERE rank <= 5
 """
 
 
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over an opaque binary column: the
+    documents' text bytes stand in for media payloads (the container
+    ships no media codecs), decoded to 8-bin byte histograms by the
+    Arrow-batched ``mapInPandas`` pipeline — schema, batching, and
+    error-routing are the production path; only the codec is the
+    deterministic stand-in (``multimodal.py`` module doc)."""
+    from cass_cdc_pg_spark.operators import multimodal
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return multimodal.extract_features(
+        media, decoder=multimodal.byte_histogram_counts
+    )
+
+
+#: documents are pure ASCII (verified fixture property), so per-byte
+#: bins equal per-codepoint bins and DuckDB can recompute the
+#: histogram from characters.
+_MM_BINS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN code // 32 = {b} THEN 1 ELSE 0 END) AS DOUBLE)"
+    for b in range(8)
+)
+
+MULTIMODAL_SQL = f"""
+WITH codes AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)+1),
+                               i -> ord(substr(text, i, 1)))) AS code
+  FROM documents),
+hist AS (
+  SELECT doc_id,
+         [{_MM_BINS}] AS feature
+  FROM codes GROUP BY doc_id)
+SELECT d.doc_id AS media_id,
+       COALESCE(h.feature, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) AS feature,
+       TRUE AS decode_ok,
+       NULL AS error
+FROM documents d LEFT JOIN hist h ON h.doc_id = d.doc_id
+"""
+
+
 def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution detection (S8 + schema service): diff the
     *introspected* orders schema (v1) against a simulated v2 ALTER set
@@ -1003,6 +1048,7 @@ QUERIES = {
     "similarity_lsh_topk": similarity_lsh_topk_q,
     "embedding_neardup": embedding_neardup_q,
     "schema_evolution": schema_evolution_q,
+    "multimodal_features": multimodal_features_q,
 }
 
 ORACLE = {
@@ -1041,4 +1087,5 @@ ORACLE = {
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "similarity_lsh_topk": LSH_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "multimodal_features": MULTIMODAL_SQL,
 }
