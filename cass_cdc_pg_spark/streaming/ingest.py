@@ -22,11 +22,13 @@ production wiring, gated on the connector jar being present.
 from __future__ import annotations
 
 import os
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cass_cdc_pg_spark.monitoring import METRICS
 from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
 from cass_cdc_pg_spark.schema import CHANGE_EVENT_SCHEMA
 from cass_cdc_pg_spark.streaming import transforms
@@ -157,19 +159,17 @@ class CdcIngest:
         batch actually touches, whether any rows failed validation, and
         the winning TRUNCATE per table — so a microbatch for one table
         costs jobs proportional to that table, not to the configured
-        table count.
+        table count.  The same pass feeds the RED metrics
+        (``monitoring.METRICS``) at zero extra job cost.
         """
+        _t0 = _time.time()
         events = events.persist()
         try:
             tagged = events.withColumn(
                 "_error_type", transforms.validation_status()
             )
             stats = (
-                tagged.groupBy(
-                    "source_table",
-                    "operation_type",
-                    F.col("_error_type").isNotNull().alias("bad"),
-                )
+                tagged.groupBy("source_table", "operation_type", "_error_type")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.max(F.struct("timestamp_micros", "event_id")).alias("mx"),
@@ -183,13 +183,27 @@ class CdcIngest:
                 )
                 .collect()
             )
-            any_bad = any(r["bad"] for r in stats)
+            any_bad = any(r["_error_type"] is not None for r in stats)
             row_tables: set[str] = set()
             truncates: dict[str, tuple[int, str]] = {}
             seen_keys: dict[str, set[str]] = {}
             for r in stats:
-                if r["bad"]:
+                if r["_error_type"] is not None:
+                    METRICS.inc(
+                        "cdc_errors_total", {"error_type": r["_error_type"]}, by=r["n"]
+                    )
+                    METRICS.inc(
+                        "cdc_dlq_events_total",
+                        {"table": r["source_table"] or "?",
+                         "error_type": r["_error_type"]},
+                        by=r["n"],
+                    )
                     continue
+                METRICS.inc(
+                    "cdc_events_processed_total",
+                    {"table": r["source_table"], "operation": r["operation_type"]},
+                    by=r["n"],
+                )
                 if r["operation_type"] == "TRUNCATE":
                     cand = (r["mx"]["timestamp_micros"], r["mx"]["event_id"])
                     if r["source_table"] not in truncates or cand > truncates[r["source_table"]]:
@@ -275,6 +289,11 @@ class CdcIngest:
                 self.dlq_table().merge(dlq)
         finally:
             events.unpersist()
+            METRICS.observe(
+                "cdc_processing_latency_seconds",
+                _time.time() - _t0,
+                {"stage": "process_batch"},
+            )
 
     # -- streaming ---------------------------------------------------------
 
@@ -352,4 +371,8 @@ class CdcIngest:
             "_ttl_expiry_timestamp_us long",
         )
         dt.merge(resolved)
+        for r in selected:
+            METRICS.inc(
+                "cdc_dlq_replay_success_total", {"table": r["source_table"]}
+            )
         return len(selected)
