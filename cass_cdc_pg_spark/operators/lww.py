@@ -60,6 +60,42 @@ def lww_window(
     )
 
 
+def conflict_metadata(
+    current: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    ts_col: str = "_cdc_timestamp_micros",
+    tiebreak_col: str = "_last_event_id",
+) -> DataFrame:
+    """T16 (``timestamp_conflict_resolver.py:188-222``): annotate each
+    incoming row with a ``_conflict_resolution`` struct — merge-outcome
+    observability, computed alongside (not inside) the merge hot path:
+
+    - ``had_conflict``: the key already exists in current state
+    - ``accepted``: the incoming row wins the LWW order
+    - ``timestamp_diff_us``: incoming ts − current ts (NULL if new key)
+    """
+    cur = current.select(
+        *keys,
+        F.col(ts_col).alias("_cur_ts"),
+        F.col(tiebreak_col).alias("_cur_eid"),
+    )
+    joined = batch.join(cur, on=keys, how="left")
+    wins = F.when(F.col("_cur_ts").isNull(), F.lit(True)).otherwise(
+        (F.col(ts_col) > F.col("_cur_ts"))
+        | ((F.col(ts_col) == F.col("_cur_ts"))
+           & (F.col(tiebreak_col) > F.col("_cur_eid")))
+    )
+    return joined.withColumn(
+        "_conflict_resolution",
+        F.struct(
+            F.col("_cur_ts").isNotNull().alias("had_conflict"),
+            wins.alias("accepted"),
+            (F.col(ts_col) - F.col("_cur_ts")).alias("timestamp_diff_us"),
+        ),
+    ).drop("_cur_ts", "_cur_eid")
+
+
 def lww_merge(
     current: DataFrame,
     batch: DataFrame,

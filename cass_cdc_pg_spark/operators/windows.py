@@ -1,0 +1,53 @@
+"""Tumbling-window aggregates over the event stream (SURVEY §2.5).
+
+The reference's only time-bucketed computations are Prometheus-side
+rates over ``cdc_events_processed_total``
+(``src/monitoring/metrics.py:8-34``); here they're first-class
+tumbling-window aggregates via ``F.window`` — the identical code path
+works on a static DataFrame (batch backfill) and on a streaming
+DataFrame (`readStream` + watermark), which is the Structured
+Streaming contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def throughput_by_window(
+    events: DataFrame,
+    ts_us_col: str = "ts_us",
+    window_duration: str = "1 minute",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Events/users per tumbling window.
+
+    Output: window_start_us, n_events, n_users — window start in µs so
+    batch results hash-compare against arithmetic bucketing.  Pass
+    *watermark* (e.g. ``"5 minutes"``) on a streaming input to bound
+    state for late data.
+    """
+    with_ts = events.withColumn("_ts", F.timestamp_micros(F.col(ts_us_col)))
+    if watermark is not None:
+        with_ts = with_ts.withWatermark("_ts", watermark)
+    # exact distinct in batch; streaming state stores forbid exact
+    # distinct, so the stream path uses the HLL sketch (documented
+    # approximation — the batch backfill is the exact reconciler)
+    n_users = (
+        F.approx_count_distinct(F.col("user_id"))
+        if events.isStreaming
+        else F.count_distinct(F.col("user_id"))
+    )
+    return (
+        with_ts.groupBy(F.window("_ts", window_duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_users.alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "n_users",
+        )
+    )

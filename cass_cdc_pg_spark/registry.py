@@ -748,6 +748,23 @@ WHERE rank <= 5
 """
 
 
+def events_throughput_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window throughput aggregate (§2.5): events and distinct
+    users per 1-minute window via ``F.window`` — the same code path
+    runs streaming with a watermark (``operators/windows.py``)."""
+    from cass_cdc_pg_spark.operators.windows import throughput_by_window
+
+    return throughput_by_window(_ev(spark, sf_dir))
+
+
+THROUGHPUT_SQL = """
+SELECT (epoch_us(ts) // 60000000) * 60000000 AS window_start_us,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over an opaque binary column: the
     documents' text bytes stand in for media payloads (the container
@@ -1049,6 +1066,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup_q,
     "schema_evolution": schema_evolution_q,
     "multimodal_features": multimodal_features_q,
+    "events_throughput_1min": events_throughput_1min_q,
 }
 
 ORACLE = {
@@ -1088,4 +1106,5 @@ ORACLE = {
     "similarity_lsh_topk": LSH_TOPK_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "multimodal_features": MULTIMODAL_SQL,
+    "events_throughput_1min": THROUGHPUT_SQL,
 }

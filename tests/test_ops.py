@@ -1,0 +1,180 @@
+"""Audit log (S12), GDPR cascade (Q18), conflict metadata (T16),
+tumbling windows (§2.5), Avro gate (S3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cass_cdc_pg_spark.ops import AuditLog, GdprService
+from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+KT_DDL = (
+    "id string, email string, _cdc_deleted boolean, "
+    "_cdc_timestamp_micros long, _last_event_id string, "
+    "_ttl_expiry_timestamp_us long"
+)
+
+
+def _kt(spark, path, rows):
+    t = KeyedTable(spark, path, ["id"], num_buckets=2)
+    t.merge(spark.createDataFrame(rows, KT_DDL))
+    return t
+
+
+def test_gdpr_cascade_deletes_both_and_audits(spark, tmp_path):
+    src = _kt(spark, str(tmp_path / "src"),
+              [("a", "x@y.com", False, 1000, "e1", None),
+               ("b", "b@y.com", False, 1000, "e2", None)])
+    tgt = _kt(spark, str(tmp_path / "tgt"),
+              [("a", "x@y.com", False, 1000, "e1", None),
+               ("b", "b@y.com", False, 1000, "e2", None)])
+    audit = AuditLog(spark, str(tmp_path / "audit"))
+    svc = GdprService(spark, audit)
+
+    result = svc.erase(src, tgt, F.col("id") == "a", "users", "a",
+                       requester="dpo", reason="Article 17")
+    assert result["status"] == "success"
+    assert result["deleted_from_source"] and result["deleted_from_target"]
+    assert {r["id"] for r in src.read().collect()} == {"b"}
+    assert {r["id"] for r in tgt.read().collect()} == {"b"}
+    logs = audit.read().collect()
+    assert len(logs) == 1
+    assert logs[0]["event_type"] == "GDPR_ERASURE"
+    assert logs[0]["requester"] == "dpo"
+    assert '"deleted_from_source": true' in logs[0]["details"]
+
+
+def test_gdpr_compensating_reinsert_on_target_failure(spark, tmp_path):
+    """Target delete fails → source rows are restored (compensating
+    transaction) and the erasure reports failure."""
+    src = _kt(spark, str(tmp_path / "src"),
+              [("a", "x@y.com", False, 1000, "e1", None)])
+    tgt = _kt(spark, str(tmp_path / "tgt"),
+              [("a", "x@y.com", False, 1000, "e1", None)])
+    audit = AuditLog(spark, str(tmp_path / "audit"))
+    svc = GdprService(spark, audit)
+
+    def boom(predicate):
+        raise RuntimeError("target down")
+
+    tgt.delete_where = boom
+    result = svc.erase(src, tgt, F.col("id") == "a", "users", "a")
+    assert result["status"] == "failed"
+    assert result["deleted_from_source"] is False  # restored
+    assert {r["id"] for r in src.read().collect()} == {"a"}  # back in place
+    logs = audit.read().collect()
+    assert '"deleted_from_source": false' in logs[0]["details"]
+
+
+def test_gdpr_missing_record_raises(spark, tmp_path):
+    src = _kt(spark, str(tmp_path / "src"),
+              [("a", "x@y.com", False, 1000, "e1", None)])
+    audit = AuditLog(spark, str(tmp_path / "audit"))
+    with pytest.raises(KeyError):
+        GdprService(spark, audit).erase(
+            src, src, F.col("id") == "zz", "users", "zz")
+
+
+def test_audit_retention_purge(spark, tmp_path):
+    audit = AuditLog(spark, str(tmp_path / "audit"))
+    audit.append("GDPR_ERASURE", "users", "a", "DELETE")
+    # age the first entry by rewriting its timestamp via a second log
+    old_us = 1_000_000  # 1970 — definitely past retention
+    spark.createDataFrame(
+        [("old-id", "GDPR_ERASURE", old_us, "x", "users", "b", "DELETE", "", "{}")],
+        "audit_id string, event_type string, event_timestamp_us long, "
+        "requester string, table_name string, record_identifier string, "
+        "action string, reason string, details string",
+    ).write.mode("append").parquet(audit.path)
+    assert audit.read().count() == 2
+    removed = audit.purge_old(retention_days=365)
+    assert removed == 1
+    assert audit.read().collect()[0]["record_identifier"] == "a"
+
+
+def test_conflict_metadata_enrichment(spark):
+    """T16: merge-outcome observability struct."""
+    from cass_cdc_pg_spark.operators.lww import conflict_metadata
+
+    current = spark.createDataFrame(
+        [("a", False, 2000, "e2", None)], KT_DDL.replace("email string, ", ""))
+    batch = spark.createDataFrame(
+        [("a", False, 3000, "e3", None),   # newer → accepted
+         ("a", False, 1000, "e1", None),   # stale → rejected
+         ("b", False, 1000, "e1", None)],  # new key
+        KT_DDL.replace("email string, ", ""))
+    out = {(r["id"], r["_cdc_timestamp_micros"]): r["_conflict_resolution"].asDict()
+           for r in conflict_metadata(current, batch, ["id"]).collect()}
+    assert out[("a", 3000)] == {"had_conflict": True, "accepted": True,
+                                "timestamp_diff_us": 1000}
+    assert out[("a", 1000)] == {"had_conflict": True, "accepted": False,
+                                "timestamp_diff_us": -1000}
+    assert out[("b", 1000)] == {"had_conflict": False, "accepted": True,
+                                "timestamp_diff_us": None}
+
+
+def test_throughput_window_batch(spark):
+    from cass_cdc_pg_spark.operators.windows import throughput_by_window
+
+    ev = spark.createDataFrame(
+        [(1, 0, 10), (2, 30_000_000, 10), (3, 61_000_000, 20)],
+        "event_id long, ts_us long, user_id long",
+    )
+    got = {r["window_start_us"]: (r["n_events"], r["n_users"])
+           for r in throughput_by_window(ev).collect()}
+    assert got[0] == (2, 1)
+    assert got[60_000_000] == (1, 1)
+
+
+def test_throughput_window_streaming(spark, tmp_path):
+    """The same aggregate runs as a streaming query with a watermark."""
+    import json
+    import os
+
+    from cass_cdc_pg_spark.operators.windows import throughput_by_window
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(f"{src}/a.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"event_id": i, "ts_us": i * 20_000_000,
+                                "user_id": i % 2}) + "\n")
+    stream = spark.readStream.schema("event_id long, ts_us long, user_id long").json(src)
+    agg = throughput_by_window(stream, watermark="5 minutes")
+    q = (agg.writeStream.format("memory").queryName("tput")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window_start_us"]: r["n_events"]
+           for r in spark.sql("SELECT * FROM tput").collect()}
+    assert got[0] == 3 and got[60_000_000] == 2
+
+
+def test_avro_schema_generation_and_gate(spark):
+    from cass_cdc_pg_spark.sources import avro
+
+    payload = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    schema = avro.avro_schema_for(payload, "users")
+    assert '"type": "record"' in schema and '"long"' in schema
+    if not avro_jar_present(spark):
+        # gate must fail loudly at *use* time, not at import
+        raw = spark.createDataFrame([(b"\x00",)], "value binary")
+        with pytest.raises(Exception):
+            avro.decode_avro_value(raw, payload, "users").collect()
+
+
+def avro_jar_present(spark) -> bool:
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        df = spark.createDataFrame([(b"\x00",)], "value binary")
+        df.select(from_avro("value", '{"type":"record","name":"r","fields":[]}')).collect()
+        return True
+    except Exception:
+        return False
