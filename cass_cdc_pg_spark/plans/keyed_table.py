@@ -207,6 +207,24 @@ class KeyedTable:
         self._compact_if_needed(manifest)
         self._gc(self._read_manifest())
 
+    def upsert(self, rows: DataFrame, now_us: int | None = None) -> None:
+        """Q14 unconditional upsert (``postgresql_repository.py:179-247``,
+        ``INSERT … ON CONFLICT DO UPDATE`` with no guard): the incoming
+        rows replace current state for their keys regardless of event
+        time.  Expressed in the LWW engine by stamping the batch with
+        wall-clock now (which outranks any replicated event timestamp)
+        — the same effective semantics as the reference's last-writer
+        unconditional form.  *rows* carries key + payload columns only;
+        metadata is stamped here."""
+        now_us = now_us or int(time.time() * 1_000_000)
+        stamped = (
+            rows.withColumn("_cdc_deleted", F.lit(False))
+            .withColumn("_cdc_timestamp_micros", F.lit(now_us).cast("long"))
+            .withColumn("_last_event_id", F.expr("uuid()"))
+            .withColumn("_ttl_expiry_timestamp_us", F.lit(None).cast("long"))
+        )
+        self.merge(stamped)
+
     # -- compaction ---------------------------------------------------------
 
     def _compact_if_needed(self, manifest: dict[str, dict]) -> None:

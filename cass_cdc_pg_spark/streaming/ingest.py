@@ -150,6 +150,26 @@ class CdcIngest:
 
         return self.dlq_table().read_live().drop(*META_COLS)
 
+    def seed_snapshot(
+        self, name: str, snapshot: DataFrame, ts_us: int = 0
+    ) -> None:
+        """S1 ``snapshot.mode=initial``: batch-load the source table's
+        current rows into the keyed table before streaming starts.
+        Seed rows carry timestamp *ts_us* (default 0), so any CDC event
+        — including ones captured concurrently with the snapshot scan —
+        wins over its seed row by LWW, which is exactly why
+        snapshot-then-stream converges without coordination."""
+        from cass_cdc_pg_spark.streaming.transforms import check_payload_schema
+
+        check_payload_schema(self.table_schemas[name])
+        stamped = (
+            snapshot.withColumn("_cdc_deleted", F.lit(False))
+            .withColumn("_cdc_timestamp_micros", F.lit(ts_us).cast("long"))
+            .withColumn("_last_event_id", F.lit(""))
+            .withColumn("_ttl_expiry_timestamp_us", F.lit(None).cast("long"))
+        )
+        self.table(name).merge(stamped)
+
     # -- batch core (also used directly by tests and replay) ---------------
 
     def process_batch(self, events: DataFrame, batch_id: int = 0) -> None:

@@ -237,13 +237,16 @@ def apply_column_rules(
     include: list[str] | None = None,
     exclude: list[str] | None = None,
     masks: dict[str, str] | None = None,
+    redact: list[str] | None = None,
+    casts: dict[str, str] | None = None,
     renames: dict[str, str] | None = None,
     computed: dict[str, str] | None = None,
 ) -> DataFrame:
     """T13-T15: declarative transformation rules
-    (``specs/001-cass-cdc-pg/data-model.md:396-421``):
+    (``specs/001-cass-cdc-pg/data-model.md:411-421``):
     include/exclude projection, MASK (regexp_replace to '***'),
-    RENAME, COMPUTE (SQL expression)."""
+    REDACT (whole value replaced, type-preserving NULL for
+    non-strings), CAST, RENAME, COMPUTE (SQL expression)."""
     out = rows
     if include:
         out = out.select(*include)
@@ -251,6 +254,14 @@ def apply_column_rules(
         out = out.drop(*exclude)
     for col, pattern in (masks or {}).items():
         out = out.withColumn(col, F.regexp_replace(F.col(col), pattern, "***"))
+    schema = {f.name: f.dataType for f in out.schema.fields}
+    for col in redact or ():
+        if isinstance(schema[col], T.StringType):
+            out = out.withColumn(col, F.lit("[REDACTED]"))
+        else:
+            out = out.withColumn(col, F.lit(None).cast(schema[col]))
+    for col, to_type in (casts or {}).items():
+        out = out.withColumn(col, F.col(col).cast(to_type))
     for old, new in (renames or {}).items():
         out = out.withColumnRenamed(old, new)
     for col, expr in (computed or {}).items():

@@ -243,3 +243,86 @@ def test_dlq_readable_after_interrupted_replay(spark, users_ingest):
     # re-running the full replay converges
     assert users_ingest.replay_dlq(ids) == 1
     assert users_ingest.dlq().collect()[0]["resolution_status"] == "MANUAL_RESOLVED"
+
+
+def test_unconditional_upsert_overrides_newer_event(spark, tmp_path):
+    """Q14: upsert() replaces current state regardless of the row's
+    replicated event time (reference's unguarded ON CONFLICT form)."""
+    t = KeyedTable(spark, str(tmp_path / "kt"), ["id"], num_buckets=2)
+    t.merge(spark.createDataFrame(
+        [("a", "old", False, 9_999_999_999_999_999, "e1", None)],
+        "id string, v string, _cdc_deleted boolean, _cdc_timestamp_micros long, "
+        "_last_event_id string, _ttl_expiry_timestamp_us long"))
+    t.upsert(spark.createDataFrame([("a", "forced"), ("b", "new")],
+                                   "id string, v string"),
+             now_us=10_000_000_000_000_000)
+    rows = {r["id"]: r["v"] for r in t.read_live().collect()}
+    assert rows == {"a": "forced", "b": "new"}
+
+
+def test_snapshot_seed_then_stream_converges(spark, users_ingest):
+    """S1 snapshot.mode=initial: seed rows lose to any CDC event for
+    the same key (LWW), so snapshot-then-stream converges."""
+    snap = spark.createDataFrame(
+        [(U1, "snap_ann", 34), (U2, "snap_bob", 55)],
+        "id string, username string, age int")
+    users_ingest.seed_snapshot("users", snap)
+    assert users_ingest.table("users").read_live().count() == 2
+    # a concurrent CDC update beats its seed row
+    users_ingest.process_batch(_df(spark, [
+        _event(_eid(1), "UPDATE", 1000,
+               before={"id": U1, "username": "snap_ann", "age": "34"},
+               after={"id": U1, "username": "ann2", "age": "35"}),
+    ]))
+    rows = {r["id"]: r["username"] for r in users_ingest.table("users").read_live().collect()}
+    assert rows == {U1: "ann2", U2: "snap_bob"}
+
+
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """C8: maxFilesPerTrigger paces ingestion — N input files with
+    max=1 process in N microbatches (native rate limiting)."""
+    import json as _json
+    import os
+
+    from cass_cdc_pg_spark.streaming.ingest import CdcIngest, jsonl_stream
+
+    ingest = CdcIngest(spark, str(tmp_path / "wh"),
+                       {"users": USERS_SCHEMA}, {"users": ["id"]}, num_buckets=2)
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    for i, uid in enumerate([U1, U2]):
+        with open(f"{events_dir}/b{i}.jsonl", "w") as f:
+            f.write(_json.dumps({
+                "event_id": _eid(i + 1), "source_table": "users",
+                "operation_type": "CREATE", "timestamp_micros": 1000 + i,
+                "before": None, "after": {"id": uid, "username": f"u{i}", "age": "1"},
+                "schema_version": 1, "ttl_seconds": None, "is_tombstone": False,
+            }) + "\n")
+    batches = []
+    orig = ingest.process_batch
+    ingest.process_batch = lambda df, bid=0: (batches.append(bid), orig(df, bid))[1]
+    q = ingest.start(
+        jsonl_stream(spark, events_dir, max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "cp"), trigger_once=True)
+    q.awaitTermination(120)
+    assert len(batches) == 2  # one microbatch per file
+    assert ingest.table("users").read_live().count() == 2
+
+
+def test_column_rules_redact_and_cast(spark):
+    from cass_cdc_pg_spark.streaming.transforms import apply_column_rules
+
+    df = spark.createDataFrame(
+        [("a", "x@y.com", 30, "1999-01-01")],
+        "id string, email string, age int, dob string")
+    out = apply_column_rules(
+        df,
+        masks={"email": r"[^@]+"},          # mask local part
+        redact=["dob", "age"],              # REDACT: string vs non-string
+        casts={"id": "string"},
+        computed={"age_bucket": "CASE WHEN age IS NULL THEN 'unknown' END"},
+    ).collect()[0]
+    assert out["email"] == "***@***"
+    assert out["dob"] == "[REDACTED]"
+    assert out["age"] is None
+    assert out["age_bucket"] == "unknown"
