@@ -152,6 +152,31 @@ def field_diff(
     )
 
 
+def register_bucketed(
+    spark,
+    df: DataFrame,
+    name: str,
+    pk: list[str],
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Persist *df* as a catalog table hash-bucketed (and sorted) on
+    the PK.  Joins between two tables bucketed the same way on the
+    same keys plan as **shuffle-free** sort-merge joins — the scan
+    output is already partitioned and sorted on the join key, so
+    Catalyst elides both Exchanges.  This is the 100 TB reconciliation
+    path: bucket source and target replicas once at write time, then
+    every checksum_diff run joins without moving either table.
+    ``test_reconcile.py`` pins the no-Exchange plan shape."""
+    (
+        df.write.bucketBy(num_buckets, *pk)
+        .sortBy(*pk)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def deterministic_sample(df: DataFrame, mod_col: Column, buckets: int, keep: int) -> DataFrame:
     """Q6 SAMPLE, made oracle-checkable: keep rows whose deterministic
     ``mod_col % buckets`` lands below *keep* (the reference samples with

@@ -89,3 +89,22 @@ def test_field_diff_reports_null_vs_value(spark):
     got = field_diff(src, tgt, ["id"], ["v"]).collect()
     assert len(got) == 1
     assert got[0]["id"] == 1 and got[0]["src_val"] == "a" and got[0]["tgt_val"] is None
+
+
+def test_bucketed_checksum_diff_is_shuffle_free(spark, tmp_path):
+    """The 100 TB reconciliation plan: both sides bucketed on the PK →
+    checksum_diff's full-outer join plans with NO Exchange (the scans
+    are already partitioned+sorted on the join key)."""
+    from cass_cdc_pg_spark.operators.reconcile import (
+        checksum_diff,
+        register_bucketed,
+    )
+
+    src = spark.range(1000).selectExpr("id AS pk", "id * 2 AS v")
+    tgt = spark.range(990).selectExpr("id AS pk", "id * 2 AS v")
+    s = register_bucketed(spark, src, "recon_src_b", ["pk"], num_buckets=8)
+    t = register_bucketed(spark, tgt, "recon_tgt_b", ["pk"], num_buckets=8)
+    diff = checksum_diff(s, t, ["pk"], ["v"])
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert diff.count() == 10  # the 10 missing keys
