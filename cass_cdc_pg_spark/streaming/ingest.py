@@ -188,19 +188,26 @@ class CdcIngest:
             tagged = events.withColumn(
                 "_error_type", transforms.validation_status()
             )
-            stats = (
-                tagged.groupBy("source_table", "operation_type", "_error_type")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max(F.struct("timestamp_micros", "event_id")).alias("mx"),
+            aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.struct("timestamp_micros", "event_id")).alias("mx"),
+            ]
+            if self.auto_evolve:
+                # schema-change detection costs one more agg expression
+                # in the same pass — skipped entirely when evolution is
+                # pinned off
+                aggs.append(
                     F.array_distinct(
                         F.flatten(
                             F.collect_set(
                                 F.map_keys(F.coalesce(F.col("after"), F.col("before")))
                             )
                         )
-                    ).alias("payload_keys"),
+                    ).alias("payload_keys")
                 )
+            stats = (
+                tagged.groupBy("source_table", "operation_type", "_error_type")
+                .agg(*aggs)
                 .collect()
             )
             any_bad = any(r["_error_type"] is not None for r in stats)
@@ -230,9 +237,10 @@ class CdcIngest:
                         truncates[r["source_table"]] = cand
                 else:
                     row_tables.add(r["source_table"])
-                    seen_keys.setdefault(r["source_table"], set()).update(
-                        r["payload_keys"] or ()
-                    )
+                    if self.auto_evolve:
+                        seen_keys.setdefault(r["source_table"], set()).update(
+                            r["payload_keys"] or ()
+                        )
 
             # schema-change detection (auto.evolve): unseen payload keys
             # advance the pinned schema through the compatibility gate
