@@ -202,3 +202,43 @@ def test_auto_compaction_triggers_at_threshold(spark, tmp_path):
     deltas = [d for d in os.listdir(t.path) if d.startswith("delta-")]
     assert len(deltas) < 3
     assert t.read().collect()[0]["_cdc_timestamp_micros"] == 4000
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    split=st.lists(st.integers(min_value=0, max_value=7), min_size=8, max_size=8),
+)
+def test_lsm_merge_batch_partitioning_invariance(spark, tmp_path_factory, split):
+    """C5/C6 as a property: however an event multiset is partitioned
+    into merge batches (including duplicates across batches), the
+    table converges to the same per-key LWW state as one big merge."""
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    ddl = ("id string, v long, _cdc_deleted boolean, _cdc_timestamp_micros long, "
+           "_last_event_id string, _ttl_expiry_timestamp_us long")
+    events = [
+        (f"k{i % 3}", i, False, 1000 + (i % 4) * 100, f"e{i}", None)
+        for i in range(8)
+    ]
+    # partition events into up to 8 batches by the drawn assignment
+    batches: dict[int, list] = {}
+    for ev, b in zip(events, split):
+        batches.setdefault(b, []).append(ev)
+
+    base = tmp_path_factory.mktemp("lsm_prop")
+    t_ref = KeyedTable(spark, str(base / "ref"), ["id"], num_buckets=2)
+    t_ref.merge(spark.createDataFrame(events, ddl))
+    expected = sorted(tuple(r) for r in t_ref.read().collect())
+
+    t = KeyedTable(spark, str(base / "split"), ["id"], num_buckets=2,
+                   compact_threshold=3)  # exercise auto-compaction too
+    for b in sorted(batches):
+        t.merge(spark.createDataFrame(batches[b], ddl))
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == expected
