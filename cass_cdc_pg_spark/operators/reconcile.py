@@ -22,6 +22,9 @@ driver; mismatch rows stay distributed.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -167,6 +170,14 @@ def register_bucketed(
     path: bucket source and target replicas once at write time, then
     every checksum_diff run joins without moving either table.
     ``test_reconcile.py`` pins the no-Exchange plan shape."""
+    # true overwrite: a stale warehouse dir left by a previous session
+    # (table absent from this session's in-memory catalog but present
+    # on disk) would otherwise fail with LOCATION_ALREADY_EXISTS
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    if wh and os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.bucketBy(num_buckets, *pk)
         .sortBy(*pk)
