@@ -101,14 +101,20 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
 
+    # two timed passes, min per query: a single pass is hostage to one
+    # GC pause; min-of-2 measures the plan, matching the warmed DuckDB
+    # baseline timings
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"# pass{_pass} {name}: {n} rows in {dt}s", file=sys.stderr)
 
     import tempfile
 

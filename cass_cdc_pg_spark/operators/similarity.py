@@ -46,7 +46,11 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def _scored_arrow(
-    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    prune_k: int | None = None,
 ) -> DataFrame:
     """All (query, corpus) cosine scores via an Arrow-batched numpy
     kernel (``mapInPandas``): the small query matrix ships in the
@@ -61,6 +65,17 @@ def _scored_arrow(
     evaluated per element.  (A plain ``np.dot`` uses pairwise/SIMD
     summation and can differ in the last ulp, which 6-dp rounding may
     amplify across a rounding boundary.)
+
+    *prune_k*: when set, each batch emits only candidates that can
+    still reach a per-query top-*prune_k* after 6-dp rounding, instead
+    of all N×Q scores.  Exactness: rounding moves a score by at most
+    5e-7, so a row with unrounded sim < (k-th best unrounded) - 1e-6
+    rounds strictly below the k-th best's rounded value and can never
+    displace it; only such rows are dropped.  Self-matches are excluded
+    before picking the k-th value so they never occupy a slot.  This
+    keeps the downstream window top-k (a shuffle) at O(k·Q·batches)
+    rows rather than O(N·Q) — at 100 TB the difference between
+    shuffling gigabytes and kilobytes.
     """
     import numpy as np
     import pandas as pd
@@ -92,11 +107,31 @@ def _scored_arrow(
                 acc += np.outer(cm[:, d], qm[:, d])
             sims = acc / np.outer(cnorm, qnorm)
             n, q = sims.shape
+            if prune_k is None or n <= prune_k:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(np.array(qids), n),
+                        "neighbor_id": np.tile(ids, q),
+                        "sim": sims.T.reshape(-1),
+                    }
+                )
+                continue
+            out_q, out_n, out_s = [], [], []
+            qid_arr = np.array(qids)
+            for j in range(q):
+                col = sims[:, j]
+                cand = col.copy()
+                cand[ids == qid_arr[j]] = -np.inf  # self never holds a slot
+                kth = np.partition(cand, -prune_k)[-prune_k]
+                keep = col >= kth - 1e-6
+                out_q.append(np.full(keep.sum(), qid_arr[j]))
+                out_n.append(ids[keep])
+                out_s.append(col[keep])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(np.array(qids), n),
-                    "neighbor_id": np.tile(ids, q),
-                    "sim": sims.T.reshape(-1),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
                 }
             )
 
@@ -124,7 +159,7 @@ def cosine_topk(
     whole-stage codegen (no Python workers) as the cross-check path.
     """
     if kernel == "arrow":
-        scored = _scored_arrow(corpus, queries, id_col, vec_col).filter(
+        scored = _scored_arrow(corpus, queries, id_col, vec_col, prune_k=k).filter(
             F.col("neighbor_id") != F.col("query_id")
         ).select(
             "query_id", "neighbor_id", F.round(F.col("sim"), 6).alias("sim")

@@ -169,9 +169,12 @@ SELECT o_orderkey, {_ORD_CK_SQL} AS checksum FROM orders
 
 
 def q3_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return reconcile.checksum_diff(
-        _ord(spark, sf_dir), _ord_tgt(spark, sf_dir), ORDERS_PK, ORDERS_COMPARE
-    )
+    """CHECKSUM validation over the PK-bucketed source/target pair:
+    both scans arrive partitioned+sorted on the join key, so the
+    full-outer join runs with no Exchange (see
+    ``tables.bucketed_pair``)."""
+    s, t = src.bucketed_pair(spark, sf_dir, "orders", ORDERS_PK)
+    return reconcile.checksum_diff(s, t, ORDERS_PK, ORDERS_COMPARE)
 
 
 Q3_SQL = f"""

@@ -153,6 +153,46 @@ def ensure_targets(spark: SparkSession, sf_dir: str) -> None:
     """Pre-materialize all target replicas (bench warmup hook)."""
     for t in _TARGET_BUILDERS:
         materialized_target(spark, sf_dir, t)
+    bucketed_pair(spark, sf_dir, "orders", ["o_orderkey"])
+
+
+#: PKs for the bucketed reconciliation pairs
+RECON_BUCKETS = 16
+
+
+def bucketed_pair(
+    spark: SparkSession, sf_dir: str, table: str, pk: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Source + target replica as catalog tables hash-bucketed and
+    sorted on the PK — the 100 TB reconciliation shape: bucket both
+    sides once at write time, then every checksum_diff full-outer join
+    plans with **no Exchange and no Sort** (scans are already
+    partitioned+sorted on the join key).  The reference re-scans
+    Postgres/Cassandra per reconciliation run
+    (``reconciliation_engine.py:423-459``); bucketing amortizes that
+    into the write path instead.
+
+    Spark's in-memory catalog forgets bucketing metadata between
+    sessions, so the pair is (re)built per session; within a session
+    it is built once and reused.
+    """
+    from cass_cdc_pg_spark.operators.reconcile import register_bucketed
+
+    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    names = (f"recon_{table}_src_{key}", f"recon_{table}_tgt_{key}")
+    if all(spark.catalog.tableExists(n) for n in names):
+        return spark.table(names[0]), spark.table(names[1])
+    s = register_bucketed(
+        spark, load_table(spark, sf_dir, table), names[0], pk, RECON_BUCKETS
+    )
+    t = register_bucketed(
+        spark,
+        materialized_target(spark, sf_dir, table),
+        names[1],
+        pk,
+        RECON_BUCKETS,
+    )
+    return s, t
 
 
 def _parquet_files(path: str) -> list[str]:
