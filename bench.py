@@ -32,7 +32,7 @@ HEADLINE = [
 ]
 
 
-def ingest_bench(spark, sf_dir: str, warehouse: str) -> float:
+def ingest_bench(spark, sf_dir: str, warehouse: str, num_buckets: int = 32) -> float:
     """Replay the events table as CDC CREATE events through the full
     merge path; returns events/sec."""
     from pyspark.sql import functions as F
@@ -74,7 +74,7 @@ def ingest_bench(spark, sf_dir: str, warehouse: str) -> float:
         warehouse,
         table_schemas={"events": payload},
         key_cols={"events": ["event_id"]},
-        num_buckets=32,
+        num_buckets=num_buckets,
     )
     t0 = time.time()
     ingest.process_batch(as_change_events)
@@ -118,8 +118,14 @@ def main() -> None:
 
     import tempfile
 
+    # two bucket counts: merge cost is O(batch) regardless of bucket
+    # count (LSM delta appends — see plans/keyed_table.py), so ev/s
+    # must hold steady as buckets scale toward the thousands a 100 TB
+    # table needs
     with tempfile.TemporaryDirectory() as wh:
         eps = ingest_bench(spark, sf_dir, wh)
+    with tempfile.TemporaryDirectory() as wh:
+        eps_256 = ingest_bench(spark, sf_dir, wh, num_buckets=256)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -133,6 +139,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warm": True,
                 "ingest_events_per_sec": round(eps, 1),
+                "ingest_events_per_sec_256_buckets": round(eps_256, 1),
             }
         )
     )

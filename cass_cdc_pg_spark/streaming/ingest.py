@@ -183,7 +183,9 @@ class CdcIngest:
         (``monitoring.METRICS``) at zero extra job cost.
         """
         _t0 = _time.time()
-        events = events.persist()
+        # T3 addEventId runs before validation, as in the reference's
+        # source connector (cassandra-source.json:48-50)
+        events = transforms.add_event_id(events).persist()
         try:
             tagged = events.withColumn(
                 "_error_type", transforms.validation_status()

@@ -19,6 +19,41 @@ from cass_cdc_pg_spark.schema import OPERATIONS, UUID_RE
 FUTURE_SKEW_US = 60 * 1_000_000
 
 
+def add_event_id(events: DataFrame) -> DataFrame:
+    """T3 ``addEventId`` (``cassandra-source.json:48-50``): events
+    arriving without an ``event_id`` get one injected *before*
+    validation, exactly where the reference's source-connector SMT
+    runs.
+
+    Deliberate deviation from the reference's ``uuid4``: the id is
+    **content-derived** (md5 over table/op/timestamp/body, formatted
+    as a UUID) so a replayed microbatch synthesizes the *same* id —
+    keeping the LWW tiebreak, DLQ dlq_id, and merge idempotence (C5)
+    deterministic under replay, which a random id would silently
+    break."""
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("source_table"), F.lit("")),
+            F.coalesce(F.col("operation_type"), F.lit("")),
+            F.coalesce(F.col("timestamp_micros").cast("string"), F.lit("")),
+            F.coalesce(F.to_json(F.col("before")), F.lit("")),
+            F.coalesce(F.to_json(F.col("after")), F.lit("")),
+        )
+    )
+    synthesized = F.concat_ws(
+        "-",
+        F.substring(digest, 1, 8),
+        F.substring(digest, 9, 4),
+        F.substring(digest, 13, 4),
+        F.substring(digest, 17, 4),
+        F.substring(digest, 21, 12),
+    )
+    return events.withColumn(
+        "event_id", F.coalesce(F.col("event_id"), synthesized)
+    )
+
+
 def validation_status(now_us: Column | None = None) -> Column:
     """T7: classify an event row → NULL if valid, else the DLQ
     error_type (``src/models/dlq_record.py:10-17``).

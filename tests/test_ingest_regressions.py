@@ -326,3 +326,23 @@ def test_column_rules_redact_and_cast(spark):
     assert out["dob"] == "[REDACTED]"
     assert out["age"] is None
     assert out["age_bucket"] == "unknown"
+
+
+def test_missing_event_id_synthesized_not_dlqd(spark, users_ingest):
+    """T3 addEventId (cassandra-source.json:48-50): an event arriving
+    without an event_id gets a content-derived UUID injected before
+    validation — it merges as a row, never DLQs as SCHEMA_MISMATCH,
+    and a replay synthesizes the SAME id (idempotence)."""
+    ev = _df(spark, [_event(None, "CREATE", 1000, after={"id": U1, "username": "a", "age": "3"})])
+    users_ingest.process_batch(ev)
+    live = users_ingest.table("users").read_live().collect()
+    assert len(live) == 1 and live[0]["username"] == "a"
+    eid1 = live[0]["_last_event_id"]
+    import re
+    from cass_cdc_pg_spark.schema import UUID_RE
+    assert re.match(UUID_RE, eid1)
+    assert users_ingest.dlq_table().exists() is False or users_ingest.dlq().count() == 0
+
+    users_ingest.process_batch(ev)  # replay: same synthesized id
+    live2 = users_ingest.table("users").read_live().collect()
+    assert len(live2) == 1 and live2[0]["_last_event_id"] == eid1
