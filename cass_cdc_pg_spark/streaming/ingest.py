@@ -47,14 +47,27 @@ def jsonl_stream(
     return reader.json(events_dir)
 
 
+def parse_change_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S2's deserialization stage: binary/string Kafka values → typed
+    ChangeEvent rows.  Factored out of :func:`kafka_stream` so the
+    parse logic is testable without the Kafka connector jar (same
+    DataFrame op either way — `from_json` over the envelope schema;
+    unparseable values yield all-NULL envelopes that T7 validation
+    routes to the DLQ as SCHEMA_MISMATCH rather than failing the
+    batch)."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), CHANGE_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 def kafka_stream(
     spark: SparkSession, bootstrap: str, pattern: str = "cdc-events-.*"
 ) -> DataFrame:
     """Kafka wiring (S1/S2): per-table topics, JSON values.
 
     Requires the spark-sql-kafka package on the classpath; not
-    available in the test container, so this path is exercised only
-    when deployed with it.
+    available in the test container, so only :func:`parse_change_events`
+    (the non-socket half) is exercised by tests.
     """
     raw = (
         spark.readStream.format("kafka")
@@ -63,9 +76,7 @@ def kafka_stream(
         .option("startingOffsets", "earliest")
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias("e")
-    ).select("e.*")
+    return parse_change_events(raw)
 
 
 class CdcIngest:

@@ -346,3 +346,33 @@ def test_missing_event_id_synthesized_not_dlqd(spark, users_ingest):
     users_ingest.process_batch(ev)  # replay: same synthesized id
     live2 = users_ingest.table("users").read_live().collect()
     assert len(live2) == 1 and live2[0]["_last_event_id"] == eid1
+
+
+def test_parse_change_events_kafka_value_stage(spark, users_ingest):
+    """S2's deserialization stage without the socket: binary Kafka
+    values parse to typed envelopes; garbage values become all-NULL
+    envelopes that validation DLQs instead of failing the batch."""
+    import json
+
+    from cass_cdc_pg_spark.streaming.ingest import parse_change_events
+
+    good = json.dumps(
+        {
+            "event_id": U1,
+            "source_table": "users",
+            "operation_type": "CREATE",
+            "timestamp_micros": 1000,
+            "after": {"id": U1, "username": "k", "age": "7"},
+            "schema_version": 1,
+            "is_tombstone": False,
+        }
+    )
+    raw = spark.createDataFrame(
+        [(good.encode(),), (b"not json at all",)], "value binary"
+    )
+    events = parse_change_events(raw)
+    users_ingest.process_batch(events)
+    live = users_ingest.table("users").read_live().collect()
+    assert len(live) == 1 and live[0]["username"] == "k"
+    dlq = users_ingest.dlq().collect()
+    assert len(dlq) == 1 and dlq[0]["error_type"] == "SCHEMA_MISMATCH"
