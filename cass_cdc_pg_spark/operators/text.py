@@ -34,6 +34,26 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
 
 
+#: GPT-2-style pre-tokenizer, lookahead-free so the same pattern runs
+#: under Java regex (Spark) and RE2 (DuckDB oracle) with identical
+#: leftmost-first alternation: an optional leading space glued to a
+#: letter-run, digit-run, or punctuation-run; residual whitespace runs
+#: count as their own token (BPE treats them as bytes too).
+BPE_ISH_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def bpe_token_count(documents: DataFrame) -> DataFrame:
+    """doc_id, n_bpe_tokens: pre-tokenizer match count — the standard
+    cheap proxy for LLM token cost (actual BPE merges only split
+    *within* these matches, so this lower-bounds and tracks the real
+    token count).  Pure ``regexp_count`` — whole-stage codegen, no
+    shuffle, trivially data-parallel at 100 TB."""
+    return documents.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
+    )
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     """doc_id, n_tokens, n_unique, avg_token_len (4 dp)."""
     toks = tokens(F.col("text"))

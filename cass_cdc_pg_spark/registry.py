@@ -658,6 +658,18 @@ FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
 """
 
 
+def text_bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.bpe_token_count(src.load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"))
+
+
+TEXT_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{text.BPE_ISH_RE}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(src.load_table(spark, sf_dir, "documents"))
 
@@ -1061,6 +1073,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "text_token_stats": text_token_stats_q,
+    "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
     "text_fingerprint": text_fingerprint_q,
     "text_lang_id": text_lang_id_q,
@@ -1098,6 +1111,7 @@ ORACLE = {
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
+    "text_bpe_token_count": TEXT_BPE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FP_SQL,
     "text_lang_id": TEXT_LANG_SQL,
