@@ -245,6 +245,104 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    embeddings_path: str, ncentroids: int = 8, iters: int = 4
+) -> list[list[float]]:
+    """IVF build phase: spherical k-means centroids, fully
+    deterministic (init = first *ncentroids* vectors in vec_id order,
+    fixed Lloyd iteration count, float64 throughout) so the Spark
+    query and the DuckDB oracle can share the exact same centroid
+    literals.
+
+    Runs driver-side over a bounded sample — training reads one
+    parquet file via pyarrow, never a Spark job; at 100 TB you train
+    on a sample exactly like this and only the *assignment* pass is
+    distributed."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    order = np.argsort(tbl["vec_id"].to_numpy(), kind="stable")
+    x = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent = x[:ncentroids].copy()
+    for _ in range(iters):
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)  # ties → lowest cell
+        for j in range(ncentroids):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in cent]
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of cosine(vec, centroid_i) — order-pinned fold per
+    centroid, identical float sequence to the oracle SQL."""
+    return F.array(
+        *[
+            cosine(vec, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their
+    nearest-centroid cell (argmax cosine, ties → lowest cell); each
+    query probes its *nprobe* best cells and ranks candidates there
+    exactly.
+
+    Scale path: the assignment is a pure projection (codegen, no
+    shuffle) and in a real deployment the corpus is written out
+    partitioned by ``cell`` once, so a probe reads nprobe/ncentroids
+    of the table — the inverted-file pruning that IVF is for.  The
+    probe side is tiny and broadcast.  Recall < 1.0 by construction;
+    ``cosine_topk`` is the exact baseline (recall bound pinned by
+    test)."""
+    scores = _cell_scores(F.col(vec_col), centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.array_position(scores, F.array_max(scores)).alias("cell"),
+    )
+    q_cells = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.posexplode(scores).alias("pos", "cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cs").desc(), F.col("pos").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", (F.col("pos") + 1).cast("long").alias("cell"))
+    )
+    scored = (
+        c.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    return _topk(scored, k)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

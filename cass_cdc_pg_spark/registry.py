@@ -10,9 +10,10 @@ Conventions (driver contract):
 - floating-point outputs are either raw stored values (bit-identical
   in both engines) or derived with an order-pinned fold + ``round``.
 
-Entries whose semantics are not SQL-expressible (MinHash-LSH, SimHash,
-sign-LSH ANN) appear in QUERIES without an ORACLE twin; the driver
-records the weaker rows-only check for them.
+Every QUERIES entry has an ORACLE twin — including the LSH/IVF
+entries, whose SQL embeds the same hyperplane/centroid literals the
+Spark side uses (repr round-trips float64 exactly) and replicates the
+order-pinned cosine fold, so scores are bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -1019,6 +1020,78 @@ WHERE rank <= {k}
 LSH_TOPK_SQL = _lsh_topk_sql()
 
 
+# -- IVF ANN (inverted-file pruning; exact ranking within probed cells) -----
+
+_IVF_NC, _IVF_NPROBE, _IVF_K = 8, 2, 5
+
+
+def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+    return similarity.train_ivf_centroids(
+        src.table_path(sf_dir, "embeddings"), ncentroids=_IVF_NC
+    )
+
+
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        _ivf_centroids(sf_dir),
+        k=_IVF_K,
+        nprobe=_IVF_NPROBE,
+    )
+
+
+def _ivf_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:
+    """Oracle twin of ``similarity.ivf_topk``: same centroid literals
+    (repr round-trips float64 exactly), same order-pinned cosine fold,
+    same tie rules (assignment → lowest cell, ranking → neighbor_id
+    asc), so scores and cells are bit-identical across engines."""
+    cent_rows = ", ".join(
+        f"({i + 1}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(centroids)
+    )
+    cos_cent = _cos_sql("vec", "ctr")
+    return f"""
+WITH cent(cell, ctr) AS (VALUES {cent_rows}),
+cscore AS (
+  SELECT e.vec_id, e.embedding AS vec, cent.cell, {cos_cent} AS s
+  FROM embeddings e CROSS JOIN cent),
+cassign AS (
+  SELECT vec_id AS neighbor_id, vec AS cv, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, vec AS qv, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore WHERE vec_id < 10)
+  WHERE rn <= {nprobe}),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({_cos_sql('qv', 'cv')}, 6) AS sim
+  FROM cassign JOIN probes USING (cell)
+  WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, rank, sim
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+try:
+    # the driver's correctness gate runs at sf0.01 — the oracle embeds
+    # centroids trained on that scale (the Spark side trains on
+    # whatever sf_dir it receives, so bench at other scales still runs)
+    ANN_IVF_SQL: str | None = _ivf_sql(
+        _ivf_centroids("/root/testdata/sf0.01"), _IVF_NPROBE, _IVF_K
+    )
+except OSError:  # testdata absent (e.g. docs-only checkout)
+    ANN_IVF_SQL = None
+
+
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic embeddings top out near cos ≈ 0.48 — 0.35 marks
     # the "suspiciously similar" tail without being empty
@@ -1079,6 +1152,7 @@ QUERIES = {
     "text_lang_id": text_lang_id_q,
     "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
     "embedding_neardup": embedding_neardup_q,
     "schema_evolution": schema_evolution_q,
     "multimodal_features": multimodal_features_q,
@@ -1125,3 +1199,6 @@ ORACLE = {
     "multimodal_features": MULTIMODAL_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,
 }
+
+if ANN_IVF_SQL is not None:
+    ORACLE["ann_ivf_topk"] = ANN_IVF_SQL
