@@ -109,6 +109,53 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", F.md5(canon).alias("fp"))
 
 
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """doc_id, n_fps, fp_digest — winnowing fingerprints (the
+    rolling-hash document-fingerprint scheme): hash every character
+    *k*-gram, slide a *window* over the hash sequence, keep each
+    window's minimum; the distinct minima are the document's
+    fingerprint set, digested to one md5.
+
+    Winnowing guarantees any shared substring of length
+    ``k + window - 1`` contributes a shared fingerprint, so plagiarism
+    /near-dup overlap survives sampling.  The classic Rabin-Karp
+    *rolling* update is a single-scan micro-optimization; in a column
+    engine every gram hashes independently inside one higher-order
+    ``transform`` (codegen, no shuffle, no Python) — same output, data
+    parallel.  Short docs degrade gracefully: fewer grams than the
+    window → one global minimum; shorter than *k* → empty set.
+    """
+    n_grams = F.length(F.col("text")) - F.lit(k) + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = documents.select("doc_id", grams.alias("grams"))
+    g = F.size(F.col("grams"))
+    mins = (
+        F.when(
+            g >= window,
+            F.transform(
+                F.sequence(F.lit(1), g - F.lit(window) + 1),
+                lambda j: F.array_min(F.slice(F.col("grams"), j, window)),
+            ),
+        )
+        .when(g >= 1, F.array(F.array_min(F.col("grams"))))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    return with_grams.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.md5(F.concat_ws("", fps)).alias("fp_digest"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """doc_id, declared lang, predicted lang by marker-word hits.
 

@@ -701,6 +701,36 @@ FROM documents
 """
 
 
+def text_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.winnow_fingerprints(src.load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.col("n_fps").cast("long").alias("n_fps"), "fp_digest")
+
+
+_WINNOW_K, _WINNOW_W = 5, 4
+
+TEXT_WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= {_WINNOW_K}
+              THEN list_transform(generate_series(1, length(text) - {_WINNOW_K} + 1),
+                                  i -> md5(substring(text, i, {_WINNOW_K})))
+              ELSE [] END AS grams
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= {_WINNOW_W}
+              THEN list_transform(generate_series(1, len(grams) - {_WINNOW_W} + 1),
+                                  j -> list_min(list_slice(grams, j, j + {_WINNOW_W} - 1)))
+              WHEN len(grams) >= 1 THEN [list_min(grams)]
+              ELSE [] END AS mins
+  FROM g)
+SELECT doc_id,
+       len(list_sort(list_distinct(mins))) AS n_fps,
+       md5(array_to_string(list_sort(list_distinct(mins)), '')) AS fp_digest
+FROM m
+"""
+
+
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(src.load_table(spark, sf_dir, "documents"))
 
@@ -1149,6 +1179,7 @@ QUERIES = {
     "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
     "text_fingerprint": text_fingerprint_q,
+    "text_winnow_fps": text_winnow_q,
     "text_lang_id": text_lang_id_q,
     "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
@@ -1188,6 +1219,7 @@ ORACLE = {
     "text_bpe_token_count": TEXT_BPE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FP_SQL,
+    "text_winnow_fps": TEXT_WINNOW_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
