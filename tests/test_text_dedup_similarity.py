@@ -203,3 +203,52 @@ def test_train_ivf_centroids_deterministic(spark):
 
     path = src.table_path("/root/testdata/sf0.001", "embeddings")
     assert similarity.train_ivf_centroids(path) == similarity.train_ivf_centroids(path)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two docs sharing any substring of
+    length k + window - 1 (= 8 at defaults) must share at least one
+    fingerprint; disjoint-alphabet docs share none."""
+    shared = "abcdefgh"  # k+w-1 = 5+4-1 = 8
+    docs = spark.createDataFrame(
+        [
+            (1, f"xxxx{shared}yyyy"),
+            (2, f"qqq{shared}zzzzzz"),
+            (3, "0123456789012345"),  # disjoint alphabet
+            (4, "ab"),                # shorter than k -> empty set
+        ],
+        "doc_id long, text string",
+    )
+    # compare raw fingerprint sets, not digests
+    from cass_cdc_pg_spark.operators.text import winnow_fingerprints
+
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    assert out[4]["n_fps"] == 0
+    # rebuild the sets via a second run keeping mins (digest equality
+    # implies set equality only for identical docs, so probe via a
+    # one-doc union trick: shared fp count must exceed disjoint case)
+    import pyspark.sql.functions as F2
+    from cass_cdc_pg_spark.operators import text as T2
+
+    n_grams = F2.length(F2.col("text")) - 5 + 1
+    grams = F2.transform(
+        F2.sequence(F2.lit(1), n_grams),
+        lambda i: F2.md5(F2.col("text").substr(i, F2.lit(5))),
+    )
+    g = F2.size(F2.col("grams"))
+    mins = F2.when(
+        g >= 4,
+        F2.transform(
+            F2.sequence(F2.lit(1), g - F2.lit(4) + 1),
+            lambda j: F2.array_min(F2.slice(F2.col("grams"), j, 4)),
+        ),
+    ).otherwise(F2.array(F2.array_min(F2.col("grams"))))
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.filter(F2.col("doc_id") < 4)
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", F2.array_distinct(mins).alias("fps"))
+        .collect()
+    }
+    assert sets[1] & sets[2], "shared 8-char substring must share a fingerprint"
+    assert not (sets[1] & sets[3]), "disjoint docs share none"
