@@ -111,3 +111,22 @@ def test_crash_between_delta_write_and_manifest_is_invisible(spark, tmp_path):
 
     t.merge(spark.createDataFrame([("b", False, 2000, "e2", None)], ddl))
     assert not os.path.exists(orphan)  # GC'd on next commit
+
+
+def test_ivf_topk_corpus_side_never_shuffles(spark):
+    """IVF: centroid assignment is a pure projection over the corpus
+    scan and the probe side is broadcast — the plan must contain a
+    BroadcastExchange (tiny probe set) and no shuffle Exchange feeding
+    the join from the corpus side."""
+    from cass_cdc_pg_spark.operators.similarity import ivf_topk
+
+    emb = spark.range(200).selectExpr(
+        "id AS vec_id", "array(CAST(id AS FLOAT), CAST(id+1 AS FLOAT)) AS embedding"
+    )
+    cent = [[1.0, 0.0], [0.0, 1.0]]
+    q = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), cent, k=2, nprobe=1)
+    plan = _plan(q)
+    assert "BroadcastExchange" in plan, plan
+    # the only allowed shuffle is the final tiny top-k window; the
+    # corpus → join edge must be broadcast-joined, not sort-merge
+    assert "SortMergeJoin" not in plan, plan
