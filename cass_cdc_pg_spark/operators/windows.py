@@ -11,8 +11,44 @@ Streaming contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int = 30 * 60 * 1_000_000,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: consecutive events of the same
+    key closer than *gap_us* belong to one session.
+
+    Output: key, session_start_us, session_end_us, n_events.
+
+    Plan shape at 100 TB: one shuffle on the key (the window
+    partition), then running-sum session ids and the aggregate reuse
+    that same partitioning — Catalyst elides the second Exchange.
+    Equal-timestamp ties never open a session (diff 0 < gap), so the
+    result is deterministic regardless of tie order within the sort.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_us_col)
+    ts = F.col(ts_us_col)
+    new_session = F.when(
+        ts - F.lag(ts).over(w) > F.lit(gap_us), F.lit(1)
+    ).otherwise(F.lit(0))  # first row: lag NULL → comparison NULL → 0
+    sess = events.withColumn(
+        "_sess", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy(key_col, "_sess")
+        .agg(
+            F.min(ts).alias("session_start_us"),
+            F.max(ts).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sess")
+    )
 
 
 def throughput_by_window(

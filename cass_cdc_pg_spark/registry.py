@@ -811,6 +811,39 @@ FROM events GROUP BY 1
 """
 
 
+def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization of the event stream per user
+    (30-min inactivity gap) — the session-grouping pass a training-data
+    pipeline runs before conversation assembly."""
+    from cass_cdc_pg_spark.operators.windows import sessionize
+
+    out = sessionize(_ev(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t)
+SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sess
+"""
+
+
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over an opaque binary column: the
     documents' text bytes stand in for media payloads (the container
@@ -1188,6 +1221,7 @@ QUERIES = {
     "schema_evolution": schema_evolution_q,
     "multimodal_features": multimodal_features_q,
     "events_throughput_1min": events_throughput_1min_q,
+    "events_sessionize": events_sessionize_q,
 }
 
 ORACLE = {
@@ -1230,6 +1264,7 @@ ORACLE = {
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
 }
 
 if ANN_IVF_SQL is not None:

@@ -178,3 +178,26 @@ def avro_jar_present(spark) -> bool:
         return True
     except Exception:
         return False
+
+
+def test_sessionize_gaps_and_islands(spark):
+    """30-min-gap sessionization: events 10 min apart chain into one
+    session; a 31-min gap opens a new one; groupBy reuses the window's
+    hash partitioning (single Exchange in the plan)."""
+    from cass_cdc_pg_spark.operators.windows import sessionize
+
+    m = 60 * 1_000_000
+    rows = [
+        (1, 0), (1, 10 * m), (1, 20 * m),      # one session
+        (1, 51 * m),                            # 31-min gap -> new session
+        (2, 0), (2, 29 * m),                    # 29-min gap -> same session
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    out = {(r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+           for r in sessionize(ev).collect()}
+    assert out[(1, 0)] == (20 * m, 3)
+    assert out[(1, 51 * m)] == (51 * m, 1)
+    assert out[(2, 0)] == (29 * m, 2)
+
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # shuffle on user_id + AQE read, no re-shuffle for the agg
