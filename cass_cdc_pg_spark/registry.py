@@ -858,8 +858,21 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return multimodal.extract_features(
+    feats = multimodal.extract_features(
         media, decoder=multimodal.byte_histogram_counts
+    )
+    # The driver's canonicalizer sorts result columns with pandas, which
+    # cannot factorize array cells — so the declared query emits the
+    # 8 histogram bins as scalar double columns (the reference likewise
+    # serializes complex values for the target: type_mapper.py:113-116).
+    return feats.select(
+        "media_id",
+        *[
+            F.coalesce(F.col("feature")[b].cast("double"), F.lit(0.0)).alias(f"bin{b}")
+            for b in range(8)
+        ],
+        "decode_ok",
+        F.col("error").cast("string").alias("error"),
     )
 
 
@@ -867,9 +880,10 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bins equal per-codepoint bins and DuckDB can recompute the
 #: histogram from characters.
 _MM_BINS = ",\n         ".join(
-    f"CAST(SUM(CASE WHEN code // 32 = {b} THEN 1 ELSE 0 END) AS DOUBLE)"
+    f"CAST(SUM(CASE WHEN code // 32 = {b} THEN 1 ELSE 0 END) AS DOUBLE) AS bin{b}"
     for b in range(8)
 )
+_MM_BIN_COLS = ", ".join(f"COALESCE(h.bin{b}, 0.0) AS bin{b}" for b in range(8))
 
 MULTIMODAL_SQL = f"""
 WITH codes AS (
@@ -879,12 +893,12 @@ WITH codes AS (
   FROM documents),
 hist AS (
   SELECT doc_id,
-         [{_MM_BINS}] AS feature
+         {_MM_BINS}
   FROM codes GROUP BY doc_id)
 SELECT d.doc_id AS media_id,
-       COALESCE(h.feature, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) AS feature,
+       {_MM_BIN_COLS},
        TRUE AS decode_ok,
-       NULL AS error
+       CAST(NULL AS VARCHAR) AS error
 FROM documents d LEFT JOIN hist h ON h.doc_id = d.doc_id
 """
 
