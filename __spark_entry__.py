@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from cass_cdc_pg_spark.registry import ORACLE
+    import os
 
-    return dict(ORACLE)
+    from cass_cdc_pg_spark.registry import oracle_sql as _oracle_sql
+
+    return _oracle_sql(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )

@@ -15,6 +15,8 @@ Ports the reference's operational write paths:
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import time
 import uuid
 
@@ -30,11 +32,36 @@ AUDIT_SCHEMA_DDL = (
 
 
 class AuditLog:
-    """Append-only audit sink (S12) with retention sweep (Q19)."""
+    """Append-only audit sink (S12) with retention sweep (Q19).
+
+    Layout: ``{path}/v-*/`` parquet dirs + an ``_CURRENT`` pointer
+    file naming the active one.  The retention sweep writes survivors
+    to a fresh version dir and flips the pointer with ``os.replace``
+    (atomic), so there is no instant at which the audit path is
+    unreadable — the never-lose-the-audit-log guarantee holds across a
+    crash at any point (ADVICE r2).  Single writer assumed, like the
+    reference's SQL cleanup function (``init-db.sql:87-92``)."""
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+
+    def _pointer(self) -> str:
+        return f"{self.path}/_CURRENT"
+
+    def _data_dir(self) -> str:
+        try:
+            with open(self._pointer()) as fh:
+                return f"{self.path}/{fh.read().strip()}"
+        except FileNotFoundError:
+            return f"{self.path}/v-0"
+
+    def _flip_pointer(self, version: str) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{self.path}/_CURRENT.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._pointer())
 
     def append(
         self,
@@ -58,34 +85,35 @@ class AuditLog:
             reason,
             json.dumps(details or {}, sort_keys=True),
         )
+        data = self._data_dir()
+        if not os.path.exists(self._pointer()):
+            self._flip_pointer(os.path.basename(data))
         self.spark.createDataFrame([row], AUDIT_SCHEMA_DDL).write.mode(
             "append"
-        ).parquet(self.path)
+        ).parquet(data)
         return audit_id
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self._data_dir())
 
     def purge_old(self, retention_days: int = 365, now_us: int | None = None) -> int:
-        """1-year retention (``init-db.sql:87-92``): rewrite dropping
-        entries older than the cutoff; returns rows removed."""
-        now_us = now_us or int(time.time() * 1_000_000)
+        """1-year retention (``init-db.sql:87-92``): write survivors to
+        a fresh version dir, atomically flip the pointer, drop the old
+        dir; returns rows removed."""
+        if now_us is None:
+            now_us = int(time.time() * 1_000_000)
         cutoff = now_us - retention_days * 86_400 * 1_000_000
+        old_dir = self._data_dir()
         df = self.read()
         total = df.count()
         kept = df.filter(df.event_timestamp_us >= cutoff)
         n_kept = kept.count()
         if n_kept == total:
             return 0
-        tmp = f"{self.path}.new-{uuid.uuid4().hex[:8]}"
-        kept.write.mode("overwrite").parquet(tmp)
-        import os
-        import shutil
-
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        version = f"v-{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").parquet(f"{self.path}/{version}")
+        self._flip_pointer(version)
+        shutil.rmtree(old_dir, ignore_errors=True)
         return total - n_kept
 
 

@@ -1164,15 +1164,27 @@ WHERE rank <= {k}
 """
 
 
-try:
-    # the driver's correctness gate runs at sf0.01 — the oracle embeds
-    # centroids trained on that scale (the Spark side trains on
-    # whatever sf_dir it receives, so bench at other scales still runs)
-    ANN_IVF_SQL: str | None = _ivf_sql(
-        _ivf_centroids("/root/testdata/sf0.01"), _IVF_NPROBE, _IVF_K
-    )
-except OSError:  # testdata absent (e.g. docs-only checkout)
-    ANN_IVF_SQL = None
+#: sf_dir → generated IVF oracle, trained on demand (never at import:
+#: a pyarrow read + k-means as an import side effect ties the module
+#: to one hardcoded fixture path — ADVICE r2)
+_IVF_SQL_CACHE: dict[str, str] = {}
+
+
+def ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """The IVF oracle for *sf_dir*, trained lazily on the same
+    embeddings table the Spark query reads there; None if the fixture
+    is absent (e.g. a docs-only checkout)."""
+    import os as _os
+
+    key = _os.path.realpath(sf_dir)
+    if key not in _IVF_SQL_CACHE:
+        try:
+            _IVF_SQL_CACHE[key] = _ivf_sql(
+                _ivf_centroids(sf_dir), _IVF_NPROBE, _IVF_K
+            )
+        except OSError:
+            return None
+    return _IVF_SQL_CACHE[key]
 
 
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,5 +1299,12 @@ ORACLE = {
     "events_sessionize": SESSIONIZE_SQL,
 }
 
-if ANN_IVF_SQL is not None:
-    ORACLE["ann_ivf_topk"] = ANN_IVF_SQL
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Full oracle dict for the correctness gate at *sf_dir*; the IVF
+    entry is generated here, at check time, from the same fixture the
+    gate runs against."""
+    out = dict(ORACLE)
+    ivf = ivf_oracle_sql(sf_dir)
+    if ivf is not None:
+        out["ann_ivf_topk"] = ivf
+    return out

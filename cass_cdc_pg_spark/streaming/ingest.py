@@ -129,8 +129,10 @@ class CdcIngest:
     def _auto_add_columns(self, name: str, unknown_keys: list[str]) -> None:
         """auto.evolve (``postgres-sink.json:13-14``): unseen payload
         keys become nullable string columns (the map transport carries
-        no richer type; an explicit ``evolve_table_schema`` can retype
-        later tables)."""
+        no richer type).  Retyping one later is a MODIFY_COLUMN, which
+        the BACKWARD gate rejects by design (FR-017) — it requires
+        registering the table's schema with compatibility NONE, exactly
+        as a manual ``ALTER`` on the reference's target would."""
         schema = self.table_schemas[name]
         fields = list(schema.fields) + [
             T.StructField(k, T.StringType(), True) for k in sorted(unknown_keys)
@@ -278,6 +280,32 @@ class CdcIngest:
                     )
                 )
             good = tagged.filter(F.col("_error_type").isNull()).drop("_error_type")
+
+            # Valid events for tables with no registered schema must
+            # not vanish (ADVICE r2): route them to the DLQ as
+            # UNKNOWN_TABLE so misrouted / unconfigured-table events
+            # stay visible and replayable once the table is registered.
+            unknown_tables = (row_tables | set(truncates)) - set(self.table_schemas)
+            if unknown_tables:
+                unk = good.filter(F.col("source_table").isin(*sorted(unknown_tables)))
+                dlq_parts.append(
+                    transforms.to_dlq_rows(
+                        unk,
+                        events.columns,
+                        F.lit("UNKNOWN_TABLE"),
+                        F.concat(
+                            F.lit("no registered schema for table "),
+                            F.col("source_table"),
+                        ),
+                    )
+                )
+                for r in stats:
+                    if r["_error_type"] is None and r["source_table"] in unknown_tables:
+                        METRICS.inc(
+                            "cdc_dlq_events_total",
+                            {"table": r["source_table"], "error_type": "UNKNOWN_TABLE"},
+                            by=r["n"],
+                        )
 
             for name, payload_schema in self.table_schemas.items():
                 if name in row_tables:

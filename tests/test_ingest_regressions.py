@@ -376,3 +376,24 @@ def test_parse_change_events_kafka_value_stage(spark, users_ingest):
     assert len(live) == 1 and live[0]["username"] == "k"
     dlq = users_ingest.dlq().collect()
     assert len(dlq) == 1 and dlq[0]["error_type"] == "SCHEMA_MISMATCH"
+
+
+def test_unregistered_table_events_routed_to_dlq(spark, users_ingest):
+    """Valid events for a table with no registered schema must not
+    vanish (ADVICE r2): they land in the DLQ as UNKNOWN_TABLE, still
+    replayable once the table is registered."""
+    users_ingest.process_batch(_df(spark, [
+        _event(_eid(1), "CREATE", 1000, after={"id": U1, "username": "a", "age": "1"}),
+        _event(_eid(2), "CREATE", 1100, table="ghosts",
+               after={"id": U2, "username": "??", "age": "9"}),
+        _event(_eid(3), "TRUNCATE", 1200, table="phantoms"),
+    ]))
+    # the registered table merged normally
+    assert users_ingest.table("users").read_live().count() == 1
+    import json
+
+    dlq = {json.loads(r["original_event"])["event_id"]: r
+           for r in users_ingest.dlq().collect()}
+    assert set(dlq) == {_eid(2), _eid(3)}
+    assert all(r["error_type"] == "UNKNOWN_TABLE" for r in dlq.values())
+    assert "ghosts" in dlq[_eid(2)]["error_message"]

@@ -70,7 +70,10 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
+    import os
+
     queries = entrymod.queries()
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # IVF oracle trains on the checked fixture
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
