@@ -82,6 +82,184 @@ def ingest_bench(spark, sf_dir: str, warehouse: str, num_buckets: int = 32) -> f
     return n / dt
 
 
+def _event_jsonl_rows(spark, sf_dir: str, limit: int):
+    """First *limit* events as ChangeEvent JSON strings (deterministic
+    order by event_id)."""
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.sources.tables import events_with_micros
+
+    ev = events_with_micros(spark, sf_dir).orderBy("event_id").limit(limit)
+    return (
+        ev.select(
+            F.to_json(
+                F.struct(
+                    F.concat(
+                        F.lit("00000000-0000-4000-8000-"),
+                        F.format_string("%012d", F.col("event_id")),
+                    ).alias("event_id"),
+                    F.lit("events").alias("source_table"),
+                    F.lit("CREATE").alias("operation_type"),
+                    F.col("ts_us").alias("timestamp_micros"),
+                    F.create_map(
+                        F.lit("event_id"), F.col("event_id").cast("string"),
+                        F.lit("user_id"), F.col("user_id").cast("string"),
+                        F.lit("event_type"), F.col("event_type"),
+                        F.lit("value"), F.col("value").cast("string"),
+                    ).alias("after"),
+                    F.lit(1).alias("schema_version"),
+                    F.lit(False).alias("is_tombstone"),
+                )
+            ).alias("j")
+        )
+        .toPandas()["j"]
+        .tolist()
+    )
+
+
+def _mk_ingest(spark, warehouse: str, num_buckets: int = 32):
+    from pyspark.sql import types as T
+
+    from cass_cdc_pg_spark.streaming.ingest import CdcIngest
+
+    payload = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return CdcIngest(
+        spark,
+        warehouse,
+        table_schemas={"events": payload},
+        key_cols={"events": ["event_id"]},
+        num_buckets=num_buckets,
+    )
+
+
+def streaming_bench(spark, sf_dir: str, tmp: str, n_events: int = 20000,
+                    n_files: int = 10) -> dict:
+    """BASELINE §BENCH streaming contracts, measured on a real
+    Structured Streaming run over a file source:
+
+    - microbatch latency percentiles (P95 ≤ 4 s contract) across the
+      per-trigger ``process_batch`` wall times;
+    - kill-and-restart zero-loss (SC-007): the first run is killed by
+      an injected failure mid-stream, a second run resumes from the
+      checkpoint; rows lost / duplicated must both be 0 (idempotent
+      LWW merge + checkpoint replay).
+    """
+    import math
+    import os
+
+    from cass_cdc_pg_spark.streaming.ingest import jsonl_stream
+
+    rows = _event_jsonl_rows(spark, sf_dir, n_events)
+    src_dir = os.path.join(tmp, "stream_in")
+    os.makedirs(src_dir)
+    per = math.ceil(len(rows) / n_files)
+    for i in range(n_files):
+        with open(os.path.join(src_dir, f"part-{i:04d}.jsonl"), "w") as fh:
+            fh.write("\n".join(rows[i * per : (i + 1) * per]))
+
+    wh = os.path.join(tmp, "stream_wh")
+    cp = os.path.join(tmp, "stream_cp")
+    ingest = _mk_ingest(spark, wh)
+
+    latencies: list[float] = []
+    fail_at = {1}  # kill the stream on its second microbatch
+
+    def batch_fn(batch_df, batch_id):
+        if batch_id in fail_at:
+            fail_at.clear()
+            raise RuntimeError("injected mid-stream crash (bench)")
+        t0 = time.time()
+        ingest.process_batch(batch_df, batch_id)
+        latencies.append(time.time() - t0)
+
+    stream = jsonl_stream(spark, src_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        crashed = False
+    except Exception:
+        crashed = True
+
+    # restart from the same checkpoint; the failed batch replays
+    q2 = (
+        jsonl_stream(spark, src_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    live = ingest.table("events").read_live().count()
+    lat = sorted(latencies)
+
+    def pct(p: float) -> float:
+        return round(lat[min(len(lat) - 1, int(p * len(lat)))], 3)
+
+    return {
+        "microbatch_p50_sec": pct(0.50),
+        "microbatch_p95_sec": pct(0.95),
+        "microbatch_batches": len(lat),
+        "kill_restart_crash_injected": crashed,
+        "kill_restart_rows_expected": len(rows),
+        "kill_restart_rows_lost": len(rows) - live if live <= len(rows) else 0,
+        "kill_restart_rows_duplicated": live - len(rows) if live > len(rows) else 0,
+    }
+
+
+def compaction_bench(spark, sf_dir: str, tmp: str, base_rows: int = 50000,
+                     delta_rows: int = 2000) -> dict:
+    """LSM merge-on-read cost model (plans/keyed_table.py): read
+    latency vs delta depth, and after compact() — compaction must
+    restore near-base read latency."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+    from cass_cdc_pg_spark.sources.tables import events_with_micros
+
+    ev = events_with_micros(spark, sf_dir).limit(base_rows).select(
+        "event_id", "user_id", "event_type", "value",
+        F.lit(False).alias("_cdc_deleted"),
+        F.col("ts_us").alias("_cdc_timestamp_micros"),
+        F.lit("").alias("_last_event_id"),
+        F.lit(None).cast("long").alias("_ttl_expiry_timestamp_us"),
+    )
+    t = KeyedTable(spark, os.path.join(tmp, "lsm"), ["event_id"],
+                   num_buckets=32, compact_threshold=10**9)  # no auto-compact
+    t.merge(ev)
+
+    def timed_read() -> float:
+        t0 = time.time()
+        t.read_live().count()
+        return round(time.time() - t0, 3)
+
+    out = {"lsm_read_sec_depth0": timed_read()}
+    delta = ev.limit(delta_rows).withColumn(
+        "_cdc_timestamp_micros", F.col("_cdc_timestamp_micros") + F.lit(1)
+    )
+    for depth in range(1, 9):
+        t.merge(delta)
+        if depth in (4, 8):
+            out[f"lsm_read_sec_depth{depth}"] = timed_read()
+    t.compact()
+    out["lsm_read_sec_compacted"] = timed_read()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cass_cdc_pg_spark.registry import QUERIES
@@ -126,6 +304,10 @@ def main() -> None:
         eps = ingest_bench(spark, sf_dir, wh)
     with tempfile.TemporaryDirectory() as wh:
         eps_256 = ingest_bench(spark, sf_dir, wh, num_buckets=256)
+    with tempfile.TemporaryDirectory() as tmp:
+        stream_stats = streaming_bench(spark, sf_dir, tmp)
+    with tempfile.TemporaryDirectory() as tmp:
+        lsm_stats = compaction_bench(spark, sf_dir, tmp)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -140,6 +322,8 @@ def main() -> None:
                 "warm": True,
                 "ingest_events_per_sec": round(eps, 1),
                 "ingest_events_per_sec_256_buckets": round(eps_256, 1),
+                **stream_stats,
+                **lsm_stats,
             }
         )
     )
