@@ -153,6 +153,164 @@ def register_listener(
 
 
 # ---------------------------------------------------------------------------
+# deep health probes (FR-028, ``src/monitoring/health_check.py:28-302``)
+# ---------------------------------------------------------------------------
+
+HEALTHY = "healthy"
+DEGRADED = "degraded"
+UNHEALTHY = "unhealthy"
+
+
+class HealthCheckService:
+    """Deep component probes with latency and an aggregated status —
+    the Spark-engine analog of the reference's Cassandra/PG/Kafka/Vault
+    checks (``health_check.py:28-302``): *source readable* (one parquet
+    footer actually opened), *target writable* (a probe file round-trips
+    through the warehouse dir), *stream alive* (active query with
+    recent progress), *schema registry readable*.  Unconfigured
+    components report ``degraded`` ("Repository not initialized" in
+    the reference); probe failures report ``unhealthy`` with the error
+    and the latency of the failed attempt.  Aggregation matches
+    ``check_all`` exactly: all healthy → healthy, any unhealthy →
+    unhealthy, else degraded."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        source_path: str | None = None,
+        target_warehouse: str | None = None,
+        schema_registry=None,
+        stream_stale_after_sec: float = 60.0,
+    ) -> None:
+        self.spark = spark
+        self.source_path = source_path
+        self.target_warehouse = target_warehouse
+        self.schema_registry = schema_registry
+        self.stream_stale_after_sec = stream_stale_after_sec
+
+    @staticmethod
+    def _probe(service: str, configured: bool, fn: Callable[[], dict]) -> dict:
+        if not configured:
+            return {
+                "service": service,
+                "status": DEGRADED,
+                "details": {"connected": False, "message": "not configured"},
+            }
+        t0 = time.time()
+        try:
+            details = fn()
+            details["latency_ms"] = round((time.time() - t0) * 1000, 2)
+            status = details.pop("_status", HEALTHY)
+            return {"service": service, "status": status, "details": details}
+        except Exception as e:  # noqa: BLE001 — a probe never raises
+            return {
+                "service": service,
+                "status": UNHEALTHY,
+                "details": {
+                    "connected": False,
+                    "latency_ms": round((time.time() - t0) * 1000, 2),
+                    "error": str(e)[:200],
+                },
+            }
+
+    def check_source(self) -> dict:
+        """Source readable: list the parquet dir and open one footer —
+        proves bytes are servable, not just that the path exists."""
+
+        def probe() -> dict:
+            import pyarrow.parquet as pq
+
+            from cass_cdc_pg_spark.sources.tables import _parquet_files
+
+            files = _parquet_files(self.source_path)
+            if not files:
+                raise FileNotFoundError(f"no parquet files under {self.source_path}")
+            meta = pq.ParquetFile(files[0]).metadata
+            return {"connected": True, "files": len(files),
+                    "probe_rows": meta.num_rows}
+
+        return self._probe("source", self.source_path is not None, probe)
+
+    def check_target(self) -> dict:
+        """Target writable: round-trip a probe file through the
+        warehouse dir (the same durability path every merge commit
+        takes — manifest writes use os.replace in this dir)."""
+
+        def probe() -> dict:
+            os.makedirs(self.target_warehouse, exist_ok=True)
+            tmp = os.path.join(self.target_warehouse,
+                               f"_health_probe.{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as fh:
+                fh.write("ok")
+                fh.flush()
+                os.fsync(fh.fileno())
+            with open(tmp) as fh:
+                ok = fh.read() == "ok"
+            os.remove(tmp)
+            if not ok:
+                raise IOError("probe file round-trip mismatch")
+            return {"connected": True, "writable": True}
+
+        return self._probe("target", self.target_warehouse is not None, probe)
+
+    def check_stream(self) -> dict:
+        """Stream alive: ≥1 active streaming query whose last progress
+        is fresher than ``stream_stale_after_sec`` (a hung query is
+        degraded, not healthy — the condition a deployment pages on)."""
+
+        def probe() -> dict:
+            active = self.spark.streams.active
+            if not active:
+                return {"_status": DEGRADED, "active_queries": 0,
+                        "message": "no active streaming query"}
+            import datetime
+
+            stale = []
+            for q in active:
+                lp = q.lastProgress
+                if lp is None:
+                    continue  # just started; not stale
+                ts = lp["timestamp"] if isinstance(lp, dict) else json.loads(q.lastProgress.json)["timestamp"]
+                age = (
+                    datetime.datetime.now(datetime.timezone.utc)
+                    - datetime.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+                ).total_seconds()
+                if age > self.stream_stale_after_sec:
+                    stale.append(q.name or q.id)
+            if stale:
+                return {"_status": DEGRADED, "active_queries": len(active),
+                        "stale_queries": [str(s) for s in stale]}
+            return {"active_queries": len(active)}
+
+        return self._probe("stream", self.spark is not None, probe)
+
+    def check_schema_registry(self) -> dict:
+        def probe() -> dict:
+            tables = self.schema_registry.tables()
+            return {"connected": True, "subject_count": len(tables)}
+
+        return self._probe(
+            "schema_registry", self.schema_registry is not None, probe
+        )
+
+    def check_all(self) -> dict:
+        components = {
+            "source": self.check_source(),
+            "target": self.check_target(),
+            "stream": self.check_stream(),
+            "schema_registry": self.check_schema_registry(),
+        }
+        statuses = [c["status"] for c in components.values()]
+        if all(s == HEALTHY for s in statuses):
+            overall = HEALTHY
+        elif any(s == UNHEALTHY for s in statuses):
+            overall = UNHEALTHY
+        else:
+            overall = DEGRADED
+        return {"status": overall, "components": components}
+
+
+# ---------------------------------------------------------------------------
 # alerts
 # ---------------------------------------------------------------------------
 

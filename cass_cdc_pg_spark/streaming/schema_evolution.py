@@ -183,6 +183,10 @@ class SchemaRegistry:
     def _active(self, entry: dict) -> dict:
         return [v for v in entry["versions"] if v["status"] == "ACTIVE"][-1]
 
+    def tables(self) -> list[str]:
+        """Registered table names (the registry's 'subjects')."""
+        return sorted(self._load()["tables"])
+
     def current_version(self, table: str) -> int:
         return self._active(self._load()["tables"][table])["version"]
 

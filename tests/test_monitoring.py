@@ -161,3 +161,107 @@ def test_streaming_listener_maps_progress(spark, tmp_path):
         assert m.value("cdc_streaming_queries_started_total") >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+# ---------------------------------------------------------------------------
+# deep health probes (FR-028)
+# ---------------------------------------------------------------------------
+
+
+def test_health_all_green(spark, tmp_path):
+    import json
+    import os
+
+    from cass_cdc_pg_spark.monitoring import HEALTHY, HealthCheckService
+    from cass_cdc_pg_spark.streaming.schema_evolution import SchemaRegistry
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    spark.range(10).write.parquet(f"{src_dir}/t.parquet")
+    reg = SchemaRegistry(str(tmp_path / "reg"))
+
+    # a live stream so the stream probe is healthy
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(f"{in_dir}/a.jsonl", "w") as fh:
+        fh.write(json.dumps({"x": 1}) + "\n")
+    q = (
+        spark.readStream.schema("x long").json(in_dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hc = HealthCheckService(
+            spark,
+            source_path=src_dir,
+            target_warehouse=str(tmp_path / "wh"),
+            schema_registry=reg,
+        )
+        out = hc.check_all()
+    finally:
+        q.stop()
+    assert out["status"] == HEALTHY, out
+    # one footer is opened (readability proof), not the whole table
+    assert out["components"]["source"]["details"]["probe_rows"] > 0
+    assert out["components"]["target"]["details"]["writable"] is True
+    assert out["components"]["stream"]["details"]["active_queries"] >= 1
+    assert all(
+        c["details"].get("latency_ms") is not None
+        for c in out["components"].values()
+    )
+
+
+def test_health_probe_failures(spark, tmp_path):
+    """Forced failure per probe: missing source -> unhealthy; unwritable
+    target -> unhealthy; no active stream -> degraded; unconfigured
+    registry -> degraded; aggregate -> unhealthy."""
+    from cass_cdc_pg_spark.monitoring import (
+        DEGRADED,
+        UNHEALTHY,
+        HealthCheckService,
+    )
+
+    hc = HealthCheckService(
+        spark,
+        source_path=str(tmp_path / "nope"),
+        target_warehouse="/proc/definitely-not-writable/wh",
+        schema_registry=None,
+    )
+    out = hc.check_all()
+    assert out["status"] == UNHEALTHY
+    assert out["components"]["source"]["status"] == UNHEALTHY
+    assert "error" in out["components"]["source"]["details"]
+    assert out["components"]["target"]["status"] == UNHEALTHY
+    assert out["components"]["stream"]["status"] == DEGRADED  # no active query
+    assert out["components"]["schema_registry"]["status"] == DEGRADED
+
+
+def test_health_stale_stream_degraded(spark, tmp_path):
+    """A hung stream (old progress) is degraded, not healthy."""
+    import json
+    import os
+
+    from cass_cdc_pg_spark.monitoring import DEGRADED, HealthCheckService
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(f"{in_dir}/a.jsonl", "w") as fh:
+        fh.write(json.dumps({"x": 1}) + "\n")
+    q = (
+        spark.readStream.schema("x long").json(in_dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="100 seconds")  # no further progress
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hc = HealthCheckService(spark, stream_stale_after_sec=0.0)
+        got = hc.check_stream()
+    finally:
+        q.stop()
+    assert got["status"] == DEGRADED
+    assert got["details"]["stale_queries"]
