@@ -135,6 +135,29 @@ def ngram_jaccard_pairs(
     )
 
 
+#: pipeline default for the stop-shingle cap: a shingle shared by more
+#: documents than this is boilerplate (headers, licence text), and the
+#: quadratic-within-bucket join must never see it at corpus scale
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
+def ngram_jaccard_pairs_scalable(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """The production entry point for n-gram Jaccard dedup: identical
+    to :func:`ngram_jaccard_pairs` but with the stop-shingle cap ON by
+    default — at 100 TB a single corpus-common shingle makes the exact
+    self-join quadratic in corpus size, so unbounded mode must be the
+    opt-in, not the default (the exact variant stays the oracle-checked
+    declared query, where the fixture is cap-free by construction)."""
+    return ngram_jaccard_pairs(
+        documents, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+
+
 def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """The fixed seeded (a_i, b_i) table — shared with the DuckDB
     oracle generator so signatures are bit-identical across engines."""

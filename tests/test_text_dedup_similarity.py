@@ -252,3 +252,23 @@ def test_winnowing_shared_substring_guarantee(spark):
     }
     assert sets[1] & sets[2], "shared 8-char substring must share a fingerprint"
     assert not (sets[1] & sets[3]), "disjoint docs share none"
+
+
+def test_boilerplate_shingle_does_not_explode_candidates(spark):
+    """Scale guard pin: a boilerplate shingle shared by every document
+    must not make the candidate set quadratic.  60 docs sharing one
+    footer bigram → exact mode meets all C(60,2)=1770 pairs; the
+    scalable variant (cap on) only meets the 2 planted true dup pairs."""
+    rows = [(i, f"unique{i} token{i} LEGAL FOOTER") for i in range(60)]
+    rows[58] = (58, rows[0][1])  # true duplicate of doc 0
+    rows[59] = (59, rows[1][1])  # true duplicate of doc 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.0)
+    assert exact.count() == 60 * 59 // 2  # the quadratic blowup, demonstrated
+
+    capped = dedup.ngram_jaccard_pairs_scalable(
+        docs, n=2, threshold=0.0, max_doc_freq=10
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(0, 58), (1, 59)}  # candidate set bounded to real dups
