@@ -1,0 +1,261 @@
+"""Thin service facade: the reference's HTTP route surface as CLI
+subcommands over the existing engine functions (no web framework).
+
+Maps ``src/api/routes/*``:
+
+- ``reconcile run``      → POST /reconciliation/trigger
+  (``reconciliation.py:73-119``) — runs the chosen validation strategy
+  and prints the job row / mismatch rows.
+- ``dlq list``           → GET /dlq/records (``dlq.py:117-225``)
+- ``dlq stats``          → GET /dlq/stats (``dlq.py:227-...``)
+- ``dlq replay``         → POST /dlq/replay (``dlq.py:67-114``)
+- ``dlq resolve``        → POST resolve (``dlq_service.py:246-255``)
+- ``gdpr erase``         → DELETE /gdpr/users/{id} (``gdpr.py:37-216``)
+- ``health``             → GET /health (``routes/health.py``)
+- ``metrics dump``       → GET /metrics (``routes/metrics.py``)
+
+Table metadata comes from a config JSON (the connector-config analog):
+
+    {"tables": {"events": {"ddl": "event_id long, user_id long",
+                           "keys": ["event_id"]}}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _load_config(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _ingest(spark, warehouse: str, config: dict):
+    from cass_cdc_pg_spark.streaming.ingest import CdcIngest
+
+    tables = config["tables"]
+    return CdcIngest(
+        spark,
+        warehouse,
+        table_schemas={
+            n: T.StructType.fromDDL(c["ddl"]) for n, c in tables.items()
+        },
+        key_cols={n: c["keys"] for n, c in tables.items()},
+    )
+
+
+def _dlq_df(spark, warehouse: str):
+    from cass_cdc_pg_spark.plans.keyed_table import META_COLS, KeyedTable
+
+    t = KeyedTable(spark, f"{warehouse.rstrip('/')}/dlq_records", ["dlq_id"],
+                   num_buckets=8)
+    return t, t.read_live().drop(*META_COLS)
+
+
+def _emit(rows) -> None:
+    for r in rows:
+        print(json.dumps(r.asDict() if hasattr(r, "asDict") else r,
+                         default=str, sort_keys=True))
+
+
+def cmd_reconcile_run(args, spark) -> int:
+    from cass_cdc_pg_spark import registry
+
+    q = {
+        "row_count": registry.q1_row_count,
+        "checksum": registry.q3_checksum_diff,
+        "timestamp_range": registry.q5_range_diff,
+        "sample": registry.q6_sample,
+    }[args.strategy]
+    _emit(q(spark, args.sf_dir).limit(args.limit).collect())
+    return 0
+
+
+def cmd_dlq_list(args, spark) -> int:
+    from cass_cdc_pg_spark.operators.listings import listing
+
+    _, df = _dlq_df(spark, args.warehouse)
+    preds = []
+    if args.error_type:
+        preds.append(F.col("error_type") == args.error_type)
+    if args.status:
+        preds.append(F.col("resolution_status") == args.status)
+    if args.table:
+        preds.append(F.col("source_table") == args.table)
+    out = listing(
+        df,
+        preds,
+        [F.desc("first_failed_at_us"), F.asc("dlq_id")],
+        limit=args.limit,
+        offset=args.offset,
+    )
+    _emit(out.collect())
+    return 0
+
+
+def cmd_dlq_stats(args, spark) -> int:
+    _, df = _dlq_df(spark, args.warehouse)
+    for dim in ("error_type", "resolution_status", "source_table"):
+        for r in df.groupBy(dim).count().orderBy(dim).collect():
+            print(json.dumps({"by": dim, dim: r[dim], "count": r["count"]},
+                             sort_keys=True))
+    print(json.dumps({"total": df.count()}))
+    return 0
+
+
+def cmd_dlq_replay(args, spark) -> int:
+    ingest = _ingest(spark, args.warehouse, _load_config(args.config))
+    n = ingest.replay_dlq(args.ids)
+    print(json.dumps({"replayed": n, "resolution_status": "MANUAL_RESOLVED"}))
+    return 0
+
+
+def cmd_dlq_resolve(args, spark) -> int:
+    """Status update without replay (``dlq_service.py:246-255``): an
+    atomic keyed merge stamped with wall time (outranks the
+    deterministic failure timestamp, so the flip always wins)."""
+    t, df = _dlq_df(spark, args.warehouse)
+    row = df.filter(F.col("dlq_id") == args.id).collect()
+    if not row:
+        print(json.dumps({"error": f"dlq_id {args.id} not found"}),
+              file=sys.stderr)
+        return 1
+    now_us = int(time.time() * 1_000_000)
+    updated = (
+        df.filter(F.col("dlq_id") == args.id)
+        .withColumn("resolution_status", F.lit(args.status))
+        .withColumn("_cdc_deleted", F.lit(False))
+        .withColumn("_cdc_timestamp_micros", F.lit(now_us))
+        .withColumn("_last_event_id", F.lit(f"resolve-{uuid.uuid4().hex[:8]}"))
+        .withColumn("_ttl_expiry_timestamp_us", F.lit(None).cast("long"))
+    )
+    t.merge(updated)
+    print(json.dumps({"dlq_id": args.id, "resolution_status": args.status}))
+    return 0
+
+
+def cmd_gdpr_erase(args, spark) -> int:
+    from cass_cdc_pg_spark.ops import AuditLog, GdprService
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    cfg = _load_config(args.config)["tables"][args.table]
+    wh = args.warehouse.rstrip("/")
+    src = KeyedTable(spark, f"{wh}/cdc_{args.table}", cfg["keys"])
+    tgt = (
+        KeyedTable(spark, f"{args.target_warehouse.rstrip('/')}/cdc_{args.table}",
+                   cfg["keys"])
+        if args.target_warehouse
+        else src
+    )
+    audit = AuditLog(spark, f"{wh}/_cdc_audit_log")
+    key_col, key_val = cfg["keys"][0], args.id
+    pred = F.col(key_col).cast("string") == key_val
+    result = GdprService(spark, audit).erase(
+        src, tgt, pred, args.table, key_val, requester=args.requester
+    )
+    print(json.dumps(result, default=str, sort_keys=True))
+    return 0 if result["status"] == "success" else 1
+
+
+def cmd_health(args, spark) -> int:
+    from cass_cdc_pg_spark.monitoring import HealthCheckService
+    from cass_cdc_pg_spark.streaming.schema_evolution import SchemaRegistry
+
+    reg = (
+        SchemaRegistry(f"{args.warehouse.rstrip('/')}/_schema_meta")
+        if args.warehouse
+        else None
+    )
+    out = HealthCheckService(
+        spark,
+        source_path=args.sf_dir,
+        target_warehouse=args.warehouse,
+        schema_registry=reg,
+    ).check_all()
+    print(json.dumps(out, sort_keys=True))
+    return 0 if out["status"] != "unhealthy" else 1
+
+
+def cmd_metrics_dump(args, spark) -> int:
+    from cass_cdc_pg_spark.monitoring import METRICS
+
+    sys.stdout.write(METRICS.render_prometheus())
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cass-cdc-pg-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rec = sub.add_parser("reconcile").add_subparsers(dest="sub", required=True)
+    run = rec.add_parser("run")
+    run.add_argument("--sf-dir", required=True)
+    run.add_argument("--strategy", default="row_count",
+                     choices=["row_count", "checksum", "timestamp_range", "sample"])
+    run.add_argument("--limit", type=int, default=100)
+    run.set_defaults(fn=cmd_reconcile_run)
+
+    dlq = sub.add_parser("dlq").add_subparsers(dest="sub", required=True)
+    ls = dlq.add_parser("list")
+    ls.add_argument("--warehouse", required=True)
+    ls.add_argument("--error-type")
+    ls.add_argument("--status")
+    ls.add_argument("--table")
+    ls.add_argument("--limit", type=int, default=50)
+    ls.add_argument("--offset", type=int, default=0)
+    ls.set_defaults(fn=cmd_dlq_list)
+    st = dlq.add_parser("stats")
+    st.add_argument("--warehouse", required=True)
+    st.set_defaults(fn=cmd_dlq_stats)
+    rp = dlq.add_parser("replay")
+    rp.add_argument("--warehouse", required=True)
+    rp.add_argument("--config", required=True)
+    rp.add_argument("--ids", nargs="+", required=True)
+    rp.set_defaults(fn=cmd_dlq_replay)
+    rs = dlq.add_parser("resolve")
+    rs.add_argument("--warehouse", required=True)
+    rs.add_argument("--id", required=True)
+    rs.add_argument("--status", default="MANUAL_RESOLVED",
+                    choices=["MANUAL_RESOLVED", "AUTO_RESOLVED", "IGNORED",
+                             "PENDING"])
+    rs.set_defaults(fn=cmd_dlq_resolve)
+
+    gd = sub.add_parser("gdpr").add_subparsers(dest="sub", required=True)
+    er = gd.add_parser("erase")
+    er.add_argument("--warehouse", required=True)
+    er.add_argument("--target-warehouse")
+    er.add_argument("--config", required=True)
+    er.add_argument("--table", required=True)
+    er.add_argument("--id", required=True)
+    er.add_argument("--requester", default="cli_user")
+    er.set_defaults(fn=cmd_gdpr_erase)
+
+    he = sub.add_parser("health")
+    he.add_argument("--sf-dir")
+    he.add_argument("--warehouse")
+    he.set_defaults(fn=cmd_health)
+
+    me = sub.add_parser("metrics").add_subparsers(dest="sub", required=True)
+    du = me.add_parser("dump")
+    du.set_defaults(fn=cmd_metrics_dump)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from cass_cdc_pg_spark.session import get_spark
+
+        spark = get_spark(app_name="cass-cdc-pg-spark-cli")
+    return args.fn(args, spark)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -75,6 +75,17 @@ class KeyedTable:
         self.num_buckets = num_buckets
         self.compact_threshold = compact_threshold
         os.makedirs(self.path, exist_ok=True)
+        # bucket count is a property of the TABLE, fixed at creation
+        # (like any hash-bucketing scheme) — an existing manifest
+        # overrides the constructor arg, so opening a table with the
+        # wrong count can't mis-prune reads or mis-route merges
+        try:
+            with open(self._manifest_path) as f:
+                persisted = json.load(f).get("num_buckets")
+            if persisted:
+                self.num_buckets = persisted
+        except FileNotFoundError:
+            pass
 
     # -- manifest -----------------------------------------------------------
 
@@ -98,7 +109,14 @@ class KeyedTable:
     def _write_manifest(self, buckets: dict[str, dict]) -> None:
         tmp = f"{self._manifest_path}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"buckets": buckets, "updated_at": time.time()}, f)
+            json.dump(
+                {
+                    "buckets": buckets,
+                    "num_buckets": self.num_buckets,
+                    "updated_at": time.time(),
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path)

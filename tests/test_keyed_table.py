@@ -242,3 +242,23 @@ def test_lsm_merge_batch_partitioning_invariance(spark, tmp_path_factory, split)
         t.merge(spark.createDataFrame(batches[b], ddl))
     got = sorted(tuple(r) for r in t.read().collect())
     assert got == expected
+
+
+def test_bucket_count_persisted_in_manifest(spark, tmp_path):
+    """num_buckets is a table property: reopening with a different
+    constructor value must use the persisted count (wrong pruning in
+    delete_where/point reads otherwise)."""
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    rows = [(str(i), False, 1000, "e", None) for i in range(20)]
+    ddl = ("id string, _cdc_deleted boolean, _cdc_timestamp_micros long, "
+           "_last_event_id string, _ttl_expiry_timestamp_us long")
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=2)
+    t.merge(spark.createDataFrame(rows, ddl))
+
+    reopened = KeyedTable(spark, str(tmp_path / "t"), ["id"], num_buckets=32)
+    assert reopened.num_buckets == 2
+    from pyspark.sql import functions as F
+
+    assert reopened.delete_where(F.col("id") == "7") == 1
+    assert reopened.read().count() == 19
