@@ -176,11 +176,26 @@ def _body() -> Column:
     )
 
 
+def typed_extract(raw: Column, dt: T.DataType) -> Column:
+    """One payload value from the string transport to its pinned Spark
+    type (T8, ``type_mapper.py:88-134``).  Scalars ``try_cast`` (ANSI-
+    safe: unconvertible → NULL).  Collections/tuples/UDTs travel as
+    JSON — the same degradation the reference applies
+    (list/set → array, map/UDT → JSONB, ``type_mapper.py:63-78``) —
+    and parse via ``from_json`` (malformed → NULL, same DLQ contract).
+    Covers the SC-002 matrix: varint → decimal(38,0), time → nanos-of-
+    day long, inet/uuid → string, frozen<X> → X (unwrapped at schema
+    level by ``cassandra_type_to_spark``)."""
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return F.from_json(raw, dt)
+    return raw.try_cast(dt)
+
+
 def conversion_failures(payload_type: T.StructType) -> Column:
     """T8 error contract (``type_mapper.py:88-134``): array of payload
-    field names whose raw value is non-null but whose ``try_cast`` to
-    the pinned type yields NULL — i.e. a genuine conversion failure,
-    not a missing value.  Empty array = row converts cleanly.
+    field names whose raw value is non-null but whose typed extraction
+    (``typed_extract``) yields NULL — i.e. a genuine conversion
+    failure, not a missing value.  Empty array = row converts cleanly.
     """
     body = _body()
     probes = []
@@ -189,7 +204,10 @@ def conversion_failures(payload_type: T.StructType) -> Column:
             continue  # string → string cannot fail
         raw = body.getItem(f.name)
         probes.append(
-            F.when(raw.isNotNull() & raw.try_cast(f.dataType).isNull(), F.lit(f.name))
+            F.when(
+                raw.isNotNull() & typed_extract(raw, f.dataType).isNull(),
+                F.lit(f.name),
+            )
         )
     if not probes:
         return F.array().cast("array<string>")
@@ -238,7 +256,7 @@ def unwrap(events: DataFrame, payload_type: T.StructType) -> DataFrame:
     check_payload_schema(payload_type)
     body = _body()
     typed = [
-        body.getItem(f.name).try_cast(f.dataType).alias(f.name)
+        typed_extract(body.getItem(f.name), f.dataType).alias(f.name)
         for f in payload_type.fields
     ]
     envelope = [F.col(src).alias(dst) for src, dst in ENVELOPE_ALIASES.items()]
