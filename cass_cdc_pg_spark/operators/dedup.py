@@ -357,3 +357,64 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation — the final stage
+    of a dedup pipeline: near-dup *pairs* (any tier above) become
+    *clusters*, each labelled by its smallest member (the canonical
+    document to keep).
+
+    Iterates ``label(v) = min(label(v), min over neighbours)`` to a
+    fixpoint; rounds needed = graph diameter, and near-dup graphs are
+    unions of dense clusters (diameter ≲ 2-3), so this converges in a
+    handful of rounds.  Each round is one join + one groupBy (two
+    shuffles on the node key); lineage is cut per round with an eager
+    ``localCheckpoint`` so the plan stays flat.  At extreme scale the
+    same loop admits the large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce") — the
+    per-round primitive here is deliberately identical.
+
+    Output: (node, component) for every node appearing in *edges*.
+    """
+    verts = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    labels = verts.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbour = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbour)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels

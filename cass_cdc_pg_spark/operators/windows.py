@@ -87,3 +87,47 @@ def throughput_by_window(
             "n_users",
         )
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Ranking window: the k best rows per group with a total order
+    (callers MUST tiebreak on a unique key, or pagination is
+    nondeterministic).
+
+    Plan shape at 100 TB: one shuffle on the group key; within each
+    partition the sort is bounded by Spark's rank-limit pushdown
+    (``WindowGroupLimit`` inserts a per-partition top-k heap before
+    the full window sort), so skewed groups don't sort their entire
+    extent.  Output carries ``rank`` (1-based).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    unique_col: str,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample — the training-data-mix
+    primitive: cap every stratum (language, source, event type, …) at
+    *n_per_stratum* rows, chosen by a uniform-but-reproducible order
+    (md5 of the unique key, which both engines can replay — the
+    reference's unseeded ``random.sample``,
+    ``reconciliation_engine.py:461-499``, cannot be oracle-checked).
+
+    Same WindowGroupLimit-bounded plan as :func:`top_k_per_group` —
+    one shuffle on the strata, per-partition heaps, no full sort of
+    dominant strata.
+    """
+    order = [F.md5(F.col(unique_col).cast("string")).asc(), F.col(unique_col).asc()]
+    return top_k_per_group(df, strata_cols, order, n_per_stratum).drop("rank")

@@ -972,7 +972,9 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+def _minhash_ctes(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """CTE body computing ``pairs(doc_a, doc_b, est_jaccard)`` —
+    shared by the pair query and the connected-components oracle."""
     coeffs = dedup.minhash_coeffs(num_hashes)
     P = dedup.MINHASH_P
     rpb = num_hashes // bands
@@ -989,7 +991,7 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -
         f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
     return f"""
-WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
               FROM documents),
 sh AS (SELECT doc_id, unnest(list_distinct(
          list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))) AS shingle
@@ -1000,15 +1002,92 @@ bands AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-est AS (SELECT doc_a, doc_b, ROUND(({eq_sum}) / {num_hashes}.0, 4) AS est_jaccard
+pairs AS (SELECT doc_a, doc_b, ROUND(({eq_sum}) / {num_hashes}.0, 4) AS est_jaccard
         FROM cand
         JOIN sig sa ON sa.doc_id = cand.doc_a
-        JOIN sig sb ON sb.doc_id = cand.doc_b)
-SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold!r}
+        JOIN sig sb ON sb.doc_id = cand.doc_b
+        WHERE ROUND(({eq_sum}) / {num_hashes}.0, 4) >= {threshold!r})"""
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, est_jaccard FROM pairs
 """
 
 
-DEDUP_MINHASH_SQL = _minhash_sql()
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → connected components by
+    min-label propagation; every document gets a component id (its
+    cluster's smallest doc_id) and a keep/drop flag — the final stage
+    of the dedup ladder (pairs alone don't dedup; clusters do)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, n=2, threshold=0.2
+    )
+    comp = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    out = docs.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component_id"),
+    ).withColumn("is_canonical", F.col("component_id") == F.col("doc_id"))
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+)
+SELECT node AS doc_id, MIN(lbl) AS component_id,
+       MIN(lbl) = node AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
+def events_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data-mix quota sampling: at most 100 events per
+    event_type, selected by a deterministic uniform order (md5 of the
+    unique key) so the sample is reproducible and oracle-checkable."""
+    from cass_cdc_pg_spark.operators.windows import stratified_sample
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    return stratified_sample(ev, ["event_type"], 100, "event_id")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT event_id, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events) t
+WHERE rn <= 100
+"""
+
+
+def events_top3_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: each user's 3 highest-value events (total order
+    via the event_id tiebreak)."""
+    from cass_cdc_pg_spark.operators.windows import top_k_per_group
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    return top_k_per_group(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()], 3
+    )
+
+
+TOP3_PER_USER_SQL = """
+SELECT event_id, user_id, event_type, value, rank FROM (
+  SELECT event_id, user_id, event_type, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY value DESC, event_id) AS INT) AS rank
+  FROM events) t
+WHERE rank <= 3
+"""
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,6 +1317,9 @@ QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "dedup_components": dedup_components_q,
+    "events_stratified_sample": events_stratified_sample_q,
+    "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "text_token_stats": text_token_stats_q,
@@ -1290,6 +1372,9 @@ ORACLE = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
+    "events_stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "events_top3_per_user": TOP3_PER_USER_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "similarity_lsh_topk": LSH_TOPK_SQL,

@@ -272,3 +272,45 @@ def test_boilerplate_shingle_does_not_explode_candidates(spark):
     )
     got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert got == {(0, 58), (1, 59)}  # candidate set bounded to real dups
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation across a diameter-3 chain, a separate
+    2-cluster, and untouched vertices never in the edge list."""
+    edges = spark.createDataFrame(
+        [(2, 9), (9, 4), (4, 7),   # chain {2,4,7,9} -> 2
+         (5, 6)],                  # pair {5,6} -> 5
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {2: 2, 9: 2, 4: 2, 7: 2, 5: 5, 6: 5}
+
+
+def test_top_k_per_group_and_stratified_sample(spark):
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.operators.windows import (
+        stratified_sample,
+        top_k_per_group,
+    )
+
+    rows = [(i, i % 3, float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp long, v double")
+
+    top = top_k_per_group(df, ["grp"], [F.col("v").desc(), F.col("id").asc()], 2)
+    assert top.count() == 6
+    assert top.filter(F.col("rank") > 2).count() == 0
+    # per-group best is the max v with the smallest id tiebreak
+    best = {r["grp"]: r["id"] for r in top.filter(F.col("rank") == 1).collect()}
+    for g, i in best.items():
+        assert rows[i][2] == max(v for (j, gg, v) in rows if gg == g)
+
+    # rank-limit pushdown: the plan bounds per-partition sort work
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+    s1 = stratified_sample(df, ["grp"], 5, "id")
+    s2 = stratified_sample(df, ["grp"], 5, "id")
+    assert s1.count() == 15
+    assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
