@@ -198,3 +198,49 @@ def test_dlq_replay_marks_resolved(spark, ingest, tmp_path):
     assert n == 1
     statuses = {r["resolution_status"] for r in ingest.dlq().collect()}
     assert "MANUAL_RESOLVED" in statuses
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: the open session survives
+    the microbatch boundary; a later-batch event past the gap closes
+    and emits it with the correct span and count."""
+    import json
+    import os
+
+    from cass_cdc_pg_spark.streaming.stateful import sessionize_stream
+
+    m = 60 * 1_000_000
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # batch 1: user 1 at 0 and 10min; user 2 at 0
+    with open(f"{in_dir}/b1.jsonl", "w") as fh:
+        for uid, t in [(1, 0), (1, 10 * m), (2, 0)]:
+            fh.write(json.dumps({"user_id": uid, "ts_us": t}) + "\n")
+    # batch 2: user 1 at 70min -> gap 60min > 30min closes [0, 10m]
+    #          user 2 at 20min -> same session, stays open
+    with open(f"{in_dir}/b2.jsonl", "w") as fh:
+        for uid, t in [(1, 70 * m), (2, 20 * m)]:
+            fh.write(json.dumps({"user_id": uid, "ts_us": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = (
+        # hour-long idle timeout: this test asserts the gap-close path
+        # only, and slow CI batches must not trip the idle flush
+        sessionize_stream(stream, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    got = {(r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+           for r in rows}
+    # only user 1's first session closed; open sessions are in state
+    assert got == {(1, 0): (10 * m, 2)}
