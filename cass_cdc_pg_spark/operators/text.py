@@ -184,3 +184,32 @@ def lang_id(documents: DataFrame) -> DataFrame:
         F.col("lang").alias("declared_lang"),
         best["lang"].alias("predicted_lang"),
     )
+
+
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Corpus length distribution: docs bucketed by floor(log2(token
+    count)) — the standard training-data length histogram (mix design,
+    truncation budgeting).
+
+    The bucket is computed INTEGER-exact as bit_length(n)-1 (binary
+    string length), never via float ``log2`` — ``log(n)/log(2)`` lands
+    below the integer at exact powers of two on some engines, which
+    would put boundary docs in the wrong bucket nondeterministically.
+    One scan + one tiny aggregate; trivially parallel at 100 TB.
+    """
+    n = F.size(tokens(F.col("text")))
+    bucket = (
+        F.when(n <= 0, F.lit(-1))
+        .otherwise(F.length(F.conv(n.cast("string"), 10, 2)) - 1)
+        .cast("int")
+    )
+    return (
+        documents.select(bucket.alias("log2_bucket"), n.alias("n"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+    )

@@ -645,6 +645,20 @@ WHERE ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.1
 """
 
 
+def docs_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.length_histogram(src.load_table(spark, sf_dir, "documents"))
+
+
+LENGTH_HISTOGRAM_SQL = """
+WITH t AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+           FROM documents)
+SELECT CASE WHEN n <= 0 THEN -1 ELSE CAST(length(bin(n)) - 1 AS INT) END AS log2_bucket,
+       COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+       MIN(n) AS min_tokens, MAX(n) AS max_tokens
+FROM t GROUP BY 1
+"""
+
+
 def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.token_stats(src.load_table(spark, sf_dir, "documents"))
     return out.select(
@@ -1323,6 +1337,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "text_token_stats": text_token_stats_q,
+    "docs_length_histogram": docs_length_histogram_q,
     "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
     "text_fingerprint": text_fingerprint_q,
@@ -1364,6 +1379,7 @@ ORACLE = {
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
+    "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "text_bpe_token_count": TEXT_BPE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FP_SQL,

@@ -314,3 +314,21 @@ def test_top_k_per_group_and_stratified_sample(spark):
     s2 = stratified_sample(df, ["grp"], 5, "id")
     assert s1.count() == 15
     assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
+
+
+def test_length_histogram_integer_exact_buckets(spark):
+    """Bucket edges are integer-exact: powers of two land in their own
+    bucket (the float-log2 hazard), empty docs in bucket -1."""
+    from cass_cdc_pg_spark.operators.text import length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "a b c d e f g h"),  # 0, 1, 8 tokens
+         (4, " ".join(["t"] * 7))],                   # 7 tokens
+        "doc_id long, text string",
+    )
+    got = {r["log2_bucket"]: (r["n_docs"], r["min_tokens"], r["max_tokens"])
+           for r in length_histogram(docs).collect()}
+    assert got[-1] == (1, 0, 0)   # empty doc
+    assert got[0] == (1, 1, 1)    # 1 token -> bucket 0
+    assert got[2] == (1, 7, 7)    # 7 -> bucket 2
+    assert got[3] == (1, 8, 8)    # 8 exactly -> bucket 3, not 2
