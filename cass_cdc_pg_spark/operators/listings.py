@@ -6,17 +6,17 @@ OFFSET ?`` strings (``src/services/dlq_service.py:83-113``,
 
 Scale notes: ``orderBy().limit(n)`` compiles to
 ``TakeOrderedAndProject`` — a distributed top-k (per-partition heap +
-driver-side k-way merge), NOT a global sort.  OFFSET is applied on the
-already-reduced top ``limit+offset`` rows, so the window that numbers
-them sees at most ``limit+offset`` rows on one partition — constant
-work regardless of table size.  Order must be made total (tiebreak on
-a unique key), otherwise pagination is nondeterministic.
+driver-side k-way merge), NOT a global sort.  OFFSET uses the native
+``DataFrame.offset`` (Spark ≥3.4): the planner folds it into the same
+``TakeOrderedAndProject(limit+offset, skip=offset)`` node, so the skip
+happens during the driver-side merge — no extra shuffle, no
+single-partition window.  Order must be made total (tiebreak on a
+unique key), otherwise pagination is nondeterministic.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
-from pyspark.sql import functions as F
+from pyspark.sql import Column, DataFrame
 
 
 def listing(
@@ -29,12 +29,7 @@ def listing(
     out = df
     for p in predicates or []:
         out = out.filter(p)
-    topk = out.orderBy(*order_by).limit(limit + offset)
-    if offset == 0:
-        return topk
-    w = Window.orderBy(*order_by)
-    return (
-        topk.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > offset)
-        .drop("_rn")
-    )
+    out = out.orderBy(*order_by)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit)

@@ -186,6 +186,186 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """doc_id, top_token_frac, top_bigram_frac, dup_trigram_frac —
+    the Gopher-style repetition filters (fraction of tokens taken by
+    the most common token / most common 2-gram, fraction of 3-gram
+    occurrences that are repeats).  High values mark boilerplate and
+    degenerate generations; standard corpus-quality gates.
+
+    All three are per-document higher-order-function expressions —
+    whole-stage codegen, zero shuffle, embarrassingly parallel at
+    100 TB.  The mode count is ``array_sort`` + a single-pass
+    run-length ``aggregate`` fold (O(n log n) per doc).  Pitfall
+    this implementation avoids: referencing an outer array expression
+    *inside* a lambda body (e.g. ``transform(distinct(toks), t ->
+    filter(toks, …))``) makes Catalyst re-evaluate the whole array per
+    element — O(n²) splits per row, measured 100× slower.  Here every
+    array is only ever a *direct argument* (``zip_with`` for the
+    grams, fold state for the mode), so each is computed once per row.
+    """
+
+    def max_run(arr: Column) -> Column:
+        """Max multiplicity of any element = longest equal-run in the
+        sorted array, via one aggregate fold."""
+        step = lambda acc, x: F.struct(  # noqa: E731
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            x.alias("prev"),
+        )
+        zero = F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+        return F.aggregate(
+            F.array_sort(arr), zero, step, lambda acc: acc["best"]
+        )
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    # adjacent-pair grams without touching toks inside a lambda body:
+    # zip the array with its own shifted slices.
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    n_bi = F.size(bigrams)
+    trigrams = F.zip_with(
+        F.slice(bigrams, 1, F.greatest(n - 2, F.lit(0))),
+        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    n_tri = F.size(trigrams)
+    dup_tri = F.round(
+        (n_tri - F.size(F.array_distinct(trigrams))).cast("double") / n_tri, 4
+    )
+    return documents.select(
+        "doc_id",
+        F.when(
+            n > 0, F.round(max_run(toks).cast("double") / n, 4)
+        ).alias("top_token_frac"),
+        F.when(
+            n > 1, F.round(max_run(bigrams).cast("double") / n_bi, 4)
+        ).alias("top_bigram_frac"),
+        F.when(n > 2, dup_tri).alias("dup_trigram_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any token
+    *n*-gram with a benchmark/eval set (the standard guard against
+    test-set leakage into training data; production pipelines use
+    n = 8..13 — the declared query uses 3 because the synthetic docs
+    are short).
+
+    Returns one row per corpus doc: doc_id, n_grams, n_hit_grams
+    (gram *occurrences* that appear anywhere in the benchmark),
+    contaminated.
+
+    Scale shape: the benchmark gram set is distinct-ed and
+    **broadcast** (eval suites are tiny next to a 100 TB corpus), so
+    the corpus side explodes to (doc_id, gram) and inner-joins with no
+    shuffle of corpus data; the only shuffle is the final partial-agg
+    count back to doc_id.  Corpus text itself never moves.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col("text"))
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select("doc_id", g.alias("grams"))
+
+    bench = F.broadcast(
+        grams(benchmark).select(F.explode("grams").alias("g")).distinct()
+    )
+    corpus_g = grams(corpus)
+    sizes = corpus_g.select("doc_id", F.size("grams").alias("n_grams"))
+    hits = (
+        corpus_g.select("doc_id", F.explode("grams").alias("g"))
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_grams"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def token_percentiles(documents: DataFrame) -> DataFrame:
+    """One-row corpus summary: exact interpolated p50/p90/p99 of the
+    per-doc token count, plus n_docs.
+
+    ``percentile`` (exact, linear interpolation at rank p·(N−1)) is
+    the oracle-matched choice here; at 100 TB the same query should
+    use ``approx_percentile`` (t-digest, fixed memory, one pass) —
+    exact percentile materializes a per-partition value-count map
+    whose size is bounded by the *distinct* token-count values, which
+    stays small for a length distribution but not for arbitrary
+    columns.
+    """
+    n = F.size(tokens(F.col("text")))
+    lens = documents.select(n.alias("n"))
+    return lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("percentile(n, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n, 0.9)").alias("p90_tokens"),
+        F.expr("percentile(n, 0.99)").alias("p99_tokens"),
+    )
+
+
+#: Java-regex PII patterns (run Spark-side only; no oracle — the
+#: synthetic corpus contains no PII, so the scrubber is pinned by
+#: pytest on planted rows instead of a declared query).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d .-]{7,}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
+    """Detect and redact PII spans (emails, IPv4s, phone-like number
+    runs, SSNs) from *col*: adds ``n_pii_<kind>`` counts and replaces
+    ``col`` with the scrubbed text (spans → ``[<KIND>]``).
+
+    Pure ``regexp_count`` / ``regexp_replace`` — codegen, no shuffle,
+    no Python; order of replacement is fixed (email → ipv4 → phone →
+    ssn) so a span is attributed to the first matching class.
+    """
+    out = df
+    scrubbed = F.col(col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_pii_{kind}", F.regexp_count(F.col(col), F.lit(pat))
+        )
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
+    return out.withColumn(col, scrubbed)
+
+
 def length_histogram(documents: DataFrame) -> DataFrame:
     """Corpus length distribution: docs bucketed by floor(log2(token
     count)) — the standard training-data length histogram (mix design,

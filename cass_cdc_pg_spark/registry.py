@@ -659,6 +659,79 @@ FROM t GROUP BY 1
 """
 
 
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(src.load_table(spark, sf_dir, "documents"))
+
+
+TEXT_REPETITION_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           FROM documents),
+g AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) AS bg,
+         list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) AS tg
+  FROM t)
+SELECT doc_id,
+       CASE WHEN n > 0 THEN ROUND(CAST(list_max(list_transform(list_distinct(tk),
+              t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE) / n, 4) END AS top_token_frac,
+       CASE WHEN n > 1 THEN ROUND(CAST(list_max(list_transform(list_distinct(bg),
+              t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE) / (n - 1), 4) END AS top_bigram_frac,
+       CASE WHEN n > 2 THEN ROUND(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 4) END AS dup_trigram_frac
+FROM g
+"""
+
+
+#: benchmark split for the decontamination query: every 50th doc plays
+#: the eval set; the remaining 490 are the training corpus.
+_DECONTAM_N = 3
+
+
+def decontam_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = src.load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return text.decontaminate(corpus, bench, n=_DECONTAM_N)
+
+
+DECONTAM_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+{_DECONTAM_N - 1}], ' ') AS g
+  FROM docs, unnest(generate_series(1, len(tk) - {_DECONTAM_N - 1})) AS u(i)
+  WHERE len(tk) >= {_DECONTAM_N}),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM grams WHERE doc_id % 50 != 0),
+sizes AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {_DECONTAM_N} THEN len(tk) - {_DECONTAM_N} + 1 ELSE 0 END AS n_grams
+  FROM docs WHERE doc_id % 50 != 0),
+hits AS (
+  SELECT corpus.doc_id, COUNT(*) AS n_hit_grams
+  FROM corpus JOIN bench USING (g) GROUP BY 1)
+SELECT s.doc_id, s.n_grams,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+
+def docs_token_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_percentiles(src.load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_PERCENTILES_SQL = """
+WITH t AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+           FROM documents)
+SELECT COUNT(*) AS n_docs,
+       quantile_cont(n, 0.5) AS p50_tokens,
+       quantile_cont(n, 0.9) AS p90_tokens,
+       quantile_cont(n, 0.99) AS p99_tokens
+FROM t
+"""
+
+
 def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.token_stats(src.load_table(spark, sf_dir, "documents"))
     return out.select(
@@ -1337,6 +1410,9 @@ QUERIES = {
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "text_token_stats": text_token_stats_q,
+    "text_repetition_stats": text_repetition_q,
+    "decontam_ngram_overlap": decontam_ngram_overlap_q,
+    "docs_token_percentiles": docs_token_percentiles_q,
     "docs_length_histogram": docs_length_histogram_q,
     "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
@@ -1379,6 +1455,9 @@ ORACLE = {
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
+    "text_repetition_stats": TEXT_REPETITION_SQL,
+    "decontam_ngram_overlap": DECONTAM_SQL,
+    "docs_token_percentiles": TOKEN_PERCENTILES_SQL,
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "text_bpe_token_count": TEXT_BPE_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -13,3 +13,19 @@ def spark():
     s = get_spark(app_name="cass-cdc-pg-spark-tests", shuffle_partitions=4)
     yield s
     s.stop()
+
+
+@pytest.fixture(autouse=True)
+def _no_stray_streams():
+    """Stop any streaming query a test leaked; later tests (e.g. the
+    health probes) assume a clean session with no active queries."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        for q in s.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass

@@ -332,3 +332,92 @@ def test_length_histogram_integer_exact_buckets(spark):
     assert got[0] == (1, 1, 1)    # 1 token -> bucket 0
     assert got[2] == (1, 7, 7)    # 7 -> bucket 2
     assert got[3] == (1, 8, 8)    # 8 exactly -> bucket 3, not 2
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed Gopher repetition metrics, incl. short-doc NULLs."""
+    from cass_cdc_pg_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # top token a:3/4; bigrams [a a, a a, a b] top 2/3
+            (2, "x y x y x"),    # top token x:3/5; bigrams [x y, y x, x y, y x] top 2/4
+            (3, "solo"),         # 1 token: bigram/trigram NULL
+            (4, ""),             # empty: all NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["top_token_frac"] == 0.75
+    assert got[1]["top_bigram_frac"] == round(2 / 3, 4)
+    # trigrams of doc1: [a a a, a a b] -> no dup
+    assert got[1]["dup_trigram_frac"] == 0.0
+    assert got[2]["top_token_frac"] == 0.6
+    assert got[2]["top_bigram_frac"] == 0.5
+    # trigrams of doc2: [x y x, y x y, x y x] -> 1 dup of 3
+    assert got[2]["dup_trigram_frac"] == round(1 / 3, 4)
+    assert got[3]["top_token_frac"] == 1.0
+    assert got[3]["top_bigram_frac"] is None
+    assert got[4]["top_token_frac"] is None
+
+
+def test_decontaminate_flags_overlap_and_broadcasts(spark):
+    """A corpus doc sharing an n-gram with the benchmark is flagged;
+    clean docs report zero; the benchmark side is broadcast."""
+    from cass_cdc_pg_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "lazy dog saw the quick brown fox leap"),  # shares 3-grams
+            (2, "completely unrelated words here now"),     # clean
+            (3, "ab"),                                      # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(corpus, bench, n=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["contaminated"] and got[1]["n_hit_grams"] == 2
+    assert not got[2]["contaminated"] and got[2]["n_hit_grams"] == 0
+    assert got[3]["n_grams"] == 0 and not got[3]["contaminated"]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from cass_cdc_pg_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.com please"),
+            (2, "server 10.0.42.7 answered"),
+            (3, "call +1 415-555-0199 or 415 555 0123"),
+            (4, "ssn 123-45-6789 leaked"),
+            (5, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_pii_email"] == 1 and "[EMAIL]" in got[1]["text"]
+    assert "jane" not in got[1]["text"]
+    assert got[2]["n_pii_ipv4"] == 1 and "[IPV4]" in got[2]["text"]
+    assert got[3]["n_pii_phone"] == 2
+    assert got[4]["n_pii_ssn"] == 1 and "123-45-6789" not in got[4]["text"]
+    assert got[5]["text"] == "nothing sensitive here"
+    assert all(got[5][f"n_pii_{k}"] == 0 for k in ("email", "ipv4", "phone", "ssn"))
+
+
+def test_token_percentiles_exact_interpolation(spark):
+    """p50/p90 interpolate at rank p*(N-1): lengths 1..5 -> p50=3, p90=4.6."""
+    from cass_cdc_pg_spark.operators.text import token_percentiles
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * i)) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    row = token_percentiles(docs).collect()[0]
+    assert row["n_docs"] == 5
+    assert row["p50_tokens"] == 3.0
+    assert abs(row["p90_tokens"] - 4.6) < 1e-9
