@@ -192,6 +192,16 @@ def cmd_metrics_dump(args, spark) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cass-cdc-pg-spark")
+    # middleware analogs (src/middleware/*): X-Request-ID header →
+    # --request-id flag; slowapi limits → --rate-limit-state file
+    p.add_argument("--request-id", default=None,
+                   help="propagated into output and trace context; "
+                        "generated if absent (X-Request-ID analog)")
+    p.add_argument("--rate-limit-state", default=None,
+                   help="JSON state file enabling 100/min + 1000/hour "
+                        "fixed-window rate limiting across invocations")
+    p.add_argument("--trace", action="store_true",
+                   help="emit a span line per command (tracing analog)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     rec = sub.add_parser("reconcile").add_subparsers(dest="sub", required=True)
@@ -249,12 +259,33 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
+    from cass_cdc_pg_spark import middleware
+
     args = build_parser().parse_args(argv)
+    rid = middleware.request_id(args.request_id)
+    if args.rate_limit_state:
+        try:
+            middleware.RateLimiter(args.rate_limit_state).check(
+                f"{args.cmd}.{getattr(args, 'sub', '')}"
+            )
+        except middleware.RateLimitExceeded as e:
+            print(json.dumps({"error": "rate_limit_exceeded",
+                              "request_id": rid, "detail": str(e)}),
+                  file=sys.stderr)
+            return 429 % 256  # HTTP-analog exit code
     if spark is None:
         from cass_cdc_pg_spark.session import get_spark
 
         spark = get_spark(app_name="cass-cdc-pg-spark-cli")
-    return args.fn(args, spark)
+    tracer = middleware.Tracer()
+    with tracer.span(f"cli.{args.cmd}", trace_id=rid.replace("-", "")
+                     if args.request_id else None,
+                     command=args.cmd, request_id=rid):
+        rc = args.fn(args, spark)
+    if args.trace:
+        for sp in tracer.spans:
+            print(json.dumps({"span": sp}, default=str), file=sys.stderr)
+    return rc
 
 
 if __name__ == "__main__":

@@ -103,3 +103,85 @@ def test_cli_reconcile_and_health(spark, tmp_path, capsys):
     assert health["components"]["source"]["status"] == "healthy"
     assert health["components"]["target"]["status"] == "healthy"
     assert health["components"]["schema_registry"]["details"]["subject_count"] == 1
+
+
+def test_rate_limiter_windows_and_persistence(tmp_path):
+    """Fixed windows enforce both limits, rejected calls don't consume
+    quota, and state survives across limiter instances (CLI restarts)."""
+    import pytest
+
+    from cass_cdc_pg_spark.middleware import RateLimiter, RateLimitExceeded
+
+    t = [1000.0]
+    path = str(tmp_path / "rl.json")
+    rl = RateLimiter(path, limits=((2, 60), (3, 3600)), clock=lambda: t[0])
+    rl.check("dlq.list")
+    rl.check("dlq.list")
+    with pytest.raises(RateLimitExceeded) as ei:
+        rl.check("dlq.list")
+    assert ei.value.retry_after == 60.0  # full minute window left
+    # different key has its own window
+    rl.check("health.")
+    # new instance, same file: state persisted
+    rl2 = RateLimiter(path, limits=((2, 60), (3, 3600)), clock=lambda: t[0])
+    with pytest.raises(RateLimitExceeded):
+        rl2.check("dlq.list")
+    # minute window rolls over; hour window still binds (2 used, cap 3)
+    t[0] += 61
+    rl2.check("dlq.list")
+    with pytest.raises(RateLimitExceeded) as ei2:
+        rl2.check("dlq.list")
+    assert ei2.value.window_sec == 3600
+
+
+def test_tracer_nesting_and_error_sampling():
+    """Child spans share the trace id and point at their parent;
+    errors are exported even at sampling ratio 0."""
+    import pytest
+
+    from cass_cdc_pg_spark.middleware import Tracer
+
+    tr = Tracer(sampling_ratio=1.0)
+    with tr.span("outer") as outer:
+        with tr.span("inner"):
+            pass
+    assert len(tr.spans) == 2
+    inner, out = tr.spans  # children close (and export) first
+    assert inner["trace_id"] == out["trace_id"]
+    assert inner["parent_span_id"] == out["span_id"]
+    assert out["parent_span_id"] is None
+    assert out["duration_ms"] >= 0
+
+    never = Tracer(sampling_ratio=0.0)
+    with never.span("dropped"):
+        pass
+    assert never.spans == []  # sampled out
+    with pytest.raises(ValueError):
+        with never.span("boom"):
+            raise ValueError("x")
+    assert [s["name"] for s in never.spans] == ["boom"]  # errors always kept
+    assert never.spans[0]["status"] == "error"
+
+
+def test_cli_request_id_and_rate_limit_exit(spark, tmp_path, capsys):
+    """--request-id flows into the trace span; an exhausted window maps
+    to the 429-analog exit code without touching Spark."""
+    from cass_cdc_pg_spark.middleware import RateLimiter
+
+    rc = main(["--trace", "--request-id", "req-42", "metrics", "dump"],
+              spark=spark)
+    assert rc == 0
+    err = capsys.readouterr().err
+    spans = [json.loads(line)["span"] for line in err.splitlines()
+             if line.startswith('{"span"')]
+    assert spans and spans[0]["attributes"]["request_id"] == "req-42"
+    assert spans[0]["name"] == "cli.metrics"
+
+    state = str(tmp_path / "rl.json")
+    # exhaust the minute window out-of-band
+    rl = RateLimiter(state)
+    for _ in range(100):
+        rl.check("metrics.dump")
+    rc = main(["--rate-limit-state", state, "metrics", "dump"], spark=spark)
+    assert rc == 429 % 256
+    assert "rate_limit_exceeded" in capsys.readouterr().err
