@@ -372,3 +372,45 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 vector quantization: per vector, scale =
+    max(|x|)/127, q_i = floor(x_i/scale + 0.5) — the standard
+    compression step before ANN at scale (4× smaller than float32,
+    SIMD-friendly dot products).  ``floor(x + 0.5)`` is used instead
+    of ``round`` because engines disagree on half-even vs half-away
+    ties; floor+0.5 is bit-deterministic everywhere.
+
+    Emits scalar columns (scale, element sum, digest of the quantized
+    array) rather than the array itself so results canonicalize; the
+    quantized vectors stay an internal ``select`` away.  Pure column
+    algebra per row — codegen, no shuffle, no Python.
+    """
+    v = F.col(vec_col).cast("array<double>")  # float32 widens exactly
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    with_scale = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), scale.alias("scale")
+    )
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        )
+    )
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max(q).cast("int").alias("q_max"),
+        F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))).alias(
+            "q_digest"
+        ),
+    )

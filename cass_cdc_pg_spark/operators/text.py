@@ -335,6 +335,80 @@ def token_percentiles(documents: DataFrame) -> DataFrame:
     )
 
 
+def pack_sequences(
+    documents: DataFrame, seq_len: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated
+    in deterministic order and split into fixed ``seq_len``-token
+    training sequences (the standard GPT-style packing step).  Each
+    doc reports the pack it *starts* in and its token offset there.
+
+    Packing is inherently sequential, so it is sharded: docs hash to
+    ``n_shards`` independent streams (``doc_id % n_shards``) and the
+    running-total window runs per shard — one shuffle on the shard
+    key, cumsum within each, no global order.  At 100 TB, n_shards is
+    sized to the cluster (thousands); each shard's window is a single
+    partition-local scan.  Cross-shard pack ids never collide because
+    the shard is part of the key.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(tokens(F.col("text")))
+    base = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        n.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / seq_len).cast("long").alias("pack_id"),
+        (start % seq_len).cast("long").alias("offset_in_pack"),
+    )
+
+
+def token_rarity(documents: DataFrame) -> DataFrame:
+    """Unigram-frequency rarity score: per doc, the mean corpus
+    frequency of its tokens (CCNet-style LM quality scoring with a
+    unigram model; integer sums keep the oracle bit-exact — the
+    log-prob transform is monotone in this and left to the caller).
+
+    Two stages: (1) corpus vocabulary with counts — one token-level
+    aggregation (at 100 TB: the vocab of natural text is millions of
+    rows ⇒ still broadcastable; cap or sample the tail if not);
+    (2) per-doc re-join of tokens to the **broadcast** vocab + one
+    partial-agg sum back to doc_id.  Corpus text shuffles only as
+    (token) keys for the vocab count, never as documents.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            F.round(
+                F.col("sum_freq").cast("double") / F.col("n_tokens"), 4
+            ).alias("mean_token_freq"),
+        )
+    )
+
+
 #: Java-regex PII patterns (run Spark-side only; no oracle — the
 #: synthetic corpus contains no PII, so the scrubber is pinned by
 #: pytest on planted rows instead of a declared query).

@@ -717,6 +717,77 @@ FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
 """
 
 
+_PACK_SEQ_LEN, _PACK_SHARDS = 512, 8
+
+
+def docs_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_sequences(
+        src.load_table(spark, sf_dir, "documents"),
+        seq_len=_PACK_SEQ_LEN,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(start / {_PACK_SEQ_LEN}) AS BIGINT) AS pack_id,
+       CAST(start % {_PACK_SEQ_LEN} AS BIGINT) AS offset_in_pack
+FROM r
+"""
+
+
+def text_token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_rarity(src.load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_RARITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+SELECT doc_id, COUNT(*) AS n_tokens, SUM(freq) AS sum_freq,
+       ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 4) AS mean_token_freq
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(
+        src.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+QUANTIZE_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+         END AS qv
+  FROM s)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_max(qv) AS INT) AS q_max,
+       md5(array_to_string(qv, ',')) AS q_digest
+FROM q
+"""
+
+
 def docs_token_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_percentiles(src.load_table(spark, sf_dir, "documents"))
 
@@ -1413,6 +1484,9 @@ QUERIES = {
     "text_repetition_stats": text_repetition_q,
     "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "docs_token_percentiles": docs_token_percentiles_q,
+    "docs_pack_sequences": docs_pack_sequences_q,
+    "text_token_rarity": text_token_rarity_q,
+    "embedding_quantize_int8": embedding_quantize_q,
     "docs_length_histogram": docs_length_histogram_q,
     "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
@@ -1458,6 +1532,9 @@ ORACLE = {
     "text_repetition_stats": TEXT_REPETITION_SQL,
     "decontam_ngram_overlap": DECONTAM_SQL,
     "docs_token_percentiles": TOKEN_PERCENTILES_SQL,
+    "docs_pack_sequences": PACK_SEQUENCES_SQL,
+    "text_token_rarity": TOKEN_RARITY_SQL,
+    "embedding_quantize_int8": QUANTIZE_INT8_SQL,
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,
     "text_bpe_token_count": TEXT_BPE_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -421,3 +421,54 @@ def test_token_percentiles_exact_interpolation(spark):
     assert row["n_docs"] == 5
     assert row["p50_tokens"] == 3.0
     assert abs(row["p90_tokens"] - 4.6) < 1e-9
+
+
+def test_pack_sequences_chunking_and_shards(spark):
+    """Docs concatenate in doc_id order per shard; packs split at
+    seq_len; offsets wrap; shards are independent streams."""
+    from cass_cdc_pg_spark.operators.text import pack_sequences
+
+    # one shard (n_shards=1): lengths 6,6,6 with seq_len=10
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * 6)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           pack_sequences(docs, seq_len=10, n_shards=1).collect()}
+    assert (got[0]["pack_id"], got[0]["offset_in_pack"]) == (0, 0)
+    assert (got[1]["pack_id"], got[1]["offset_in_pack"]) == (0, 6)   # starts at 6
+    assert (got[2]["pack_id"], got[2]["offset_in_pack"]) == (1, 2)   # starts at 12
+
+    # two shards: evens and odds pack independently from offset 0
+    got2 = {r["doc_id"]: r for r in
+            pack_sequences(docs, seq_len=10, n_shards=2).collect()}
+    assert got2[0]["offset_in_pack"] == 0 and got2[1]["offset_in_pack"] == 0
+    assert got2[2]["shard"] == 0 and got2[2]["offset_in_pack"] == 6
+
+
+def test_token_rarity_known_counts(spark):
+    """corpus = 'a a b' + 'a c': freq a=3,b=1,c=1."""
+    from cass_cdc_pg_spark.operators.text import token_rarity
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_rarity(docs).collect()}
+    assert got[1]["sum_freq"] == 3 + 3 + 1
+    assert got[1]["mean_token_freq"] == round(7 / 3, 4)
+    assert got[2]["sum_freq"] == 3 + 1 and got[2]["mean_token_freq"] == 2.0
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    """Max |element| maps to ±127, zero vectors quantize to zeros, and
+    dequantized values stay within scale/2 of the input."""
+    from cass_cdc_pg_spark.operators.similarity import quantize_int8
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    s = got[1]["scale"]
+    assert abs(s - 1.0 / 127) < 1e-12
+    # q = floor(x/scale + 0.5) = [127, -63, 32, 0] -> sum 96
+    assert got[1]["q_max"] == 127
+    assert got[1]["q_sum"] == 96
+    assert got[2]["scale"] == 0.0 and got[2]["q_sum"] == 0 and got[2]["q_max"] == 0
