@@ -81,9 +81,14 @@ class KeyedTable:
         # wrong count can't mis-prune reads or mis-route merges
         try:
             with open(self._manifest_path) as f:
-                persisted = json.load(f).get("num_buckets")
-            if persisted:
-                self.num_buckets = persisted
+                m = json.load(f)
+            if m.get("num_buckets"):
+                self.num_buckets = m["num_buckets"]
+            # key columns are likewise a fixed property of the table;
+            # the persisted value is what discovery reports and what
+            # reopening with a mismatched ctor arg must not corrupt
+            if m.get("key_cols"):
+                self.key_cols = list(m["key_cols"])
         except FileNotFoundError:
             pass
 
@@ -113,6 +118,7 @@ class KeyedTable:
                 {
                     "buckets": buckets,
                     "num_buckets": self.num_buckets,
+                    "key_cols": self.key_cols,
                     "updated_at": time.time(),
                 },
                 f,

@@ -79,6 +79,53 @@ def kafka_stream(
     return parse_change_events(raw)
 
 
+def discover_cdc_tables(warehouse: str) -> dict[str, dict]:
+    """CDC-tables catalog discovery (S9): the Spark-warehouse analog of
+    the reference's ``get_cdc_enabled_tables`` + ``read_schema``
+    (``src/repositories/cassandra_repository.py:257-295,110-150``) —
+    enumerate the warehouse "keyspace", treat a ``cdc_*`` KeyedTable
+    manifest as the per-table cdc-enabled extension flag, and
+    introspect key columns + bucket count from the table manifest and
+    payload columns from the schema registry.
+
+    Driver-side metadata reads only (two small JSON files per table);
+    returns ``name → {key_cols, num_buckets, columns}`` where
+    ``columns`` is the registered payload schema as ``col → ddl-type``
+    (empty if the table was never registered).
+    """
+    import json as _json
+
+    from cass_cdc_pg_spark.streaming.schema_evolution import SchemaRegistry
+
+    warehouse = warehouse.rstrip("/")
+    registry = SchemaRegistry(f"{warehouse}/_schema_meta")
+    out: dict[str, dict] = {}
+    try:
+        entries = sorted(os.listdir(warehouse))
+    except FileNotFoundError:
+        return out
+    for d in entries:
+        if not d.startswith("cdc_"):
+            continue
+        manifest = f"{warehouse}/{d}/_manifest.json"
+        try:
+            with open(manifest) as fh:
+                m = _json.load(fh)
+        except (FileNotFoundError, ValueError):
+            continue  # dir exists but no manifest -> not cdc-live
+        name = d[len("cdc_"):]
+        try:
+            columns = registry.current_columns(name)
+        except KeyError:
+            columns = {}
+        out[name] = {
+            "key_cols": list(m.get("key_cols") or []),
+            "num_buckets": m.get("num_buckets"),
+            "columns": columns,
+        }
+    return out
+
+
 class CdcIngest:
     """Assembles and runs the ingest pipeline for a set of tables.
 
@@ -146,6 +193,25 @@ class CdcIngest:
             self.key_cols[name],
             self.num_buckets,
         )
+
+    @classmethod
+    def discover(
+        cls, spark: SparkSession, warehouse: str, **kwargs
+    ) -> "CdcIngest":
+        """Construct an ingest pipeline from warehouse discovery alone
+        (S9): table set, key columns, and payload schemas all come from
+        the catalog — the config-dict parameters of ``__init__`` are
+        the connector-config path; this is the
+        ``get_cdc_enabled_tables`` path."""
+        found = discover_cdc_tables(warehouse)
+        schemas, keys = {}, {}
+        for name, info in found.items():
+            if not info["key_cols"] or not info["columns"]:
+                continue  # never merged / never registered — not live
+            ddl = ", ".join(f"{c} {t}" for c, t in info["columns"].items())
+            schemas[name] = T.StructType.fromDDL(ddl)
+            keys[name] = info["key_cols"]
+        return cls(spark, warehouse, schemas, keys, **kwargs)
 
     @property
     def dlq_path(self) -> str:
