@@ -56,8 +56,13 @@ def throughput_by_window(
     ts_us_col: str = "ts_us",
     window_duration: str = "1 minute",
     watermark: str | None = None,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Events/users per tumbling window.
+    """Events/users per tumbling window — or hopping windows when
+    *slide_duration* < *window_duration* (each event lands in
+    window/slide overlapping windows; ``F.window`` expands the row
+    set by that factor BEFORE the aggregate, so the shuffle carries
+    window/slide× keys — size the slide accordingly at scale).
 
     Output: window_start_us, n_events, n_users — window start in µs so
     batch results hash-compare against arithmetic bucketing.  Pass
@@ -75,8 +80,13 @@ def throughput_by_window(
         if events.isStreaming
         else F.count_distinct(F.col("user_id"))
     )
+    win = (
+        F.window("_ts", window_duration, slide_duration)
+        if slide_duration is not None
+        else F.window("_ts", window_duration)
+    )
     return (
-        with_ts.groupBy(F.window("_ts", window_duration).alias("w"))
+        with_ts.groupBy(win.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             n_users.alias("n_users"),

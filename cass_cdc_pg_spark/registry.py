@@ -975,6 +975,35 @@ FROM events GROUP BY 1
 """
 
 
+def events_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute windows hopping every minute: each event contributes
+    to 5 overlapping windows (trend smoothing over the raw 1-min
+    tumbling rate)."""
+    from cass_cdc_pg_spark.operators.windows import throughput_by_window
+
+    return throughput_by_window(
+        _ev(spark, sf_dir),
+        window_duration="5 minutes",
+        slide_duration="1 minute",
+    )
+
+
+# epoch-µs arithmetic twin of F.window(w=5min, slide=1min): an event at
+# t lands in every aligned window start k*s with t-w < k*s <= t; all
+# operands are positive so integer // is floor division.
+HOPPING_SQL = """
+WITH e AS (SELECT epoch_us(ts) AS t, user_id FROM events),
+w AS (SELECT t, user_id,
+             unnest(generate_series((t - 300000000) // 60000000 + 1,
+                                    t // 60000000)) AS k
+      FROM e)
+SELECT k * 60000000 AS window_start_us,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM w GROUP BY 1
+"""
+
+
 def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization of the event stream per user
     (30-min inactivity gap) — the session-grouping pass a training-data
@@ -1500,6 +1529,7 @@ QUERIES = {
     "schema_evolution": schema_evolution_q,
     "multimodal_features": multimodal_features_q,
     "events_throughput_1min": events_throughput_1min_q,
+    "events_hopping_5min_1min": events_hopping_q,
     "events_sessionize": events_sessionize_q,
 }
 
@@ -1553,6 +1583,7 @@ ORACLE = {
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,
+    "events_hopping_5min_1min": HOPPING_SQL,
     "events_sessionize": SESSIONIZE_SQL,
 }
 

@@ -274,3 +274,25 @@ def test_avro_python_decode_spark_path(spark):
     byid = {r["id"]: r for r in rows}
     assert byid["u1"]["age"] == 33
     assert None in byid and byid[None]["age"] is None
+
+
+def test_throughput_hopping_windows(spark):
+    """5-min/1-min hopping: an event lands in exactly the 5 aligned
+    windows covering it; counts overlap across hops."""
+    from cass_cdc_pg_spark.operators.windows import throughput_by_window
+
+    m = 60_000_000
+    df = spark.createDataFrame(
+        [(1, 0 * m, 10), (2, 2 * m + 1, 10), (3, 2 * m + 1, 11)],
+        "event_id long, ts_us long, user_id long",
+    )
+    out = throughput_by_window(
+        df, window_duration="5 minutes", slide_duration="1 minute"
+    )
+    got = {r["window_start_us"]: (r["n_events"], r["n_users"])
+           for r in out.collect()}
+    # event at t=0 covers starts -4..0 min; events at 2min cover -2..2
+    assert got[0 * m] == (3, 2) and got[-4 * m] == (1, 1)
+    assert got[-2 * m] == (3, 2) and got[2 * m] == (2, 2)
+    assert got[1 * m] == (2, 2)  # only the 2-min events
+    assert len(got) == 7  # starts -4..2 min
