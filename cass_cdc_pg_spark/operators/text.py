@@ -281,14 +281,17 @@ def decontaminate(
     """
 
     def grams(df: DataFrame) -> DataFrame:
+        # chained zip_with against shifted slices: O(len) per doc with
+        # no per-element slice allocation (vs transform+slice, O(n·len))
         toks = tokens(F.col("text"))
-        g = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        m = F.greatest(F.size(toks) - n + 1, F.lit(0))
+        g = F.slice(toks, 1, m)
+        for off in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(toks, 1 + off, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
         return df.select("doc_id", g.alias("grams"))
 
     bench = F.broadcast(
