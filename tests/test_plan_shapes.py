@@ -130,3 +130,52 @@ def test_ivf_topk_corpus_side_never_shuffles(spark):
     # the only allowed shuffle is the final tiny top-k window; the
     # corpus → join edge must be broadcast-joined, not sort-merge
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle_on_shard(spark):
+    """Packing must shuffle exactly once (on the shard key); the
+    running-total window then reuses that partitioning."""
+    from cass_cdc_pg_spark.operators.text import pack_sequences
+
+    docs = spark.range(1000).selectExpr(
+        "id AS doc_id", "'a b c d e' AS text")
+    plan = _plan(pack_sequences(docs, seq_len=8, n_shards=4))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_token_rarity_vocab_join_is_broadcast(spark):
+    """The vocab re-join must broadcast the (small) vocabulary; the
+    corpus token stream must never be the build side of a shuffle
+    join."""
+    from cass_cdc_pg_spark.operators.text import token_rarity
+
+    docs = spark.range(1000).selectExpr(
+        "id AS doc_id", "'a b c' AS text")
+    plan = _plan(token_rarity(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quantize_int8_is_shuffle_free(spark):
+    """Per-vector quantization is pure row-local column algebra."""
+    from cass_cdc_pg_spark.operators.similarity import quantize_int8
+
+    df = spark.range(100).selectExpr(
+        "id AS vec_id", "array(0.1, 0.2, cast(id as double)) AS embedding")
+    plan = _plan(quantize_int8(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_hopping_window_partial_aggregates(spark):
+    """The hopping-window aggregate must map-side combine (partial
+    count) before the shuffle — the explode-by-5 row expansion
+    collapses back to one row per window per partition."""
+    from cass_cdc_pg_spark.operators.windows import throughput_by_window
+
+    df = spark.range(1000).selectExpr(
+        "id AS event_id", "id * 1000000 AS ts_us", "id % 7 AS user_id")
+    plan = _plan(throughput_by_window(
+        df, window_duration="5 minutes", slide_duration="1 minute"))
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
