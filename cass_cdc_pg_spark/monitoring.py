@@ -181,12 +181,14 @@ class HealthCheckService:
         target_warehouse: str | None = None,
         schema_registry=None,
         stream_stale_after_sec: float = 60.0,
+        secrets=None,
     ) -> None:
         self.spark = spark
         self.source_path = source_path
         self.target_warehouse = target_warehouse
         self.schema_registry = schema_registry
         self.stream_stale_after_sec = stream_stale_after_sec
+        self.secrets = secrets
 
     @staticmethod
     def _probe(service: str, configured: bool, fn: Callable[[], dict]) -> dict:
@@ -293,6 +295,17 @@ class HealthCheckService:
             "schema_registry", self.schema_registry is not None, probe
         )
 
+    def check_secrets(self) -> dict:
+        """Vault-probe analog: the credentials store must be readable
+        (``vault_repository.py:63-96``)."""
+
+        def probe() -> dict:
+            if not self.secrets.health_check():
+                raise IOError("secrets store unreadable")
+            return {"connected": True}
+
+        return self._probe("secrets", self.secrets is not None, probe)
+
     def check_all(self) -> dict:
         components = {
             "source": self.check_source(),
@@ -300,6 +313,10 @@ class HealthCheckService:
             "stream": self.check_stream(),
             "schema_registry": self.check_schema_registry(),
         }
+        # the Vault component only reports when a provider is wired —
+        # an unconfigured secrets store is normal for local mode
+        if self.secrets is not None:
+            components["secrets"] = self.check_secrets()
         statuses = [c["status"] for c in components.values()]
         if all(s == HEALTHY for s in statuses):
             overall = HEALTHY
