@@ -98,3 +98,28 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def deduplicate_stream(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-level exactly-once dedup: drop events whose id was
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``).
+
+    This is the *first* dedup line — it bounds the duplicate rate
+    reaching the merge; the KeyedTable batch manifest remains the
+    durable exactly-once guarantee across restarts (C5).  Unlike plain
+    ``dropDuplicates`` on a stream, the within-watermark variant evicts
+    state older than the horizon, so state is bounded by
+    (event rate × watermark) instead of growing forever — the only
+    state shape that survives an unbounded 100 TB/day stream.
+
+    ``id_cols`` defaults to ``["event_id"]``.  *ts_col* must be the
+    event-time timestamp column the watermark is declared on.
+    """
+    keys = list(id_cols or ["event_id"])
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -281,3 +281,36 @@ def test_discovery_round_trip(spark, ingest, tmp_path):
     _run(spark, ing2, events2, str(tmp_path / "cp2"))
     rows = {r["id"]: r for r in ing2.table("users").read_live().collect()}
     assert rows[U1]["username"] == "ann2" and rows[U1]["age"] == 35
+
+
+def test_deduplicate_stream_drops_late_duplicates(spark, tmp_path):
+    """An event id replayed within the watermark horizon is dropped;
+    distinct ids all pass; the plan carries bounded dedup state."""
+    from cass_cdc_pg_spark.streaming.stateful import deduplicate_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [
+        {"event_id": 1, "ts_us": 1_000_000},
+        {"event_id": 2, "ts_us": 2_000_000},
+        {"event_id": 1, "ts_us": 3_000_000},  # duplicate id, later ts
+        {"event_id": 3, "ts_us": 2_500_000},
+    ]
+    with open(f"{src}/a.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long").json(src)
+        .withColumn("_ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    q = (
+        deduplicate_stream(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2, 3]
