@@ -1,0 +1,94 @@
+"""Property tests: new corpus operators against brute-force Python
+models on randomized inputs (the same strategy test_keyed_table uses
+for LSM convergence)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tok = st.text(alphabet="abc", min_size=1, max_size=2)
+_doc = st.lists(_tok, min_size=0, max_size=20).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_repetition_stats_matches_bruteforce(spark, docs):
+    from cass_cdc_pg_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, d in enumerate(docs):
+        toks = [t for t in d.split(" ") if t]
+        n = len(toks)
+        r = got[i]
+        if n == 0:
+            assert r["top_token_frac"] is None
+            continue
+        assert r["top_token_frac"] == round(
+            Counter(toks).most_common(1)[0][1] / n, 4)
+        if n > 1:
+            bg = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            assert r["top_bigram_frac"] == round(
+                Counter(bg).most_common(1)[0][1] / len(bg), 4)
+        if n > 2:
+            tg = [" ".join(toks[j:j + 3]) for j in range(n - 2)]
+            assert r["dup_trigram_frac"] == round(
+                (len(tg) - len(set(tg))) / len(tg), 4)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+    seq_len=st.integers(min_value=4, max_value=16),
+)
+def test_pack_sequences_running_total_invariants(spark, lens, seq_len):
+    """Single shard: every doc's (pack_id, offset) equals the running
+    token total divided/mod'd by seq_len; offsets never reach seq_len."""
+    from cass_cdc_pg_spark.operators.text import pack_sequences
+
+    docs = [(i, " ".join(["t"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, seq_len=seq_len, n_shards=1).collect()}
+    start = 0
+    for i, n in enumerate(lens):
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["pack_id"] == start // seq_len
+        assert r["offset_in_pack"] == start % seq_len < seq_len
+        start += n
+    # pack ids are monotone in doc order
+    ids = [got[i]["pack_id"] for i in range(len(lens))]
+    assert ids == sorted(ids)
+
+
+@settings(max_examples=5, deadline=None)
+@given(vec=st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    min_size=1, max_size=8))
+def test_quantize_int8_reconstruction_bound(spark, vec):
+    """|dequant - x| <= scale/2 and q in [-127, 127] for every element
+    (checked via the exported sum/max and a Python re-quantization)."""
+    import math
+
+    from cass_cdc_pg_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    r = quantize_int8(df).collect()[0]
+    xs = [float(x) for x in
+          spark.createDataFrame([(vec,)], "v array<float>")
+          .selectExpr("transform(v, x -> cast(x as double)) v")
+          .collect()[0]["v"]]  # float32 -> double exactly as Spark sees it
+    scale = max(abs(x) for x in xs) / 127.0
+    assert abs(r["scale"] - scale) < 1e-15
+    if scale == 0:
+        assert r["q_sum"] == 0 and r["q_max"] == 0
+        return
+    q = [math.floor(x / scale + 0.5) for x in xs]
+    assert r["q_sum"] == sum(q) and r["q_max"] == max(q)
+    assert all(-127 <= qi <= 127 for qi in q)
+    assert all(abs(qi * scale - x) <= scale / 2 + 1e-12 for qi, x in zip(q, xs))
