@@ -35,6 +35,15 @@ leaves the previous manifest (and thus the previous snapshot) intact,
 which is what makes ``foreachBatch`` replays idempotent (C5 / crash
 tests ``test_crash_recovery.py:41-343``).  Orphaned dirs from crashed
 writes are garbage-collected on the next successful commit.
+
+Filesystem note: commit atomicity relies on POSIX ``os.replace`` of
+the single manifest file (data dirs are immutable once written, so
+only the pointer swap needs atomicity).  On an object store (S3/GCS)
+replace that one operation with a conditional PUT (If-Match /
+x-goog-if-generation-match) or a DynamoDB/ZooKeeper-style commit lock
+— the same adaptation every manifest-pointer table format (Delta,
+Iceberg) ships for S3.  Everything else is plain immutable-object
+writes that object stores already provide.
 """
 
 from __future__ import annotations
