@@ -54,25 +54,54 @@ def _list_files(path: str) -> list[str]:
         return []
 
 
-def _rows(path: str) -> Iterator[Tuple]:
+def _decode_payload(e: dict, schemas: dict[str, str]) -> dict:
+    """Avro transport mode (S3): ``before``/``after`` arrive as base64
+    Avro binary under the per-table registered schema; decode to the
+    envelope's map<string,string> with the same stringification the
+    JVM ``from_avro`` path produces."""
+    import base64
+
+    from cass_cdc_pg_spark.sources.avro import decode_avro_record
+
+    schema = schemas.get(e.get("source_table"))
+    out = dict(e)
+    for side in ("before", "after"):
+        v = e.get(side)
+        if v is None or isinstance(v, dict):
+            continue
+        if schema is None:
+            raise ValueError(
+                f"avro payload for unregistered table {e.get('source_table')!r}"
+            )
+        rec = decode_avro_record(schema, base64.b64decode(v))
+        out[side] = {
+            k: (None if x is None else str(x)) for k, x in rec.items()
+        }
+    return out
+
+
+def _rows(path: str, avro_schemas: dict[str, str] | None = None) -> Iterator[Tuple]:
     with open(path) as fh:
         for line in fh:
             line = line.strip()
             if not line:
                 continue
             e = json.loads(line)
+            if avro_schemas is not None:
+                e = _decode_payload(e, avro_schemas)
             yield tuple(e.get(k) for k in _FIELDS)
 
 
 class CdcEventsBatchReader(DataSourceReader):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, avro_schemas: dict[str, str] | None) -> None:
         self.files = _list_files(path)
+        self.avro_schemas = avro_schemas
 
     def partitions(self):
         return [InputPartition(i) for i in range(len(self.files))]
 
     def read(self, partition: InputPartition) -> Iterator[Tuple]:
-        return _rows(self.files[partition.value])
+        return _rows(self.files[partition.value], self.avro_schemas)
 
 
 class CdcEventsStreamReader(SimpleDataSourceStreamReader):
@@ -84,9 +113,15 @@ class CdcEventsStreamReader(SimpleDataSourceStreamReader):
     replays any committed range deterministically after a restart.
     """
 
-    def __init__(self, path: str, max_files_per_trigger: int | None) -> None:
+    def __init__(
+        self,
+        path: str,
+        max_files_per_trigger: int | None,
+        avro_schemas: dict[str, str] | None = None,
+    ) -> None:
         self.path = path
         self.max_files = max_files_per_trigger
+        self.avro_schemas = avro_schemas
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -97,7 +132,7 @@ class CdcEventsStreamReader(SimpleDataSourceStreamReader):
         hi = len(files)
         if self.max_files is not None:
             hi = min(hi, lo + self.max_files)  # backpressure (C8)
-        rows = [r for p in files[lo:hi] for r in _rows(p)]
+        rows = [r for p in files[lo:hi] for r in _rows(p, self.avro_schemas)]
         return iter(rows), {"index": hi}
 
     def readBetweenOffsets(
@@ -105,7 +140,8 @@ class CdcEventsStreamReader(SimpleDataSourceStreamReader):
     ) -> Iterator[Tuple]:
         files = _list_files(self.path)
         return iter(
-            [r for p in files[start["index"]:end["index"]] for r in _rows(p)]
+            [r for p in files[start["index"]:end["index"]]
+             for r in _rows(p, self.avro_schemas)]
         )
 
     def commit(self, end: dict) -> None:
@@ -126,11 +162,17 @@ class CdcEventsDataSource(DataSource):
             raise ValueError("cdc_events requires .option('path', <dir>)")
         return path
 
+    def _avro_schemas(self) -> dict[str, str] | None:
+        """option("avro_schemas", '{"table": "<avro schema json>"}') —
+        the Schema-Registry handoff for the Avro transport mode (S3)."""
+        raw = self.options.get("avro_schemas")
+        return json.loads(raw) if raw else None
+
     def reader(self, schema) -> CdcEventsBatchReader:
-        return CdcEventsBatchReader(self._path())
+        return CdcEventsBatchReader(self._path(), self._avro_schemas())
 
     def simpleStreamReader(self, schema) -> CdcEventsStreamReader:
         mft = self.options.get("max_files_per_trigger")
         return CdcEventsStreamReader(
-            self._path(), int(mft) if mft else None
+            self._path(), int(mft) if mft else None, self._avro_schemas()
         )

@@ -136,3 +136,51 @@ def test_stream_feeds_ingest_pipeline(registered, tmp_path):
                      trigger_once=True)
     q.awaitTermination(120)
     assert ingest.table("users").read_live().count() == 2
+
+
+def test_avro_payload_mode_round_trip(registered, tmp_path):
+    """S3 transport through the custom source: base64 Avro payloads
+    decode to the same map<string,string> envelope the JSON mode
+    carries, under the per-table registered schema."""
+    import base64
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from cass_cdc_pg_spark.sources.avro import avro_schema_for, encode_avro_record
+
+    spark = registered
+    payload = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ])
+    schema_json = avro_schema_for(payload, "users")
+    vals = {"id": "u1", "n": 42, "ok": True}
+    enc = base64.b64encode(
+        encode_avro_record(schema_json, vals)).decode()
+
+    src = str(tmp_path / "in")
+    e = _ev(1)
+    e["after"] = enc  # Avro transport: payload is a b64 string
+    _write(src, "a", [e])
+    df = (
+        spark.read.format("cdc_events").option("path", src)
+        .option("avro_schemas", json.dumps({"users": schema_json}))
+        .load()
+    )
+    row = df.collect()[0]
+    assert row["after"] == {"id": "u1", "n": "42", "ok": "True"}
+    assert row["before"] is None
+
+    # unregistered table fails loudly, not silently
+    e2 = _ev(2, table="ghost")
+    e2["after"] = enc
+    _write(src, "b", [e2])
+    with pytest.raises(Exception):
+        df2 = (
+            spark.read.format("cdc_events").option("path", src)
+            .option("avro_schemas", json.dumps({"users": schema_json}))
+            .load()
+        )
+        df2.collect()
