@@ -31,6 +31,20 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
+#: supplementary section: the training-data-pipeline ladder, timed the
+#: same way but reported under its own key so the headline total stays
+#: comparable round-over-round
+PIPELINE = [
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "decontam_ngram_overlap",
+    "text_repetition_stats",
+    "text_token_rarity",
+    "docs_pack_sequences",
+    "embedding_quantize_int8",
+    "ann_ivf_topk",
+]
+
 
 def ingest_bench(spark, sf_dir: str, warehouse: str, num_buckets: int = 32) -> float:
     """Replay the events table as CDC CREATE events through the full
@@ -294,6 +308,13 @@ def main() -> None:
                 timings[name] = dt
             print(f"# pass{_pass} {name}: {n} rows in {dt}s", file=sys.stderr)
 
+    pipeline: dict[str, float] = {}
+    for name in PIPELINE:
+        QUERIES[name](spark, sf_dir).count()  # warm
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        pipeline[name] = round(time.time() - t0, 3)
+
     import tempfile
 
     # two bucket counts: merge cost is O(batch) regardless of bucket
@@ -318,6 +339,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_queries": pipeline,
+                "pipeline_total": round(sum(pipeline.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warm": True,
                 "ingest_events_per_sec": round(eps, 1),

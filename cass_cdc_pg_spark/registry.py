@@ -1236,6 +1236,56 @@ FROM reach GROUP BY node
 """
 
 
+CORPUS_CLEAN_SQL = f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component_id,
+         MIN(lbl) = node AS is_canonical
+  FROM reach GROUP BY node),
+qual AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 20 THEN 'too_short'
+              WHEN ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) < 0.3 THEN 'repetitive'
+              ELSE 'ok' END AS quality_bucket
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents))
+SELECT q.doc_id, q.quality_bucket, c.component_id, c.is_canonical,
+       (q.quality_bucket = 'ok' AND c.is_canonical) AS keep
+FROM qual q JOIN comp c ON q.doc_id = c.doc_id
+"""
+
+
+def corpus_clean_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning as ONE composed plan: C4-style
+    quality gate × near-dup clustering, keep = passes quality AND is
+    its cluster's canonical (smallest-id) member.  This is the
+    composition a real training-data pipeline runs; every stage is an
+    existing oracle-checked operator, composed lazily so Catalyst
+    optimizes across the stage boundaries."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    qual = text.quality_score(docs).select("doc_id", "quality_bucket")
+    comp = dedup_components_q(spark, sf_dir)
+    return (
+        qual.join(comp, "doc_id")
+        .select(
+            "doc_id",
+            "quality_bucket",
+            "component_id",
+            "is_canonical",
+            (
+                (F.col("quality_bucket") == "ok") & F.col("is_canonical")
+            ).alias("keep"),
+        )
+    )
+
+
 def events_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data-mix quota sampling: at most 100 events per
     event_type, selected by a deterministic uniform order (md5 of the
@@ -1505,6 +1555,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_components": dedup_components_q,
+    "corpus_clean_keep": corpus_clean_keep_q,
     "events_stratified_sample": events_stratified_sample_q,
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
@@ -1575,6 +1626,7 @@ ORACLE = {
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "corpus_clean_keep": CORPUS_CLEAN_SQL,
     "events_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "events_top3_per_user": TOP3_PER_USER_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
