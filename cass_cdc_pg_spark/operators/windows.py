@@ -51,6 +51,61 @@ def sessionize(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join: attach to each left row the *value_cols* of the
+    latest right row with ``right_ts <= left_ts`` for the same key
+    (inclusive at equality) — the standard event-time enrichment join
+    (attach latest state/checkpoint/price to each event).
+
+    Spark has no native as-of join; the naive formulation is a range
+    join (equality + inequality), which Catalyst executes as a
+    per-key cartesian then filter — quadratic per key.  This
+    implementation is the **tagged-union + window last-non-null**
+    composition instead: union both sides ordered by (ts, side) so a
+    right row sorts before left rows at the same timestamp, then one
+    running ``last(value, ignoreNulls=True)`` per key carries the
+    latest right values forward onto every left row.  Exactly ONE
+    shuffle (the key partition), O(n log n) per key, no row
+    amplification — the same plan shape as sessionize, at any scale.
+
+    Determinism requires unique (key, right_ts) pairs on the right
+    side (true for session starts, state snapshots, price ticks);
+    left rows preceding every right row get NULLs.  *value_cols* must
+    not collide with left column names.
+    """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    l = left.withColumn("_t", F.col(left_ts_col)).withColumn("_side", F.lit(1))
+    r = right.select(
+        key_col, F.col(right_ts_col).alias("_t"), *value_cols
+    ).withColumn("_side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side", "_t", *value_cols)
+    for c in value_cols:
+        out = out.withColumnRenamed(f"_asof_{c}", c)
+    return out
+
+
 def throughput_by_window(
     events: DataFrame,
     ts_us_col: str = "ts_us",

@@ -1037,6 +1037,53 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def events_asof_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join of every event to its session record (latest session
+    start ≤ event ts per user) — the event-time enrichment pattern
+    (attach state/checkpoint/price as-of).  Oracle is DuckDB's native
+    ASOF JOIN; the Spark side is the single-shuffle tagged-union
+    composition (``operators/windows.asof_join``)."""
+    from cass_cdc_pg_spark.operators.windows import asof_join, sessionize
+
+    ev = _ev(spark, sf_dir)
+    sess = sessionize(ev).select(
+        "user_id",
+        "session_start_us",
+        F.col("n_events").alias("session_n_events"),
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts_us"),
+        sess,
+        key_col="user_id",
+        left_ts_col="ts_us",
+        right_ts_col="session_start_us",
+        value_cols=["session_start_us", "session_n_events"],
+    )
+
+
+ASOF_SESSION_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t),
+sessions AS (
+  SELECT user_id, MIN(ts_us) AS session_start_us,
+         COUNT(*) AS session_n_events
+  FROM s GROUP BY user_id, sess)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       sn.session_start_us, sn.session_n_events
+FROM events e ASOF LEFT JOIN sessions sn
+  ON e.user_id = sn.user_id AND epoch_us(e.ts) >= sn.session_start_us
+"""
+
+
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over an opaque binary column: the
     documents' text bytes stand in for media payloads (the container
@@ -1582,6 +1629,7 @@ QUERIES = {
     "events_throughput_1min": events_throughput_1min_q,
     "events_hopping_5min_1min": events_hopping_q,
     "events_sessionize": events_sessionize_q,
+    "events_asof_session": events_asof_session_q,
 }
 
 ORACLE = {
@@ -1637,6 +1685,7 @@ ORACLE = {
     "events_throughput_1min": THROUGHPUT_SQL,
     "events_hopping_5min_1min": HOPPING_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_asof_session": ASOF_SESSION_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

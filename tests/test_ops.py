@@ -296,3 +296,32 @@ def test_throughput_hopping_windows(spark):
     assert got[-2 * m] == (3, 2) and got[2 * m] == (2, 2)
     assert got[1 * m] == (2, 2)  # only the 2-min events
     assert len(got) == 7  # starts -4..2 min
+
+
+def test_asof_join_semantics(spark):
+    """Latest right row with ts <= left ts per key; equality inclusive;
+    rows before any right row get NULL; keys are independent."""
+    from cass_cdc_pg_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 15), (3, 10, 20), (4, 20, 15), (5, 10, 4)],
+        "event_id long, user_id long, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [(10, 5, "a"), (10, 15, "b"), (20, 16, "c")],
+        "user_id long, state_ts long, state string",
+    )
+    out = asof_join(left, right, "user_id", "ts_us", "state_ts",
+                    ["state_ts", "state"])
+    got = {r["event_id"]: (r["state_ts"], r["state"]) for r in out.collect()}
+    assert got[1] == (5, "a")       # equality inclusive
+    assert got[2] == (15, "b")      # equality at the newer state
+    assert got[3] == (15, "b")      # latest <= 20
+    assert got[4] == (None, None)   # user 20 has no state until 16
+    assert got[5] == (None, None)   # before any state
+    assert out.count() == 5         # left rows preserved exactly
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, "user_id", "ts_us", "state_ts", ["ts_us"])

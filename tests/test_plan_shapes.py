@@ -179,3 +179,20 @@ def test_hopping_window_partial_aggregates(spark):
         df, window_duration="5 minutes", slide_duration="1 minute"))
     assert "partial_count" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    """The as-of composition must plan as one key-partition Exchange
+    (tagged union + window), never a broadcast-nested-loop/cartesian
+    range join."""
+    from cass_cdc_pg_spark.operators.windows import asof_join
+
+    left = spark.range(1000).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "id AS ts_us")
+    right = spark.range(50).selectExpr(
+        "id % 7 AS user_id", "id * 20 AS state_ts", "id AS state")
+    plan = _plan(asof_join(left, right, "user_id", "ts_us", "state_ts",
+                           ["state_ts", "state"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
