@@ -106,6 +106,53 @@ def asof_join(
     return out
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_us: int,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Range join: pair each left row with every right interval
+    ``[start, end]`` (inclusive) containing its timestamp, optionally
+    also matching on *key_col*.
+
+    The naive equality+inequality formulation plans as a broadcast
+    nested loop (per-key cartesian) — quadratic.  This is the
+    **time-bucketed** formulation: a point lands in exactly one
+    ``bucket_us`` chunk, an interval explodes to the chunks it covers,
+    the join is a plain hash equi-join on (key, chunk), and the exact
+    containment predicate filters afterwards.  Each (point, interval)
+    pair meets at most once (the point's single chunk), so no dedup is
+    needed.  Row amplification is interval_length/bucket_us on the
+    interval side only — size *bucket_us* near the typical interval
+    length, exactly like choosing a partition size.
+
+    Works for arbitrary OVERLAPPING intervals (unlike an as-of join,
+    which resolves to the single latest match).
+    """
+    lb = F.floor(F.col(left_ts_col) / F.lit(bucket_us)).cast("long")
+    rb = F.explode(
+        F.sequence(
+            F.floor(F.col(start_col) / F.lit(bucket_us)).cast("long"),
+            F.floor(F.col(end_col) / F.lit(bucket_us)).cast("long"),
+        )
+    )
+    l = left.withColumn("_chunk", lb)
+    r = right.withColumn("_chunk", rb)
+    on = ["_chunk"] + ([key_col] if key_col else [])
+    return (
+        l.join(r, on)
+        .filter(
+            (F.col(left_ts_col) >= F.col(start_col))
+            & (F.col(left_ts_col) <= F.col(end_col))
+        )
+        .drop("_chunk")
+    )
+
+
 def throughput_by_window(
     events: DataFrame,
     ts_us_col: str = "ts_us",

@@ -1061,6 +1061,54 @@ def events_asof_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_interval_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every event paired with the session interval(s)
+    containing it (exact [start, end] containment, bucketed equi-join
+    under the hood — no nested-loop)."""
+    from cass_cdc_pg_spark.operators.windows import interval_join, sessionize
+
+    ev = _ev(spark, sf_dir)
+    sess = sessionize(ev)
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts_us"),
+        sess,
+        left_ts_col="ts_us",
+        start_col="session_start_us",
+        end_col="session_end_us",
+        bucket_us=3_600_000_000,  # 1 h chunks ~ session scale
+        key_col="user_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        "session_start_us", "session_end_us",
+    )
+
+
+INTERVAL_SESSION_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t),
+sessions AS (
+  SELECT user_id, MIN(ts_us) AS session_start_us,
+         MAX(ts_us) AS session_end_us
+  FROM s GROUP BY user_id, sess)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       sn.session_start_us, sn.session_end_us
+FROM events e JOIN sessions sn
+  ON e.user_id = sn.user_id
+ AND epoch_us(e.ts) >= sn.session_start_us
+ AND epoch_us(e.ts) <= sn.session_end_us
+"""
+
+
 ASOF_SESSION_SQL = """
 WITH t AS (
   SELECT user_id, epoch_us(ts) AS ts_us,
@@ -1630,6 +1678,7 @@ QUERIES = {
     "events_hopping_5min_1min": events_hopping_q,
     "events_sessionize": events_sessionize_q,
     "events_asof_session": events_asof_session_q,
+    "events_interval_session": events_interval_session_q,
 }
 
 ORACLE = {
@@ -1686,6 +1735,7 @@ ORACLE = {
     "events_hopping_5min_1min": HOPPING_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_asof_session": ASOF_SESSION_SQL,
+    "events_interval_session": INTERVAL_SESSION_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

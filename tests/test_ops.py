@@ -325,3 +325,25 @@ def test_asof_join_semantics(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, "user_id", "ts_us", "state_ts", ["ts_us"])
+
+
+def test_interval_join_overlaps_and_bounds(spark):
+    """Overlapping intervals both match; bounds inclusive; key scopes
+    matches; intervals longer than the bucket still match exactly once."""
+    from cass_cdc_pg_spark.operators.windows import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 20, 100), (4, 10, 1000)],
+        "event_id long, user_id long, ts_us long",
+    )
+    ivals = spark.createDataFrame(
+        [(10, 100, 300, "a"),     # contains e1 (at start), e2
+         (10, 200, 260, "b"),     # overlaps: also contains e2
+         (10, 900, 2000, "c"),    # long interval spanning many buckets
+         (20, 0, 50, "d")],       # other key, does not contain e3
+        "user_id long, start_us long, end_us long, tag string",
+    )
+    out = interval_join(points, ivals, "ts_us", "start_us", "end_us",
+                        bucket_us=100, key_col="user_id")
+    got = sorted((r["event_id"], r["tag"]) for r in out.collect())
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (4, "c")]

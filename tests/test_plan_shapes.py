@@ -196,3 +196,20 @@ def test_asof_join_single_shuffle_no_range_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash equi-join on
+    (chunk, key) — never BroadcastNestedLoopJoin/CartesianProduct."""
+    from cass_cdc_pg_spark.operators.windows import interval_join
+
+    points = spark.range(1000).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "id * 1000 AS ts_us")
+    ivals = spark.range(100).selectExpr(
+        "id % 7 AS user_id", "id * 5000 AS start_us",
+        "id * 5000 + 4000 AS end_us")
+    plan = _plan(interval_join(points, ivals, "ts_us", "start_us",
+                               "end_us", bucket_us=5000, key_col="user_id"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
