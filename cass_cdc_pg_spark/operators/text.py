@@ -412,6 +412,85 @@ def token_rarity(documents: DataFrame) -> DataFrame:
     )
 
 
+def mix_upsample(
+    documents: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix upsampling: repeat each document ``weights[group]``
+    times, with the fractional part resolved per-document by a
+    deterministic draw (doc *d* with weight 2.3 appears 2 times
+    always, 3 times iff ``(id·48271) mod 1000 < 300`` — a Lehmer-style
+    multiplicative hash in plain integer arithmetic, identical in any
+    engine; *id_col* must be numeric) — the standard temperature/
+    mix-weighting step when assembling a corpus from sources.
+    Unlisted groups default to weight 1.
+
+    Output adds ``copy_n`` (0-based repeat index) so downstream
+    shuffles can distinguish copies.  Pure row-local ``explode`` of a
+    ``sequence`` — no shuffle, no sampling nondeterminism, exactly
+    reproducible at any parallelism (unlike ``df.sample`` whose draw
+    depends on partitioning).
+    """
+    w = F.lit(1.0)
+    for g, x in sorted(weights.items()):
+        w = F.when(F.col(group_col) == g, F.lit(float(x))).otherwise(w)
+    base = F.floor(w).cast("long")
+    frac_mills = F.round((w - F.floor(w)) * 1000).cast("long")
+    draw = F.pmod(F.col(id_col).cast("long") * F.lit(48271), F.lit(1000))
+    n_copies = base + F.when(draw < frac_mills, F.lit(1)).otherwise(F.lit(0))
+    return (
+        documents.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_n", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
+def token_budget_select(
+    documents: DataFrame,
+    budget_tokens: int,
+    quality_col: Column | None = None,
+) -> DataFrame:
+    """Budgeted subset selection: take documents in descending
+    *quality* order until the running token total exceeds
+    ``budget_tokens`` (the last-admitted doc may cross the line —
+    standard "fill the budget" semantics).  Ties and the order itself
+    are made total by doc_id, so the subset is deterministic.
+
+    One global-order window on (quality desc, doc_id) — at 100 TB use
+    ``repartitionByRange`` on the same key so the running total runs
+    per range partition with a driver-side prefix-offset pass (the
+    two-phase cumsum); at test scale the single window is exact and
+    the semantics are identical.  Default quality = unique-token
+    ratio (the C4-style repetition gate).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    q = (
+        quality_col
+        if quality_col is not None
+        else F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4)
+    )
+    scored = documents.select(
+        "doc_id", n.alias("n_tokens"), q.alias("quality")
+    )
+    w = (
+        Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    return (
+        scored.withColumn("running_tokens", running)
+        .filter(
+            (F.col("running_tokens") - F.col("n_tokens")) < budget_tokens
+        )
+    )
+
+
 #: Java-regex PII patterns (run Spark-side only; no oracle — the
 #: synthetic corpus contains no PII, so the scrubber is pinned by
 #: pytest on planted rows instead of a declared query).

@@ -788,6 +788,61 @@ FROM q
 """
 
 
+#: mix weights for the declared upsampling query: two sources boosted,
+#: one downsampled, rest default 1.0
+_MIX_WEIGHTS = {"src0": 2.3, "src1": 1.5, "src2": 0.4}
+
+
+def docs_mix_upsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = src.load_table(spark, sf_dir, "documents")
+    out = text.mix_upsample(docs, _MIX_WEIGHTS)
+    return out.select("doc_id", "source", F.col("copy_n").cast("long").alias("copy_n"))
+
+
+MIX_UPSAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 1.5
+                     WHEN 'src2' THEN 0.4 ELSE 1.0 END AS wt
+  FROM documents),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS BIGINT)
+           + CASE WHEN (doc_id * 48271) % 1000
+                       < CAST(round((wt - floor(wt)) * 1000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM w)
+SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS copy_n
+FROM n WHERE n_copies > 0
+"""
+
+
+_TOKEN_BUDGET = 20_000
+
+
+def docs_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_budget_select(
+        src.load_table(spark, sf_dir, "documents"), _TOKEN_BUDGET
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS quality
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents)),
+r AS (
+  SELECT doc_id, n_tokens, quality,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running_tokens
+  FROM t)
+SELECT doc_id, n_tokens, quality, running_tokens
+FROM r WHERE running_tokens - n_tokens < {_TOKEN_BUDGET}
+"""
+
+
 def docs_token_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_percentiles(src.load_table(spark, sf_dir, "documents"))
 
@@ -1659,6 +1714,8 @@ QUERIES = {
     "text_repetition_stats": text_repetition_q,
     "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "docs_token_percentiles": docs_token_percentiles_q,
+    "docs_mix_upsample": docs_mix_upsample_q,
+    "docs_token_budget": docs_token_budget_q,
     "docs_pack_sequences": docs_pack_sequences_q,
     "text_token_rarity": text_token_rarity_q,
     "embedding_quantize_int8": embedding_quantize_q,
@@ -1710,6 +1767,8 @@ ORACLE = {
     "text_repetition_stats": TEXT_REPETITION_SQL,
     "decontam_ngram_overlap": DECONTAM_SQL,
     "docs_token_percentiles": TOKEN_PERCENTILES_SQL,
+    "docs_mix_upsample": MIX_UPSAMPLE_SQL,
+    "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_pack_sequences": PACK_SEQUENCES_SQL,
     "text_token_rarity": TOKEN_RARITY_SQL,
     "embedding_quantize_int8": QUANTIZE_INT8_SQL,

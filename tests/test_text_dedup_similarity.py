@@ -472,3 +472,47 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert got[1]["q_max"] == 127
     assert got[1]["q_sum"] == 96
     assert got[2]["scale"] == 0.0 and got[2]["q_sum"] == 0 and got[2]["q_max"] == 0
+
+
+def test_mix_upsample_deterministic_copies(spark):
+    """weight 2.3: 2 copies + 1 iff (id*48271)%1000 < 300; weight 0.4
+    drops docs failing the draw entirely; unlisted source = 1 copy."""
+    from cass_cdc_pg_spark.operators.text import mix_upsample
+
+    docs = spark.createDataFrame(
+        [(1, "hot", "x"), (3, "hot", "x"), (11, "cold", "x"), (13, "cold", "x"),
+         (21, "plain", "x")],
+        "doc_id long, source string, text string",
+    )
+    out = mix_upsample(docs, {"hot": 2.3, "cold": 0.4})
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["copy_n"])
+    # id 1: 1*48271%1000=271 < 300 -> 3 copies; id 3: 813 -> 2 copies
+    assert sorted(got[1]) == [0, 1, 2] and sorted(got[3]) == [0, 1]
+    # id 11: 11*48271%1000=981 >= 400 -> dropped; id 13: 523 >= 400 -> dropped
+    assert 11 not in got and 13 not in got
+    assert got[21] == [0]  # default weight 1
+    # fully deterministic across runs
+    again = mix_upsample(docs, {"hot": 2.3, "cold": 0.4}).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        map(tuple, out.collect()))
+
+
+def test_token_budget_select_cutoff(spark):
+    """Docs admitted in quality-desc order until the budget line; the
+    crossing doc is admitted, everything after is not."""
+    from cass_cdc_pg_spark.operators.text import token_budget_select
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),           # quality 1.0, 4 tokens
+         (2, "a a b b"),           # quality 0.5, 4 tokens
+         (3, "a a a a"),           # quality 0.25, 4 tokens
+         (4, "a a a a a a a a")],  # quality 0.125, 8 tokens
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_budget_select(docs, 10).collect()}
+    # running: d1=4, d2=8, d3=12 (starts at 8 < 10 -> admitted, crosses),
+    # d4 starts at 12 >= 10 -> excluded
+    assert set(got) == {1, 2, 3}
+    assert got[3]["running_tokens"] == 12
