@@ -213,3 +213,27 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_mix_upsample_is_shuffle_free(spark):
+    """Upsampling is a row-local explode — no shuffle, no sample()."""
+    from cass_cdc_pg_spark.operators.text import mix_upsample
+
+    docs = spark.range(1000).selectExpr(
+        "id AS doc_id", "'hot' AS source", "'x' AS text")
+    plan = _plan(mix_upsample(docs, {"hot": 2.5}))
+    assert "Exchange" not in plan, plan
+    assert "Sample" not in plan, plan
+
+
+def test_token_budget_prefix_property(spark):
+    """Budget selection is prefix-closed: a smaller budget's selection
+    is a subset of a larger one's (same total order)."""
+    from cass_cdc_pg_spark.operators.text import token_budget_select
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "repeat('t ', cast(id % 17 + 1 as int)) AS text")
+    small = {r["doc_id"] for r in token_budget_select(docs, 100).collect()}
+    large = {r["doc_id"] for r in token_budget_select(docs, 400).collect()}
+    assert small <= large and len(small) < len(large)
