@@ -458,16 +458,31 @@ def token_budget_select(
     ``budget_tokens`` (the last-admitted doc may cross the line —
     standard "fill the budget" semantics).  Ties and the order itself
     are made total by doc_id, so the subset is deterministic.
+    Default quality = unique-token ratio (the C4-style repetition
+    gate).
 
-    One global-order window on (quality desc, doc_id) — at 100 TB use
-    ``repartitionByRange`` on the same key so the running total runs
-    per range partition with a driver-side prefix-offset pass (the
-    two-phase cumsum); at test scale the single window is exact and
-    the semantics are identical.  Default quality = unique-token
-    ratio (the C4-style repetition gate).
+    Two-phase distributed cumulative sum — no global-order window:
+
+    1. ``repartitionByRange(quality desc, doc_id)`` gives range
+       partitions that are globally ordered partition-to-partition;
+       ``sortWithinPartitions`` orders rows inside each.  A
+       ``mapInPandas`` pass computes the partition-local running sum
+       (vectorized ``cumsum``; Arrow-batched, order-preserving) — no
+       further Exchange, so every core works on its own range slice.
+    2. Per-partition token totals (one map-side-combined tiny agg;
+       the action reuses phase 1's shuffle files, so tokenization
+       runs once) collect to the driver — bounded by the partition
+       count, never by the data — and become prefix offsets.
+       Partitions whose prefix already meets the budget are pruned
+       before the final pass; the offsets broadcast-join back on
+       partition id.
+
+    At 100 TB every partition contributes only a running-sum scan of
+    its own slice plus one integer per partition on the driver; the
+    single-partition global window this replaces would have pushed
+    every row through one task.
     """
-    from pyspark.sql import Window
-
+    spark = documents.sparkSession
     toks = tokens(F.col("text"))
     n = F.size(toks).cast("long")
     q = (
@@ -478,16 +493,52 @@ def token_budget_select(
     scored = documents.select(
         "doc_id", n.alias("n_tokens"), q.alias("quality")
     )
-    w = (
-        Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = [F.col("quality").desc(), F.col("doc_id")]
+    ranged = (
+        scored.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
     )
-    running = F.sum("n_tokens").over(w)
+
+    def _local_cumsum(batches):
+        run = 0
+        for pdf in batches:
+            if len(pdf):
+                c = pdf["n_tokens"].cumsum() + run
+                run = int(c.iloc[-1])
+                pdf = pdf.assign(_local_run=c)
+                yield pdf
+
+    local = ranged.mapInPandas(
+        _local_cumsum,
+        schema="doc_id long, n_tokens long, quality double, _pid int, _local_run long",
+    )
+
+    # phase 2: per-partition totals -> prefix offsets (rows == #partitions)
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        if acc < budget_tokens:  # partitions past the budget: pruned
+            offsets.append((pid, acc))
+        acc += totals[pid]
+    if not offsets:
+        empty = "doc_id long, n_tokens long, quality double, running_tokens long"
+        return spark.createDataFrame([], empty)
+    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
     return (
-        scored.withColumn("running_tokens", running)
+        local.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            "running_tokens", F.col("_local_run") + F.col("_offset")
+        )
         .filter(
             (F.col("running_tokens") - F.col("n_tokens")) < budget_tokens
         )
+        .select("doc_id", "n_tokens", "quality", "running_tokens")
     )
 
 

@@ -237,3 +237,18 @@ def test_token_budget_prefix_property(spark):
     small = {r["doc_id"] for r in token_budget_select(docs, 100).collect()}
     large = {r["doc_id"] for r in token_budget_select(docs, 400).collect()}
     assert small <= large and len(small) < len(large)
+
+def test_token_budget_no_single_partition_exchange(spark):
+    """token_budget_select must never funnel rows through one task:
+    the running sum is a range-partitioned per-partition cumsum plus a
+    broadcast prefix-offset join, not a global-order window."""
+    from cass_cdc_pg_spark.operators.text import token_budget_select
+
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "concat('tok', CAST(id % 7 AS STRING), ' a b c d') AS text")
+    out = token_budget_select(docs, budget_tokens=500)
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
