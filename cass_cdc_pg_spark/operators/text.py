@@ -377,25 +377,43 @@ def pack_sequences(
     )
 
 
-def token_rarity(documents: DataFrame) -> DataFrame:
+def token_rarity(
+    documents: DataFrame,
+    max_broadcast_vocab: int = 4_000_000,
+) -> DataFrame:
     """Unigram-frequency rarity score: per doc, the mean corpus
     frequency of its tokens (CCNet-style LM quality scoring with a
     unigram model; integer sums keep the oracle bit-exact — the
     log-prob transform is monotone in this and left to the caller).
 
     Two stages: (1) corpus vocabulary with counts — one token-level
-    aggregation (at 100 TB: the vocab of natural text is millions of
-    rows ⇒ still broadcastable; cap or sample the tail if not);
-    (2) per-doc re-join of tokens to the **broadcast** vocab + one
+    aggregation; (2) per-doc re-join of tokens to the vocab + one
     partial-agg sum back to doc_id.  Corpus text shuffles only as
     (token) keys for the vocab count, never as documents.
+
+    Broadcast guard: natural-language vocab is millions of rows and
+    broadcasts fine, but a pathological corpus (random IDs, code,
+    hashes) makes vocab ~ token count and an unconditional broadcast
+    OOMs the driver.  The vocab is sized with ``vocab.count()`` —
+    the join job then reuses that aggregation's shuffle files
+    (skipped stage), so the extra action costs one reduce pass, not
+    a second tokenization — and the join broadcasts only when the
+    vocab is at most *max_broadcast_vocab* rows (~20 B/row ⇒ the
+    4M default is ~80 MB); above that it degrades to a shuffled
+    token↔vocab equi-join, which is safe at any vocab size.
     """
     toks = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    if vocab.count() <= max_broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    else:
+        # pin the distributed strategy: per-partition hash build on the
+        # vocab side, never a driver-side broadcast (and no sort pass)
+        vocab = vocab.hint("shuffle_hash")
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -252,3 +252,23 @@ def test_token_budget_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+def test_token_rarity_vocab_guard_degrades_to_shuffle_join(spark):
+    """A pathological corpus where vocab ~ token count (every token
+    unique) must NOT be broadcast: above the max_broadcast_vocab
+    threshold the vocab join degrades to a shuffled equi-join, and the
+    answer is still exact (every freq = 1)."""
+    from cass_cdc_pg_spark.operators.text import token_rarity
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id",
+        "concat('u', id, 'a u', id, 'b u', id, 'c') AS text")
+    out = token_rarity(docs, max_broadcast_vocab=10)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["n_tokens"] == 3 for r in rows)
+    assert all(r["sum_freq"] == 3 for r in rows)  # every token unique
+    assert all(r["mean_token_freq"] == 1.0 for r in rows)
