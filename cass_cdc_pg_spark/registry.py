@@ -843,6 +843,57 @@ FROM r WHERE running_tokens - n_tokens < {_TOKEN_BUDGET}
 """
 
 
+#: Deterministic PII planting for the scrubber's oracle row: the
+#: synthetic corpus contains no digits at all (verified), so these
+#: appended spans are the only PII-pattern matches, and the same CASE
+#: expression is generated in both engines.  ``{S}`` is the dialect's
+#: string type (STRING for Spark, VARCHAR for DuckDB).
+_PII_PLANT_CASE = """CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN ' contact user' || CAST(doc_id AS {S}) || '@example.com and root@test.org'
+  WHEN 1 THEN ' host 10.' || CAST(doc_id % 200 AS {S}) || '.0.7 responded'
+  WHEN 2 THEN ' call +1 555 000 ' || CAST(1000 + doc_id % 9000 AS {S}) || ' now'
+  WHEN 3 THEN ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS {S}) || ' filed'
+  ELSE ''
+END"""
+
+
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.expr(_PII_PLANT_CASE.format(S="STRING"))),
+    )
+    return text.pii_scrub(planted).select(
+        "doc_id", "n_pii_email", "n_pii_ipv4", "n_pii_phone", "n_pii_ssn",
+        "text",
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from .operators.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_pii_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for kind, pat in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '[{kind.upper()}]', 'g')"
+    plant = _PII_PLANT_CASE.format(S="VARCHAR")
+    return f"""
+WITH planted AS (
+  SELECT doc_id, text || {plant} AS text
+  FROM documents)
+SELECT doc_id,
+       {counts},
+       {scrub} AS text
+FROM planted
+"""
+
+
+PII_SCRUB_SQL = _pii_scrub_sql()
+
+
 def docs_token_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_percentiles(src.load_table(spark, sf_dir, "documents"))
 
@@ -1694,6 +1745,7 @@ QUERIES = {
     "events_sessionize": events_sessionize_q,
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
+    "text_pii_scrub": text_pii_scrub_q,
     "q2_checksums": q2_checksums,
     "q3_checksum_diff": q3_checksum_diff,
     "q9_dlq_stats": q9_dlq_stats,
@@ -1803,6 +1855,7 @@ ORACLE = {
     "events_sessionize": SESSIONIZE_SQL,
     "events_asof_session": ASOF_SESSION_SQL,
     "events_interval_session": INTERVAL_SESSION_SQL,
+    "text_pii_scrub": PII_SCRUB_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
