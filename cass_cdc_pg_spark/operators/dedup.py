@@ -364,23 +364,32 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components by min-label propagation — the final stage
-    of a dedup pipeline: near-dup *pairs* (any tier above) become
-    *clusters*, each labelled by its smallest member (the canonical
-    document to keep).
+    """Connected components by min-label propagation with pointer
+    doubling — the final stage of a dedup pipeline: near-dup *pairs*
+    (any tier above) become *clusters*, each labelled by its smallest
+    member (the canonical document to keep).
 
-    Iterates ``label(v) = min(label(v), min over neighbours)`` to a
-    fixpoint; rounds needed = graph diameter, and near-dup graphs are
-    unions of dense clusters (diameter ≲ 2-3), so this converges in a
-    handful of rounds.  Each round is one join + one groupBy (two
-    shuffles on the node key); lineage is cut per round with an eager
-    ``localCheckpoint`` so the plan stays flat.  At extreme scale the
-    same loop admits the large-star/small-star optimization
-    (Kiveris et al., "Connected Components in MapReduce") — the
-    per-round primitive here is deliberately identical.
+    Each round does two steps:
+
+    1. propagate: ``label(v) = min(label(v), min over neighbours)``
+    2. shortcut (pointer doubling): ``label(v) = label(label(v))`` —
+       every label is itself a node id, so one self-join re-points each
+       node at its label's label, halving min-chain depth.
+
+    Propagation alone needs diameter-many rounds — fine for near-dup
+    graphs (unions of dense clusters, diameter ≲ 2-3) but pathological
+    on a long path, where it would hit the round cap unconverged.  With
+    the shortcut the label reach follows ``k ← 2k + 2``, so a path of n
+    nodes converges in ~log2(n) rounds (the Kiveris et al. "Connected
+    Components in MapReduce" contraction, expressed as label algebra).
+    Each round is a join + groupBy + self-join (three shuffles on the
+    node key); lineage is cut per round with an eager
+    ``localCheckpoint`` so the plan stays flat.
 
     Output: (node, component) for every node appearing in *edges*.
+    If *stats* is given, ``stats["rounds"]`` records rounds executed.
     """
     verts = (
         edges.select(F.col(src_col).alias("node"))
@@ -396,15 +405,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbour = (
             sym.join(labels, sym["v"] == labels["node"])
             .select(F.col("u").alias("node"), "component")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbour)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # shortcut: labels are node ids, so label(label(v)) is one
+        # self-join away; left join because a component min may have
+        # already reached its fixpoint row (label(m) = m)
+        mapping = propagated.select(
+            F.col("node").alias("_lbl_node"), F.col("component").alias("_lbl_comp")
+        )
+        new_labels = (
+            propagated.join(
+                mapping, propagated["component"] == mapping["_lbl_node"], "left"
+            )
+            .select(
+                "node",
+                F.coalesce("_lbl_comp", "component").alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -417,4 +443,6 @@ def connected_components(
         labels = new_labels
         if not changed:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels

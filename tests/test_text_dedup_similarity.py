@@ -516,3 +516,19 @@ def test_token_budget_select_cutoff(spark):
     # d4 starts at 12 >= 10 -> excluded
     assert set(got) == {1, 2, 3}
     assert got[3]["running_tokens"] == 12
+
+
+def test_connected_components_path_graph_converges_in_log_rounds(spark):
+    """Worst case for pure propagation: a 1000-node path (diameter 999)
+    would hit the 25-round cap unconverged.  Pointer doubling makes the
+    label reach follow k <- 2k + 2, so convergence (+1 fixpoint-detect
+    round) lands at ~log2(n): 10 rounds for n=1000."""
+    from cass_cdc_pg_spark.operators import dedup
+
+    edges = spark.range(999).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    stats = {}
+    out = dedup.connected_components(edges, stats=stats)
+    rows = out.collect()
+    assert len(rows) == 1000
+    assert all(r["component"] == 0 for r in rows)
+    assert stats["rounds"] <= 12, stats
