@@ -43,6 +43,9 @@ PIPELINE = [
     "docs_pack_sequences",
     "embedding_quantize_int8",
     "ann_ivf_topk",
+    "events_asof_session",
+    "events_interval_session",
+    "docs_token_budget",
 ]
 
 
