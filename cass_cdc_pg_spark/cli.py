@@ -190,6 +190,28 @@ def cmd_metrics_dump(args, spark) -> int:
     return 0
 
 
+def cmd_serve(args, spark) -> int:
+    """Run the HTTP listener (``api.py``) — the uvicorn analog
+    (``src/api/main.py``).  Blocks until interrupted."""
+    from cass_cdc_pg_spark.api import CdcApiServer, CdcApiService
+
+    service = CdcApiService(
+        spark,
+        sf_dir=args.sf_dir,
+        warehouse=args.warehouse,
+        table_config=_load_config(args.config) if args.config else None,
+    )
+    server = CdcApiServer(service, host=args.host, port=args.port,
+                          rate_limit_state=args.rate_limit_state)
+    host, port = server.start()
+    print(json.dumps({"listening": f"http://{host}:{port}"}))
+    try:
+        server._thread.join()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cass-cdc-pg-spark")
     # middleware analogs (src/middleware/*): X-Request-ID header →
@@ -255,6 +277,14 @@ def build_parser() -> argparse.ArgumentParser:
     me = sub.add_parser("metrics").add_subparsers(dest="sub", required=True)
     du = me.add_parser("dump")
     du.set_defaults(fn=cmd_metrics_dump)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--sf-dir")
+    sv.add_argument("--warehouse")
+    sv.add_argument("--config")
+    sv.set_defaults(fn=cmd_serve)
     return p
 
 
