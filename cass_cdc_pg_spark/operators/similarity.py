@@ -414,3 +414,60 @@ def quantize_int8(
             "q_digest"
         ),
     )
+
+
+def knn_within(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-NN similarity self-join within a coarse partition — the
+    intra-cell refinement stage of a quantized ANN pipeline: after a
+    coarse assignment (IVF cell, LSH bucket, or a semantic label like
+    here), each vector's nearest neighbors are sought only inside its
+    own cell.
+
+    ``query_id, neighbor_id, <group_col>, rank, sim`` (sim 6 dp, the
+    ANN contract shared with the DuckDB oracle).
+
+    Scale shape: one Exchange on the group key for each join side,
+    then the pairwise scores never leave their partition until the
+    final per-query top-k (WindowGroupLimit prunes to k rows per
+    query *before* that shuffle).  Work is quadratic only within a
+    cell — bounded by cell capacity in a real IVF layout (tens of
+    thousands), not corpus size; a skewed cell is an AQE skew-join
+    split, not a planning failure.  Dot products are the same
+    left-to-right ``F.zip_with``/``F.aggregate`` fold as
+    ``cosine_topk``, bit-identical with the oracle's ``list_reduce``.
+    """
+    g = F.col(group_col)
+    left = embeddings.select(
+        g.alias(group_col),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    )
+    right = embeddings.select(
+        g.alias(group_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        left.join(right, group_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            group_col,
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", group_col, "rank", "sim")
+    )

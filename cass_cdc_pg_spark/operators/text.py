@@ -618,3 +618,64 @@ def length_histogram(documents: DataFrame) -> DataFrame:
             F.max("n").cast("long").alias("max_tokens"),
         )
     )
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source (per-domain) corpus profile — the aggregation that
+    drives training-mix decisions: how big is each source, how much of
+    it survives quality filtering, and how internally duplicated is it.
+
+    ``source, n_docs, total_tokens, n_ok, n_dup, ok_ratio, dup_ratio``
+
+    Single-pass design: token count, quality bucket, and the
+    content fingerprint (the ``fingerprint`` operator's md5 of the
+    sorted distinct token set) come out of ONE projection — the text
+    column is read once and never shuffled.  Two shuffles total,
+    both on narrow rows: (1) fingerprint → corpus-wide duplicate
+    count (hash + count only), (2) source → final rollup (~#sources
+    groups, map-side partials).  At 100 TB the text stays columnar
+    in the scan; everything that moves is a few dozen bytes/row.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    uniq_ratio = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / n, 4
+    )
+    bucket = (
+        F.when(n < 20, F.lit("too_short"))
+        .when(uniq_ratio < 0.3, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        bucket.alias("quality_bucket"),
+        fp.alias("fp"),
+    )
+    dup = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    joined = per_doc.join(dup, "fp")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("quality_bucket") == "ok", 1).otherwise(0)
+        ).cast("long").alias("n_ok"),
+        F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_dup"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_ok",
+        "n_dup",
+        F.round(F.col("n_ok").cast("double") / F.col("n_docs"), 4).alias(
+            "ok_ratio"
+        ),
+        F.round(F.col("n_dup").cast("double") / F.col("n_docs"), 4).alias(
+            "dup_ratio"
+        ),
+    )

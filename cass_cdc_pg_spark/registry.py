@@ -1736,6 +1736,86 @@ EMBEDDING_NEARDUP_SQL = _neardup_sql()
 # variants (q4-q8, q12, q13, q17 — all re-verified every round by
 # tools/check_oracle.py and pytest) are rotated to the tail.  Rotate the
 # tail each round so every declared query accrues driver coverage.
+def docs_source_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (size / quality survival / internal
+    duplication) — the rollup behind training-mix weighting."""
+    return text.source_stats(src.load_table(spark, sf_dir, "documents"))
+
+
+SOURCE_STATS_SQL = """
+WITH per_doc AS (
+  SELECT doc_id, source, len(tk) AS n_tokens,
+         CASE WHEN len(tk) < 20 THEN 'too_short'
+              WHEN ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) < 0.3 THEN 'repetitive'
+              ELSE 'ok' END AS quality_bucket,
+         md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fp
+  FROM (SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents)),
+dup AS (SELECT fp, COUNT(*) AS n_fp FROM per_doc GROUP BY fp)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS ok_ratio,
+       ROUND(CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+FROM per_doc JOIN dup USING (fp)
+GROUP BY source
+"""
+
+
+def ann_knn_within_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label exact k-NN join — the intra-cell refinement stage
+    of an IVF/LSH pipeline, run here with the semantic label as the
+    coarse cell."""
+    return similarity.knn_within(
+        src.load_table(spark, sf_dir, "embeddings"), k=3
+    )
+
+
+KNN_WITHIN_SQL = f"""
+WITH l AS (SELECT label, vec_id AS query_id, embedding AS qv FROM embeddings),
+r AS (SELECT label, vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT l.label AS label, query_id, neighbor_id,
+         ROUND({_cos_sql('qv', 'cv')}, 6) AS sim
+  FROM l JOIN r ON l.label = r.label AND neighbor_id <> query_id)
+SELECT query_id, neighbor_id, label, rank, sim
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+def events_user_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector (volume, diversity, spend,
+    activity window, mean gap) — event-stream feature engineering."""
+    from cass_cdc_pg_spark.operators.features import user_features
+
+    return user_features(_ev(spark, sf_dir))
+
+
+USER_FEATURES_SQL = """
+WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_value_micros,
+         MIN(ts_us) AS first_ts_us,
+         MAX(ts_us) AS last_ts_us
+  FROM ev GROUP BY user_id)
+SELECT user_id, n_events, n_types, total_value_micros,
+       total_value_micros // n_events AS avg_value_micros,
+       first_ts_us, last_ts_us,
+       last_ts_us - first_ts_us AS span_us,
+       CASE WHEN n_events > 1
+            THEN (last_ts_us - first_ts_us) // (n_events - 1) END AS avg_gap_us
+FROM agg
+"""
+
+
 QUERIES = {
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -1746,16 +1826,16 @@ QUERIES = {
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
     "text_pii_scrub": text_pii_scrub_q,
+    "docs_source_stats": docs_source_stats_q,
+    "ann_knn_within": ann_knn_within_q,
+    "events_user_features": events_user_features_q,
     "q2_checksums": q2_checksums,
     "q3_checksum_diff": q3_checksum_diff,
     "q9_dlq_stats": q9_dlq_stats,
     "q10_job_stats": q10_job_stats,
     "q11_listing_orders": q11_listing_orders,
     "q18_gdpr_erasure": q18_gdpr_erasure,
-    "q19_retention": q19_retention,
     "q20_drift_severity": q20_drift_severity,
-    "q21_dlq_replay_select": q21_dlq_replay_select,
-    "q22_resolve_update": q22_resolve_update,
     "c1_lww_state": c1_lww_state,
     "t7_validation_split": t7_validation_split,
     "t9_ttl_expiry": t9_ttl_expiry,
@@ -1788,6 +1868,9 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk_q,
     "embedding_neardup": embedding_neardup_q,
     # ---- rotated tail: long-green, low-risk; past the driver's 50-cap ----
+    "q19_retention": q19_retention,
+    "q21_dlq_replay_select": q21_dlq_replay_select,
+    "q22_resolve_update": q22_resolve_update,
     "q4_missing_in_source": q4_missing_in_source,
     "q5_range_diff": q5_range_diff,
     "q6_sample": q6_sample,
@@ -1856,6 +1939,9 @@ ORACLE = {
     "events_asof_session": ASOF_SESSION_SQL,
     "events_interval_session": INTERVAL_SESSION_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
+    "docs_source_stats": SOURCE_STATS_SQL,
+    "ann_knn_within": KNN_WITHIN_SQL,
+    "events_user_features": USER_FEATURES_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -1,0 +1,111 @@
+"""Behavioral tests for the round-4 feature/rollup operators:
+per-user event features, per-source corpus stats, within-group k-NN."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_user_features_values_and_single_event_edge(spark):
+    from cass_cdc_pg_spark.operators.features import user_features
+
+    rows = [
+        # user 1: three events, values sum to 6.30, span 20s
+        (1, 1, "a", 1.10, 10_000_000),
+        (2, 1, "b", 2.20, 20_000_000),
+        (3, 1, "a", 3.00, 30_000_000),
+        # user 2: single event → span 0, gap NULL
+        (4, 2, "c", 5.55, 40_000_000),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_us long"
+    )
+    out = {r["user_id"]: r for r in user_features(ev).collect()}
+    u1 = out[1]
+    assert u1["n_events"] == 3 and u1["n_types"] == 2
+    assert u1["total_value_micros"] == 6_300_000
+    assert u1["avg_value_micros"] == 2_100_000
+    assert u1["first_ts_us"] == 10_000_000 and u1["last_ts_us"] == 30_000_000
+    assert u1["span_us"] == 20_000_000
+    assert u1["avg_gap_us"] == 10_000_000  # span // (n-1)
+    u2 = out[2]
+    assert u2["n_events"] == 1 and u2["span_us"] == 0
+    assert u2["avg_gap_us"] is None  # undefined for a single event
+
+
+def test_source_stats_counts_duplicates_and_quality(spark):
+    from cass_cdc_pg_spark.operators.text import source_stats
+
+    long_ok = " ".join(f"w{i}" for i in range(25))  # 25 unique tokens → ok
+    rows = [
+        (1, long_ok, "s1", len(long_ok)),
+        (2, long_ok, "s1", len(long_ok)),        # exact dup of doc 1
+        (3, "tiny doc", "s1", 8),                # too_short
+        (4, " ".join(f"x{i}" for i in range(30)), "s2", 100),  # unique, ok
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in source_stats(docs).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3
+    assert s1["total_tokens"] == 25 + 25 + 2
+    assert s1["n_ok"] == 2 and s1["n_dup"] == 2  # the dup pair, not the short doc
+    assert s1["ok_ratio"] == round(2 / 3, 4)
+    assert s1["dup_ratio"] == round(2 / 3, 4)
+    s2 = out["s2"]
+    assert (s2["n_docs"], s2["n_ok"], s2["n_dup"]) == (1, 1, 0)
+    assert s2["dup_ratio"] == 0.0
+
+
+def test_knn_within_matches_brute_force(spark):
+    from cass_cdc_pg_spark.operators.similarity import knn_within
+
+    # two labels, vectors where cosine ordering is hand-checkable
+    vecs = {
+        0: [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.5, 0.5])],
+        1: [(10, [1.0, 1.0]), (11, [1.0, 0.9])],
+    }
+    rows = [
+        (vid, [float(x) for x in v], lbl)
+        for lbl, items in vecs.items()
+        for vid, v in items
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_within(emb, k=2).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(y * y for y in b)
+        )
+
+    # brute-force expectation within each label
+    expected = {}
+    for lbl, items in vecs.items():
+        for vid, v in items:
+            sims = sorted(
+                (
+                    (round(cos(v, w), 6), -ovid)
+                    for ovid, w in items
+                    if ovid != vid
+                ),
+                reverse=True,
+            )
+            expected[vid] = [(-nid, s) for s, nid in sims[:2]]
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim"], r["label"])
+        )
+    for vid, exp in expected.items():
+        mine = sorted(got[vid])
+        assert [(nid, s) for _, nid, s, _ in mine] == exp, (vid, mine, exp)
+    # neighbors never cross the label boundary
+    for r in out:
+        ids_in_label = {vid for vid, _ in vecs[r["label"]]}
+        assert r["neighbor_id"] in ids_in_label

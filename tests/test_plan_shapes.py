@@ -272,3 +272,50 @@ def test_token_rarity_vocab_guard_degrades_to_shuffle_join(spark):
     assert all(r["n_tokens"] == 3 for r in rows)
     assert all(r["sum_freq"] == 3 for r in rows)  # every token unique
     assert all(r["mean_token_freq"] == 1.0 for r in rows)
+
+
+def test_source_stats_partial_aggs_and_no_global_shuffle(spark):
+    """Per-source rollup: map-side partial aggregation must appear
+    before both shuffles (fp dup-count, source rollup), and nothing
+    may collapse to a single partition or a cartesian join."""
+    from cass_cdc_pg_spark.operators.text import source_stats
+
+    docs = spark.range(500).selectExpr(
+        "id AS doc_id", "'a b c' AS text",
+        "concat('s', id % 5) AS source", "5 AS n_chars")
+    plan = _plan(source_stats(docs))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_within_equi_join_and_group_limit(spark):
+    """Within-group k-NN must plan as a hash/sort equi-join on the
+    group key (never a nested-loop over the cross product) and prune
+    the per-query top-k before the window shuffle (WindowGroupLimit)."""
+    from cass_cdc_pg_spark.operators.similarity import knn_within
+
+    emb = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS FLOAT), CAST(id % 7 AS FLOAT)) AS embedding",
+        "CAST(id % 4 AS INT) AS label")
+    plan = _plan(knn_within(emb, k=3))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_user_features_shuffles_bounded(spark):
+    """COUNT(DISTINCT) plans as the standard two-phase aggregate —
+    at most two key-hash Exchanges (user_id+type, then user_id), no
+    single-partition collapse, partials map-side."""
+    from cass_cdc_pg_spark.operators.features import user_features
+
+    ev = spark.range(1000).selectExpr(
+        "id AS event_id", "id % 13 AS user_id",
+        "concat('t', id % 3) AS event_type",
+        "CAST(id AS DOUBLE) / 7 AS value", "id * 1000 AS ts_us")
+    plan = _plan(user_features(ev))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_" in plan, plan
