@@ -46,6 +46,9 @@ PIPELINE = [
     "events_asof_session",
     "events_interval_session",
     "docs_token_budget",
+    "docs_source_stats",
+    "ann_knn_within",
+    "events_user_features",
 ]
 
 
