@@ -49,6 +49,7 @@ PIPELINE = [
     "docs_source_stats",
     "ann_knn_within",
     "events_user_features",
+    "sales_by_nation_quarter",
 ]
 
 

@@ -443,15 +443,22 @@ def knn_within(
     ``cosine_topk``, bit-identical with the oracle's ``list_reduce``.
     """
     g = F.col(group_col)
+    # norms precomputed once per vector, not once per pair: the pair
+    # loop then runs ONE array fold (the dot product) instead of
+    # three.  sqrt-then-multiply matches cosine()'s op order exactly,
+    # so scores stay bit-identical to the per-pair formulation (and
+    # the oracle's).
     left = embeddings.select(
         g.alias(group_col),
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     right = embeddings.select(
         g.alias(group_col),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         left.join(right, group_col)
@@ -460,7 +467,11 @@ def knn_within(
             group_col,
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1816,6 +1816,69 @@ FROM agg
 """
 
 
+def sales_by_nation_quarter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup (TPC-H Q5-shaped): lineitem ⋈ orders
+    ⋈ customer ⋈ nation, revenue per nation per quarter.
+
+    Scale shape: the two fact-side joins shuffle on their keys
+    (l_orderkey, o_custkey) with AQE free to broadcast whichever side
+    shrinks below threshold at runtime; the nation dim is explicitly
+    ``broadcast()`` (25 rows at any scale).  Revenue multiplies in
+    double (IEEE-identical in any engine) and accumulates as
+    DECIMAL(18,6) — exact, associative, partition-order independent;
+    a double SUM here would be nondeterministic across partitionings.
+    """
+    li = _li(spark, sf_dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = src.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(rev).alias("_rev"),
+        )
+        .select(
+            "nation",
+            "yr",
+            "qtr",
+            "n_items",
+            "n_orders",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+SALES_NATION_QUARTER_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -1829,13 +1892,13 @@ QUERIES = {
     "docs_source_stats": docs_source_stats_q,
     "ann_knn_within": ann_knn_within_q,
     "events_user_features": events_user_features_q,
+    "sales_by_nation_quarter": sales_by_nation_quarter_q,
     "q2_checksums": q2_checksums,
     "q3_checksum_diff": q3_checksum_diff,
     "q9_dlq_stats": q9_dlq_stats,
     "q10_job_stats": q10_job_stats,
     "q11_listing_orders": q11_listing_orders,
     "q18_gdpr_erasure": q18_gdpr_erasure,
-    "q20_drift_severity": q20_drift_severity,
     "c1_lww_state": c1_lww_state,
     "t7_validation_split": t7_validation_split,
     "t9_ttl_expiry": t9_ttl_expiry,
@@ -1868,6 +1931,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk_q,
     "embedding_neardup": embedding_neardup_q,
     # ---- rotated tail: long-green, low-risk; past the driver's 50-cap ----
+    "q20_drift_severity": q20_drift_severity,
     "q19_retention": q19_retention,
     "q21_dlq_replay_select": q21_dlq_replay_select,
     "q22_resolve_update": q22_resolve_update,
@@ -1942,6 +2006,7 @@ ORACLE = {
     "docs_source_stats": SOURCE_STATS_SQL,
     "ann_knn_within": KNN_WITHIN_SQL,
     "events_user_features": USER_FEATURES_SQL,
+    "sales_by_nation_quarter": SALES_NATION_QUARTER_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

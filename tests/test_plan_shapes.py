@@ -319,3 +319,16 @@ def test_user_features_shuffles_bounded(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_sales_rollup_broadcasts_dim_no_cartesian(spark, tmp_path):
+    """Star-schema rollup: the nation dim must broadcast, fact joins
+    stay equi-joins, and the revenue agg has map-side partials."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.sales_by_nation_quarter_q(
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
