@@ -109,3 +109,96 @@ def test_knn_within_matches_brute_force(spark):
     for r in out:
         ids_in_label = {vid for vid, _ in vecs[r["label"]]}
         assert r["neighbor_id"] in ids_in_label
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_vec = st.lists(
+    st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+    min_size=3, max_size=3,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.lists(st.tuples(_vec, st.integers(0, 1)), min_size=2, max_size=10))
+def test_knn_within_property_matches_brute_force(spark, data):
+    """Random vectors: ranks agree with a python brute force under the
+    same 6-dp rounding and (sim desc, neighbor_id) tie order."""
+    from cass_cdc_pg_spark.operators.similarity import knn_within
+
+    rows = [
+        (i, [float(x) for x in v], lbl)
+        for i, (v, lbl) in enumerate(data)
+        if any(x != 0 for x in v)  # zero vectors have undefined cosine
+    ]
+    if len(rows) < 2:
+        return
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_within(emb, k=2).collect()
+
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        # Spark's round(double, 6): BigDecimal of the shortest decimal
+        # repr, HALF_UP — python round() is banker's and CAN differ
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP))
+
+    def cos(a, b):
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        acc = na = nb = 0.0
+        for x, y in zip(a, b):  # left-to-right fold, like the engine
+            acc += x * y
+            na += x * x
+            nb += y * y
+        return r6(acc / (np.sqrt(na) * np.sqrt(nb)))
+
+    by_label: dict[int, list] = {}
+    for vid, v, lbl in rows:
+        by_label.setdefault(lbl, []).append((vid, np.asarray(v, np.float32)))
+    expected = {}
+    for lbl, items in by_label.items():
+        for vid, v in items:
+            cands = sorted(
+                ((cos(v, w), -ovid) for ovid, w in items if ovid != vid),
+                reverse=True,
+            )
+            expected[vid] = [(-nid, s) for s, nid in cands[:2]]
+    got: dict[int, list] = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim"])
+        )
+    for vid, exp in expected.items():
+        mine = [(nid, s) for _, nid, s in sorted(got.get(vid, []))]
+        assert mine == exp, (vid, mine, exp)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.decimals(min_value=0, max_value=999, places=2), min_size=1, max_size=12
+    )
+)
+def test_user_features_total_is_exact_decimal_sum(spark, vals):
+    """total_value_micros equals the exact decimal sum of the inputs
+    regardless of partitioning — no float accumulation drift."""
+    from decimal import Decimal
+
+    from cass_cdc_pg_spark.operators.features import user_features
+
+    rows = [
+        (i, 1, "t", float(v), 1_000_000 * (i + 1)) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts_us long",
+    ).repartition(4)
+    out = user_features(ev).collect()[0]
+    exact = sum(Decimal(str(float(v))) for v in vals) * 1_000_000
+    assert out["total_value_micros"] == int(exact)
