@@ -70,3 +70,58 @@ def user_features(events: DataFrame) -> DataFrame:
         "avg_value_micros", "first_ts_us", "last_ts_us", "span_us",
         "avg_gap_us",
     )
+
+
+def user_features_windowed(
+    events: DataFrame,
+    window_duration: str = "5 minutes",
+    ts_us_col: str = "ts_us",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user features per tumbling window — ONE code path for batch
+    and streaming (pass *watermark* on a streaming input to bound
+    state; late rows past it are dropped, on-time rows re-aggregate).
+
+    ``n_types`` is an exact distinct in batch; streaming state stores
+    forbid exact distinct, so the stream path uses the HLL sketch
+    (exact in its sparse regime, i.e. for the small per-user-window
+    cardinalities this tracks; the batch backfill is the exact
+    reconciler).  Spend accumulates as DECIMAL → integer micros, same
+    determinism contract as :func:`user_features`.
+
+    Scale: one shuffle on (window, user_id) with map-side partials;
+    streaming state is one row per open (window, user) pruned by the
+    watermark.
+    """
+    with_ts = events.withColumn("_ts", F.timestamp_micros(F.col(ts_us_col)))
+    if watermark is not None:
+        with_ts = with_ts.withWatermark("_ts", watermark)
+    n_types = (
+        F.approx_count_distinct("event_type")
+        if events.isStreaming
+        else F.count_distinct("event_type")
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return (
+        with_ts.groupBy(
+            F.window("_ts", window_duration).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            n_types.cast("long").alias("n_types"),
+            F.sum(dec).alias("_total"),
+            F.min(ts_us_col).alias("first_ts_us"),
+            F.max(ts_us_col).alias("last_ts_us"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "user_id",
+            "n_events",
+            "n_types",
+            (F.col("_total") * F.lit(1_000_000)).cast("long").alias(
+                "total_value_micros"
+            ),
+            "first_ts_us",
+            "last_ts_us",
+        )
+    )

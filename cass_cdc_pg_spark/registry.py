@@ -1879,6 +1879,27 @@ GROUP BY 1, 2, 3
 """
 
 
+def events_user_features_5min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed per-user features — the batch twin of the streaming
+    aggregation (same code path, exact distinct in batch)."""
+    from cass_cdc_pg_spark.operators.features import user_features_windowed
+
+    return user_features_windowed(_ev(spark, sf_dir), "5 minutes")
+
+
+USER_FEATURES_5MIN_SQL = """
+WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us FROM events)
+SELECT (ts_us // 300000000) * 300000000 AS window_start_us,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_value_micros,
+       MIN(ts_us) AS first_ts_us,
+       MAX(ts_us) AS last_ts_us
+FROM ev GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -1893,6 +1914,7 @@ QUERIES = {
     "ann_knn_within": ann_knn_within_q,
     "events_user_features": events_user_features_q,
     "sales_by_nation_quarter": sales_by_nation_quarter_q,
+    "events_user_features_5min": events_user_features_5min_q,
     "q2_checksums": q2_checksums,
     "q3_checksum_diff": q3_checksum_diff,
     "q9_dlq_stats": q9_dlq_stats,
@@ -1923,7 +1945,6 @@ QUERIES = {
     "docs_length_histogram": docs_length_histogram_q,
     "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
-    "text_fingerprint": text_fingerprint_q,
     "text_winnow_fps": text_winnow_q,
     "text_lang_id": text_lang_id_q,
     "ann_cosine_topk": ann_cosine_topk_q,
@@ -1931,6 +1952,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk_q,
     "embedding_neardup": embedding_neardup_q,
     # ---- rotated tail: long-green, low-risk; past the driver's 50-cap ----
+    "text_fingerprint": text_fingerprint_q,
     "q20_drift_severity": q20_drift_severity,
     "q19_retention": q19_retention,
     "q21_dlq_replay_select": q21_dlq_replay_select,
@@ -2007,6 +2029,7 @@ ORACLE = {
     "ann_knn_within": KNN_WITHIN_SQL,
     "events_user_features": USER_FEATURES_SQL,
     "sales_by_nation_quarter": SALES_NATION_QUARTER_SQL,
+    "events_user_features_5min": USER_FEATURES_5MIN_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -202,3 +202,62 @@ def test_user_features_total_is_exact_decimal_sum(spark, vals):
     out = user_features(ev).collect()[0]
     exact = sum(Decimal(str(float(v))) for v in vals) * 1_000_000
     assert out["total_value_micros"] == int(exact)
+
+
+def test_user_features_windowed_streaming_matches_batch(spark, tmp_path):
+    """The SAME user_features_windowed call runs as a streaming
+    aggregation (watermark-bounded state) and converges to the batch
+    answer across multiple microbatches."""
+    import json
+    import os
+
+    from cass_cdc_pg_spark.operators.features import user_features_windowed
+
+    m = 60 * 1_000_000
+    rows_b1 = [(1, "a", 1.25, 1 * m), (1, "b", 2.00, 2 * m), (2, "a", 4.50, 3 * m)]
+    rows_b2 = [(1, "a", 0.75, 4 * m), (2, "c", 1.00, 6 * m)]  # 6m → 2nd window
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for name, batch in (("b1", rows_b1), ("b2", rows_b2)):
+        with open(f"{in_dir}/{name}.jsonl", "w") as fh:
+            for uid, et, v, t in batch:
+                fh.write(json.dumps(
+                    {"user_id": uid, "event_type": et, "value": v, "ts_us": t}
+                ) + "\n")
+
+    schema = "user_id long, event_type string, value double, ts_us long"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = (
+        user_features_windowed(stream, "5 minutes", watermark="1 hour")
+        .writeStream.format("memory").queryName("uf_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start_us"], r["user_id"]): (
+            r["n_events"], r["n_types"], r["total_value_micros"],
+            r["first_ts_us"], r["last_ts_us"],
+        )
+        for r in spark.sql("SELECT * FROM uf_win").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(i, u, e, v, t) for i, (u, e, v, t) in enumerate(rows_b1 + rows_b2)],
+        "event_id long, " + schema,
+    )
+    expected = {
+        (r["window_start_us"], r["user_id"]): (
+            r["n_events"], r["n_types"], r["total_value_micros"],
+            r["first_ts_us"], r["last_ts_us"],
+        )
+        for r in user_features_windowed(batch_df, "5 minutes").collect()
+    }
+    # HLL n_types is exact in its sparse regime (tiny cardinalities)
+    assert got == expected
+    # sanity: user 1's first window merged across the two microbatches
+    assert got[(0, 1)] == (3, 2, 4_000_000, 1 * m, 4 * m)
