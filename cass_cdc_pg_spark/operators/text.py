@@ -654,8 +654,16 @@ def source_stats(documents: DataFrame) -> DataFrame:
         bucket.alias("quality_bucket"),
         fp.alias("fp"),
     )
-    dup = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
-    joined = per_doc.join(dup, "fp")
+    # corpus-wide duplicate count as a window over fp, NOT a
+    # groupBy+self-join: the join formulation makes Catalyst scan and
+    # tokenize the text twice (once per branch — no subplan reuse
+    # without caching); the window reads the corpus once and shuffles
+    # only the narrow per_doc rows on fp (verified in PLANS.md)
+    from pyspark.sql import Window
+
+    joined = per_doc.withColumn(
+        "n_fp", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
     agg = joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),

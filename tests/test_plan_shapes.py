@@ -287,6 +287,9 @@ def test_source_stats_partial_aggs_and_no_global_shuffle(spark):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # the corpus is scanned (and tokenized) exactly once: the dup
+    # count is a window over fp, not a groupBy+self-join re-scan
+    assert plan.count("Range") == 1, plan
 
 
 def test_knn_within_equi_join_and_group_limit(spark):
