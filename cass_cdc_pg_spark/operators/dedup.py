@@ -384,19 +384,27 @@ def connected_components(
     the shortcut the label reach follows ``k ← 2k + 2``, so a path of n
     nodes converges in ~log2(n) rounds (the Kiveris et al. "Connected
     Components in MapReduce" contraction, expressed as label algebra).
-    Each round is a join + groupBy + self-join (three shuffles on the
-    node key); lineage is cut per round with an eager
-    ``localCheckpoint`` so the plan stays flat.
+
+    Cost discipline: exactly TWO Spark jobs per round.  The previous
+    label rides through the round's own aggregation (a null-safe
+    ``min`` over the self row), so the convergence flag ``chg`` is a
+    plain column of the round's output — no old-vs-new join, no extra
+    shuffle.  Job 1 materialises the round (eager ``localCheckpoint``,
+    which also cuts lineage so the plan stays flat); job 2 is a
+    single-stage ``max(chg)`` over the just-cached partitions (an
+    aggregate, not ``limit(1).count()``, so it can't escalate into
+    multiple limit-probe jobs).  ``tests/test_plan_shapes.py`` pins the
+    2-jobs-per-round budget via a job-group count.
 
     Output: (node, component) for every node appearing in *edges*.
     If *stats* is given, ``stats["rounds"]`` records rounds executed.
     """
-    verts = (
-        edges.select(F.col(src_col).alias("node"))
-        .unionByName(edges.select(F.col(dst_col).alias("node")))
-        .distinct()
-    )
-    labels = verts.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    # Materialise the symmetrised edge list FIRST and derive the vertex
+    # set from it: `edges` is typically the tail of an expensive
+    # candidate-generation pipeline (MinHash-LSH bands etc.), and
+    # computing verts and sym independently would execute that whole
+    # upstream twice.  sym holds both directions, so its `u` column
+    # already covers every endpoint.
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
@@ -405,17 +413,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    verts = sym.select(F.col("u").alias("node")).distinct()
+    labels = verts.withColumn("component", F.col("node")).localCheckpoint(eager=True)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        cur = labels.select("node", "component")
         neighbour = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .select(F.col("u").alias("node"), "component")
+            sym.join(cur, sym["v"] == cur["node"])
+            .select(
+                F.col("u").alias("node"),
+                "component",
+                F.lit(None).cast(cur.schema["component"].dataType).alias("old"),
+            )
         )
+        # self rows carry the previous label in `old`; min() skips the
+        # neighbour rows' nulls, so one groupBy yields BOTH the new
+        # minimum label and the label it replaced.
         propagated = (
-            labels.unionByName(neighbour)
+            cur.withColumn("old", F.col("component"))
+            .unionByName(neighbour)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),
+            )
         )
         # shortcut: labels are node ids, so label(label(v)) is one
         # self-join away; left join because a component min may have
@@ -430,19 +452,14 @@ def connected_components(
             .select(
                 "node",
                 F.coalesce("_lbl_comp", "component").alias("component"),
+                (F.coalesce("_lbl_comp", "component") != F.col("old")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.agg(F.max("chg")).first()[0]
         labels = new_labels
         if not changed:
             break
     if stats is not None:
         stats["rounds"] = rounds
-    return labels
+    return labels.select("node", "component")

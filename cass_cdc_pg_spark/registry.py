@@ -1900,7 +1900,32 @@ FROM ev GROUP BY 1, 2
 """
 
 
+# Rotation policy (the driver checks the FIRST 50 entries only): every
+# round, the entries the driver skipped last round move to the FRONT, and
+# an equal number of long-green, untouched entries move to the tail, so no
+# query's most recent driver-green row ever ages past ~2 rounds.  Queries
+# whose implementation changed in the current round must stay inside the
+# first 50 regardless.
 QUERIES = {
+    # ---- r5 head: the 13 entries the driver skipped in r4 ----
+    "text_fingerprint": text_fingerprint_q,
+    "q20_drift_severity": q20_drift_severity,
+    "q19_retention": q19_retention,
+    "q21_dlq_replay_select": q21_dlq_replay_select,
+    "q22_resolve_update": q22_resolve_update,
+    "q4_missing_in_source": q4_missing_in_source,
+    "q5_range_diff": q5_range_diff,
+    "q6_sample": q6_sample,
+    "q7_point_lookup": q7_point_lookup,
+    "q8_field_diff": q8_field_diff,
+    "q12_listing_events": q12_listing_events,
+    "q13_listing_lineitem": q13_listing_lineitem,
+    "q17_table_counts": q17_table_counts,
+    # ---- queries touched in r5 (must stay in-window) ----
+    "dedup_components": dedup_components_q,
+    "text_token_rarity": text_token_rarity_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
+    # ---- rest of the r5 window ----
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
     "multimodal_features": multimodal_features_q,
@@ -1917,54 +1942,39 @@ QUERIES = {
     "events_user_features_5min": events_user_features_5min_q,
     "q2_checksums": q2_checksums,
     "q3_checksum_diff": q3_checksum_diff,
-    "q9_dlq_stats": q9_dlq_stats,
-    "q10_job_stats": q10_job_stats,
     "q11_listing_orders": q11_listing_orders,
     "q18_gdpr_erasure": q18_gdpr_erasure,
     "c1_lww_state": c1_lww_state,
-    "t7_validation_split": t7_validation_split,
-    "t9_ttl_expiry": t9_ttl_expiry,
-    "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
-    "dedup_components": dedup_components_q,
     "corpus_clean_keep": corpus_clean_keep_q,
     "events_stratified_sample": events_stratified_sample_q,
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "text_token_stats": text_token_stats_q,
-    "text_repetition_stats": text_repetition_q,
     "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "docs_token_percentiles": docs_token_percentiles_q,
     "docs_mix_upsample": docs_mix_upsample_q,
     "docs_token_budget": docs_token_budget_q,
     "docs_pack_sequences": docs_pack_sequences_q,
-    "text_token_rarity": text_token_rarity_q,
+    "ann_cosine_topk": ann_cosine_topk_q,
+    "similarity_lsh_topk": similarity_lsh_topk_q,
+    "embedding_neardup": embedding_neardup_q,
+    # ---- r5 rotated tail: long-green (driver-green r4), untouched this
+    # round, past the driver's 50-cap; must lead the r6 window ----
+    "q9_dlq_stats": q9_dlq_stats,
+    "q10_job_stats": q10_job_stats,
+    "t7_validation_split": t7_validation_split,
+    "t9_ttl_expiry": t9_ttl_expiry,
+    "dedup_exact_groups": dedup_exact_groups,
+    "text_token_stats": text_token_stats_q,
+    "text_repetition_stats": text_repetition_q,
     "embedding_quantize_int8": embedding_quantize_q,
     "docs_length_histogram": docs_length_histogram_q,
     "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
     "text_winnow_fps": text_winnow_q,
     "text_lang_id": text_lang_id_q,
-    "ann_cosine_topk": ann_cosine_topk_q,
-    "similarity_lsh_topk": similarity_lsh_topk_q,
-    "ann_ivf_topk": ann_ivf_topk_q,
-    "embedding_neardup": embedding_neardup_q,
-    # ---- rotated tail: long-green, low-risk; past the driver's 50-cap ----
-    "text_fingerprint": text_fingerprint_q,
-    "q20_drift_severity": q20_drift_severity,
-    "q19_retention": q19_retention,
-    "q21_dlq_replay_select": q21_dlq_replay_select,
-    "q22_resolve_update": q22_resolve_update,
-    "q4_missing_in_source": q4_missing_in_source,
-    "q5_range_diff": q5_range_diff,
-    "q6_sample": q6_sample,
-    "q7_point_lookup": q7_point_lookup,
-    "q8_field_diff": q8_field_diff,
-    "q12_listing_events": q12_listing_events,
-    "q13_listing_lineitem": q13_listing_lineitem,
-    "q17_table_counts": q17_table_counts,
 }
 
 ORACLE = {
