@@ -385,7 +385,7 @@ def connected_components(
     nodes converges in ~log2(n) rounds (the Kiveris et al. "Connected
     Components in MapReduce" contraction, expressed as label algebra).
 
-    Cost discipline: exactly TWO Spark jobs per round.  The previous
+    Cost discipline: exactly TWO driver actions per round.  The previous
     label rides through the round's own aggregation (a null-safe
     ``min`` over the self row), so the convergence flag ``chg`` is a
     plain column of the round's output — no old-vs-new join, no extra
@@ -394,7 +394,8 @@ def connected_components(
     single-stage ``max(chg)`` over the just-cached partitions (an
     aggregate, not ``limit(1).count()``, so it can't escalate into
     multiple limit-probe jobs).  ``tests/test_plan_shapes.py`` pins the
-    2-jobs-per-round budget via a job-group count.
+    2-actions-per-round budget via a job-group count (with AQE and
+    auto-broadcast normalised off so one action == one job id).
 
     Output: (node, component) for every node appearing in *edges*.
     If *stats* is given, ``stats["rounds"]`` records rounds executed.

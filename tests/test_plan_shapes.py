@@ -308,6 +308,49 @@ def test_knn_within_equi_join_and_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_connected_components_two_jobs_per_round(spark):
+    """CC cost budget: exactly two Spark jobs per round (materialise +
+    convergence aggregate) plus two setup jobs (sym / initial labels
+    checkpoints).  The r3 implementation paid ~4 jobs/round (an
+    old-vs-new join with a limit-probe count); this pins the fold of
+    the convergence flag into the round's own aggregation so a future
+    edit can't silently reintroduce a per-round action."""
+    from cass_cdc_pg_spark.operators import dedup
+
+    # 64-node path: needs several doubling rounds, so a per-round job
+    # leak multiplies visibly.
+    edges = spark.range(63).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    sc = spark.sparkContext
+    group = "cc-job-budget"
+    # Under AQE every shuffle stage is its own job, and every broadcast
+    # exchange submits a build-side collect job — both would make the
+    # count measure plan shape, not driver actions.  Disable both here
+    # so one driver-side action == one job id; what this test pins is
+    # the number of ACTIONS per round (the r3 regression class was an
+    # extra convergence-check action), not the join strategy.
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup(group, "connected_components job budget")
+    try:
+        stats: dict = {}
+        out = dedup.connected_components(edges, stats=stats)
+        # materialising the (checkpointed) result is free of new jobs
+        # except the final collect itself — count it separately.
+        assert out.count() == 64
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    rounds = stats["rounds"]
+    assert rounds >= 3, stats  # the path actually exercised the loop
+    # 2 setup + 2/round + 1 final count; anything above means a
+    # per-round action crept back in.
+    assert len(jobs) <= 2 * rounds + 3, (len(jobs), rounds)
+
+
 def test_user_features_shuffles_bounded(spark):
     """COUNT(DISTINCT) plans as the standard two-phase aggregate —
     at most two key-hash Exchanges (user_id+type, then user_id), no
