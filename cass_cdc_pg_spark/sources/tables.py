@@ -62,12 +62,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def events_with_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_us`` (µs since epoch, bigint).
 
-    ``ts`` arrives as bigint *nanoseconds* (nanosAsLong).  DuckDB
-    truncates the same parquet column to µs, so µs is the shared
-    precision for oracle-checked outputs.
+    µs since epoch is the engine's canonical event-time: a plain
+    bigint sorts/joins/windows without timezone semantics, and it is
+    the shared precision with the DuckDB oracle (``epoch_us(ts)``).
+    The physical ``ts`` column is dispatched on dtype, since parquet
+    writers differ: TIMESTAMP(NANOS) arrives as bigint *nanoseconds*
+    (via nanosAsLong) and is integer-divided; TIMESTAMP(MICROS)
+    arrives as timestamp/timestamp_ntz and converts via
+    ``unix_micros`` (the session timezone is pinned UTC in
+    ``configure()``, so the NTZ→LTZ cast is the identity wall-clock
+    mapping, exactly DuckDB's naive-as-UTC reading).
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    dtype = dict(ev.dtypes).get("ts")
+    if dtype == "bigint":
+        ts_us = F.expr("ts div 1000")
+    else:  # timestamp / timestamp_ntz at µs precision
+        ts_us = F.expr("unix_micros(cast(ts as timestamp))")
+    return ev.withColumn("ts_us", ts_us)
 
 
 def _lineitem_mod(df: DataFrame) -> DataFrame:
