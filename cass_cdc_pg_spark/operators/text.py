@@ -394,19 +394,34 @@ def token_rarity(
     Broadcast guard: natural-language vocab is millions of rows and
     broadcasts fine, but a pathological corpus (random IDs, code,
     hashes) makes vocab ~ token count and an unconditional broadcast
-    OOMs the driver.  The vocab is sized with ``vocab.count()`` —
-    the join job then reuses that aggregation's shuffle files
-    (skipped stage), so the extra action costs one reduce pass, not
-    a second tokenization — and the join broadcasts only when the
-    vocab is at most *max_broadcast_vocab* rows (~20 B/row ⇒ the
-    4M default is ~80 MB); above that it degrades to a shuffled
-    token↔vocab equi-join, which is safe at any vocab size.
+    OOMs the driver.  Sizing is two-tier so small corpora don't pay a
+    tokenizing action just to learn they're small: first a character
+    bound — every token is ≥1 char and consecutive tokens need ≥1
+    separator, so ``vocab ≤ total tokens ≤ (Σ(len(text)+1))/2`` — from
+    a map-only length sum (no explode, no shuffle; when the table
+    carries a precomputed ``n_chars`` column the scan prunes down to
+    that single int column and never touches ``text``).  Only when that
+    bound exceeds the threshold is the vocab sized exactly with
+    ``vocab.count()`` (the join job then reuses that aggregation's
+    shuffle files, so the extra action costs one reduce pass, not a
+    second tokenization).  The join broadcasts only when the vocab is
+    at most *max_broadcast_vocab* rows (~20 B/row ⇒ the 4M default is
+    ~80 MB); above that it degrades to a shuffled token↔vocab
+    equi-join, which is safe at any vocab size.
     """
     toks = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    if vocab.count() <= max_broadcast_vocab:
+    chars = (
+        F.col("n_chars")
+        if "n_chars" in documents.columns
+        else F.length("text")
+    )
+    char_bound = (
+        documents.agg(F.sum(chars + 1).alias("s")).first()["s"] or 0
+    ) // 2
+    if char_bound <= max_broadcast_vocab or vocab.count() <= max_broadcast_vocab:
         vocab = F.broadcast(vocab)
     else:
         # pin the distributed strategy: per-partition hash build on the
