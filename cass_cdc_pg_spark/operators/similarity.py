@@ -276,15 +276,37 @@ def train_ivf_centroids(
     return [[float(v) for v in row] for row in cent]
 
 
-def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+def _cell_scores(vec_col: str, centroids: list[list[float]]) -> Column:
     """Array of cosine(vec, centroid_i) — order-pinned fold per
-    centroid, identical float sequence to the oracle SQL."""
-    return F.array(
-        *[
-            cosine(vec, F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
-    )
+    centroid, identical float sequence to the oracle SQL.
+
+    Built as ONE SQL string parsed in a single driver call: the
+    Column-composition equivalent creates ncentroids*dim literal
+    nodes through individual Py4J round trips (512 for 8x64), which
+    dominates query-build latency on a high-RTT driver.  Semantics
+    are unchanged — ``CAST('<repr>' AS DOUBLE)`` round-trips float64
+    exactly like a ``lit(float)``, the fold is the same
+    ``aggregate(zip_with(...))`` leftward sum, and Catalyst constant-
+    folds the centroid-only norms so the per-row work is identical."""
+
+    def _dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def _fold(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    def _cos(c: list[float]) -> str:
+        arr = f"array({', '.join(_dlit(float(x)) for x in c)})"
+        return (
+            f"({_fold(vec_col, arr)} / "
+            f"(SQRT({_fold(vec_col, vec_col)}) * SQRT({_fold(arr, arr)})))"
+        )
+
+    return F.expr(f"array({', '.join(_cos(c) for c in centroids)})")
 
 
 def ivf_topk(
@@ -308,7 +330,7 @@ def ivf_topk(
     probe side is tiny and broadcast.  Recall < 1.0 by construction;
     ``cosine_topk`` is the exact baseline (recall bound pinned by
     test)."""
-    scores = _cell_scores(F.col(vec_col), centroids)
+    scores = _cell_scores(f"`{vec_col}`", centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

@@ -1625,10 +1625,23 @@ LSH_TOPK_SQL = _lsh_topk_sql()
 _IVF_NC, _IVF_NPROBE, _IVF_K = 8, 2, 5
 
 
+#: (realpath, mtime_ns) → trained centroids.  Training is
+#: deterministic over an immutable fixture, but costs a pyarrow read
+#: + k-means per call — without the memo every query build re-pays it
+#: (and a fixture regeneration at the same path invalidates via mtime).
+_IVF_CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+
+
 def _ivf_centroids(sf_dir: str) -> list[list[float]]:
-    return similarity.train_ivf_centroids(
-        src.table_path(sf_dir, "embeddings"), ncentroids=_IVF_NC
-    )
+    import os as _os
+
+    path = src.table_path(sf_dir, "embeddings")
+    key = (_os.path.realpath(path), _os.stat(path).st_mtime_ns)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = similarity.train_ivf_centroids(
+            path, ncentroids=_IVF_NC
+        )
+    return _IVF_CENTROID_CACHE[key]
 
 
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:

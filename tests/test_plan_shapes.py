@@ -130,6 +130,14 @@ def test_ivf_topk_corpus_side_never_shuffles(spark):
     # the only allowed shuffle is the final tiny top-k window; the
     # corpus → join edge must be broadcast-joined, not sort-merge
     assert "SortMergeJoin" not in plan, plan
+    # the probe join must be a hash join on the cell key — a
+    # nested-loop (all corpus × all queries) is the failure mode IVF
+    # exists to avoid
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # per-query top-k prunes pre-shuffle via the group-limit rewrite
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_pack_sequences_single_shuffle_on_shard(spark):
