@@ -95,10 +95,14 @@ def row_count_validation_from_counts(
     if cached is not None:
         return cached
     drift = f"ROUND(ABS(CAST({a} AS BIGINT) - CAST({b} AS BIGINT)) * 100.0 / {a}, 2)"
+    # CAST to DOUBLE: the bare SQL literal 100.0 is DECIMAL, so the
+    # ROUND would otherwise surface as decimal(27,2) — a type the
+    # driver's pandas canonicalizer is not guaranteed to render the
+    # way the oracle's DOUBLE renders (tests/test_oracle_dtypes.py).
     df = spark.sql(
         f"SELECT CAST({a} AS BIGINT) AS src_count, CAST({b} AS BIGINT) AS tgt_count, "
         f"ABS(CAST({a} AS BIGINT) - CAST({b} AS BIGINT)) AS mismatch_count, "
-        f"{drift} AS drift_pct, "
+        f"CAST({drift} AS DOUBLE) AS drift_pct, "
         f"CASE WHEN {drift} >= 5 THEN 'critical' WHEN {drift} >= 1 THEN 'warning' "
         f"ELSE 'ok' END AS severity"
     )

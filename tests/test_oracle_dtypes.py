@@ -82,6 +82,70 @@ def test_every_oracle_output_type_is_canonical_safe():
     )
 
 
+# Engine-type → comparison class.  The driver hashes VALUES (ints of
+# any width stringify identically), so width differences are benign;
+# what breaks the hash is a column-NAME mismatch or a numeric-CLASS
+# drift (INT 5 vs FLOAT 5.0, or a DECIMAL rendering with a scale
+# suffix).  Classes below are the equivalence the hash actually needs.
+_SPARK_CLASS = {
+    "tinyint": "INT", "smallint": "INT", "int": "INT", "bigint": "INT",
+    "float": "FLOAT", "double": "FLOAT",
+    "string": "STR", "boolean": "BOOL", "date": "DATE",
+    "timestamp": "TS", "timestamp_ntz": "TS",
+}
+_DUCK_CLASS = {
+    "TINYINT": "INT", "SMALLINT": "INT", "INTEGER": "INT",
+    "BIGINT": "INT", "UTINYINT": "INT", "USMALLINT": "INT",
+    "UINTEGER": "INT",
+    "FLOAT": "FLOAT", "DOUBLE": "FLOAT",
+    "VARCHAR": "STR", "BOOLEAN": "BOOL", "DATE": "DATE",
+    "TIMESTAMP": "TS", "TIMESTAMP WITH TIME ZONE": "TS",
+}
+
+
+def test_spark_twin_schema_matches_oracle_schema(spark):
+    """Both engines' output schemas, compared for all declared queries:
+    column-name sets must be identical and every shared column's
+    numeric class must agree — a Spark-side type drift (e.g. a future
+    DECIMAL aggregate output) fails here before the driver's value
+    hash turns red.  Schema-only: the Spark side is resolved via
+    ``.schema`` (no job), the DuckDB side via a bind (no fetch)."""
+    import __spark_entry__ as entrymod
+
+    oracles = _oracles()
+    queries = entrymod.queries()
+    con = _connect()
+    bad: list[str] = []
+    for name in sorted(oracles):
+        sdf = queries[name](spark, SF_DIR)
+        stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        rel = con.sql(oracles[name])
+        dtypes = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+        if set(stypes) != set(dtypes):
+            bad.append(
+                f"{name}: column names differ — spark-only "
+                f"{sorted(set(stypes) - set(dtypes))}, oracle-only "
+                f"{sorted(set(dtypes) - set(stypes))}"
+            )
+            continue
+        for col in stypes:
+            s_cls = _SPARK_CLASS.get(stypes[col])
+            d_cls = _DUCK_CLASS.get(
+                re.sub(r"\(.*\)", "", dtypes[col]).strip()
+            )
+            if s_cls is None:
+                bad.append(
+                    f"{name}.{col}: spark type {stypes[col]} is outside "
+                    "the canonicalizer-safe set"
+                )
+            elif s_cls != d_cls:
+                bad.append(
+                    f"{name}.{col}: class mismatch spark={stypes[col]} "
+                    f"oracle={dtypes[col]}"
+                )
+    assert not bad, "\n".join(bad)
+
+
 def test_every_declared_query_has_an_oracle_or_documented_exemption():
     """Every ``queries()`` key should carry an oracle twin.  Keep the
     exemption list explicit so a silently dropped oracle is caught."""
