@@ -281,6 +281,125 @@ def compaction_bench(spark, sf_dir: str, tmp: str, base_rows: int = 50000,
     return out
 
 
+def http_bench(spark, sf_dir: str, wh: str, n_requests: int = 200,
+               concurrency: int = 8) -> dict:
+    """Load-drive the HTTP listener the way the reference's Locust
+    benchmark drives FastAPI (``scripts/benchmark.py:293-450``): a
+    mixed route set over a live socket — cheap control-plane reads
+    (health, metrics, jobs) and Spark-backed data-plane reads (DLQ
+    stats/records, a reconciliation trigger per ~20 requests) — with
+    *concurrency* client threads.  Reports requests/sec and P95
+    latency so the API layer has a contract number the way ingest
+    does."""
+    import threading
+    import urllib.request
+
+    from cass_cdc_pg_spark.api import CdcApiServer, CdcApiService
+
+    # small warehouse so the DLQ/data routes do real reads
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.sources.tables import events_with_micros
+
+    ingest = _mk_ingest(spark, wh, num_buckets=4)
+    ev = events_with_micros(spark, sf_dir).orderBy("event_id").limit(2000)
+    as_change_events = ev.select(
+        F.concat(
+            F.lit("00000000-0000-4000-8000-"),
+            F.format_string("%012d", F.col("event_id")),
+        ).alias("event_id"),
+        F.lit("events").alias("source_table"),
+        F.lit("CREATE").alias("operation_type"),
+        F.col("ts_us").alias("timestamp_micros"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.create_map(
+            F.lit("event_id"), F.col("event_id").cast("string"),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("value"), F.col("value").cast("string"),
+        ).alias("after"),
+        F.lit(1).alias("schema_version"),
+        F.lit(None).cast("int").alias("ttl_seconds"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    # a few unconvertible events so the DLQ routes read real rows
+    bad = spark.range(20).selectExpr(
+        "CAST(NULL AS STRING) AS event_id",
+        "'events' AS source_table",
+        "'CREATE' AS operation_type",
+        "id AS timestamp_micros",
+        "CAST(NULL AS MAP<STRING,STRING>) AS before",
+        "map('event_id', CONCAT('bad-', id)) AS after",
+        "1 AS schema_version",
+        "CAST(NULL AS INT) AS ttl_seconds",
+        "FALSE AS is_tombstone",
+    )
+    ingest.process_batch(as_change_events.unionByName(bad))
+
+    svc = CdcApiService(spark, sf_dir=sf_dir, warehouse=wh)
+    srv = CdcApiServer(svc)
+    host, port = srv.start()
+    base = f"http://{host}:{port}"
+
+    mix = [
+        ("GET", "/health", None, 10),
+        ("GET", "/metrics", None, 10),
+        ("GET", "/reconciliation/jobs", None, 10),
+        ("GET", "/dlq/stats", None, 3),
+        ("GET", "/dlq/records?limit=20", None, 3),
+        ("POST", "/reconciliation/trigger",
+         b'{"strategy": "row_count"}', 1),
+    ]
+    plan: list[tuple[str, str, bytes | None]] = []
+    while len(plan) < n_requests:
+        for m, p, b, w in mix:
+            plan.extend([(m, p, b)] * w)
+    plan = plan[:n_requests]
+
+    latencies: list[float] = []
+    errors = [0]
+    lock = threading.Lock()
+    idx = [0]
+
+    def worker() -> None:
+        while True:
+            with lock:
+                if idx[0] >= len(plan):
+                    return
+                m, p, b = plan[idx[0]]
+                idx[0] += 1
+            req = urllib.request.Request(base + p, data=b, method=m)
+            if b:
+                req.add_header("Content-Type", "application/json")
+            t0 = time.time()
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    resp.read()
+                with lock:
+                    latencies.append(time.time() - t0)
+            except Exception:
+                with lock:
+                    errors[0] += 1
+
+    t0 = time.time()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    srv.stop()
+
+    latencies.sort()
+    p95 = latencies[int(len(latencies) * 0.95) - 1] if latencies else None
+    return {
+        "http_requests": len(latencies),
+        "http_errors": errors[0],
+        "http_requests_per_sec": round(len(latencies) / wall, 1) if wall else None,
+        "http_p95_ms": round(p95 * 1000, 1) if p95 is not None else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cass_cdc_pg_spark.registry import QUERIES
@@ -342,6 +461,8 @@ def main() -> None:
         stream_stats = streaming_bench(spark, sf_dir, tmp)
     with tempfile.TemporaryDirectory() as tmp:
         lsm_stats = compaction_bench(spark, sf_dir, tmp)
+    with tempfile.TemporaryDirectory() as wh:
+        http_stats = http_bench(spark, sf_dir, wh)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -360,6 +481,7 @@ def main() -> None:
                 "ingest_events_per_sec_256_buckets": round(eps_256, 1),
                 **stream_stats,
                 **lsm_stats,
+                **http_stats,
             }
         )
     )
