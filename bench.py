@@ -50,6 +50,10 @@ PIPELINE = [
     "ann_knn_within",
     "events_user_features",
     "sales_by_nation_quarter",
+    "events_funnel",
+    "users_retention_cohorts",
+    "docs_ngram_topk",
+    "embeddings_cell_stats",
 ]
 
 

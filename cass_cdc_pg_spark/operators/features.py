@@ -125,3 +125,117 @@ def user_features_windowed(
             "last_ts_us",
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    ts_us_col: str = "ts_us",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Funnel step: for every user who emitted a *start_type* event,
+    the earliest *convert_type* event at-or-after their first start —
+    the signup→purchase conversion join the reference's consumers run
+    against the replicated events table (analytics on
+    ``docker/postgres/init-db.sql``'s events), expressed as ONE
+    shuffle.
+
+    Shape: a running ``min(start ts)`` window with a **range** frame
+    (``ORDER BY ts RANGE UNBOUNDED PRECEDING``) marks, per event, the
+    earliest start at-or-before it — a range frame so ties on the
+    timestamp are handled set-wise (a conversion in the same
+    microsecond as the start counts, independent of intra-tie row
+    order; a rows frame would be order-dependent there and
+    irreproducible between engines).  The per-user aggregate then
+    reuses the window's hash partitioning, so Catalyst elides its
+    Exchange — one shuffle total, same pattern as sessionization.
+
+    Output: user_id, signup_ts_us, first_purchase_ts_us (NULL when
+    never converted), converted (0/1), secs_to_convert (integer
+    seconds, NULL when never converted).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_us_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    started = F.min(
+        F.when(F.col("event_type") == start_type, F.col(ts_us_col))
+    ).over(w)
+    e = events.select(user_col, ts_us_col, "event_type").withColumn(
+        "_start_ts", started
+    )
+    return (
+        e.groupBy(user_col)
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == start_type, F.col(ts_us_col))
+            ).alias("signup_ts_us"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == convert_type)
+                    & F.col("_start_ts").isNotNull(),
+                    F.col(ts_us_col),
+                )
+            ).alias("first_purchase_ts_us"),
+        )
+        .filter(F.col("signup_ts_us").isNotNull())
+        .select(
+            user_col,
+            "signup_ts_us",
+            "first_purchase_ts_us",
+            F.col("first_purchase_ts_us").isNotNull().cast("int").alias(
+                "converted"
+            ),
+            F.expr(
+                "(first_purchase_ts_us - signup_ts_us) div 1000000"
+            ).alias("secs_to_convert"),
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_us_col: str = "ts_us",
+    user_col: str = "user_id",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day
+    (cohort), counted once per (cohort, day-offset) they were active —
+    the classic growth-analytics rollup over the events table.
+
+    Scale shape: the per-user first-day comes from a partition-only
+    window (``min(day) OVER (PARTITION BY user)``, no ordering → no
+    sort), and the following per-(user, cohort, offset) dedup reuses
+    that hash partitioning (user_id is a subset of the dedup keys, so
+    its clustering satisfies the distinct's distribution and the
+    Exchange is elided).  Only the final (cohort, offset) count pays a
+    second shuffle, and it carries one row per user-day — two
+    Exchanges total, text-free ~24-byte rows.
+
+    Day arithmetic is integer (``ts div bucket``): at µs-since-epoch
+    magnitudes a double division misfloors near bucket boundaries.
+
+    Output: cohort_day, day_offset, n_users (cohort_day in integer
+    days since epoch; day_offset 0 = the cohort's first day).
+    """
+    from pyspark.sql import Window
+
+    e = events.select(
+        user_col, F.expr(f"{ts_us_col} div {bucket_us}").alias("_day")
+    )
+    w = Window.partitionBy(user_col)
+    return (
+        e.withColumn("cohort_day", F.min("_day").over(w))
+        .select(
+            user_col,
+            "cohort_day",
+            (F.col("_day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

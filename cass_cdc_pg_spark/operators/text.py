@@ -702,3 +702,39 @@ def source_stats(documents: DataFrame) -> DataFrame:
             "dup_ratio"
         ),
     )
+
+
+def ngram_topk(documents: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
+    """Corpus-wide top-*k* most frequent token *n*-grams (total
+    occurrence count, within-document repeats included) — the
+    heavy-hitter profile used to spot boilerplate and template text
+    before training (the motivation behind Gopher's repetition
+    filters, aggregated corpus-side).
+
+    Scale shape: shingles explode map-side and immediately collapse
+    into ``partial_count`` per gram before the only Exchange — the
+    shuffle carries (gram, count) partials, never text rows.  The
+    final ordering is a ``TakeOrderedAndProject`` (per-partition
+    top-k, k rows to the driver), not a global sort.  Ties are fully
+    broken (count desc, gram asc — gram is unique after the
+    aggregation) so the k-row answer is deterministic across engines.
+
+    Documents with fewer than *n* tokens contribute nothing (the
+    unguarded descending ``sequence`` would crash ``slice`` — same
+    guard as ``dedup.shingles``).
+    """
+    toks = tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -1913,6 +1913,137 @@ FROM ev GROUP BY 1, 2
 """
 
 
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel conversion per user — sequential event
+    analytics in ONE shuffle (range-frame running-min window + an
+    aggregate that reuses the window's partitioning)."""
+    from cass_cdc_pg_spark.operators.features import funnel_conversion
+
+    return funnel_conversion(_ev(spark, sf_dir))
+
+
+FUNNEL_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+s AS (SELECT user_id, MIN(ts_us) AS signup_ts_us
+      FROM e WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts_us) AS first_purchase_ts_us
+      FROM e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts_us >= s.signup_ts_us
+      GROUP BY 1)
+SELECT s.user_id, s.signup_ts_us, p.first_purchase_ts_us,
+       CAST(p.first_purchase_ts_us IS NOT NULL AS INT) AS converted,
+       (p.first_purchase_ts_us - s.signup_ts_us) // 1000000 AS secs_to_convert
+FROM s LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
+def users_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (first-activity day × active-day
+    offset × distinct users) — two text-free shuffles."""
+    from cass_cdc_pg_spark.operators.features import retention_cohorts
+
+    return retention_cohorts(_ev(spark, sf_dir))
+
+
+RETENTION_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+d AS (SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset
+      FROM e JOIN f USING (user_id))
+SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1, 2
+"""
+
+
+def docs_ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 token trigrams — the heavy-hitter /
+    boilerplate profile; shuffle carries (gram, partial count) only,
+    final order is a distributed top-k."""
+    return text.ngram_topk(src.load_table(spark, sf_dir, "documents"), n=3, k=50)
+
+
+NGRAM_TOPK_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT unnest(list_transform(range(1, len(tk) - 1),
+                               i -> array_to_string(tk[i:i+2], ' '))) AS gram
+  FROM toks WHERE len(tk) >= 3)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY 1
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT 50
+"""
+
+
+def embeddings_cell_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build-stage profile: per-cell vector count and norm range.
+    Cell balance is the skew diagnosis for ANN at scale (a hot cell
+    is a hot partition in every probe); assignment is the same
+    constant-folded projection the IVF query uses, the rollup is one
+    (cell, partials) shuffle.  Norms round to 6 dp BEFORE min/max so
+    the result is partition-order independent and engine-exact
+    (min/max commute with rounding; a SUM/AVG of raw doubles would
+    not)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(sf_dir)
+    scores = similarity._cell_scores("`embedding`", cents)
+    norm = F.round(
+        F.sqrt(similarity._dot(F.col("embedding"), F.col("embedding"))), 6
+    )
+    return (
+        emb.select(
+            F.array_position(scores, F.array_max(scores)).alias("cell"),
+            norm.alias("_norm"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("_norm").alias("min_norm"),
+            F.max("_norm").alias("max_norm"),
+        )
+    )
+
+
+def _cell_stats_sql(centroids: list[list[float]]) -> str:
+    cent_rows = ", ".join(
+        f"({i + 1}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(centroids)
+    )
+    norm = f"sqrt(0.0 + {_DOT_SQL.format(a='vec', b='vec')})"
+    return f"""
+WITH cent(cell, ctr) AS (VALUES {cent_rows}),
+cscore AS (
+  SELECT e.vec_id, e.embedding AS vec, cent.cell, {_cos_sql('vec', 'ctr')} AS s
+  FROM embeddings e CROSS JOIN cent),
+cassign AS (
+  SELECT vec_id, cell, ROUND({norm}, 6) AS nrm
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore)
+  WHERE rn = 1)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+FROM cassign GROUP BY cell
+"""
+
+
+_CELL_STATS_SQL_CACHE: dict[str, str] = {}
+
+
+def cell_stats_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    import os as _os
+
+    key = _os.path.realpath(sf_dir)
+    if key not in _CELL_STATS_SQL_CACHE:
+        try:
+            _CELL_STATS_SQL_CACHE[key] = _cell_stats_sql(_ivf_centroids(sf_dir))
+        except FileNotFoundError:
+            return None
+    return _CELL_STATS_SQL_CACHE[key]
+
+
 # Rotation policy (the driver checks the FIRST 50 entries only): every
 # round, the entries the driver skipped last round move to the FRONT, and
 # an equal number of long-green, untouched entries move to the tail, so no
@@ -1938,6 +2069,11 @@ QUERIES = {
     "dedup_components": dedup_components_q,
     "text_token_rarity": text_token_rarity_q,
     "ann_ivf_topk": ann_ivf_topk_q,
+    # ---- new in r5 ----
+    "events_funnel": events_funnel_q,
+    "users_retention_cohorts": users_retention_cohorts_q,
+    "docs_ngram_topk": docs_ngram_topk_q,
+    "embeddings_cell_stats": embeddings_cell_stats_q,
     # ---- rest of the r5 window ----
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -2053,6 +2189,9 @@ ORACLE = {
     "events_user_features": USER_FEATURES_SQL,
     "sales_by_nation_quarter": SALES_NATION_QUARTER_SQL,
     "events_user_features_5min": USER_FEATURES_5MIN_SQL,
+    "events_funnel": FUNNEL_SQL,
+    "users_retention_cohorts": RETENTION_SQL,
+    "docs_ngram_topk": NGRAM_TOPK_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
@@ -2063,4 +2202,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     ivf = ivf_oracle_sql(sf_dir)
     if ivf is not None:
         out["ann_ivf_topk"] = ivf
+    cs = cell_stats_oracle_sql(sf_dir)
+    if cs is not None:
+        out["embeddings_cell_stats"] = cs
     return out

@@ -386,3 +386,50 @@ def test_sales_rollup_broadcasts_dim_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_funnel_single_shuffle(spark):
+    """Funnel conversion: the running-min window and the per-user
+    aggregate share one hashpartitioning(user) — exactly ONE Exchange
+    in the whole plan (the sessionize pattern; a second Exchange means
+    the agg stopped reusing the window's partitioning)."""
+    from cass_cdc_pg_spark.operators.features import funnel_conversion
+
+    ev = spark.range(1000).selectExpr(
+        "id % 50 AS user_id", "id * 1000 AS ts_us",
+        "CASE WHEN id % 7 = 0 THEN 'signup' WHEN id % 3 = 0 "
+        "THEN 'purchase' ELSE 'view' END AS event_type"
+    )
+    plan = _plan(funnel_conversion(ev))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_retention_cohorts_distinct_reuses_user_partitioning(spark):
+    """Cohort matrix: the per-(user, cohort, offset) dedup keys are a
+    superset of the window's user partitioning, so its Exchange is
+    elided — two Exchanges total (user window + final rollup), and the
+    rollup aggregates partially before its shuffle."""
+    from cass_cdc_pg_spark.operators.features import retention_cohorts
+
+    ev = spark.range(1000).selectExpr(
+        "id % 50 AS user_id", "id * 86400000000 AS ts_us"
+    )
+    plan = _plan(retention_cohorts(ev))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_ngram_topk_partial_agg_and_distributed_topk(spark):
+    """Corpus trigram heavy hitters: grams collapse map-side
+    (partial_count before the only Exchange — the shuffle carries
+    (gram, count) partials, never text) and the final order is a
+    TakeOrderedAndProject, not a global Sort."""
+    from cass_cdc_pg_spark.operators.text import ngram_topk
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id", "'a b c a b c d e f' AS text"
+    )
+    plan = _plan(ngram_topk(docs, n=3, k=5))
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
