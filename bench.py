@@ -54,6 +54,8 @@ PIPELINE = [
     "users_retention_cohorts",
     "docs_ngram_topk",
     "embeddings_cell_stats",
+    "docs_tfidf_topterms",
+    "docs_source_token_quantiles",
 ]
 
 

@@ -738,3 +738,83 @@ def ngram_topk(documents: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def tfidf_topterms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-*k* most salient terms per document, ranked by scaled
+    tf/df — the linear-idf variant of tf-idf, chosen deliberately:
+    ``score = (tf * 1_000_000) div df`` is pure integer arithmetic,
+    so ranking and values are bit-exact across engines and partition
+    orders, where a log-idf (``tf * ln(N/df)``) hangs the oracle
+    hash on last-ulp ``ln`` agreement between libm implementations.
+    Ranking behavior matches tf-idf where it matters: rare terms
+    (small df) with high in-doc frequency surface first; N is a
+    constant factor and drops out of a per-doc ranking entirely.
+
+    Scale shape: ONE tokenize pass, no self-join.  The naive
+    formulation (tf aggregate consumed by both a df aggregate and a
+    tf⋈df join) plans the tf Exchange twice — Catalyst's exchange
+    reuse does not fire across the differently-pruned consumers, so
+    the corpus would be tokenized and shuffled twice (verified on the
+    executed plan: no ReusedExchange).  Computing df as a window
+    count over the tf rows keeps a single lineage: tokens collapse to
+    (doc, term, tf) with map-side partials, the df window re-shuffles
+    only those narrow rows by term, and the per-doc top-k prunes
+    through WindowGroupLimit pre-shuffle.  Text leaves the scan only
+    as individual terms, once.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(tf * 1000000) div df").alias("score_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "score_micro")
+    )
+
+
+def source_token_quantiles(documents: DataFrame) -> DataFrame:
+    """Per-source exact token-count quantiles (p25/p50/p75) + doc
+    count — the length-distribution profile that drives sequence-
+    length and mix decisions per corpus slice.
+
+    EXACT percentiles (sort-based ``percentile``, linearly
+    interpolated — DuckDB's ``quantile_cont`` twin), not
+    ``approx_percentile``: the t-digest's answer depends on merge
+    order, which is nondeterministic across partitionings and can
+    never hash-match an oracle.  Integer inputs interpolate to exact
+    halves, so the doubles agree bitwise.  One shuffle on the source
+    key; the token count per doc is a row-local ``size(split())``.
+    At 100 TB per-group exact percentiles mean a per-group sort —
+    bounded here by group cardinality (sources are few) and row width
+    (one long per doc); for percentiles over billions-per-group you'd
+    trade exactness back for a sketch.
+    """
+    n = F.size(tokens(F.col("text")))
+    return (
+        documents.select("source", n.cast("long").alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.percentile(F.col("_n"), F.lit(0.25)).alias("p25_tokens"),
+            F.percentile(F.col("_n"), F.lit(0.5)).alias("p50_tokens"),
+            F.percentile(F.col("_n"), F.lit(0.75)).alias("p75_tokens"),
+        )
+    )

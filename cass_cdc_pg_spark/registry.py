@@ -2044,6 +2044,49 @@ def cell_stats_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     return _CELL_STATS_SQL_CACHE[key]
 
 
+def docs_tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document by scaled tf/df (linear-idf
+    tf-idf; integer-exact across engines)."""
+    return text.tfidf_topterms(src.load_table(spark, sf_dir, "documents"), k=5)
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, rank, score_micro
+FROM (SELECT tf.doc_id, tf.term,
+             (tf.tf * 1000000) // df.df AS score_micro,
+             CAST(ROW_NUMBER() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term ASC
+             ) AS INT) AS rank
+      FROM tf JOIN df USING (term))
+WHERE rank <= 5
+"""
+
+
+def docs_source_token_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact token-count quantiles — the length profile
+    behind sequence-length / mix decisions."""
+    return text.source_token_quantiles(src.load_table(spark, sf_dir, "documents"))
+
+
+SOURCE_QUANTILES_SQL = """
+WITH t AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       quantile_cont(n, 0.25) AS p25_tokens,
+       quantile_cont(n, 0.5) AS p50_tokens,
+       quantile_cont(n, 0.75) AS p75_tokens
+FROM t GROUP BY source
+"""
+
+
 # Rotation policy (the driver checks the FIRST 50 entries only): every
 # round, the entries the driver skipped last round move to the FRONT, and
 # an equal number of long-green, untouched entries move to the tail, so no
@@ -2074,6 +2117,8 @@ QUERIES = {
     "users_retention_cohorts": users_retention_cohorts_q,
     "docs_ngram_topk": docs_ngram_topk_q,
     "embeddings_cell_stats": embeddings_cell_stats_q,
+    "docs_tfidf_topterms": docs_tfidf_topterms_q,
+    "docs_source_token_quantiles": docs_source_token_quantiles_q,
     # ---- rest of the r5 window ----
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -2192,6 +2237,8 @@ ORACLE = {
     "events_funnel": FUNNEL_SQL,
     "users_retention_cohorts": RETENTION_SQL,
     "docs_ngram_topk": NGRAM_TOPK_SQL,
+    "docs_tfidf_topterms": TFIDF_SQL,
+    "docs_source_token_quantiles": SOURCE_QUANTILES_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

