@@ -261,3 +261,55 @@ def test_user_features_windowed_streaming_matches_batch(spark, tmp_path):
     assert got == expected
     # sanity: user 1's first window merged across the two microbatches
     assert got[(0, 1)] == (3, 2, 4_000_000, 1 * m, 4 * m)
+
+
+def test_funnel_conversion_edge_semantics(spark):
+    """Pin the funnel's edge rules: a purchase strictly before the
+    first signup does not convert; a purchase in the SAME microsecond
+    as the signup does (range frame — set-wise tie handling, not
+    row-order); users without a signup are absent from the output."""
+    from cass_cdc_pg_spark.operators.features import funnel_conversion
+
+    rows = [
+        # u1: purchase before signup, another after → converts at 300
+        (1, 100, "purchase"), (1, 200, "signup"), (1, 300, "purchase"),
+        # u2: purchase only before signup → in funnel, not converted
+        (2, 100, "purchase"), (2, 200, "signup"),
+        # u3: purchase in the same microsecond as signup → converts
+        (3, 500, "signup"), (3, 500, "purchase"),
+        # u4: never signed up → absent
+        (4, 100, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string"
+    )
+    out = {
+        r.user_id: r.asDict()
+        for r in funnel_conversion(ev).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["converted"] == 1 and out[1]["first_purchase_ts_us"] == 300
+    assert out[1]["secs_to_convert"] == 0  # 100 µs gap floors to 0 s
+    assert out[2]["converted"] == 0
+    assert out[2]["first_purchase_ts_us"] is None
+    assert out[2]["secs_to_convert"] is None
+    assert out[3]["converted"] == 1 and out[3]["first_purchase_ts_us"] == 500
+
+
+def test_retention_cohorts_counts_users_once_per_offset(spark):
+    """A user active twice in one day counts once for that (cohort,
+    offset) cell; cohorts are per-user first-activity days."""
+    from cass_cdc_pg_spark.operators.features import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0), (1, 10), (1, day), (1, day + 5),  # day-0 cohort, active d0+d1
+        (2, day), (2, 2 * day),                   # day-1 cohort, active d1+d2
+        (3, day),                                 # day-1 cohort, active d1 only
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    out = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out == {(0, 0): 1, (0, 1): 1, (1, 0): 2, (1, 1): 1}
