@@ -2087,6 +2087,56 @@ FROM t GROUP BY source
 """
 
 
+def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against the exact brute-force
+    baseline, per query — the approximation-quality gauge every ANN
+    deployment tunes nprobe against.  Both sides are the engine's own
+    declared queries (deterministic tie-breaks on both engines), so
+    the intersection is well-defined; a left join from the distinct
+    query set keeps 0-hit queries visible.  recall = hits/5 is a
+    single correctly-rounded division — bit-equal across engines."""
+    exact = ann_cosine_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+_IVF_RECALL_SQL_CACHE: dict[str, str] = {}
+
+
+def ivf_recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Composed oracle: both published ANN SQL texts as derived
+    tables, intersected per query."""
+    ivf = ivf_oracle_sql(sf_dir)
+    if ivf is None:
+        return None
+    key = ivf  # centroid-dependent, same invalidation as the IVF SQL
+    if key not in _IVF_RECALL_SQL_CACHE:
+        _IVF_RECALL_SQL_CACHE[key] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ANN_TOPK_SQL}) e),
+approx AS (SELECT query_id, neighbor_id FROM ({ivf}) a),
+hits AS (
+  SELECT exact.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+    return _IVF_RECALL_SQL_CACHE[key]
+
+
 # Rotation policy (the driver checks the FIRST 50 entries only): every
 # round, the entries the driver skipped last round move to the FRONT, and
 # an equal number of long-green, untouched entries move to the tail, so no
@@ -2119,6 +2169,7 @@ QUERIES = {
     "embeddings_cell_stats": embeddings_cell_stats_q,
     "docs_tfidf_topterms": docs_tfidf_topterms_q,
     "docs_source_token_quantiles": docs_source_token_quantiles_q,
+    "ann_ivf_recall": ann_ivf_recall_q,
     # ---- rest of the r5 window ----
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -2252,4 +2303,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     cs = cell_stats_oracle_sql(sf_dir)
     if cs is not None:
         out["embeddings_cell_stats"] = cs
+    rc = ivf_recall_oracle_sql(sf_dir)
+    if rc is not None:
+        out["ann_ivf_recall"] = rc
     return out
