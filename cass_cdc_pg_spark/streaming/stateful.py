@@ -123,3 +123,91 @@ def deduplicate_stream(
     """
     keys = list(id_cols or ["event_id"])
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("signup_ts_us", T.LongType()),
+        T.StructField("first_purchase_ts_us", T.LongType()),
+        T.StructField("converted", T.IntegerType()),
+        T.StructField("secs_to_convert", T.LongType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("signup_ts_us", T.LongType()),
+        T.StructField("purchase_ts_us", T.LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame,
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Streaming funnel conversion — the per-key-state twin of the
+    batch ``features.funnel_conversion``: O(1) state per user
+    (earliest start ts, earliest qualifying convert ts), a row
+    re-emitted whenever the user's funnel state changes (update
+    semantics).
+
+    Exactness contract: identical to the batch answer whenever each
+    user's events arrive in event-time order across microbatches
+    (intra-batch disorder is free — the batch is sorted before the
+    fold).  Under cross-batch retrograde arrival (a start event
+    arriving AFTER a conversion already seen), the conversion is
+    re-qualified from the tracked earliest-conversion bound, which is
+    exact unless an even-earlier non-minimal conversion fell between
+    the new start and the old one — O(1) state cannot distinguish
+    that case, exactly the classic stream/batch trade; the batch
+    query is the reconciler (same stance as the windowed features'
+    HLL distinct).  Convergence to the batch answer is pinned by
+    test.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        s, p = state.get if state.exists else (None, None)
+        p_any = None  # earliest conversion seen THIS batch, pre-start
+        rows = sorted(
+            (int(t), et)
+            for pdf in pdfs
+            for t, et in zip(pdf[ts_us_col], pdf["event_type"])
+        )
+        changed = False
+        for t, et in rows:
+            if et == start_type and (s is None or t < s):
+                s, changed = t, True
+                # re-qualify conversions seen before this earlier start
+                for cand in (p_any, p):
+                    if cand is not None and cand >= s and (p is None or cand < p):
+                        p, changed = cand, True
+            elif et == convert_type:
+                if p_any is None or t < p_any:
+                    p_any = t
+                if s is not None and t >= s and (p is None or t < p):
+                    p, changed = t, True
+        state.update((s, p))
+        if changed and s is not None:
+            yield pd.DataFrame(
+                [[
+                    user, s, p,
+                    1 if p is not None else 0,
+                    (p - s) // 1_000_000 if p is not None else None,
+                ]],
+                columns=[f.name for f in FUNNEL_SCHEMA.fields],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -313,3 +313,68 @@ def test_retention_cohorts_counts_users_once_per_offset(spark):
         for r in retention_cohorts(ev).collect()
     }
     assert out == {(0, 0): 1, (0, 1): 1, (1, 0): 2, (1, 1): 1}
+
+
+def test_funnel_streaming_converges_to_batch(spark, tmp_path):
+    """funnel_stream's LAST emitted row per user (update semantics)
+    equals the batch funnel_conversion answer when events arrive
+    in event-time order across microbatches — including a user whose
+    conversion lands in a later microbatch than their signup."""
+    import json
+    import os
+
+    from cass_cdc_pg_spark.operators.features import funnel_conversion
+    from cass_cdc_pg_spark.streaming.stateful import funnel_stream
+
+    rows_b1 = [
+        (1, 100, "purchase"),     # pre-signup purchase: must not convert
+        (1, 200, "signup"),
+        (2, 200, "signup"),
+        (3, 500, "signup"), (3, 500, "purchase"),  # same-µs tie converts
+    ]
+    rows_b2 = [
+        (1, 5_000_200, "purchase"),  # converts 5s after signup
+        (2, 300, "view"),            # no conversion for u2
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for name, batch in (("b1", rows_b1), ("b2", rows_b2)):
+        with open(f"{in_dir}/{name}.jsonl", "w") as fh:
+            for uid, t, et in batch:
+                fh.write(json.dumps(
+                    {"user_id": uid, "ts_us": t, "event_type": et}
+                ) + "\n")
+
+    schema = "user_id long, ts_us long, event_type string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory").queryName("funnel_s")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: keep each user's LAST emitted row
+    got = {}
+    for r in spark.sql("SELECT * FROM funnel_s").collect():
+        got[r["user_id"]] = (
+            r["signup_ts_us"], r["first_purchase_ts_us"],
+            r["converted"], r["secs_to_convert"],
+        )
+    batch_df = spark.createDataFrame(rows_b1 + rows_b2, schema)
+    expected = {
+        r["user_id"]: (
+            r["signup_ts_us"], r["first_purchase_ts_us"],
+            r["converted"], r["secs_to_convert"],
+        )
+        for r in funnel_conversion(batch_df).collect()
+    }
+    assert got == expected
+    assert got[1] == (200, 5_000_200, 1, 5)
+    assert got[2] == (200, None, 0, None)
+    assert got[3] == (500, 500, 1, 0)
