@@ -239,3 +239,63 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def value_anomaly_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type value anomaly profile: n, exact mean (micro
+    units), the 3σ threshold, and how many events exceed it — the
+    monitoring-style outlier rollup, built so a DISTRIBUTED run is
+    bit-deterministic.
+
+    The naive formulation (``avg``/``stddev`` over doubles) is
+    partition-order dependent — float sums reassociate across
+    partitionings, so the same data can yield different thresholds on
+    different cluster layouts (and can never hash-match an oracle).
+    Here every accumulation is exact: values quantize to integer
+    micro-units through the engine's proven ``DECIMAL(18,6)`` cast,
+    Σv sums as BIGINT and Σv² as DECIMAL(38,0) (both associative),
+    and the only float arithmetic is a fixed expression over those
+    exact totals (casts, one sqrt, divisions — each IEEE
+    correctly-rounded, hence identical on any engine).
+    ``threshold_micros = (S + 3·√((n·Q − S²)/n)) / n`` in µ-units.
+
+    Two passes over events: the per-type totals (a tiny aggregate,
+    map-side partials), then a re-scan counting values above the
+    broadcast per-type thresholds — at scale the second pass is a
+    scan+filter with a broadcast hash join on a handful of rows, no
+    extra shuffle of the fact table.
+    """
+    v_mu = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    e = events.select("event_type", F.expr(v_mu).alias("v_mu"))
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v_mu").alias("_s"),
+        F.sum(F.expr("CAST(v_mu * v_mu AS DECIMAL(38,0))")).alias("_q"),
+    )
+    stats = agg.select(
+        "event_type",
+        "n_events",
+        F.expr("_s div n_events").cast("long").alias("mean_value_micros"),
+        F.expr(
+            "(CAST(_s AS DOUBLE) + 3.0 * SQRT("
+            "(CAST(n_events AS DOUBLE) * CAST(_q AS DOUBLE)"
+            " - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))"
+            " / CAST(n_events AS DOUBLE)))"
+            " / CAST(n_events AS DOUBLE)"
+        ).alias("threshold_micros"),
+    )
+    flagged = (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.col("v_mu").cast("double") > F.col("threshold_micros"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_anomalies"))
+    )
+    return stats.join(flagged, "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "mean_value_micros",
+        "threshold_micros",
+        F.coalesce(F.col("n_anomalies"), F.lit(0)).cast("long").alias(
+            "n_anomalies"
+        ),
+    )

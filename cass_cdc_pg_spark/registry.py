@@ -2137,6 +2137,99 @@ LEFT JOIN hits h ON q.query_id = h.query_id
     return _IVF_RECALL_SQL_CACHE[key]
 
 
+def events_anomaly_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3σ value-anomaly rollup with bit-deterministic
+    distributed statistics (exact integer/decimal accumulation; the
+    only float math is a fixed correctly-rounded expression over
+    exact totals)."""
+    from cass_cdc_pg_spark.operators.features import value_anomaly_stats
+
+    return value_anomaly_stats(_ev(spark, sf_dir))
+
+
+ANOMALY_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_mu
+  FROM events),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(v_mu) AS s, SUM(CAST(v_mu * v_mu AS DECIMAL(38,0))) AS q
+  FROM e GROUP BY 1),
+stats AS (
+  SELECT event_type, n_events,
+         CAST(s // n_events AS BIGINT) AS mean_value_micros,
+         (CAST(s AS DOUBLE) + 3.0 * SQRT(
+            (CAST(n_events AS DOUBLE) * CAST(q AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+            / CAST(n_events AS DOUBLE)))
+         / CAST(n_events AS DOUBLE) AS threshold_micros
+  FROM agg),
+flagged AS (
+  SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_anomalies
+  FROM e JOIN stats USING (event_type)
+  WHERE CAST(e.v_mu AS DOUBLE) > stats.threshold_micros
+  GROUP BY 1)
+SELECT s.event_type, s.n_events, s.mean_value_micros, s.threshold_micros,
+       CAST(COALESCE(f.n_anomalies, 0) AS BIGINT) AS n_anomalies
+FROM stats s LEFT JOIN flagged f ON s.event_type = f.event_type
+"""
+
+
+def docs_lang_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language mix: predicted-language distribution with doc
+    and token shares — the per-language slice sizing that drives
+    multilingual mix decisions.  One scan (lang-ID + token count in
+    the same projection), one tiny aggregate."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs).select("doc_id", "predicted_lang")
+    toks = docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        pred.join(toks, "doc_id")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def _lang_mix_sql() -> str:
+    # same candidate-scoring shape as _lang_sql (hits over the
+    # distinct token set, ties → language code ascending), rolled up
+    # to the per-language doc/token shares
+    branches = []
+    for lang, ws in sorted(text.LANG_MARKERS.items()):
+        arr = "['" + "','".join(ws) + "']"
+        branches.append(
+            f"SELECT doc_id, n_tokens, '{lang}' AS cand,"
+            f" len(list_filter(tkd, t -> list_contains({arr}, t))) AS hits FROM toks"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tkd
+  FROM documents),
+scores AS ({union}),
+p AS (SELECT doc_id, n_tokens, cand AS predicted_lang
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY hits DESC, cand ASC) AS rn
+            FROM scores)
+      WHERE rn = 1)
+SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM p GROUP BY 1
+"""
+
+
+LANG_MIX_SQL = _lang_mix_sql()
+
+
 # Rotation policy (the driver checks the FIRST 50 entries only): every
 # round, the entries the driver skipped last round move to the FRONT, and
 # an equal number of long-green, untouched entries move to the tail, so no
@@ -2170,6 +2263,8 @@ QUERIES = {
     "docs_tfidf_topterms": docs_tfidf_topterms_q,
     "docs_source_token_quantiles": docs_source_token_quantiles_q,
     "ann_ivf_recall": ann_ivf_recall_q,
+    "events_anomaly_stats": events_anomaly_stats_q,
+    "docs_lang_mix": docs_lang_mix_q,
     # ---- rest of the r5 window ----
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -2290,6 +2385,8 @@ ORACLE = {
     "docs_ngram_topk": NGRAM_TOPK_SQL,
     "docs_tfidf_topterms": TFIDF_SQL,
     "docs_source_token_quantiles": SOURCE_QUANTILES_SQL,
+    "events_anomaly_stats": ANOMALY_SQL,
+    "docs_lang_mix": LANG_MIX_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

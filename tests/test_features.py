@@ -378,3 +378,28 @@ def test_funnel_streaming_converges_to_batch(spark, tmp_path):
     assert got[1] == (200, 5_000_200, 1, 5)
     assert got[2] == (200, None, 0, None)
     assert got[3] == (500, 500, 1, 0)
+
+
+def test_value_anomaly_stats_partition_order_invariant(spark):
+    """The 3σ rollup must be bitwise identical under any partitioning
+    — the float-accumulation formulation this operator exists to
+    avoid would reassociate sums across layouts."""
+    from cass_cdc_pg_spark.operators.features import value_anomaly_stats
+
+    rows = [
+        (i, "a" if i % 2 else "b", float(v))
+        for i, v in enumerate([1.01, 2.5, 3.33, 100.0, 2.2, 1.9, 2.1, 250.5])
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    outs = []
+    for parts in (1, 3, 7):
+        out = sorted(
+            (r.event_type, r.n_events, r.mean_value_micros,
+             r.threshold_micros, r.n_anomalies)
+            for r in value_anomaly_stats(ev.repartition(parts)).collect()
+        )
+        outs.append(out)
+    assert outs[0] == outs[1] == outs[2], outs
+    # sanity on 'b' (values 1.01, 3.33, 2.2, 2.1): no 3σ outliers
+    b = dict((t, (n, a)) for t, n, m, th, a in outs[0])["b"]
+    assert b == (4, 0)
