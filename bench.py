@@ -270,9 +270,15 @@ def compaction_bench(spark, sf_dir: str, tmp: str, base_rows: int = 50000,
     t.merge(ev)
 
     def timed_read() -> float:
-        t0 = time.time()
-        t.read_live().count()
-        return round(time.time() - t0, 3)
+        # min-of-2: a single read is hostage to one GC pause (observed
+        # 1.2 s → 7.1 s on an otherwise-idle run)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            t.read_live().count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
 
     out = {"lsm_read_sec_depth0": timed_read()}
     delta = ev.limit(delta_rows).withColumn(

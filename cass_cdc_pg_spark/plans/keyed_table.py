@@ -77,12 +77,14 @@ class KeyedTable:
         key_cols: list[str],
         num_buckets: int = 32,
         compact_threshold: int = 8,
+        keep_versions: int = 2,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
         self.compact_threshold = compact_threshold
+        self.keep_versions = keep_versions
         os.makedirs(self.path, exist_ok=True)
         # bucket count is a property of the TABLE, fixed at creation
         # (like any hash-bucketing scheme) — an existing manifest
@@ -121,20 +123,93 @@ class KeyedTable:
         }
 
     def _write_manifest(self, buckets: dict[str, dict]) -> None:
+        version = self._current_version() + 1
+        doc = {
+            "buckets": buckets,
+            "num_buckets": self.num_buckets,
+            "key_cols": self.key_cols,
+            "updated_at": time.time(),
+            "version": version,
+        }
         tmp = f"{self._manifest_path}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "buckets": buckets,
-                    "num_buckets": self.num_buckets,
-                    "key_cols": self.key_cols,
-                    "updated_at": time.time(),
-                },
-                f,
-            )
+            json.dump(doc, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path)
+        # version log AFTER the pointer swap: the swap is the commit;
+        # a crash here costs only this version's history entry (reads
+        # of the CURRENT version never consult the log), never
+        # correctness of the committed snapshot
+        os.makedirs(self._log_dir, exist_ok=True)
+        log_tmp = f"{self._log_dir}/.tmp.{uuid.uuid4().hex}"
+        with open(log_tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(log_tmp, f"{self._log_dir}/manifest.v{version:012d}.json")
+
+    # -- versioned history / time travel ------------------------------------
+
+    @property
+    def _log_dir(self) -> str:
+        return f"{self.path}/_log"
+
+    def _current_version(self) -> int:
+        try:
+            with open(self._manifest_path) as f:
+                return int(json.load(f).get("version", 0))
+        except FileNotFoundError:
+            return 0
+
+    def _log_versions(self) -> dict[int, str]:
+        try:
+            names = os.listdir(self._log_dir)
+        except FileNotFoundError:
+            return {}
+        out = {}
+        for n in names:
+            if n.startswith("manifest.v") and n.endswith(".json"):
+                out[int(n[len("manifest.v"):-len(".json")])] = f"{self._log_dir}/{n}"
+        return out
+
+    def history(self) -> list[dict]:
+        """Retained versions, ascending: version, updated_at,
+        n_buckets.  The time-travel analog of a manifest-pointer
+        format's transaction log (Delta's ``DESCRIBE HISTORY``); the
+        reference instead audits mutations to a Postgres audit table
+        (``src/services/audit_service.py``) — same operational need,
+        storage-level here so reads can actually bind to a version."""
+        out = []
+        for v, p in sorted(self._log_versions().items()):
+            try:
+                with open(p) as f:
+                    doc = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            out.append(
+                {
+                    "version": v,
+                    "updated_at": doc.get("updated_at"),
+                    "n_buckets": len(doc.get("buckets", {})),
+                }
+            )
+        return out
+
+    def _manifest_at(self, version: int) -> dict[str, dict]:
+        cur = self._current_version()
+        if version == cur:
+            return self._read_manifest()
+        path = self._log_versions().get(version)
+        if path is None:
+            raise FileNotFoundError(
+                f"version {version} not retained at {self.path} "
+                f"(keep_versions={self.keep_versions}, current={cur})"
+            )
+        with open(path) as f:
+            buckets = json.load(f)["buckets"]
+        return {
+            b: (e if isinstance(e, dict) else {"base": e, "deltas": []})
+            for b, e in buckets.items()
+        }
 
     # -- helpers ------------------------------------------------------------
 
@@ -159,12 +234,23 @@ class KeyedTable:
             tiebreak_col="_last_event_id",
         )
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current state per key (incl. soft-deleted tombstones).
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """State per key (incl. soft-deleted tombstones) — the current
+        snapshot, or, with *version*, a retained historical one (time
+        travel: data dirs are immutable and the version log pins which
+        ones each version saw, so a historical read is just a scan of
+        that version's dir set; raises FileNotFoundError for a version
+        GC'd past *keep_versions*).
 
         Merge-on-read: buckets carrying deltas are LWW-reduced; a
         fully-compacted table is a plain parquet scan."""
-        manifest = self._read_manifest()
+        manifest = (
+            self._read_manifest()
+            if version is None
+            else self._manifest_at(version)
+        )
         if not manifest:
             raise FileNotFoundError(f"empty keyed table at {self.path}")
         wanted = (
@@ -315,12 +401,37 @@ class KeyedTable:
         self._gc(manifest)
 
     def _gc(self, manifest: dict[str, dict]) -> None:
-        """Drop snapshot/delta dirs no bucket points at anymore."""
+        """Drop snapshot/delta dirs nothing points at anymore — where
+        "anything" includes the retained version log: a dir referenced
+        only by a historical version stays until that version ages
+        past *keep_versions* (so time travel keeps working), exactly
+        the retention/VACUUM contract of manifest-pointer formats.
+        Log files older than the retention window are pruned first,
+        which is what releases their dirs."""
+        cur = self._current_version()
+        for v, p in self._log_versions().items():
+            if v <= cur - self.keep_versions:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         live = set()
         for e in manifest.values():
             if e.get("base"):
                 live.add(e["base"])
             live.update(e.get("deltas", ()))
+        for v, p in self._log_versions().items():
+            try:
+                with open(p) as f:
+                    for e in json.load(f)["buckets"].values():
+                        if isinstance(e, dict):
+                            if e.get("base"):
+                                live.add(e["base"])
+                            live.update(e.get("deltas", ()))
+                        else:
+                            live.add(e)
+            except (OSError, json.JSONDecodeError, KeyError):
+                continue
         for d in os.listdir(self.path):
             if (d.startswith("snap-") or d.startswith("delta-")) and d not in live:
                 shutil.rmtree(f"{self.path}/{d}", ignore_errors=True)

@@ -262,3 +262,62 @@ def test_bucket_count_persisted_in_manifest(spark, tmp_path):
 
     assert reopened.delete_where(F.col("id") == "7") == 1
     assert reopened.read().count() == 19
+
+
+def test_time_travel_reads_prior_versions(spark, tmp_path):
+    """Each merge/compaction commits a version; read(version=) binds
+    to the retained manifest and sees exactly that snapshot's state."""
+    t = KeyedTable(spark, str(tmp_path / "tt"), ["id"], num_buckets=2)
+    t.merge(_batch(spark, [("a", "v1", False, 1000, "e1", None)]))
+    v1 = t.history()[-1]["version"]
+    t.merge(_batch(spark, [("a", "v2", False, 2000, "e2", None),
+                           ("b", "w1", False, 2000, "e3", None)]))
+    v2 = t.history()[-1]["version"]
+    assert v2 > v1
+    now = {r["id"]: r["val"] for r in t.read().collect()}
+    assert now == {"a": "v2", "b": "w1"}
+    old = {r["id"]: r["val"] for r in t.read(version=v1).collect()}
+    assert old == {"a": "v1"}
+    # history ascending with timestamps
+    hist = t.history()
+    assert [h["version"] for h in hist] == sorted(h["version"] for h in hist)
+    assert all(h["updated_at"] is not None for h in hist)
+
+
+def test_time_travel_survives_compaction_gc(spark, tmp_path):
+    """Compaction rewrites bases and GC runs — but dirs referenced by
+    retained historical versions must survive, so a pre-compaction
+    version still reads correctly afterwards."""
+    t = KeyedTable(spark, str(tmp_path / "tt"), ["id"], num_buckets=2,
+                   compact_threshold=100,  # manual compaction only
+                   keep_versions=3)  # v1 must survive merge+merge+compact
+    t.merge(_batch(spark, [("a", "v1", False, 1000, "e1", None)]))
+    v1 = t.history()[-1]["version"]
+    t.merge(_batch(spark, [("a", "v2", False, 2000, "e2", None)]))
+    t.compact()
+    assert {r["val"] for r in t.read().collect()} == {"v2"}
+    assert {r["val"] for r in t.read(version=v1).collect()} == {"v1"}
+
+
+def test_version_retention_prunes_log_and_dirs(spark, tmp_path):
+    """Versions past keep_versions are pruned: their log entries go,
+    reads of them fail with a clear error, and dirs referenced by no
+    retained version are reclaimed."""
+    import os
+
+    t = KeyedTable(spark, str(tmp_path / "tt"), ["id"], num_buckets=1,
+                   compact_threshold=2, keep_versions=2)
+    t.merge(_batch(spark, [("a", "v1", False, 1000, "e1", None)]))
+    v1 = t.history()[-1]["version"]
+    for i in range(2, 7):
+        t.merge(_batch(spark, [("a", f"v{i}", False, 1000 * i, f"e{i}", None)]))
+    assert {r["val"] for r in t.read().collect()} == {"v6"}
+    retained = [h["version"] for h in t.history()]
+    assert v1 not in retained
+    assert len(retained) <= 2
+    with pytest.raises(FileNotFoundError):
+        t.read(version=v1)
+    # compaction + retention bounded the on-disk dir count
+    dirs = [d for d in os.listdir(t.path)
+            if d.startswith("snap-") or d.startswith("delta-")]
+    assert len(dirs) <= 2 + 2 * t.keep_versions, dirs
