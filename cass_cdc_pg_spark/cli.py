@@ -14,6 +14,12 @@ Maps ``src/api/routes/*``:
 - ``health``             → GET /health (``routes/health.py``)
 - ``metrics dump``       → GET /metrics (``routes/metrics.py``)
 
+Beyond the reference surface (storage-level features the reference's
+Postgres target gets from the database itself):
+
+- ``table history``      → retained snapshot versions of a keyed table
+- ``table read``         → current or ``--version`` time-travel read
+
 Table metadata comes from a config JSON (the connector-config analog):
 
     {"tables": {"events": {"ddl": "event_id long, user_id long",
@@ -190,6 +196,36 @@ def cmd_metrics_dump(args, spark) -> int:
     return 0
 
 
+def cmd_table_history(args, spark) -> int:
+    """Retained snapshot versions of a keyed table (the DESCRIBE
+    HISTORY analog; versions come from the manifest log, see
+    ``plans/keyed_table.py``)."""
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    t = KeyedTable(spark, f"{args.warehouse.rstrip('/')}/{args.table}", [])
+    for h in t.history():
+        print(json.dumps(h, sort_keys=True))
+    return 0
+
+
+def cmd_table_read(args, spark) -> int:
+    """Read a keyed table's current — or, with ``--version``, a
+    retained historical — snapshot (time travel)."""
+    from cass_cdc_pg_spark.plans.keyed_table import META_COLS, KeyedTable
+
+    t = KeyedTable(spark, f"{args.warehouse.rstrip('/')}/{args.table}", [])
+    try:
+        df = t.read(version=args.version)
+    except FileNotFoundError as e:
+        print(json.dumps({"error": "version_not_retained", "detail": str(e)}),
+              file=sys.stderr)
+        return 1
+    if not args.meta:
+        df = df.drop(*META_COLS)
+    _emit(df.limit(args.limit).collect())
+    return 0
+
+
 def cmd_serve(args, spark) -> int:
     """Run the HTTP listener (``api.py``) — the uvicorn analog
     (``src/api/main.py``).  Blocks until interrupted."""
@@ -277,6 +313,20 @@ def build_parser() -> argparse.ArgumentParser:
     me = sub.add_parser("metrics").add_subparsers(dest="sub", required=True)
     du = me.add_parser("dump")
     du.set_defaults(fn=cmd_metrics_dump)
+
+    tb = sub.add_parser("table").add_subparsers(dest="sub", required=True)
+    hi = tb.add_parser("history")
+    hi.add_argument("--warehouse", required=True)
+    hi.add_argument("--table", required=True)
+    hi.set_defaults(fn=cmd_table_history)
+    rd = tb.add_parser("read")
+    rd.add_argument("--warehouse", required=True)
+    rd.add_argument("--table", required=True)
+    rd.add_argument("--version", type=int, default=None)
+    rd.add_argument("--limit", type=int, default=100)
+    rd.add_argument("--meta", action="store_true",
+                    help="include _cdc_* metadata columns")
+    rd.set_defaults(fn=cmd_table_read)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--host", default="127.0.0.1")

@@ -185,3 +185,45 @@ def test_cli_request_id_and_rate_limit_exit(spark, tmp_path, capsys):
     rc = main(["--rate-limit-state", state, "metrics", "dump"], spark=spark)
     assert rc == 429 % 256
     assert "rate_limit_exceeded" in capsys.readouterr().err
+
+
+def test_cli_table_history_and_time_travel_read(spark, tmp_path, capsys):
+    """`table history` lists retained versions; `table read --version`
+    returns the pre-update snapshot; a pruned version exits non-zero
+    with a clear error."""
+    wh = str(tmp_path / "wh")
+    ingest = CdcIngest(
+        spark, wh,
+        table_schemas={"users": T.StructType.fromDDL(USERS_DDL)},
+        key_cols={"users": ["id"]},
+        num_buckets=2,
+    )
+    ingest.process_batch(spark.createDataFrame(
+        [("33333333-3333-4333-8333-333333333331", "users", "CREATE", 1000, None,
+          {"id": U1, "username": "old", "age": "30"}, 1, None, False)],
+        CHANGE_EVENT_DDL))
+    ingest.process_batch(spark.createDataFrame(
+        [("33333333-3333-4333-8333-333333333332", "users", "UPDATE", 2000,
+          {"id": U1, "username": "old", "age": "30"},
+          {"id": U1, "username": "new", "age": "31"}, 1, None, False)],
+        CHANGE_EVENT_DDL))
+
+    assert main(["table", "history", "--warehouse", wh,
+                 "--table", "cdc_users"], spark=spark) == 0
+    hist = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(hist) >= 2
+    v_old = hist[-2]["version"]
+
+    assert main(["table", "read", "--warehouse", wh, "--table", "cdc_users",
+                 "--version", str(v_old)], spark=spark) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["username"] for r in rows] == ["old"]
+
+    assert main(["table", "read", "--warehouse", wh, "--table", "cdc_users"],
+                spark=spark) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["username"] for r in rows] == ["new"]
+
+    assert main(["table", "read", "--warehouse", wh, "--table", "cdc_users",
+                 "--version", "999"], spark=spark) == 1
+    assert "version_not_retained" in capsys.readouterr().err
