@@ -2236,6 +2236,15 @@ LANG_MIX_SQL = _lang_mix_sql()
 # query's most recent driver-green row ever ages past ~2 rounds.  Queries
 # whose implementation changed in the current round must stay inside the
 # first 50 regardless.
+#
+# r6 TODO: lead with the 22 entries past the r5 cap (dedup_simhash_pairs,
+# decontam_ngram_overlap, docs_token_percentiles, docs_mix_upsample,
+# docs_token_budget, docs_pack_sequences, ann_cosine_topk,
+# similarity_lsh_topk, embedding_neardup, q9_dlq_stats, q10_job_stats,
+# t7_validation_split, t9_ttl_expiry, dedup_exact_groups, text_token_stats,
+# text_repetition_stats, embedding_quantize_int8, docs_length_histogram,
+# text_bpe_token_count, text_quality, text_winnow_fps, text_lang_id — all
+# r4-driver-green and re-verified by tools/check_oracle.py in r5).
 QUERIES = {
     # ---- r5 head: the 13 entries the driver skipped in r4 ----
     "text_fingerprint": text_fingerprint_q,
