@@ -2230,6 +2230,46 @@ FROM p GROUP BY 1
 LANG_MIX_SQL = _lang_mix_sql()
 
 
+def events_type_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov-chain edge
+    list behavioral models train on): for each consecutive event pair
+    in a user's timeline, count (prev_type → next_type).
+
+    ONE shuffle: the lag window partitions by user and orders by
+    (ts, event_id) — a total order, so ties cannot reorder between
+    engines — and the global (prev,next) rollup aggregates partially
+    map-side before its tiny Exchange."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+p AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_type,
+         event_type AS next_type
+  FROM e)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM p WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # Rotation policy (the driver checks the FIRST 50 entries only): every
 # round, the entries the driver skipped last round move to the FRONT, and
 # an equal number of long-green, untouched entries move to the tail, so no
@@ -2237,7 +2277,8 @@ LANG_MIX_SQL = _lang_mix_sql()
 # whose implementation changed in the current round must stay inside the
 # first 50 regardless.
 #
-# r6 TODO: lead with the 22 entries past the r5 cap (dedup_simhash_pairs,
+# r6 TODO: lead with the 23 entries past the r5 cap (dedup_simhash,
+# dedup_simhash_pairs,
 # decontam_ngram_overlap, docs_token_percentiles, docs_mix_upsample,
 # docs_token_budget, docs_pack_sequences, ann_cosine_topk,
 # similarity_lsh_topk, embedding_neardup, q9_dlq_stats, q10_job_stats,
@@ -2274,6 +2315,7 @@ QUERIES = {
     "ann_ivf_recall": ann_ivf_recall_q,
     "events_anomaly_stats": events_anomaly_stats_q,
     "docs_lang_mix": docs_lang_mix_q,
+    "events_type_transitions": events_type_transitions_q,
     # ---- rest of the r5 window ----
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -2396,6 +2438,7 @@ ORACLE = {
     "docs_source_token_quantiles": SOURCE_QUANTILES_SQL,
     "events_anomaly_stats": ANOMALY_SQL,
     "docs_lang_mix": LANG_MIX_SQL,
+    "events_type_transitions": TRANSITIONS_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
