@@ -2270,6 +2270,67 @@ GROUP BY 1, 2
 """
 
 
+def sales_rollup_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue ROLLUP with subtotals: per (nation, year), per nation,
+    and grand total in one pass — the GROUPING SETS surface
+    (``rollup()``) over the same star join as
+    ``sales_by_nation_quarter``.  ``grouping_id()`` disambiguates a
+    subtotal NULL from data NULL identically in both engines (same
+    column order ⇒ same bitmask).  Revenue stays DECIMAL-accumulated
+    (exact, associative) so every subtotal is partition-order
+    independent; Spark expands rollup levels BEFORE the partial
+    aggregate, so the shuffle still carries one row per (level, key)
+    per partition — no extra pass per level."""
+    li = _li(spark, sf_dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = src.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            rev.alias("_r"),
+        )
+        .rollup("nation", "yr")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_r").alias("_rev"),
+        )
+        .select(
+            "nation",
+            "yr",
+            "lvl",
+            "n_items",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+SALES_ROLLUP_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(GROUPING(n_name, year(o_orderdate)) AS INT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+"""
+
+
 # Rotation policy (the driver checks the FIRST 50 entries only): every
 # round, the entries the driver skipped last round move to the FRONT, and
 # an equal number of long-green, untouched entries move to the tail, so no
@@ -2277,15 +2338,16 @@ GROUP BY 1, 2
 # whose implementation changed in the current round must stay inside the
 # first 50 regardless.
 #
-# r6 TODO: lead with the 23 entries past the r5 cap (dedup_simhash,
-# dedup_simhash_pairs,
+# r6 TODO: lead with the 24 entries past the r5 cap — all r4-driver-green
+# and re-verified by the repo's own full check_oracle.py run in r5:
+# events_top3_per_user, dedup_simhash, dedup_simhash_pairs,
 # decontam_ngram_overlap, docs_token_percentiles, docs_mix_upsample,
 # docs_token_budget, docs_pack_sequences, ann_cosine_topk,
 # similarity_lsh_topk, embedding_neardup, q9_dlq_stats, q10_job_stats,
-# t7_validation_split, t9_ttl_expiry, dedup_exact_groups, text_token_stats,
-# text_repetition_stats, embedding_quantize_int8, docs_length_histogram,
-# text_bpe_token_count, text_quality, text_winnow_fps, text_lang_id — all
-# r4-driver-green and re-verified by tools/check_oracle.py in r5).
+# t7_validation_split, t9_ttl_expiry, dedup_exact_groups,
+# text_token_stats, text_repetition_stats, embedding_quantize_int8,
+# docs_length_histogram, text_bpe_token_count, text_quality,
+# text_winnow_fps, text_lang_id
 QUERIES = {
     # ---- r5 head: the 13 entries the driver skipped in r4 ----
     "text_fingerprint": text_fingerprint_q,
@@ -2316,6 +2378,7 @@ QUERIES = {
     "events_anomaly_stats": events_anomaly_stats_q,
     "docs_lang_mix": docs_lang_mix_q,
     "events_type_transitions": events_type_transitions_q,
+    "sales_rollup_totals": sales_rollup_totals_q,
     # ---- rest of the r5 window ----
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -2439,6 +2502,7 @@ ORACLE = {
     "events_anomaly_stats": ANOMALY_SQL,
     "docs_lang_mix": LANG_MIX_SQL,
     "events_type_transitions": TRANSITIONS_SQL,
+    "sales_rollup_totals": SALES_ROLLUP_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
