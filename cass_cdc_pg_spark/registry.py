@@ -2338,6 +2338,67 @@ GROUP BY ROLLUP (n_name, year(o_orderdate))
 # whose implementation changed in the current round must stay inside the
 # first 50 regardless.
 #
+def docs_quality_tiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count quartile tiers with per-tier stats — the
+    bucket-by-distribution step of corpus curation.  NTILE(4) over a
+    global ORDER BY would single-partition-sort every ROW (the r3
+    token-budget scale-killer class); tiers instead come from exact
+    quartile THRESHOLDS broadcast back over the docs.  The threshold
+    aggregate does still reduce through one partition — but carrying
+    exact-percentile partial states (one long per doc), not sorted
+    rows; beyond billions of docs you'd swap in the
+    histogram-threshold formulation (groupBy length → bounded
+    (value, count) rollup) or a sketch, the trade already documented
+    on ``source_token_quantiles``.  Threshold ties bucket by ``<=``
+    identically in both engines."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    n = F.size(text.tokens(F.col("text"))).cast("long")
+    d = docs.select(n.alias("n_tokens"))
+    thresholds = d.agg(
+        F.percentile(F.col("n_tokens"), F.lit(0.25)).alias("p25"),
+        F.percentile(F.col("n_tokens"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("n_tokens"), F.lit(0.75)).alias("p75"),
+    )
+    tier = (
+        F.when(F.col("n_tokens") <= F.col("p25"), F.lit(1))
+        .when(F.col("n_tokens") <= F.col("p50"), F.lit(2))
+        .when(F.col("n_tokens") <= F.col("p75"), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return (
+        d.crossJoin(F.broadcast(thresholds))
+        .select(tier.cast("int").alias("tier"), "n_tokens")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+QUALITY_TIERS_SQL = """
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+t AS (SELECT quantile_cont(n_tokens, 0.25) AS p25,
+             quantile_cont(n_tokens, 0.5) AS p50,
+             quantile_cont(n_tokens, 0.75) AS p75
+      FROM d)
+SELECT CASE WHEN n_tokens <= p25 THEN 1
+            WHEN n_tokens <= p50 THEN 2
+            WHEN n_tokens <= p75 THEN 3
+            ELSE 4 END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM d CROSS JOIN t
+GROUP BY 1
+"""
+
+
 # r6 TODO: lead with the 24 entries past the r5 cap — all r4-driver-green
 # and re-verified by the repo's own full check_oracle.py run in r5:
 # events_top3_per_user, dedup_simhash, dedup_simhash_pairs,
@@ -2379,6 +2440,7 @@ QUERIES = {
     "docs_lang_mix": docs_lang_mix_q,
     "events_type_transitions": events_type_transitions_q,
     "sales_rollup_totals": sales_rollup_totals_q,
+    "docs_quality_tiers": docs_quality_tiers_q,
     # ---- rest of the r5 window ----
     "q1_row_count": q1_row_count,
     "schema_evolution": schema_evolution_q,
@@ -2503,6 +2565,7 @@ ORACLE = {
     "docs_lang_mix": LANG_MIX_SQL,
     "events_type_transitions": TRANSITIONS_SQL,
     "sales_rollup_totals": SALES_ROLLUP_SQL,
+    "docs_quality_tiers": QUALITY_TIERS_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
