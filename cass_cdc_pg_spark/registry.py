@@ -2399,13 +2399,13 @@ GROUP BY 1
 """
 
 
-# r6 TODO: lead with the 24 entries past the r5 cap — all r4-driver-green
+# r6 TODO: lead with the 25 entries past the r5 cap — all r4-driver-green
 # and re-verified by the repo's own full check_oracle.py run in r5:
-# events_top3_per_user, dedup_simhash, dedup_simhash_pairs,
-# decontam_ngram_overlap, docs_token_percentiles, docs_mix_upsample,
-# docs_token_budget, docs_pack_sequences, ann_cosine_topk,
-# similarity_lsh_topk, embedding_neardup, q9_dlq_stats, q10_job_stats,
-# t7_validation_split, t9_ttl_expiry, dedup_exact_groups,
+# events_stratified_sample, events_top3_per_user, dedup_simhash,
+# dedup_simhash_pairs, decontam_ngram_overlap, docs_token_percentiles,
+# docs_mix_upsample, docs_token_budget, docs_pack_sequences,
+# ann_cosine_topk, similarity_lsh_topk, embedding_neardup, q9_dlq_stats,
+# q10_job_stats, t7_validation_split, t9_ttl_expiry, dedup_exact_groups,
 # text_token_stats, text_repetition_stats, embedding_quantize_int8,
 # docs_length_histogram, text_bpe_token_count, text_quality,
 # text_winnow_fps, text_lang_id
