@@ -56,6 +56,12 @@ PIPELINE = [
     "embeddings_cell_stats",
     "docs_tfidf_topterms",
     "docs_source_token_quantiles",
+    "ann_ivf_recall",
+    "events_anomaly_stats",
+    "docs_lang_mix",
+    "events_type_transitions",
+    "sales_rollup_totals",
+    "docs_quality_tiers",
 ]
 
 
