@@ -414,12 +414,27 @@ def http_bench(spark, sf_dir: str, wh: str, n_requests: int = 200,
     srv.stop()
 
     latencies.sort()
-    p95 = latencies[int(len(latencies) * 0.95) - 1] if latencies else None
+    # max(0, ·): with <2 successes the naive index underflows to -1
+    # and silently reports the MAX as p95 (ADVICE r5)
+    p95 = (
+        latencies[max(0, int(len(latencies) * 0.95) - 1)]
+        if latencies
+        else None
+    )
+    # a mostly-failing run must read as a failure, not as a healthy
+    # requests_per_sec computed over the few successes: null the
+    # latency-derived fields when >10% of requests errored
+    failed = errors[0] > max(1, n_requests // 10)
     return {
         "http_requests": len(latencies),
         "http_errors": errors[0],
-        "http_requests_per_sec": round(len(latencies) / wall, 1) if wall else None,
-        "http_p95_ms": round(p95 * 1000, 1) if p95 is not None else None,
+        "http_bench_failed": failed,
+        "http_requests_per_sec": (
+            round(len(latencies) / wall, 1) if wall and not failed else None
+        ),
+        "http_p95_ms": (
+            round(p95 * 1000, 1) if p95 is not None and not failed else None
+        ),
     }
 
 

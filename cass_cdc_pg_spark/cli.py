@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import uuid
@@ -196,13 +197,32 @@ def cmd_metrics_dump(args, spark) -> int:
     return 0
 
 
+def _require_table(warehouse: str, table: str) -> str | None:
+    """Existence gate BEFORE KeyedTable is constructed: the ctor
+    os.makedirs its path, so probing a misspelled --table would
+    silently create an empty warehouse directory and then surface as
+    a confusing empty-table/version error (or exit 0 with no output
+    for history).  A table exists iff its _manifest.json does."""
+    path = f"{warehouse.rstrip('/')}/{table}"
+    if not os.path.exists(os.path.join(path, "_manifest.json")):
+        print(
+            json.dumps({"error": "table_not_found", "table": table}),
+            file=sys.stderr,
+        )
+        return None
+    return path
+
+
 def cmd_table_history(args, spark) -> int:
     """Retained snapshot versions of a keyed table (the DESCRIBE
     HISTORY analog; versions come from the manifest log, see
     ``plans/keyed_table.py``)."""
     from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
 
-    t = KeyedTable(spark, f"{args.warehouse.rstrip('/')}/{args.table}", [])
+    path = _require_table(args.warehouse, args.table)
+    if path is None:
+        return 1
+    t = KeyedTable(spark, path, [])
     for h in t.history():
         print(json.dumps(h, sort_keys=True))
     return 0
@@ -213,7 +233,10 @@ def cmd_table_read(args, spark) -> int:
     retained historical — snapshot (time travel)."""
     from cass_cdc_pg_spark.plans.keyed_table import META_COLS, KeyedTable
 
-    t = KeyedTable(spark, f"{args.warehouse.rstrip('/')}/{args.table}", [])
+    path = _require_table(args.warehouse, args.table)
+    if path is None:
+        return 1
+    t = KeyedTable(spark, path, [])
     try:
         df = t.read(version=args.version)
     except FileNotFoundError as e:

@@ -276,11 +276,17 @@ def value_anomaly_stats(events: DataFrame) -> DataFrame:
         "event_type",
         "n_events",
         F.expr("_s div n_events").cast("long").alias("mean_value_micros"),
+        # GREATEST(0, ·) clamps the radicand: n·Q and S² round
+        # independently through doubles, so a zero-variance group at
+        # large magnitude can land epsilon-negative — Spark would
+        # return NaN but DuckDB raises on sqrt(<0), aborting a whole
+        # oracle run instead of mismatching one query.  Clamped
+        # identically in ANOMALY_SQL.
         F.expr(
-            "(CAST(_s AS DOUBLE) + 3.0 * SQRT("
+            "(CAST(_s AS DOUBLE) + 3.0 * SQRT(GREATEST(CAST(0 AS DOUBLE), "
             "(CAST(n_events AS DOUBLE) * CAST(_q AS DOUBLE)"
             " - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE))"
-            " / CAST(n_events AS DOUBLE)))"
+            " / CAST(n_events AS DOUBLE))))"
             " / CAST(n_events AS DOUBLE)"
         ).alias("threshold_micros"),
     )

@@ -1632,14 +1632,24 @@ _IVF_NC, _IVF_NPROBE, _IVF_K = 8, 2, 5
 _IVF_CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
 
 
-def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+def _ivf_fixture_key(sf_dir: str) -> tuple[str, int]:
+    """(realpath, mtime_ns) of the embeddings fixture — the shared
+    invalidation key for EVERY centroid-derived cache (centroids
+    themselves and the generated oracle SQL texts).  Keying any of
+    them by path alone lets a regenerated fixture serve fresh
+    centroids to the Spark query but a stale cached oracle — a
+    spurious mismatch (ADVICE r5)."""
     import os as _os
 
     path = src.table_path(sf_dir, "embeddings")
-    key = (_os.path.realpath(path), _os.stat(path).st_mtime_ns)
+    return (_os.path.realpath(path), _os.stat(path).st_mtime_ns)
+
+
+def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+    key = _ivf_fixture_key(sf_dir)
     if key not in _IVF_CENTROID_CACHE:
         _IVF_CENTROID_CACHE[key] = similarity.train_ivf_centroids(
-            path, ncentroids=_IVF_NC
+            key[0], ncentroids=_IVF_NC
         )
     return _IVF_CENTROID_CACHE[key]
 
@@ -1694,19 +1704,22 @@ WHERE rank <= {k}
 """
 
 
-#: sf_dir → generated IVF oracle, trained on demand (never at import:
-#: a pyarrow read + k-means as an import side effect ties the module
-#: to one hardcoded fixture path — ADVICE r2)
-_IVF_SQL_CACHE: dict[str, str] = {}
+#: (fixture realpath, mtime_ns) → generated IVF oracle, trained on
+#: demand (never at import: a pyarrow read + k-means as an import side
+#: effect ties the module to one hardcoded fixture path — ADVICE r2).
+#: Same key as _IVF_CENTROID_CACHE so a regenerated fixture
+#: invalidates both together (ADVICE r5).
+_IVF_SQL_CACHE: dict[tuple[str, int], str] = {}
 
 
 def ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     """The IVF oracle for *sf_dir*, trained lazily on the same
     embeddings table the Spark query reads there; None if the fixture
     is absent (e.g. a docs-only checkout)."""
-    import os as _os
-
-    key = _os.path.realpath(sf_dir)
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
     if key not in _IVF_SQL_CACHE:
         try:
             _IVF_SQL_CACHE[key] = _ivf_sql(
@@ -2029,13 +2042,15 @@ FROM cassign GROUP BY cell
 """
 
 
-_CELL_STATS_SQL_CACHE: dict[str, str] = {}
+#: keyed by the fixture's (realpath, mtime_ns) — see _ivf_fixture_key
+_CELL_STATS_SQL_CACHE: dict[tuple[str, int], str] = {}
 
 
 def cell_stats_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
-    import os as _os
-
-    key = _os.path.realpath(sf_dir)
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
     if key not in _CELL_STATS_SQL_CACHE:
         try:
             _CELL_STATS_SQL_CACHE[key] = _cell_stats_sql(_ivf_centroids(sf_dir))
@@ -2159,10 +2174,10 @@ agg AS (
 stats AS (
   SELECT event_type, n_events,
          CAST(s // n_events AS BIGINT) AS mean_value_micros,
-         (CAST(s AS DOUBLE) + 3.0 * SQRT(
+         (CAST(s AS DOUBLE) + 3.0 * SQRT(GREATEST(CAST(0 AS DOUBLE),
             (CAST(n_events AS DOUBLE) * CAST(q AS DOUBLE)
              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-            / CAST(n_events AS DOUBLE)))
+            / CAST(n_events AS DOUBLE))))
          / CAST(n_events AS DOUBLE) AS threshold_micros
   FROM agg),
 flagged AS (
@@ -2179,16 +2194,19 @@ FROM stats s LEFT JOIN flagged f ON s.event_type = f.event_type
 def docs_lang_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus language mix: predicted-language distribution with doc
     and token shares — the per-language slice sizing that drives
-    multilingual mix decisions.  One scan (lang-ID + token count in
-    the same projection), one tiny aggregate."""
+    multilingual mix decisions.  Genuinely one scan (r6 — the r5
+    version claimed this but planned a doc_id self-join between the
+    lang-ID projection and a token-count projection, i.e. two scans
+    plus a doc_id shuffle of every doc at scale): ``predicted_lang``
+    is a plain Column expression, so both per-doc columns come out of
+    the SAME ``select``; the only Exchange is the tiny per-language
+    rollup.  Join-absence is pinned in test_plan_shapes.py."""
     docs = src.load_table(spark, sf_dir, "documents")
-    pred = text.lang_id(docs).select("doc_id", "predicted_lang")
-    toks = docs.select(
-        "doc_id",
-        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
     return (
-        pred.join(toks, "doc_id")
+        docs.select(
+            text.predicted_lang(F.col("text")).alias("predicted_lang"),
+            F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
         .groupBy("predicted_lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2340,40 +2358,81 @@ GROUP BY ROLLUP (n_name, year(o_orderdate))
 #
 def docs_quality_tiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count quartile tiers with per-tier stats — the
-    bucket-by-distribution step of corpus curation.  NTILE(4) over a
-    global ORDER BY would single-partition-sort every ROW (the r3
-    token-budget scale-killer class); tiers instead come from exact
-    quartile THRESHOLDS broadcast back over the docs.  The threshold
-    aggregate does still reduce through one partition — but carrying
-    exact-percentile partial states (one long per doc), not sorted
-    rows; beyond billions of docs you'd swap in the
-    histogram-threshold formulation (groupBy length → bounded
-    (value, count) rollup) or a sketch, the trade already documented
-    on ``source_token_quantiles``.  Threshold ties bucket by ``<=``
+    bucket-by-distribution step of corpus curation.
+
+    Bounded-state histogram formulation (r6, closing the r5 verdict's
+    last 100×-scale liability): EVERYTHING — thresholds and per-tier
+    stats — is computed off the ``groupBy(n_tokens).count()``
+    histogram, because count/min/max/sum-of-tokens per tier are all
+    reconstructible from (value, count) rows (``Σ value·count``).  So
+    the plan is ONE scan of documents, a shuffle that carries only
+    distinct token counts, a single tiny window partition holding
+    O(distinct lengths) rows for the cumulative count, and a 4-group
+    final aggregate.  Nothing anywhere holds O(docs) state — compare
+    the previous exact-``percentile`` version whose buffer merged one
+    long per doc into one reducer, and NTILE(4) over a global ORDER
+    BY, which would single-partition-sort every row.
+
+    Quartile thresholds use the exact linear-interpolated rank
+    ``h = p·(n−1)`` definition shared by Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` (see ``source_token_quantiles``);
+    integer inputs and dyadic p keep the arithmetic exact, so the
+    oracle hash is unchanged.  Threshold ties bucket by ``<=``
     identically in both engines."""
+    from pyspark.sql import Window
+
     docs = src.load_table(spark, sf_dir, "documents")
     n = F.size(text.tokens(F.col("text"))).cast("long")
-    d = docs.select(n.alias("n_tokens"))
-    thresholds = d.agg(
-        F.percentile(F.col("n_tokens"), F.lit(0.25)).alias("p25"),
-        F.percentile(F.col("n_tokens"), F.lit(0.5)).alias("p50"),
-        F.percentile(F.col("n_tokens"), F.lit(0.75)).alias("p75"),
+    hist = (
+        docs.select(n.alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "n_tokens",
+        "_c",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_nd"),
+    )
+
+    def _thr(p: float):
+        h = F.lit(p) * (F.col("_nd") - F.lit(1)).cast("double")
+        x_lo = F.min(
+            F.when(F.col("_cum") > F.floor(h), F.col("n_tokens"))
+        ).over(w_all)
+        x_hi = F.min(
+            F.when(F.col("_cum") > F.ceil(h), F.col("n_tokens"))
+        ).over(w_all)
+        frac = h - F.floor(h).cast("double")
+        return x_lo.cast("double") + frac * (x_hi - x_lo).cast("double")
+
+    t = cum.select(
+        "n_tokens",
+        "_c",
+        _thr(0.25).alias("_p25"),
+        _thr(0.5).alias("_p50"),
+        _thr(0.75).alias("_p75"),
     )
     tier = (
-        F.when(F.col("n_tokens") <= F.col("p25"), F.lit(1))
-        .when(F.col("n_tokens") <= F.col("p50"), F.lit(2))
-        .when(F.col("n_tokens") <= F.col("p75"), F.lit(3))
+        F.when(F.col("n_tokens") <= F.col("_p25"), F.lit(1))
+        .when(F.col("n_tokens") <= F.col("_p50"), F.lit(2))
+        .when(F.col("n_tokens") <= F.col("_p75"), F.lit(3))
         .otherwise(F.lit(4))
     )
     return (
-        d.crossJoin(F.broadcast(thresholds))
-        .select(tier.cast("int").alias("tier"), "n_tokens")
+        t.select(tier.cast("int").alias("tier"), "n_tokens", "_c")
         .groupBy("tier")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_c").cast("long").alias("n_docs"),
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("n_tokens") * F.col("_c")).cast("long").alias("total_tokens"),
         )
     )
 
@@ -2399,71 +2458,10 @@ GROUP BY 1
 """
 
 
-# r6 TODO: lead with the 25 entries past the r5 cap — all r4-driver-green
-# and re-verified by the repo's own full check_oracle.py run in r5:
-# events_stratified_sample, events_top3_per_user, dedup_simhash,
-# dedup_simhash_pairs, decontam_ngram_overlap, docs_token_percentiles,
-# docs_mix_upsample, docs_token_budget, docs_pack_sequences,
-# ann_cosine_topk, similarity_lsh_topk, embedding_neardup, q9_dlq_stats,
-# q10_job_stats, t7_validation_split, t9_ttl_expiry, dedup_exact_groups,
-# text_token_stats, text_repetition_stats, embedding_quantize_int8,
-# docs_length_histogram, text_bpe_token_count, text_quality,
-# text_winnow_fps, text_lang_id
 QUERIES = {
-    # ---- r5 head: the 13 entries the driver skipped in r4 ----
-    "text_fingerprint": text_fingerprint_q,
-    "q20_drift_severity": q20_drift_severity,
-    "q19_retention": q19_retention,
-    "q21_dlq_replay_select": q21_dlq_replay_select,
-    "q22_resolve_update": q22_resolve_update,
-    "q4_missing_in_source": q4_missing_in_source,
-    "q5_range_diff": q5_range_diff,
-    "q6_sample": q6_sample,
-    "q7_point_lookup": q7_point_lookup,
-    "q8_field_diff": q8_field_diff,
-    "q12_listing_events": q12_listing_events,
-    "q13_listing_lineitem": q13_listing_lineitem,
-    "q17_table_counts": q17_table_counts,
-    # ---- queries touched in r5 (must stay in-window) ----
-    "dedup_components": dedup_components_q,
-    "text_token_rarity": text_token_rarity_q,
-    "ann_ivf_topk": ann_ivf_topk_q,
-    # ---- new in r5 ----
-    "events_funnel": events_funnel_q,
-    "users_retention_cohorts": users_retention_cohorts_q,
-    "docs_ngram_topk": docs_ngram_topk_q,
-    "embeddings_cell_stats": embeddings_cell_stats_q,
-    "docs_tfidf_topterms": docs_tfidf_topterms_q,
-    "docs_source_token_quantiles": docs_source_token_quantiles_q,
-    "ann_ivf_recall": ann_ivf_recall_q,
-    "events_anomaly_stats": events_anomaly_stats_q,
-    "docs_lang_mix": docs_lang_mix_q,
-    "events_type_transitions": events_type_transitions_q,
-    "sales_rollup_totals": sales_rollup_totals_q,
-    "docs_quality_tiers": docs_quality_tiers_q,
-    # ---- rest of the r5 window ----
-    "q1_row_count": q1_row_count,
-    "schema_evolution": schema_evolution_q,
-    "multimodal_features": multimodal_features_q,
-    "events_throughput_1min": events_throughput_1min_q,
-    "events_hopping_5min_1min": events_hopping_q,
-    "events_sessionize": events_sessionize_q,
-    "events_asof_session": events_asof_session_q,
-    "events_interval_session": events_interval_session_q,
-    "text_pii_scrub": text_pii_scrub_q,
-    "docs_source_stats": docs_source_stats_q,
-    "ann_knn_within": ann_knn_within_q,
-    "events_user_features": events_user_features_q,
-    "sales_by_nation_quarter": sales_by_nation_quarter_q,
-    "events_user_features_5min": events_user_features_5min_q,
-    "q2_checksums": q2_checksums,
-    "q3_checksum_diff": q3_checksum_diff,
-    "q11_listing_orders": q11_listing_orders,
-    "q18_gdpr_erasure": q18_gdpr_erasure,
-    "c1_lww_state": c1_lww_state,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "dedup_minhash_lsh": dedup_minhash_lsh_q,
-    "corpus_clean_keep": corpus_clean_keep_q,
+    # ---- r6 head: the 25 entries past the r5 driver cap (all r4-driver-
+    # green and re-verified by the repo's full check_oracle.py run in r5;
+    # per the rotation contract they lead this round's window) ----
     "events_stratified_sample": events_stratified_sample_q,
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
@@ -2476,8 +2474,6 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
     "embedding_neardup": embedding_neardup_q,
-    # ---- r5 rotated tail: long-green (driver-green r4), untouched this
-    # round, past the driver's 50-cap; must lead the r6 window ----
     "q9_dlq_stats": q9_dlq_stats,
     "q10_job_stats": q10_job_stats,
     "t7_validation_split": t7_validation_split,
@@ -2491,6 +2487,62 @@ QUERIES = {
     "text_quality": text_quality_q,
     "text_winnow_fps": text_winnow_q,
     "text_lang_id": text_lang_id_q,
+    # ---- queries touched in r6 (must stay in-window) ----
+    "docs_quality_tiers": docs_quality_tiers_q,
+    "docs_source_token_quantiles": docs_source_token_quantiles_q,
+    "docs_lang_mix": docs_lang_mix_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
+    "events_anomaly_stats": events_anomaly_stats_q,
+    "embeddings_cell_stats": embeddings_cell_stats_q,
+    "ann_ivf_recall": ann_ivf_recall_q,
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "ann_knn_within": ann_knn_within_q,
+    # ---- new in r6 (inserted here as they land) ----
+    # ---- rest of the r6 window: r5-driver-green, least risk of drift ----
+    "events_funnel": events_funnel_q,
+    "users_retention_cohorts": users_retention_cohorts_q,
+    "docs_ngram_topk": docs_ngram_topk_q,
+    "docs_tfidf_topterms": docs_tfidf_topterms_q,
+    "events_type_transitions": events_type_transitions_q,
+    "sales_rollup_totals": sales_rollup_totals_q,
+    "dedup_components": dedup_components_q,
+    "text_token_rarity": text_token_rarity_q,
+    "q1_row_count": q1_row_count,
+    "schema_evolution": schema_evolution_q,
+    "multimodal_features": multimodal_features_q,
+    "events_throughput_1min": events_throughput_1min_q,
+    "events_hopping_5min_1min": events_hopping_q,
+    "events_sessionize": events_sessionize_q,
+    "events_asof_session": events_asof_session_q,
+    "events_interval_session": events_interval_session_q,
+    # ---- r6 rotated tail: ALL r5-driver-green (CORRECTNESS_r05.json) and
+    # re-checked every round by tools/check_oracle.py + pytest; past the
+    # driver's 50-cap this round — must lead the r7 window ----
+    "text_pii_scrub": text_pii_scrub_q,
+    "docs_source_stats": docs_source_stats_q,
+    "events_user_features": events_user_features_q,
+    "sales_by_nation_quarter": sales_by_nation_quarter_q,
+    "events_user_features_5min": events_user_features_5min_q,
+    "q2_checksums": q2_checksums,
+    "q3_checksum_diff": q3_checksum_diff,
+    "q11_listing_orders": q11_listing_orders,
+    "q18_gdpr_erasure": q18_gdpr_erasure,
+    "c1_lww_state": c1_lww_state,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "corpus_clean_keep": corpus_clean_keep_q,
+    "text_fingerprint": text_fingerprint_q,
+    "q20_drift_severity": q20_drift_severity,
+    "q19_retention": q19_retention,
+    "q21_dlq_replay_select": q21_dlq_replay_select,
+    "q22_resolve_update": q22_resolve_update,
+    "q4_missing_in_source": q4_missing_in_source,
+    "q5_range_diff": q5_range_diff,
+    "q6_sample": q6_sample,
+    "q7_point_lookup": q7_point_lookup,
+    "q8_field_diff": q8_field_diff,
+    "q12_listing_events": q12_listing_events,
+    "q13_listing_lineitem": q13_listing_lineitem,
+    "q17_table_counts": q17_table_counts,
 }
 
 ORACLE = {

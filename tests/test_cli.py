@@ -227,3 +227,16 @@ def test_cli_table_history_and_time_travel_read(spark, tmp_path, capsys):
     assert main(["table", "read", "--warehouse", wh, "--table", "cdc_users",
                  "--version", "999"], spark=spark) == 1
     assert "version_not_retained" in capsys.readouterr().err
+
+    # misspelled table: distinct table_not_found error, non-zero exit,
+    # and NO empty directory silently created in the warehouse
+    import os
+
+    assert main(["table", "read", "--warehouse", wh,
+                 "--table", "cdc_userz"], spark=spark) == 1
+    assert "table_not_found" in capsys.readouterr().err
+    assert not os.path.exists(os.path.join(wh, "cdc_userz"))
+    assert main(["table", "history", "--warehouse", wh,
+                 "--table", "cdc_userz"], spark=spark) == 1
+    assert "table_not_found" in capsys.readouterr().err
+    assert not os.path.exists(os.path.join(wh, "cdc_userz"))

@@ -453,17 +453,72 @@ def test_tfidf_single_tokenize_pass(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
-def test_source_quantiles_exact_percentile_one_shuffle(spark):
-    """Per-source quantiles: EXACT percentile (sort-based aggregate,
-    deterministic vs the oracle — approx_percentile's t-digest is
-    merge-order dependent and can never hash-match), partial
-    aggregation before the only Exchange."""
+def test_lang_mix_single_scan_no_join(spark, tmp_path):
+    """docs_lang_mix (r6): predicted_lang and n_tokens come out of ONE
+    projection — the plan must contain no join and exactly one scan;
+    the only Exchange is the per-language rollup."""
+    import os
+
+    from cass_cdc_pg_spark.registry import docs_lang_mix_q
+
+    p = str(tmp_path / "sf")
+    os.makedirs(p, exist_ok=True)
+    spark.range(50).selectExpr(
+        "id AS doc_id", "'the of and' AS text", "'en' AS lang", "'s' AS source"
+    ).write.parquet(os.path.join(p, "documents.parquet"))
+    q = docs_lang_mix_q(spark, p)
+    plan = _plan(q)
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = q.collect()
+    assert sum(r.n_docs for r in rows) == 50
+
+
+def test_source_quantiles_bounded_histogram_state(spark):
+    """Per-source quantiles (r6 bounded-state rewrite): NO exact
+    ``percentile`` aggregate anywhere — its buffer merges a value→count
+    map through one reducer per group, O(rows) worst case at 100 TB.
+    The quantiles must instead read off a (source, n_tokens) count
+    histogram: partial count before the first Exchange, a cumulative
+    window per source, and conditional-min threshold aggregates.
+    Every post-scan operator carries O(distinct lengths) state."""
     from cass_cdc_pg_spark.operators.text import source_token_quantiles
 
     docs = spark.range(100).selectExpr(
         "id AS doc_id", "'a b c' AS text", "CAST(id % 3 AS STRING) AS source"
     )
-    plan = _plan(source_token_quantiles(docs))
-    assert "partial_percentile" in plan, plan
-    assert "approx" not in plan.lower(), plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    q = source_token_quantiles(docs)
+    plan = _plan(q)
+    assert "percentile" not in plan.lower(), plan
+    assert "partial_count" in plan, plan  # histogram reduces map-side
+    assert "Window" in plan, plan  # cumulative count over the histogram
+    # histogram shuffle on (source, n) + window/final-agg shuffle on
+    # source — the final groupBy reuses the window's partitioning.
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_quality_tiers_single_scan_bounded_state(spark, tmp_path):
+    """Quartile tiers (r6 rewrite): thresholds AND per-tier stats both
+    derive from the token-count histogram, so the plan must scan
+    documents exactly ONCE and must contain no exact-percentile
+    aggregate.  The only single-partition stage is the cumulative
+    window over the histogram (O(distinct lengths) rows)."""
+    from cass_cdc_pg_spark.registry import docs_quality_tiers_q
+
+    p = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(p, exist_ok=True)
+    spark.range(200).selectExpr(
+        "id AS doc_id",
+        "repeat('w ', CAST(id % 17 AS INT)) AS text",
+        "'s' AS source",
+    ).write.parquet(os.path.join(p, "documents.parquet"))
+    q = docs_quality_tiers_q(spark, p)
+    plan = _plan(q)
+    assert "percentile" not in plan.lower(), plan
+    assert plan.count("FileScan") == 1, plan  # one scan of documents
+    rows = [r for r in q.collect()]
+    assert sum(r.n_docs for r in rows) == 200
+    assert sum(r.total_tokens for r in rows) == sum(i % 17 for i in range(200))
