@@ -438,6 +438,108 @@ def http_bench(spark, sf_dir: str, wh: str, n_requests: int = 200,
     }
 
 
+def ivf_split_bench(spark, sf_dir: str) -> dict:
+    """Per-stage breakdown of the ann_ivf_topk build (r5 verdict #3:
+    its local wall-clock swung 2× run-to-run; the round-over-round
+    delta is only trustworthy with the build cost split out).
+
+    Stages: ``train`` = forced k-means retrain (driver-side pyarrow +
+    numpy); ``centroid_load`` = the on-disk centroid cache hit every
+    fresh process now takes instead; ``build`` = DataFrame
+    construction incl. plan analysis with the plan memo cleared;
+    ``exec`` = three consecutive collects of the memoized plan — the
+    steady-state number, which the ±10% stability check reads."""
+    import time as _t
+
+    from cass_cdc_pg_spark import registry
+    from cass_cdc_pg_spark.operators import similarity
+
+    key = registry._ivf_fixture_key(sf_dir)
+    t0 = _t.time()
+    similarity.train_ivf_centroids(key[0], ncentroids=registry._IVF_NC)
+    train = _t.time() - t0
+
+    registry._ivf_centroids(sf_dir)  # ensure the file cache exists
+    registry._IVF_CENTROID_CACHE.clear()
+    t0 = _t.time()
+    registry._ivf_centroids(sf_dir)
+    load = _t.time() - t0
+
+    registry._IVF_DF_CACHE.clear()
+    t0 = _t.time()
+    df = registry.ann_ivf_topk_q(spark, sf_dir)
+    build = _t.time() - t0
+    df.collect()  # first-touch analyzer/codegen warmup, untimed
+    execs = []
+    for _ in range(3):
+        t0 = _t.time()
+        registry.ann_ivf_topk_q(spark, sf_dir).collect()
+        execs.append(round(_t.time() - t0, 3))
+    return {
+        "ivf_train_sec": round(train, 3),
+        "ivf_centroid_load_sec": round(load, 4),
+        "ivf_build_sec": round(build, 3),
+        "ivf_exec_sec": execs,
+    }
+
+
+def contract_bench(spark, sf_dir: str) -> dict:
+    """The BASELINE.md ≤2× contract (Q1 row count, Q3 checksum join vs
+    DuckDB), self-measured per round in a STABLE field format so a
+    container-constant shift can't flip the contract verdict without a
+    code change (r5 verdict item 7): both RAW ratios and
+    floor-adjusted ratios are published, plus the measured per-action
+    session floor itself.  Raw is wall-clock truth in this container;
+    adjusted isolates the data-dependent part that scales with SF
+    (Q1's Spark wall IS the floor — a parquet-footer metadata count
+    has no data-dependent work left)."""
+    import duckdb
+
+    from cass_cdc_pg_spark.registry import QUERIES, oracle_sql
+
+    probe = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .groupBy("r_regionkey")
+        .count()
+    )
+    probe.collect()
+    floor = min(_timed(lambda: probe.collect()) for _ in range(5))
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = oracle_sql(sf_dir)
+    out: dict = {"contract_floor_sec": round(floor, 4)}
+    for name, tag in (("q1_row_count", "q1"), ("q3_checksum_diff", "q3")):
+        QUERIES[name](spark, sf_dir).collect()  # warm
+        s = min(
+            _timed(lambda: QUERIES[name](spark, sf_dir).collect())
+            for _ in range(3)
+        )
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warm
+        d = min(_timed(lambda: con.execute(sql).fetchall()) for _ in range(3))
+        adj = max(s - floor, 0.0)
+        out[f"contract_{tag}_spark_sec"] = round(s, 4)
+        out[f"contract_{tag}_duck_sec"] = round(d, 4)
+        out[f"contract_{tag}_raw_ratio"] = round(s / d, 2) if d else None
+        out[f"contract_{tag}_adj_ratio"] = round(adj / d, 2) if d else None
+    con.close()
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cass_cdc_pg_spark.registry import QUERIES
@@ -501,6 +603,8 @@ def main() -> None:
         lsm_stats = compaction_bench(spark, sf_dir, tmp)
     with tempfile.TemporaryDirectory() as wh:
         http_stats = http_bench(spark, sf_dir, wh)
+    ivf_split = ivf_split_bench(spark, sf_dir)
+    contract = contract_bench(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -520,6 +624,8 @@ def main() -> None:
                 **stream_stats,
                 **lsm_stats,
                 **http_stats,
+                **ivf_split,
+                **contract,
             }
         )
     )

@@ -380,6 +380,94 @@ def test_funnel_streaming_converges_to_batch(spark, tmp_path):
     assert got[3] == (500, 500, 1, 0)
 
 
+def test_funnel_streaming_retrograde_divergence_bound(spark, tmp_path):
+    """Pin the documented stream/batch trade (r5 verdict item 6), not
+    just happy-path convergence: replay the SAME event set with a
+    retrograde cross-microbatch arrival (a signup arriving AFTER its
+    user's conversion was already seen in an earlier microbatch).
+
+    The O(1)-state stream cannot re-qualify a pre-start conversion it
+    never persisted, so its answer MAY differ from batch — but only in
+    one direction, which is the bound this test pins for every user:
+
+      - the start ts is always exact (min across batches is O(1));
+      - the stream never FABRICATES a conversion: stream.converted
+        <= batch.converted, and when both convert the stream's
+        first-conversion ts is >= the batch's;
+      - the batch funnel_conversion over the union of all events is
+        the authoritative reconciler.
+    """
+    import json
+    import os
+
+    from cass_cdc_pg_spark.operators.features import funnel_conversion
+    from cass_cdc_pg_spark.streaming.stateful import funnel_stream
+
+    rows_b1 = [
+        (10, 1000, "purchase"),   # conversion BEFORE its start arrives
+        (20, 1000, "signup"), (20, 2000, "purchase"),  # converts in b1
+        (40, 1000, "signup"),
+    ]
+    rows_b2 = [
+        (10, 500, "signup"),      # retrograde start: batch converts u10,
+                                  # the stream (conversion not persisted
+                                  # pre-start) reports converted=0
+        (20, 100, "signup"),      # retrograde earlier start: stays exact
+        (40, 500, "purchase"),    # pre-start conversion: both engines 0
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for name, batch in (("b1", rows_b1), ("b2", rows_b2)):
+        with open(f"{in_dir}/{name}.jsonl", "w") as fh:
+            for uid, t, et in batch:
+                fh.write(json.dumps(
+                    {"user_id": uid, "ts_us": t, "event_type": et}
+                ) + "\n")
+
+    schema = "user_id long, ts_us long, event_type string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory").queryName("funnel_retro")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql("SELECT * FROM funnel_retro").collect():
+        got[r["user_id"]] = (
+            r["signup_ts_us"], r["first_purchase_ts_us"], r["converted"],
+        )
+    batch_df = spark.createDataFrame(rows_b1 + rows_b2, schema)
+    expected = {
+        r["user_id"]: (
+            r["signup_ts_us"], r["first_purchase_ts_us"], r["converted"],
+        )
+        for r in funnel_conversion(batch_df).collect()
+    }
+
+    # the divergence bound, per user in the batch (authoritative) answer
+    for uid, (b_s, b_p, b_conv) in expected.items():
+        s_s, s_p, s_conv = got[uid]
+        assert s_s == b_s, f"start ts must be exact for u{uid}"
+        assert s_conv <= b_conv, f"stream fabricated a conversion for u{uid}"
+        if s_conv:
+            assert b_conv == 1 and s_p >= b_p, uid
+
+    # the specific documented divergence: u10's batch answer converts,
+    # the stream's cannot (pre-start conversion not persisted)
+    assert expected[10] == (500, 1000, 1)
+    assert got[10] == (500, None, 0)
+    # retrograde start with an already-qualified conversion stays exact
+    assert got[20] == expected[20] == (100, 2000, 1)
+    assert got[40] == expected[40] == (1000, None, 0)
+
+
 def test_value_anomaly_stats_partition_order_invariant(spark):
     """The 3σ rollup must be bitwise identical under any partitioning
     — the float-accumulation formulation this operator exists to

@@ -64,7 +64,15 @@ def main() -> int:
     # numbers have drifted round-over-round (ann_ivf_topk: r2 1.2 s →
     # r4 1.47 s with an untouched code path) — the floor-adjusted view
     # separates a real plan regression from session-constant noise.
-    audited = list(bench.HEADLINE) + ["ann_ivf_topk"]
+    # r6 (verdict item 5): dedup_minhash_lsh and ann_knn_within join
+    # the audit — the two heaviest pipeline queries previously had no
+    # DuckDB-relative posture, so an env shift (like r5's) could not
+    # be separated from a plan regression.
+    audited = list(bench.HEADLINE) + [
+        "ann_ivf_topk",
+        "dedup_minhash_lsh",
+        "ann_knn_within",
+    ]
     for name in audited:
         df = registry.QUERIES[name](spark, sf_dir)
         df.collect()  # warm
