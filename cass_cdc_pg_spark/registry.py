@@ -2519,6 +2519,343 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# r6 additions — window analytics, semi-structured props, grouping-set
+# variants, star-join league tables, semantic-dedup survivor selection
+# ---------------------------------------------------------------------------
+
+def events_moving_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-event moving average and step delta — the rolling
+    smoothing/differencing pass of time-series feature extraction
+    (reference analog: the verification sampler's per-user recent
+    windows, `scripts/benchmark.py:293-450`).
+
+    One shuffle: both window functions share the same
+    (user_id)/(ts_us, event_id) partition/order spec, so Spark plans a
+    single Exchange + Sort and evaluates both frames in one Window
+    node.  Values go through the exact integer-micros path (the
+    ANOMALY_SQL convention): the sliding SUM aggregates BIGINTs, which
+    is associative-exact, so DuckDB's segment-tree window evaluation
+    and Spark's frame-order evaluation agree bit-for-bit; the single
+    double division happens once per row after the exact sums."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    v_mu = F.col("value").cast("decimal(18,6)") * 1000000
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        v_mu.cast("bigint").alias("_v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wf = w.rowsBetween(-4, 0)
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(
+            F.sum("_v").over(wf).cast("double")
+            / F.count(F.lit(1)).over(wf).cast("double"),
+            4,
+        ).alias("moving_avg_micros"),
+        (F.col("_v") - F.lag("_v").over(w)).alias("delta_micros"),
+    )
+
+
+MOVING_STATS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_mu
+  FROM events)
+SELECT event_id, user_id, ts_us,
+       ROUND(CAST(SUM(v_mu) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE), 4) AS moving_avg_micros,
+       v_mu - LAG(v_mu) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS delta_micros
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type profile of the semi-structured ``props`` JSON payload
+    (the reference replicates Cassandra JSON columns through the same
+    typed-extract contract — `src/transforms/type_conversion`, SC-002).
+
+    ``get_json_object`` runs JVM-side inside the scan projection — no
+    Python, no second pass — and the rollup is a standard two-phase
+    aggregate; COUNT(DISTINCT) adds the usual expand+reshuffle, both
+    map-side partialed.  Sums are exact BIGINT so the one double
+    division per group is deterministic."""
+    ev = src.load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.countDistinct("_k").cast("long").alias("n_distinct_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            F.round(
+                F.col("sum_k").cast("double") / F.col("n_events").cast("double"), 4
+            ).alias("avg_k"),
+            "min_k",
+            "max_k",
+            "n_distinct_k",
+        )
+    )
+
+
+PROPS_STATS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM e GROUP BY 1
+"""
+
+
+def events_cube_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts over CUBE(event_type, epoch-hour) — every
+    grouping-set combination (cell, per-type, per-hour, grand total)
+    in one pass; the other half of the GROUPING SETS surface next to
+    ``sales_rollup_totals``'s ROLLUP.
+
+    The hour bucket is integer division of ``ts_us`` (``DIV``) —
+    timezone-free and identical in both engines.  Spark expands the
+    four grouping sets before the partial aggregate, so the Exchange
+    carries one row per (set, key) per partition, not four scans."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.select("event_type", F.expr("ts_us DIV 3600000000").alias("hr"))
+        .cube("event_type", "hr")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+CUBE_COUNTS_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events)
+SELECT event_type, hr,
+       CAST(GROUPING(event_type, hr) AS INT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e GROUP BY CUBE (event_type, hr)
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-cohort × event-type contingency table via ``pivot`` — the
+    wide-format crosstab fed to per-cohort behavior dashboards.
+
+    Pivot values are pinned, and the pivot lowers to conditional
+    aggregates (count-if per pinned value) rather than DataFrame
+    ``.pivot()`` — Spark's pivot operator plans a two-level aggregate
+    (an extra Exchange on (cohort, event_type)) even with pinned
+    values, while this lowering is ONE partial-aggregated shuffle on
+    the cohort key: the physical shape the oracle's FILTER
+    formulation describes, and the one you'd want when the fact table
+    is 100 TB and the pivoted dimension is an enum."""
+    ev = src.load_table(spark, sf_dir, "events")
+    counts = [
+        F.count(F.when(F.col("event_type") == t, F.lit(1)))
+        .cast("long")
+        .alias(t)
+        for t in _EVENT_TYPES
+    ]
+    return (
+        ev.select((F.col("user_id") % 10).alias("cohort"), "event_type")
+        .groupBy("cohort")
+        .agg(*counts, F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+
+
+TYPE_PIVOT_SQL = """
+SELECT user_id % 10 AS cohort,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM events GROUP BY 1
+"""
+
+
+def sales_top_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by revenue — the league-table star join.
+
+    supplier (100 rows/SF-invariant-small) broadcasts into lineitem's
+    scan stage, revenue accumulates as DECIMAL (exact, associative)
+    through the partial-aggregated s_suppkey shuffle, and the final
+    order+limit plans as TakeOrderedAndProject — no global sort.  The
+    ordering key is the EXACT decimal revenue with s_suppkey as
+    tiebreak, so the cut is deterministic in both engines."""
+    li = _li(spark, sf_dir).select("l_suppkey", "l_extendedprice", "l_discount")
+    s = src.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", rev.alias("_r"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_r").alias("_rev"),
+        )
+        .orderBy(F.col("_rev").desc(), F.col("s_suppkey"))
+        .limit(10)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_items",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+TOP_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) DESC, s_suppkey
+LIMIT 10
+"""
+
+
+def sales_region_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(region, year) revenue with share-of-year — the market-share
+    rollup (TPC-H Q8 family) over the supplier→nation→region dim chain.
+
+    The ONLY big-big join is lineitem⋈orders (shuffle on orderkey);
+    supplier⋈nation⋈region collapses driver-side-free into a ~100-row
+    (s_suppkey → region) dim that BROADCASTS into the same stage.
+    Revenue accumulates as DECIMAL; the share divides two exact
+    decimal sums (the denominator via a window over the tiny
+    (region×year) aggregate, not a second pass over lineitem) in one
+    double op per output row."""
+    from pyspark.sql import Window
+
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = src.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = src.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = src.load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "r_name")
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            rev.alias("_r"),
+        )
+        .groupBy("region", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_r").alias("_rev"),
+        )
+    )
+    w = Window.partitionBy("yr")
+    return agg.select(
+        "region",
+        "yr",
+        "n_items",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double") / F.sum("_rev").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+REGION_SHARE_SQL = """
+WITH dim AS (
+  SELECT s_suppkey, r_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey),
+agg AS (
+  SELECT r_name AS region, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN dim ON l_suppkey = s_suppkey
+  GROUP BY 1, 2)
+SELECT region, yr, n_items,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+FROM agg
+"""
+
+
+def embedding_semdedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup survivor list (SemDeDup-style selection): a
+    vector survives iff no LOWER-id vector sits within the cosine
+    near-dup threshold — the deterministic greedy keep-one rule
+    applied to ``embedding_neardup``'s LSH-bucketed candidate pairs.
+
+    Same scale shape as the pair query (bucket equi-join, never
+    all-pairs); the survivor step is one anti-join of the corpus
+    against the distinct id_b side, which AQE broadcasts when the
+    dropped set is small and shuffles on the id otherwise."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.35)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        emb.select("vec_id", F.col("label").cast("int").alias("label"))
+        .join(dropped, "vec_id", "left_anti")
+    )
+
+
+def _semdedup_sql(threshold: float = 0.35) -> str:
+    bucket = _lsh_bucket_sql("embedding")
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding AS vv, {bucket} AS bucket FROM embeddings),
+pairs AS (
+  SELECT b.id AS id_b
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE ROUND({_cos_sql('a.vv', 'b.vv')}, 6) >= {threshold!r})
+SELECT e.vec_id, CAST(e.label AS INT) AS label
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = e.vec_id)
+"""
+
+
+SEMDEDUP_KEEP_SQL = _semdedup_sql()
+
+
 QUERIES = {
     # ---- r6 head: the 25 entries past the r5 driver cap (all r4-driver-
     # green and re-verified by the repo's full check_oracle.py run in r5;
@@ -2559,6 +2896,13 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "ann_knn_within": ann_knn_within_q,
     # ---- new in r6 (inserted here as they land) ----
+    "events_moving_stats": events_moving_stats_q,
+    "events_props_stats": events_props_stats_q,
+    "events_cube_counts": events_cube_counts_q,
+    "events_type_pivot": events_type_pivot_q,
+    "sales_top_suppliers": sales_top_suppliers_q,
+    "sales_region_share": sales_region_share_q,
+    "embedding_semdedup_keep": embedding_semdedup_keep_q,
     # ---- rest of the r6 window: r5-driver-green, least risk of drift ----
     "events_funnel": events_funnel_q,
     "users_retention_cohorts": users_retention_cohorts_q,
@@ -2569,6 +2913,9 @@ QUERIES = {
     "dedup_components": dedup_components_q,
     "text_token_rarity": text_token_rarity_q,
     "q1_row_count": q1_row_count,
+    # ---- r6 rotated tail: ALL r5-driver-green (CORRECTNESS_r05.json) and
+    # re-checked every round by tools/check_oracle.py + pytest; past the
+    # driver's 50-cap this round — must lead the r7 window ----
     "schema_evolution": schema_evolution_q,
     "multimodal_features": multimodal_features_q,
     "events_throughput_1min": events_throughput_1min_q,
@@ -2576,9 +2923,6 @@ QUERIES = {
     "events_sessionize": events_sessionize_q,
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
-    # ---- r6 rotated tail: ALL r5-driver-green (CORRECTNESS_r05.json) and
-    # re-checked every round by tools/check_oracle.py + pytest; past the
-    # driver's 50-cap this round — must lead the r7 window ----
     "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
     "events_user_features": events_user_features_q,
@@ -2679,6 +3023,13 @@ ORACLE = {
     "events_type_transitions": TRANSITIONS_SQL,
     "sales_rollup_totals": SALES_ROLLUP_SQL,
     "docs_quality_tiers": QUALITY_TIERS_SQL,
+    "events_moving_stats": MOVING_STATS_SQL,
+    "events_props_stats": PROPS_STATS_SQL,
+    "events_cube_counts": CUBE_COUNTS_SQL,
+    "events_type_pivot": TYPE_PIVOT_SQL,
+    "sales_top_suppliers": TOP_SUPPLIERS_SQL,
+    "sales_region_share": REGION_SHARE_SQL,
+    "embedding_semdedup_keep": SEMDEDUP_KEEP_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

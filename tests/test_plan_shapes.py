@@ -522,3 +522,136 @@ def test_quality_tiers_single_scan_bounded_state(spark, tmp_path):
     rows = [r for r in q.collect()]
     assert sum(r.n_docs for r in rows) == 200
     assert sum(r.total_tokens for r in rows) == sum(i % 17 for i in range(200))
+
+
+def _write_events_fixture(spark, tmp_path, n=500):
+    import os
+
+    p = str(tmp_path / "sf")
+    os.makedirs(p, exist_ok=True)
+    spark.range(n).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(1704067200000000 + id * 1000000) AS ts",
+        "id % 17 AS user_id",
+        "element_at(array('click','error','purchase','signup','view'), CAST(id % 5 AS INT) + 1) AS event_type",
+        "CAST(id AS DOUBLE) / 7 AS value",
+        "concat('{\"k\": ', id % 100, '}') AS props",
+    ).write.parquet(os.path.join(p, "events.parquet"))
+    return p
+
+
+def test_moving_stats_single_window_exchange(spark, tmp_path):
+    """events_moving_stats (r6): the sliding average and the lag delta
+    share one (user_id)/(ts_us, event_id) spec, so the plan must carry
+    exactly ONE Exchange and ONE Sort — a second window pass would
+    double the shuffle volume of the widest streaming table at scale."""
+    from cass_cdc_pg_spark.registry import events_moving_stats_q
+
+    q = events_moving_stats_q(spark, _write_events_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert "Join" not in plan, plan
+    rows = q.collect()
+    assert len(rows) == 500
+    assert sum(r.delta_micros is None for r in rows) == 17  # one per user
+
+
+def test_props_stats_jvm_json_path(spark, tmp_path):
+    """events_props_stats (r6): JSON extraction stays JVM-side
+    (get_json_object in the scan projection — no Python worker) and
+    the rollup scans events exactly once."""
+    from cass_cdc_pg_spark.registry import events_props_stats_q
+
+    q = events_props_stats_q(spark, _write_events_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "get_json_object" in plan, plan
+
+
+def test_cube_counts_expand_before_partial_agg(spark, tmp_path):
+    """events_cube_counts (r6): the four grouping sets expand BEFORE
+    the partial aggregate (Expand under HashAggregate under one
+    Exchange) — per-set scans would read events four times."""
+    from cass_cdc_pg_spark.registry import events_cube_counts_q
+
+    q = events_cube_counts_q(spark, _write_events_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_type_pivot_pinned_values_no_extra_job(spark, tmp_path):
+    """events_type_pivot (r6): pivot values are pinned, so the plan is
+    one partial-aggregated Exchange on the cohort key — no
+    distinct-values scan job, no join."""
+    from cass_cdc_pg_spark.registry import events_type_pivot_q
+
+    q = events_type_pivot_q(spark, _write_events_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+    rows = {r.cohort: r for r in q.collect()}
+    assert sum(r.n_total for r in rows.values()) == 500
+
+
+def test_top_suppliers_broadcast_and_distributed_topk(spark, tmp_path):
+    """sales_top_suppliers (r6): the supplier dim broadcasts into
+    lineitem's stage (no shuffle of the fact side for the join) and
+    ORDER+LIMIT plans as TakeOrderedAndProject, not a global Sort."""
+    import os
+
+    from cass_cdc_pg_spark.registry import sales_top_suppliers_q
+
+    p = str(tmp_path / "sf")
+    os.makedirs(p, exist_ok=True)
+    spark.range(2000).selectExpr(
+        "id AS l_orderkey", "CAST(id % 4 AS INT) AS l_linenumber",
+        "id % 7 AS l_partkey", "id % 5 AS l_suppkey",
+        "CAST(1 AS DOUBLE) AS l_quantity",
+        "CAST(id AS DOUBLE) AS l_extendedprice",
+        "CAST(0.1 AS DOUBLE) AS l_discount", "CAST(0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "timestamp_micros(1704067200000000) AS l_shipdate",
+    ).write.parquet(os.path.join(p, "lineitem.parquet"))
+    spark.range(5).selectExpr(
+        "id AS s_suppkey", "concat('S', id) AS s_name",
+        "CAST(id AS INT) AS s_nationkey", "CAST(id AS DOUBLE) AS s_acctbal",
+    ).write.parquet(os.path.join(p, "supplier.parquet"))
+    q = sales_top_suppliers_q(spark, p)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = q.collect()
+    assert len(rows) == 5
+    assert rows[0].revenue == max(r.revenue for r in rows)
+
+
+def test_semdedup_keep_anti_join_no_cartesian(spark, tmp_path):
+    """embedding_semdedup_keep (r6): survivor selection is an
+    anti-join against the bucketed candidate pairs — the plan must
+    contain a LeftAnti join and (like the pair query it builds on) no
+    cartesian/nested-loop product anywhere."""
+    import os
+
+    from cass_cdc_pg_spark.registry import embedding_semdedup_keep_q
+
+    p = str(tmp_path / "sf")
+    os.makedirs(p, exist_ok=True)
+    spark.range(60).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), i -> CAST(sin(id * i + 1) AS FLOAT)) AS embedding",
+        "CAST(id % 3 AS INT) AS label",
+    ).write.parquet(os.path.join(p, "embeddings.parquet"))
+    q = embedding_semdedup_keep_q(spark, p)
+    plan = _plan(q)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    kept = {r.vec_id for r in q.collect()}
+    assert kept, "survivor set must be non-empty"
