@@ -62,6 +62,13 @@ PIPELINE = [
     "events_type_transitions",
     "sales_rollup_totals",
     "docs_quality_tiers",
+    "events_moving_stats",
+    "events_props_stats",
+    "events_cube_counts",
+    "events_type_pivot",
+    "sales_top_suppliers",
+    "sales_region_share",
+    "embedding_semdedup_keep",
 ]
 
 

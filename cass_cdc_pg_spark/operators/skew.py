@@ -1,0 +1,122 @@
+"""Skew mitigation: salted joins and salted aggregation.
+
+At 100 TB the failure mode of a shuffle join or groupBy is not total
+volume — it is ONE key (the null user, the default tenant, the
+heartbeat event type) owning 10% of the rows, so one reducer runs for
+hours while 999 executors idle.  Spark's first two answers are
+broadcast (kills the shuffle entirely — used throughout this repo)
+and AQE skew-join splitting (`spark.sql.adaptive.skewJoin.*`, on by
+default in `session.configure`), which splits oversized partitions of
+a sort-merge join at runtime.  AQE does NOT help when the skewed side
+must build a hash relation, when the skew is in an AGGREGATION, or in
+streaming microbatches (no AQE).  These operators are the explicit
+fallback for those cases — the same salting the reference's Kafka
+layer gets from partition-count tuning (`plan.md:840-849` routes hot
+tables to 8-16 partitions for exactly this reason).
+
+Both transformations are result-identical to their unsalted forms —
+pinned by tests/test_skew.py — so callers trade shuffle-row
+replication (xN on the small/replicated side) for an upper bound of
+(hot-key rows / n_salts) per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where *left* is large and skewed on *on* and *right*
+    is too big to broadcast but far smaller than left.
+
+    left rows scatter uniformly over ``n_salts`` sub-keys; every right
+    row replicates to ALL salts (explode of a compile-time literal
+    array — a map-side projection, no extra job or shuffle).  The join
+    key becomes (*on*, salt), so a key holding K rows shuffles into
+    ceil(K / n_salts)-row slices instead of one K-row reducer.
+
+    The salt value never affects the result — any left row meets every
+    replica of its matching right rows exactly once per salt value it
+    carries — so a nondeterministic-per-retry salt is safe here (only
+    placement changes on retry, not the join output).  Supported hows:
+    inner / left (right-side multiplicity is preserved because each
+    right row appears once per salt, and each left row carries exactly
+    one salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    l = left.withColumn(
+        _SALT, (F.rand(seed=0) * n_salts).cast("int") % n_salts
+    )
+    r = right.withColumn(_SALT, F.explode(salts))
+    out = l.join(r, [*on, _SALT], how)
+    return out.drop(_SALT)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+    merge: dict[str, object] | None = None,
+) -> DataFrame:
+    """Two-level aggregation for skewed groupBy keys, for aggregates
+    with an associative merge.  ``aggs`` maps output name → the
+    level-1 expression (evaluated per (key, salt)); ``merge`` maps
+    name → the level-2 re-aggregator as a function of the column name
+    (default ``F.sum`` — correct for sums, and for counts expressed
+    as ``F.count(...)`` at level 1, since merging counts IS a sum;
+    pass ``F.min`` / ``F.max`` for those).
+
+    Level 1 groups by (*keys*, salt) — the hot key's rows split over
+    n_salts reducers; level 2 merges the ≤ n_salts partial rows per
+    key.  This matters DESPITE Spark's map-side partial aggregation:
+    partials still converge on one reducer per key, and when the hot
+    key dominates (or the hash aggregate falls back to sort-based),
+    that single reducer is the bottleneck salting removes.
+    """
+    merge = merge or {}
+    salted = df.withColumn(
+        _SALT, (F.rand(seed=0) * n_salts).cast("int") % n_salts
+    )
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.get(name, F.sum)(name).alias(name) for name in aggs]
+    )
+
+
+def key_skew_profile(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
+    """Diagnostic: per-key row counts with share-of-total for the
+    heaviest *top* keys — the number you look at before choosing
+    broadcast vs AQE vs salting.  One partial-aggregated shuffle plus
+    a distributed top-k; the total comes from a window over the
+    aggregated rows, not a second scan."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()
+    return (
+        counts.select(
+            *keys,
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.sum("n_rows").over(w).cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(top)
+    )

@@ -655,3 +655,56 @@ def test_semdedup_keep_anti_join_no_cartesian(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     kept = {r.vec_id for r in q.collect()}
     assert kept, "survivor set must be non-empty"
+
+
+def test_region_share_single_big_join_broadcast_dim(spark, tmp_path):
+    """sales_region_share (r6): the supplier→nation→region chain must
+    collapse into a broadcast dim (no shuffle of lineitem for it) and
+    nothing may plan as a cartesian/nested-loop product; the share
+    window runs over the tiny (region×year) aggregate, after the only
+    fact-side aggregation."""
+    import os
+
+    from cass_cdc_pg_spark.registry import sales_region_share_q
+
+    p = str(tmp_path / "sf")
+    os.makedirs(p, exist_ok=True)
+    spark.range(2000).selectExpr(
+        "id % 300 AS l_orderkey", "CAST(id % 4 AS INT) AS l_linenumber",
+        "id % 7 AS l_partkey", "id % 5 AS l_suppkey",
+        "CAST(1 AS DOUBLE) AS l_quantity",
+        "CAST(id AS DOUBLE) AS l_extendedprice",
+        "CAST(0.1 AS DOUBLE) AS l_discount", "CAST(0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "timestamp_micros(1704067200000000) AS l_shipdate",
+    ).write.parquet(os.path.join(p, "lineitem.parquet"))
+    spark.range(300).selectExpr(
+        "id AS o_orderkey", "id % 29 AS o_custkey", "'O' AS o_orderstatus",
+        "CAST(id AS DOUBLE) AS o_totalprice",
+        "timestamp_micros(1704067200000000 + (id % 3) * 31536000000000) AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(os.path.join(p, "orders.parquet"))
+    spark.range(5).selectExpr(
+        "id AS s_suppkey", "concat('S', id) AS s_name",
+        "CAST(id % 3 AS INT) AS s_nationkey", "CAST(id AS DOUBLE) AS s_acctbal",
+    ).write.parquet(os.path.join(p, "supplier.parquet"))
+    spark.range(3).selectExpr(
+        "CAST(id AS INT) AS n_nationkey", "concat('N', id) AS n_name",
+        "CAST(id % 2 AS INT) AS n_regionkey",
+    ).write.parquet(os.path.join(p, "nation.parquet"))
+    spark.range(2).selectExpr(
+        "CAST(id AS INT) AS r_regionkey", "concat('R', id) AS r_name",
+    ).write.parquet(os.path.join(p, "region.parquet"))
+    q = sales_region_share_q(spark, p)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+    rows = q.collect()
+    by_yr = {}
+    for r in rows:
+        by_yr.setdefault(r.yr, 0.0)
+        by_yr[r.yr] += r.share
+    for yr, s in by_yr.items():
+        assert abs(s - 1.0) < 1e-4, (yr, s)
