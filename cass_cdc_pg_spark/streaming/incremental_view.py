@@ -116,12 +116,22 @@ class IncrementalAggView:
             )
         )
 
-    def apply_batch(self, batch: DataFrame) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
         """Fold one CDC batch (key cols + META_COLS + payload) into
-        the view.  Contract: call exactly once per batch, BEFORE the
-        corresponding ``table.merge(batch)`` — the "old state" read
-        must not already contain the batch, or its contribution would
-        double-count."""
+        the view, BEFORE the corresponding ``table.merge(batch)`` —
+        the "old state" read must not already contain the batch, or
+        its contribution would double-count.
+
+        Replay safety: additive deltas are NOT idempotent the way the
+        table's LWW merge is, so streaming callers pass the
+        ``foreachBatch`` *batch_id* — a batch at or below the
+        manifest's high-water mark is skipped, which makes
+        crash-replay exactly-once for the view regardless of whether
+        the crash hit before or after the table merge (the batch_id
+        commits in the SAME atomic manifest write as the delta)."""
+        if batch_id is not None:
+            if self._read_manifest().get("last_batch_id", -1) >= batch_id:
+                return
         # reduce the batch to its per-key winner first — intra-batch
         # LWW, same as KeyedTable.merge does — and project to the
         # columns maintenance actually needs, so schema evolution in
@@ -191,6 +201,8 @@ class IncrementalAggView:
         delta.coalesce(1).write.parquet(f"{self.path}/{name}")
         m = self._read_manifest()
         m["deltas"].append(name)
+        if batch_id is not None:
+            m["last_batch_id"] = batch_id
         self._write_manifest(m)
         if len(m["deltas"]) > self.compact_threshold:
             self.compact()
@@ -239,6 +251,34 @@ class IncrementalAggView:
             shutil.rmtree(f"{self.path}/{d}", ignore_errors=True)
 
     # -- verification -------------------------------------------------------
+
+    def rebuild(self, batch_id: int | None = None) -> None:
+        """Reset the view to a fresh full recompute — the escape hatch
+        for table-level operations that bypass the batch path
+        (TRUNCATE applies as an LWW soft-delete-all inside
+        ``KeyedTable``, with per-row winners the delta path can't see
+        without re-reading every bucket anyway).  Atomic the same way
+        ``compact`` is; the batch_id high-water mark is preserved (or
+        advanced) so a replayed batch can't double-apply after the
+        rebuild."""
+        m = self._read_manifest()
+        authoritative = self.recompute()
+        name = None
+        if authoritative is not None:
+            name = f"vbase-{uuid.uuid4().hex[:12]}"
+            authoritative.select(
+                *self.group_cols,
+                F.col("n_rows").alias("d_count"),
+                F.col("sum_micros").alias("d_sum"),
+            ).coalesce(1).write.parquet(f"{self.path}/{name}")
+        old_dirs = ([m["base"]] if m["base"] else []) + list(m["deltas"])
+        new_m = {"base": name, "deltas": []}
+        hw = max(m.get("last_batch_id", -1), batch_id if batch_id is not None else -1)
+        if hw >= 0:
+            new_m["last_batch_id"] = hw
+        self._write_manifest(new_m)
+        for d in old_dirs:
+            shutil.rmtree(f"{self.path}/{d}", ignore_errors=True)
 
     def recompute(self) -> DataFrame | None:
         """The authoritative batch answer (full rescan) the view must

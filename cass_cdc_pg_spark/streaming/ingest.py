@@ -156,6 +156,40 @@ class CdcIngest:
         self.schema_registry = SchemaRegistry(f"{self.warehouse}/_schema_meta")
         for name, schema in self.table_schemas.items():
             self.schema_registry.register(name, schema, compatibility)
+        self._views: dict[str, list] = {}
+
+    # -- incremental materialized views -------------------------------------
+
+    def register_view(
+        self,
+        table_name: str,
+        view_name: str,
+        group_cols: list[str],
+        value_col: str,
+        compact_threshold: int = 8,
+    ):
+        """Attach an ``IncrementalAggView`` to *table_name*: every
+        processed microbatch maintains it in the same foreachBatch
+        (delta cost O(batch), replay-exactly-once via the batch_id
+        high-water mark) — the answer the reference recomputes per
+        request (`src/api/main.py:79-83` stats routes) stays
+        materialized here.  Registration is per-process, like
+        ``table_schemas``; the view state itself lives in the
+        warehouse and reattaches across restarts."""
+        from cass_cdc_pg_spark.streaming.incremental_view import (
+            IncrementalAggView,
+        )
+
+        view = IncrementalAggView(
+            self.spark,
+            f"{self.warehouse}/{table_name}__view__{view_name}",
+            self.table(table_name),
+            group_cols,
+            value_col,
+            compact_threshold=compact_threshold,
+        )
+        self._views.setdefault(table_name, []).append(view)
+        return view
 
     # -- schema evolution (FR-017, auto.evolve) -----------------------------
 
@@ -406,6 +440,12 @@ class CdcIngest:
                     rows = transforms.unwrap(ok, payload_schema)
                     rows = transforms.add_cdc_metadata(rows)
                     target = self.table(name)
+                    # materialized views fold the batch BEFORE the
+                    # table merge (their old-state read must not
+                    # already include it); the batch_id high-water
+                    # mark makes crash-replay exactly-once
+                    for view in self._views.get(name, ()):
+                        view.apply_batch(rows, batch_id=batch_id)
                     commit = lambda r=rows, t=target: t.merge(r)  # noqa: E731
                     self.breaker.call(lambda: retry_with_backoff(commit, max_attempts=3))
                 # TRUNCATE: table-level operation, applied via LWW
@@ -413,6 +453,10 @@ class CdcIngest:
                 if name in truncates:
                     ts_us, eid = truncates[name]
                     self.table(name).soft_delete_all(ts_us, eid)
+                    # table-level ops bypass the delta path; reconcile
+                    # attached views with a full rebuild (rare event)
+                    for view in self._views.get(name, ()):
+                        view.rebuild(batch_id=batch_id)
 
             if dlq_parts:
                 # DLQ merge (S5): deterministic dlq_id + LWW merge make

@@ -141,3 +141,88 @@ def test_random_interleaving_converges(setup, spark):
     for lo in range(0, 30, 6):
         _apply(table, view, spark, rows[lo:lo + 6])
         _assert_converged(view)
+
+
+# -- ingest integration ------------------------------------------------------
+
+CHANGE_EVENT_DDL = (
+    "event_id string, source_table string, operation_type string, "
+    "timestamp_micros long, before map<string,string>, after map<string,string>, "
+    "schema_version int, ttl_seconds int, is_tombstone boolean"
+)
+
+# validation requires UUID event ids (T7)
+E = [f"00000000-0000-0000-0000-00000000000{i}" for i in range(10)]
+
+
+def _users_ingest(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from cass_cdc_pg_spark.streaming.ingest import CdcIngest
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("username", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+    ])
+    return CdcIngest(
+        spark, str(tmp_path / "wh"), {"users": schema}, {"users": ["id"]},
+        num_buckets=4,
+    )
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENT_DDL)
+
+
+def _vsnap(view):
+    df = view.read()
+    if df is None:
+        return {}
+    return {r["username"]: (r["n_rows"], r["sum_micros"]) for r in df.collect()}
+
+
+def test_ingest_maintains_registered_view(spark, tmp_path):
+    ing = _users_ingest(spark, tmp_path)
+    view = ing.register_view("users", "age_by_name", ["username"], "age")
+    b0 = _ev(spark, [
+        (E[1], "users", "CREATE", 100, None, {"id": "a", "username": "x", "age": "10"}, 1, None, False),
+        (E[2], "users", "CREATE", 100, None, {"id": "b", "username": "y", "age": "20"}, 1, None, False),
+    ])
+    ing.process_batch(b0, batch_id=0)
+    assert _vsnap(view) == {"x": (1, 10_000_000), "y": (1, 20_000_000)}
+    # crash-replay of the SAME microbatch: table merge is LWW-idempotent
+    # and the view must skip via its batch_id high-water mark
+    ing.process_batch(b0, batch_id=0)
+    assert _vsnap(view) == {"x": (1, 10_000_000), "y": (1, 20_000_000)}
+    # update + delete
+    b1 = _ev(spark, [
+        (E[3], "users", "UPDATE", 200, {"id": "a", "username": "x", "age": "10"},
+         {"id": "a", "username": "x", "age": "30"}, 1, None, False),
+        (E[4], "users", "DELETE", 200, {"id": "b", "username": "y", "age": "20"}, None, 1, None, True),
+    ])
+    ing.process_batch(b1, batch_id=1)
+    assert _vsnap(view) == {"x": (1, 30_000_000)}
+    assert _vsnap(view) == {
+        r["username"]: (r["n_rows"], r["sum_micros"])
+        for r in view.recompute().collect()
+    }
+
+
+def test_ingest_truncate_rebuilds_view(spark, tmp_path):
+    ing = _users_ingest(spark, tmp_path)
+    view = ing.register_view("users", "age_by_name", ["username"], "age")
+    ing.process_batch(_ev(spark, [
+        (E[1], "users", "CREATE", 100, None, {"id": "a", "username": "x", "age": "10"}, 1, None, False),
+    ]), batch_id=0)
+    assert _vsnap(view) == {"x": (1, 10_000_000)}
+    # TRUNCATE bypasses the row path — the view must reconcile
+    ing.process_batch(_ev(spark, [
+        (E[2], "users", "TRUNCATE", 200, None, None, 1, None, False),
+    ]), batch_id=1)
+    assert _vsnap(view) == {}
+    # a later CREATE resumes incremental maintenance
+    ing.process_batch(_ev(spark, [
+        (E[3], "users", "CREATE", 300, None, {"id": "c", "username": "z", "age": "5"}, 1, None, False),
+    ]), batch_id=2)
+    assert _vsnap(view) == {"z": (1, 5_000_000)}
