@@ -69,6 +69,7 @@ PIPELINE = [
     "sales_top_suppliers",
     "sales_region_share",
     "embedding_semdedup_keep",
+    "dedup_cluster_sizes",
 ]
 
 

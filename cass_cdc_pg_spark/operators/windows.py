@@ -51,6 +51,47 @@ def sessionize(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap_us: int = 30 * 60 * 1_000_000,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sessionization via the built-in ``F.session_window`` — the
+    JVM-side scale path that runs UNCHANGED on batch and streaming
+    DataFrames (pass *watermark*, e.g. ``"1 hour"``, for streams; the
+    session-merge state then lives in the executor state store and is
+    evicted by the watermark).  Prefer this over the
+    ``applyInPandasWithState`` sessionizer
+    (``streaming.stateful.sessionize_stream``) whenever plain
+    gap-sessions are enough: no Python workers, no Arrow transfer,
+    whole-stage-codegen aggregation, and Spark merges sessions that
+    span microbatches natively.
+
+    Same output schema as :func:`sessionize`, including at the exact
+    gap boundary: session windows merge when the next event lands at
+    or before ``prev + gap`` (window end inclusive for merging), the
+    same ``diff > gap``-opens rule as the gaps-and-islands
+    formulation — agreement pinned in tests.
+    """
+    with_ts = events.withColumn("_ts", F.timestamp_micros(F.col(ts_us_col)))
+    if watermark is not None:
+        with_ts = with_ts.withWatermark("_ts", watermark)
+    return (
+        with_ts.groupBy(
+            key_col,
+            F.session_window("_ts", f"{gap_us} microseconds").alias("_w"),
+        )
+        .agg(
+            F.min(ts_us_col).alias("session_start_us"),
+            F.max(ts_us_col).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_w")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -2856,6 +2856,64 @@ WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = e.vec_id)
 SEMDEDUP_KEEP_SQL = _semdedup_sql()
 
 
+def dedup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the first number a curator
+    reads off a dedup run: how many clusters of each size, how many
+    docs they hold (``n_docs − n_clusters`` = rows removed by
+    keep-one-per-cluster).
+
+    Composes on ``dedup_components``'s pipeline: LSH-bucketed pairs →
+    pointer-doubled components, then TWO tiny rollups (cluster → size,
+    size → histogram), each partial-aggregated; singleton docs (no
+    near-dup edge) coalesce to their own id, so every doc is counted
+    exactly once."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, n=2, threshold=0.2
+    )
+    comp = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    cid = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"), "component"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(cid.alias("_cid"))
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, MIN(lbl) AS cid FROM reach GROUP BY node),
+sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY cid)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     # ---- r6 head: the 25 entries past the r5 driver cap (all r4-driver-
     # green and re-verified by the repo's full check_oracle.py run in r5;
@@ -2903,6 +2961,7 @@ QUERIES = {
     "sales_top_suppliers": sales_top_suppliers_q,
     "sales_region_share": sales_region_share_q,
     "embedding_semdedup_keep": embedding_semdedup_keep_q,
+    "dedup_cluster_sizes": dedup_cluster_sizes_q,
     # ---- rest of the r6 window: r5-driver-green, least risk of drift ----
     "events_funnel": events_funnel_q,
     "users_retention_cohorts": users_retention_cohorts_q,
@@ -2912,7 +2971,6 @@ QUERIES = {
     "sales_rollup_totals": sales_rollup_totals_q,
     "dedup_components": dedup_components_q,
     "text_token_rarity": text_token_rarity_q,
-    "q1_row_count": q1_row_count,
     # ---- r6 rotated tail: ALL r5-driver-green (CORRECTNESS_r05.json) and
     # re-checked every round by tools/check_oracle.py + pytest; past the
     # driver's 50-cap this round — must lead the r7 window ----
@@ -2923,6 +2981,7 @@ QUERIES = {
     "events_sessionize": events_sessionize_q,
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
+    "q1_row_count": q1_row_count,
     "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
     "events_user_features": events_user_features_q,
@@ -3030,6 +3089,7 @@ ORACLE = {
     "sales_top_suppliers": TOP_SUPPLIERS_SQL,
     "sales_region_share": REGION_SHARE_SQL,
     "embedding_semdedup_keep": SEMDEDUP_KEEP_SQL,
+    "dedup_cluster_sizes": CLUSTER_SIZES_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

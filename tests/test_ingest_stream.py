@@ -314,3 +314,87 @@ def test_deduplicate_stream_drops_late_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 2, 3]
+
+
+def test_native_session_window_matches_gaps_and_islands(spark):
+    """sessionize_native (batch): away from the exact-gap boundary the
+    built-in session_window produces the same sessions as the
+    gaps-and-islands formulation."""
+    from cass_cdc_pg_spark.operators.windows import sessionize, sessionize_native
+
+    m = 60 * 1_000_000
+    rows = []
+    for uid in range(4):
+        t = uid * 17 * m
+        for i in range(12):
+            # gaps alternate well under / well over the 30-min gap
+            t += (5 * m) if i % 3 else (45 * m)
+            rows.append((uid, t))
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    key = lambda r: (r["user_id"], r["session_start_us"],
+                     r["session_end_us"], r["n_events"])  # noqa: E731
+    a = sorted(map(key, sessionize(df).collect()))
+    b = sorted(map(key, sessionize_native(df).collect()))
+    assert a == b and len(a) >= 8
+
+
+def test_native_session_window_boundary_semantics(spark):
+    """Exact-gap boundary agreement: session_window merges when the
+    next event lands at or before prev+gap (window end inclusive for
+    merging), matching gaps-and-islands' diff-greater-than-gap-opens
+    rule; one microsecond past the gap opens a new session in both."""
+    from cass_cdc_pg_spark.operators.windows import sessionize, sessionize_native
+
+    gap = 1_000_000
+    at_gap = spark.createDataFrame([(1, 0), (1, gap)], "user_id long, ts_us long")
+    assert sessionize(at_gap, gap_us=gap).count() == 1
+    assert sessionize_native(at_gap, gap_us=gap).count() == 1
+    past = spark.createDataFrame([(1, 0), (1, gap + 1)], "user_id long, ts_us long")
+    assert sessionize(past, gap_us=gap).count() == 2
+    assert sessionize_native(past, gap_us=gap).count() == 2
+
+
+def test_native_session_window_streams_and_merges_across_batches(spark, tmp_path):
+    """sessionize_native on a stream: Spark's native session-merge
+    state joins a session that SPANS two microbatches (no Python
+    state function involved), and the full session set equals the
+    batch answer."""
+    import json
+    import os
+
+    from cass_cdc_pg_spark.operators.windows import sessionize_native
+
+    m = 60 * 1_000_000
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    b1 = [(1, 0), (1, 10 * m), (2, 0)]
+    b2 = [(1, 20 * m), (1, 120 * m), (2, 200 * m)]  # u1: merges; then far-away session
+    for name, batch in (("b1", b1), ("b2", b2)):
+        with open(f"{in_dir}/{name}.jsonl", "w") as fh:
+            for uid, t in batch:
+                fh.write(json.dumps({"user_id": uid, "ts_us": t}) + "\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = (
+        sessionize_native(stream)
+        .writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM native_sessions").collect()
+    }
+    assert got == {
+        (1, 0): (20 * m, 3),        # spans the microbatch boundary
+        (1, 120 * m): (120 * m, 1),
+        (2, 0): (0, 1),
+        (2, 200 * m): (200 * m, 1),
+    }
