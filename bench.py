@@ -70,6 +70,13 @@ PIPELINE = [
     "sales_region_share",
     "embedding_semdedup_keep",
     "dedup_cluster_sizes",
+    "orders_priority_late",
+    "part_min_cost_supplier",
+    "customer_value_deciles",
+    "sales_returns_by_brand",
+    "segment_status_revenue",
+    "events_daily_active",
+    "lineitem_profile",
 ]
 
 

@@ -2914,6 +2914,310 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+# ---------------------------------------------------------------------------
+# r6 batch 2 — order-level semi-joins, supplier ranking, customer value
+# deciles, returns rollup, big-big segment join, DAU, column profiling
+# ---------------------------------------------------------------------------
+
+def orders_priority_late_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line shipped after the order date,
+    counted per priority — the EXISTS/semi-join pattern (TPC-H Q4
+    family; reference analog: the mismatch EXISTS probes in
+    `src/services/reconciliation_engine.py`).
+
+    A LEFT SEMI join keeps each qualifying order exactly once without
+    a distinct/dedup step: the join condition carries both the equi
+    key (orderkey — the shuffle key) and the non-equi l_shipdate >
+    o_orderdate predicate, which Spark evaluates as the SMJ/SHJ
+    residual filter, never as a nested loop.  The priority rollup then
+    partial-aggregates a 5-key group.  At 100 TB both sides shuffle
+    once on orderkey; lineitem prunes to (l_orderkey, l_shipdate) at
+    the scan."""
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _li(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+PRIORITY_LATE_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
+def part_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part by exact total billed price — the
+    min-cost-supplier selection (TPC-H Q2 family, re-keyed to the
+    lineitem fact since this schema has no partsupp).
+
+    Per (part, supplier) totals accumulate as DECIMAL through one
+    partial-aggregated shuffle; the per-part argmin is a row_number
+    window whose (partkey) partitioning REUSES the aggregate's hash
+    partitioning when AQE coalesces compatibly — and the ordering key
+    is the exact decimal total with suppkey tiebreak, so the pick is
+    deterministic in both engines (a rounded-double ordering would
+    not be).  Output is one row per part appearing in lineitem."""
+    from pyspark.sql import Window
+
+    li = _li(spark, sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    per = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_extendedprice").cast("decimal(18,6)").alias("_p"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_p").alias("_tot"),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("_tot").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_suppkey").alias("best_suppkey"),
+            "n_items",
+            F.round(F.col("_tot").cast("double"), 2).alias("total_price"),
+        )
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS tot
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                               ORDER BY tot ASC, l_suppkey ASC) AS rn
+  FROM per)
+SELECT l_partkey, l_suppkey AS best_suppkey, n_items,
+       ROUND(CAST(tot AS DOUBLE), 2) AS total_price
+FROM ranked WHERE rn = 1
+"""
+
+
+def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: rank customers by exact total
+    spend, NTILE into 10 tiers, and profile each tier — the
+    whale-curve rollup behind "top 10% of customers = X% of revenue".
+
+    Spend per customer is one partial-aggregated shuffle with DECIMAL
+    accumulation.  The NTILE is an unpartitioned window — a global
+    RANGE-partitioned sort of the CUSTOMER aggregate (not the orders
+    fact), which is the part that survives 100×: customers are ~1e9
+    rows at 100 TB, range-sortable; the orders fact never sorts.  The
+    ordering key (spend DESC, custkey) is tie-free, so tier edges are
+    deterministic in both engines; the final 10-row rollup
+    partial-aggregates per tier."""
+    from pyspark.sql import Window
+
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,6)").alias("_p")
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"), F.sum("_p").alias("_s")
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("_n").cast("long").alias("n_orders"),
+            F.round(F.sum("_s").cast("double"), 2).alias("total_spend"),
+            F.round(F.min("_s").cast("double"), 2).alias("min_spend"),
+            F.round(F.max("_s").cast("double"), 2).alias("max_spend"),
+        )
+    )
+
+
+VALUE_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+  FROM orders GROUP BY 1),
+tiered AS (
+  SELECT *, CAST(NTILE(10) OVER (ORDER BY s DESC, o_custkey ASC) AS INT)
+            AS decile
+  FROM spend)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(s) AS DOUBLE), 2) AS total_spend,
+       ROUND(CAST(MIN(s) AS DOUBLE), 2) AS min_spend,
+       ROUND(CAST(MAX(s) AS DOUBLE), 2) AS max_spend
+FROM tiered GROUP BY 1
+"""
+
+
+def sales_returns_by_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lost revenue from returned items per part brand (TPC-H Q10
+    family re-keyed to the part dim): the returns post-mortem rollup.
+
+    The `l_returnflag = 'R'` predicate pushes to the parquet scan
+    (min/max row-group pruning on the flag column), part (SF-small)
+    broadcasts, revenue accumulates as DECIMAL through one brand-keyed
+    partial-aggregated shuffle.  At 100 TB the filter cuts the scan to
+    the returned fraction before any join or shuffle sees a row."""
+    li = _li(spark, sf_dir).select(
+        "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    p = src.load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", rev.alias("_r"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+            F.round(F.sum("_r").cast("double"), 2).alias("lost_revenue"),
+        )
+    )
+
+
+RETURNS_BY_BRAND_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_returned,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 2) AS lost_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag = 'R'
+GROUP BY 1
+"""
+
+
+def segment_status_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue by market segment × order status (TPC-H Q3
+    family): the one genuinely BIG-BIG join in the star — customer is
+    SF-proportional (~1e9 rows at 100 TB), so it does NOT broadcast;
+    both sides shuffle once on custkey and every downstream stat
+    partial-aggregates into a 15-cell grid.
+
+    The projection is pruned to two columns per side before the
+    Exchange, so the shuffle carries ~30-byte rows; with AQE on, a
+    skewed segment (the reference's hot-table case, `plan.md:840-849`)
+    splits at runtime — and `operators/skew.salted_join` is the
+    explicit fallback when it doesn't."""
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("_p"),
+    )
+    c = src.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("_p").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+SEGMENT_STATUS_SQL = """
+SELECT c_mktsegment, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def events_daily_active_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users — the canonical engagement gauge: per UTC
+    day, event count and EXACT distinct users.
+
+    The day bucket is integer division of ``ts_us`` (timezone-free,
+    identical in both engines).  Spark plans the single exact distinct
+    as a two-phase aggregate — partial dedup on (day, user) map-side,
+    one shuffle keyed by day+user, then the per-day rollup — no
+    Expand (that only appears with MULTIPLE distinct aggregates; the
+    plain count rides along as a non-distinct partial).  At 100 TB
+    the shuffle carries one row per (day, user-seen-that-day) per map
+    task; for dashboards where ±2% suffices, swap to
+    ``approx_count_distinct`` (HLL) and the shuffle drops to one
+    sketch per day per task — the exact form stays as the
+    reconciliation twin (pinned within 5% by pytest)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.select(
+            F.expr("ts_us DIV 86400000000").alias("day_no"), "user_id"
+        )
+        .groupBy("day_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_active_users"),
+        )
+    )
+
+
+DAILY_ACTIVE_SQL = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_no, user_id FROM events)
+SELECT day_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM e GROUP BY 1
+"""
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of lineitem's measures — see
+    ``operators/profile.py`` for the scale argument (unpivot +
+    two-phase distinct rollup instead of an Expand×5 into one wide
+    reducer row)."""
+    from cass_cdc_pg_spark.operators import profile
+
+    li = _li(spark, sf_dir)
+    return profile.profile_columns(li, _PROFILE_COLS)
+
+
+LINEITEM_PROFILE_SQL = """
+WITH u AS (
+  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_v,
+       MAX(v) AS max_v,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+FROM u GROUP BY 1
+"""
+
+
 QUERIES = {
     # ---- r6 head: the 25 entries past the r5 driver cap (all r4-driver-
     # green and re-verified by the repo's full check_oracle.py run in r5;
@@ -2962,8 +3266,18 @@ QUERIES = {
     "sales_region_share": sales_region_share_q,
     "embedding_semdedup_keep": embedding_semdedup_keep_q,
     "dedup_cluster_sizes": dedup_cluster_sizes_q,
-    # ---- rest of the r6 window: r5-driver-green, least risk of drift ----
+    "orders_priority_late": orders_priority_late_q,
+    "part_min_cost_supplier": part_min_cost_supplier_q,
+    "customer_value_deciles": customer_value_deciles_q,
+    "sales_returns_by_brand": sales_returns_by_brand_q,
+    "segment_status_revenue": segment_status_revenue_q,
+    "events_daily_active": events_daily_active_q,
+    "lineitem_profile": lineitem_profile_q,
+    # ---- slot 50: r5-driver-green filler completing the window ----
     "events_funnel": events_funnel_q,
+    # ---- r6 rotated tail: ALL r5-driver-green (CORRECTNESS_r05.json) and
+    # re-checked every round by tools/check_oracle.py + pytest; past the
+    # driver's 50-cap this round — must lead the r7 window ----
     "users_retention_cohorts": users_retention_cohorts_q,
     "docs_ngram_topk": docs_ngram_topk_q,
     "docs_tfidf_topterms": docs_tfidf_topterms_q,
@@ -2971,9 +3285,6 @@ QUERIES = {
     "sales_rollup_totals": sales_rollup_totals_q,
     "dedup_components": dedup_components_q,
     "text_token_rarity": text_token_rarity_q,
-    # ---- r6 rotated tail: ALL r5-driver-green (CORRECTNESS_r05.json) and
-    # re-checked every round by tools/check_oracle.py + pytest; past the
-    # driver's 50-cap this round — must lead the r7 window ----
     "schema_evolution": schema_evolution_q,
     "multimodal_features": multimodal_features_q,
     "events_throughput_1min": events_throughput_1min_q,
@@ -3090,6 +3401,13 @@ ORACLE = {
     "sales_region_share": REGION_SHARE_SQL,
     "embedding_semdedup_keep": SEMDEDUP_KEEP_SQL,
     "dedup_cluster_sizes": CLUSTER_SIZES_SQL,
+    "orders_priority_late": PRIORITY_LATE_SQL,
+    "part_min_cost_supplier": MIN_COST_SUPPLIER_SQL,
+    "customer_value_deciles": VALUE_DECILES_SQL,
+    "sales_returns_by_brand": RETURNS_BY_BRAND_SQL,
+    "segment_status_revenue": SEGMENT_STATUS_SQL,
+    "events_daily_active": DAILY_ACTIVE_SQL,
+    "lineitem_profile": LINEITEM_PROFILE_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

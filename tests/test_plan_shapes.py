@@ -708,3 +708,189 @@ def test_region_share_single_big_join_broadcast_dim(spark, tmp_path):
         by_yr[r.yr] += r.share
     for yr, s in by_yr.items():
         assert abs(s - 1.0) < 1e-4, (yr, s)
+
+
+def _write_star_fixture(spark, tmp_path):
+    """Minimal orders+lineitem+customer+part star for the r6 batch-2
+    plan pins."""
+    import os
+
+    p = str(tmp_path / "sf")
+    os.makedirs(p, exist_ok=True)
+    spark.range(2000).selectExpr(
+        "id % 300 AS l_orderkey", "CAST(id % 4 AS INT) AS l_linenumber",
+        "id % 7 AS l_partkey", "id % 5 AS l_suppkey",
+        "CAST(1 AS DOUBLE) AS l_quantity",
+        "CAST(id AS DOUBLE) AS l_extendedprice",
+        "CAST(0.1 AS DOUBLE) AS l_discount", "CAST(0 AS DOUBLE) AS l_tax",
+        "CASE WHEN id % 3 = 0 THEN 'R' ELSE 'N' END AS l_returnflag",
+        "'O' AS l_linestatus",
+        "timestamp_micros(1704067200000000 + (id % 40) * 86400000000) AS l_shipdate",
+    ).write.parquet(os.path.join(p, "lineitem.parquet"))
+    spark.range(300).selectExpr(
+        "id AS o_orderkey", "id % 29 AS o_custkey", "'O' AS o_orderstatus",
+        "CAST(id AS DOUBLE) AS o_totalprice",
+        "timestamp_micros(1704067200000000 + (id % 20) * 86400000000) AS o_orderdate",
+        "element_at(array('1-URGENT','2-HIGH','3-MEDIUM'), CAST(id % 3 AS INT) + 1) AS o_orderpriority",
+    ).write.parquet(os.path.join(p, "orders.parquet"))
+    spark.range(29).selectExpr(
+        "id AS c_custkey", "concat('C', id) AS c_name",
+        "CAST(id % 3 AS INT) AS c_nationkey", "CAST(id AS DOUBLE) AS c_acctbal",
+        "element_at(array('AUTO','BUILDING','MACHINERY'), CAST(id % 3 AS INT) + 1) AS c_mktsegment",
+    ).write.parquet(os.path.join(p, "customer.parquet"))
+    spark.range(7).selectExpr(
+        "id AS p_partkey", "concat('P', id) AS p_name",
+        "concat('Brand#', id % 3) AS p_brand", "'STEEL' AS p_type",
+        "CAST(id AS INT) AS p_size", "CAST(id AS DOUBLE) AS p_retailprice",
+    ).write.parquet(os.path.join(p, "part.parquet"))
+    return p
+
+
+def test_priority_late_semi_join_no_dedup(spark, tmp_path):
+    """orders_priority_late (r6): the EXISTS lowers to a LEFT SEMI
+    join — one probe per order, no distinct/dedup aggregate — with
+    the non-equi shipdate predicate as the join residual, never a
+    nested-loop product."""
+    from cass_cdc_pg_spark.registry import orders_priority_late_q
+
+    q = orders_priority_late_q(spark, _write_star_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = {r.o_orderpriority: r.n_orders for r in q.collect()}
+    assert sum(rows.values()) > 0
+
+
+def test_min_cost_supplier_group_limit_after_partial_agg(spark, tmp_path):
+    """part_min_cost_supplier (r6): per-(part,supplier) totals
+    partial-aggregate before the shuffle, and the rn=1 filter lowers
+    to WindowGroupLimit so each task keeps one candidate row per part
+    pre-shuffle instead of sorting whole groups."""
+    from cass_cdc_pg_spark.registry import part_min_cost_supplier_q
+
+    q = part_min_cost_supplier_q(spark, _write_star_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "partial_sum" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    rows = q.collect()
+    assert len(rows) == 7  # one winner per part
+    assert len({r.l_partkey for r in rows}) == 7
+
+
+def test_value_deciles_windows_aggregate_not_fact(spark, tmp_path):
+    """customer_value_deciles (r6): the NTILE global sort runs over
+    the per-customer AGGREGATE (29 rows here; ~customers at scale),
+    never the orders fact — the plan's single-partition window input
+    must sit above the custkey aggregation, and spend must
+    partial-aggregate map-side."""
+    from cass_cdc_pg_spark.registry import customer_value_deciles_q
+
+    q = customer_value_deciles_q(spark, _write_star_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "partial_sum" in plan, plan
+    assert "ntile" in plan.lower(), plan
+    # the window's sort must consume the aggregated relation: the
+    # custkey aggregation (its Exchange) sits BELOW the Window node,
+    # i.e. later in the tree string
+    assert plan.index("Window") < plan.index("hashpartitioning(o_custkey"), plan
+    rows = q.collect()
+    assert sum(r.n_customers for r in rows) == 29
+
+
+def test_returns_by_brand_filter_pushed_and_broadcast(spark, tmp_path):
+    """sales_returns_by_brand (r6): the returnflag predicate reaches
+    the parquet scan (row-group pruning at scale) and the part dim
+    broadcasts — lineitem shuffles only for the final brand rollup."""
+    from cass_cdc_pg_spark.registry import sales_returns_by_brand_q
+
+    q = sales_returns_by_brand_q(spark, _write_star_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    rows = q.collect()
+    assert len(rows) == 3
+
+
+def test_segment_status_shuffle_join_with_pruned_projection(spark, tmp_path):
+    """segment_status_revenue (r6): with broadcast disabled (the
+    100 TB posture — customer is SF-proportional), the join plans as
+    a shuffle join on custkey with both scans pruned to the joined +
+    aggregated columns only; no nested loop, and the rollup
+    partial-aggregates."""
+    from cass_cdc_pg_spark.registry import segment_status_revenue_q
+
+    p = _write_star_fixture(spark, tmp_path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = segment_status_revenue_q(spark, p)
+        plan = _plan(q)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "c_name" not in plan and "c_acctbal" not in plan, plan  # pruned
+    rows = q.collect()
+    assert sum(r.n_orders for r in rows) == 300
+
+
+def test_daily_active_single_distinct_no_expand(spark, tmp_path):
+    """events_daily_active (r6): ONE distinct aggregate must not plan
+    an Expand (that's the multi-distinct penalty) — just the two-phase
+    (day,user) dedup then the per-day rollup, both partial-aggregated."""
+    from cass_cdc_pg_spark.registry import events_daily_active_q
+
+    q = events_daily_active_q(spark, _write_events_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "Expand" not in plan, plan
+    assert "partial_count" in plan, plan
+    rows = q.collect()
+    assert len(rows) == 1  # 500 events * 1s apart < 1 day
+    assert rows[0].n_active_users == 17
+
+
+def test_lineitem_profile_two_phase_distinct_no_expand(spark, tmp_path):
+    """lineitem_profile (r6): the unpivot profile must plan the
+    (col_name, value) rollup two-phase — partial aggregation on both
+    levels, NO Expand (the wide multi-count-distinct shape it was
+    chosen over), no Python workers, and one scan of the table."""
+    from cass_cdc_pg_spark.registry import lineitem_profile_q
+
+    q = lineitem_profile_q(spark, _write_star_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "Expand" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    rows = {r.col_name: r for r in q.collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    assert rows["l_quantity"].n_rows == 2000
+    assert rows["l_quantity"].n_distinct == 1
+    assert rows["l_discount"].min_v == 0.1
+
+
+def test_profile_approximate_tracks_exact(spark, tmp_path):
+    """profile_columns(approximate=True): the HLL distinct estimate
+    must land within 5% of exact on a 10k-value column — the
+    documented scale swap has to actually hold before anyone trusts
+    it at 100 TB."""
+    from cass_cdc_pg_spark.operators.profile import profile_columns
+
+    df = spark.range(20_000).selectExpr(
+        "CAST(id % 10000 AS DOUBLE) AS a", "CAST(id % 13 AS DOUBLE) AS b"
+    )
+    exact = {r.col_name: r for r in profile_columns(df, ["a", "b"]).collect()}
+    approx = {
+        r.col_name: r
+        for r in profile_columns(df, ["a", "b"], approximate=True).collect()
+    }
+    for c in ("a", "b"):
+        assert approx[c].n_rows == exact[c].n_rows == 20_000
+        rel = abs(approx[c].n_distinct - exact[c].n_distinct) / max(
+            1, exact[c].n_distinct
+        )
+        assert rel <= 0.05, (c, approx[c].n_distinct, exact[c].n_distinct)
+        assert approx[c].sum_v == exact[c].sum_v
