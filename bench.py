@@ -453,6 +453,73 @@ def http_bench(spark, sf_dir: str, wh: str, n_requests: int = 200,
     }
 
 
+def bucketed_join_bench(spark, sf_dir: str, warehouse: str) -> dict:
+    """Co-located-join economics: time lineitem⋈orders + orderkey
+    rollup three ways — plain shuffled SMJ, the same join over
+    pre-bucketed tables (zero Exchange), and the write cost that buys
+    it.  The ratio is the per-run saving every repeated join on the
+    key banks after ONE bucketed write — the 100 TB lever
+    `plans/bucketed.py` exists for."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.plans.bucketed import colocated_join, save_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def shuffled():
+            return (
+                li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority")
+                .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")))
+            )
+
+        shuffled().count()  # warm
+        t0 = _t.time()
+        shuffled().count()
+        t_shuffled = round(_t.time() - t0, 3)
+
+        t0 = _t.time()
+        save_bucketed(
+            li.withColumnRenamed("l_orderkey", "k"), "bench_li", "k", 32,
+            path=f"{warehouse}/bench_li", sorted_by="k",
+        )
+        save_bucketed(
+            o.withColumnRenamed("o_orderkey", "k"), "bench_o", "k", 32,
+            path=f"{warehouse}/bench_o", sorted_by="k",
+        )
+        t_write = round(_t.time() - t0, 3)
+
+        def colocated():
+            return (
+                colocated_join(spark, "bench_li", "bench_o", "k")
+                .groupBy("o_orderpriority")
+                .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")))
+            )
+
+        colocated().count()  # warm
+        t0 = _t.time()
+        colocated().count()
+        t_colocated = round(_t.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bench_li")
+        spark.sql("DROP TABLE IF EXISTS bench_o")
+    return {
+        "bucketed_join_shuffled_sec": t_shuffled,
+        "bucketed_join_colocated_sec": t_colocated,
+        "bucketed_write_once_sec": t_write,
+    }
+
+
 def ivf_split_bench(spark, sf_dir: str) -> dict:
     """Per-stage breakdown of the ann_ivf_topk build (r5 verdict #3:
     its local wall-clock swung 2× run-to-run; the round-over-round
@@ -618,6 +685,8 @@ def main() -> None:
         lsm_stats = compaction_bench(spark, sf_dir, tmp)
     with tempfile.TemporaryDirectory() as wh:
         http_stats = http_bench(spark, sf_dir, wh)
+    with tempfile.TemporaryDirectory() as wh:
+        bucketed_stats = bucketed_join_bench(spark, sf_dir, wh)
     ivf_split = ivf_split_bench(spark, sf_dir)
     contract = contract_bench(spark, sf_dir)
 
@@ -639,6 +708,7 @@ def main() -> None:
                 **stream_stats,
                 **lsm_stats,
                 **http_stats,
+                **bucketed_stats,
                 **ivf_split,
                 **contract,
             }

@@ -1,0 +1,101 @@
+"""Write-side bucketing: pre-shuffle ONCE at write time so every
+later join/aggregation on the bucket key runs with ZERO Exchange.
+
+This is the batch-layout twin of ``plans/keyed_table.py``'s manual
+hash-bucket directories (same hash-the-key-mod-N idea the reference
+gets from Kafka's key-hash partitioning, `kafka-topics.md:42-63`):
+KeyedTable buckets so MERGE touches only dirty buckets; this module
+buckets through Spark's catalog so the OPTIMIZER knows the layout —
+``FileSourceScanExec`` reports ``outputPartitioning =
+HashPartitioning(key, N)``, and Catalyst drops the Exchange from any
+join or aggregation keyed on the bucket column.
+
+Why this is THE 100 TB lever for repeated joins: a lineitem⋈orders
+shuffle at 100 TB moves ~the whole fact table over the network every
+run.  Bucketing both sides by orderkey into the same bucket count
+moves it once, at write time; every subsequent join is a per-bucket
+zipped sort-merge with no network at all.  The trade is write-time
+cost (one shuffle) plus a fixed file count (num_buckets files per
+write task at worst — size buckets so each is 100-500 MB at target
+scale, same sizing rule as ``maxPartitionBytes``).
+
+Catalog note: bucket metadata lives in the session catalog
+(in-memory by default here; a Hive metastore or table format with
+bucket transforms persists it across sessions).  The data files are
+plain parquet either way — an unbucketed reader just sees parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    path: str | None = None,
+    sorted_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write *df* as a bucketed parquet table: one shuffle now, zero
+    shuffles for every later equi-join/groupBy on *bucket_col*.
+
+    ``sorted_by`` (usually the bucket column itself) pre-sorts each
+    bucket file — enabling min/max page pruning on that column, and
+    Sort-free merge joins where the reader opts into
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` (since 3.0
+    Spark re-sorts partition-locally by default — CPU, not network).
+    ``path`` makes the table external (data at *path*, metadata in
+    the catalog).
+
+    The repartition below is load-bearing twice over: (1) without
+    it, EVERY write task emits a file into every bucket it has rows
+    for — up to tasks×buckets small files, the classic bucketed-write
+    file explosion; (2) the scan only reports the ``sorted_by``
+    ordering (letting SMJ drop its Sorts) when each bucket holds AT
+    MOST ONE file.  ``repartition(n, col)`` and ``bucketBy`` use the
+    same Murmur3-hash-pmod assignment, so each task lands exactly one
+    bucket file."""
+    w = (
+        df.repartition(num_buckets, bucket_col)
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sorted_by is not None:
+        w = w.sortBy(sorted_by)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key.
+
+    With both sides bucketed (same column, same count), the physical
+    plan is a SortMergeJoin whose children are the bucketed scans
+    directly — no Exchange on either side (pinned by
+    tests/test_bucketed.py).  Callers verify the layout contract up
+    front rather than silently paying a shuffle."""
+    for t in (left_table, right_table):
+        if not is_bucketed(spark, t):
+            raise ValueError(
+                f"{t} is not a bucketed table — colocated_join would "
+                "silently re-shuffle; use save_bucketed() first or "
+                "join the DataFrames directly"
+            )
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def is_bucketed(spark: SparkSession, table: str) -> bool:
+    """True iff the catalog records a bucket spec for *table*."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    return any(r.col_name == "Num Buckets" for r in rows)

@@ -1,0 +1,117 @@
+"""plans/bucketed.py: write-side bucketing must actually remove the
+Exchange (and, with sortBy, the Sort) from joins and aggregations on
+the bucket key — the whole point of paying the write-time shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cass_cdc_pg_spark.plans.bucketed import (
+    colocated_join,
+    is_bucketed,
+    save_bucketed,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    facts = spark.range(5000).selectExpr(
+        "id % 500 AS k", "id AS v", "CAST(id AS DOUBLE) AS amount"
+    )
+    dims = spark.range(500).selectExpr("id AS k", "concat('n', id) AS name")
+    save_bucketed(
+        facts, "t_facts", "k", 8, path=str(tmp_path / "facts"), sorted_by="k"
+    )
+    save_bucketed(
+        dims, "t_dims", "k", 8, path=str(tmp_path / "dims"), sorted_by="k"
+    )
+    yield "t_facts", "t_dims"
+    spark.sql("DROP TABLE IF EXISTS t_facts")
+    spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_colocated_join_has_no_exchange(spark, bucketed_pair):
+    """Same-bucketed sides joined on the bucket key: the SMJ's
+    children are the bucketed scans with ZERO Exchange — no network
+    movement of either side.  (The partition-local Sorts remain:
+    since Spark 3.0 the scan doesn't advertise the sortBy ordering
+    unless `spark.sql.legacy.bucketedTableScan.outputOrdering` is on
+    — they're CPU-only, no shuffle.)"""
+    lt, rt = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, lt, rt, "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        got = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == 5000
+
+
+def test_one_file_per_bucket(spark, bucketed_pair, tmp_path):
+    """save_bucketed's pre-repartition keeps the layout to exactly one
+    data file per bucket — no tasks×buckets small-file explosion."""
+    import glob
+
+    files = glob.glob(str(tmp_path / "facts" / "*.parquet"))
+    assert len(files) == 8, files
+
+
+def test_bucketed_aggregation_skips_exchange(spark, bucketed_pair):
+    """groupBy on the bucket key reuses the write-time partitioning:
+    the aggregate runs in one phase directly on the scan, no
+    Exchange."""
+    lt, _ = bucketed_pair
+    agg = spark.table(lt).groupBy("k").agg(F.sum("v").alias("s"))
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+    assert agg.count() == 500
+
+
+def test_join_off_bucket_key_still_shuffles(spark, bucketed_pair):
+    """Negative control: joining on a NON-bucket column must plan its
+    Exchanges as usual — proves the elision above is the bucket
+    metadata, not something about the fixture."""
+    lt, _ = bucketed_pair
+    other = spark.range(500).selectExpr("id AS v2", "id AS z")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(lt).join(other, F.col("v") == F.col("v2"))
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" in plan, plan
+
+
+def test_colocated_join_refuses_unbucketed_side(spark, bucketed_pair, tmp_path):
+    """The layout contract is checked up front: an unbucketed side
+    raises instead of silently re-shuffling."""
+    lt, _ = bucketed_pair
+    spark.range(10).selectExpr("id AS k", "id AS w").write.mode(
+        "overwrite"
+    ).option("path", str(tmp_path / "plain")).saveAsTable("t_plain")
+    try:
+        assert is_bucketed(spark, lt)
+        assert not is_bucketed(spark, "t_plain")
+        with pytest.raises(ValueError, match="not a bucketed table"):
+            colocated_join(spark, lt, "t_plain", "k")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_plain")
+
+
+def test_bucketed_files_are_plain_parquet(spark, bucketed_pair, tmp_path):
+    """The data files stay readable as plain parquet by a reader with
+    no catalog — bucketing is metadata, not a format fork."""
+    df = spark.read.parquet(str(tmp_path / "facts"))
+    assert df.count() == 5000
+    assert set(df.columns) == {"k", "v", "amount"}
