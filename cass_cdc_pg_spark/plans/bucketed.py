@@ -95,6 +95,28 @@ def colocated_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def save_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning — the OTHER write-time layout
+    lever: bucketing co-locates a JOIN key; partitioning makes a
+    FILTER key prune whole directories before a single byte is read
+    (``PartitionFilters`` in the scan, vs ``PushedFilters`` which
+    still opens footers).
+
+    The standard 100 TB fact layout is both: partition by the
+    time/tenant column queries filter on (low cardinality — days,
+    regions), bucket within each partition by the join key.  Choose
+    partition columns so a partition holds ≥ one task's worth of data
+    (100s of MB); partitioning on a high-cardinality key creates the
+    million-tiny-directories failure mode, which is what bucketing is
+    for instead."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def is_bucketed(spark: SparkSession, table: str) -> bool:
     """True iff the catalog records a bucket spec for *table*."""
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()

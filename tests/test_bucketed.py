@@ -115,3 +115,28 @@ def test_bucketed_files_are_plain_parquet(spark, bucketed_pair, tmp_path):
     df = spark.read.parquet(str(tmp_path / "facts"))
     assert df.count() == 5000
     assert set(df.columns) == {"k", "v", "amount"}
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """save_partitioned: an equality filter on the partition column
+    appears as a PartitionFilter (directory pruning — zero I/O for
+    non-matching partitions), NOT merely a PushedFilter, and only the
+    matching partition's rows are read."""
+    from cass_cdc_pg_spark.plans.bucketed import save_partitioned
+
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 10 AS INT) AS day", "id * 2 AS v"
+    )
+    p = str(tmp_path / "part")
+    save_partitioned(df, p, ["day"])
+
+    q = spark.read.parquet(p).filter(F.col("day") == 3).select("id", "v")
+    plan = _plan(q)
+    assert "PartitionFilters: [isnotnull(day" in plan or "PartitionFilters: [(day" in plan, plan
+    assert q.count() == 100
+    # the layout really is one directory per day value
+    import os
+
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("day=")
+    ) == [f"day={i}" for i in range(10)]
