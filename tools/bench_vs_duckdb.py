@@ -68,10 +68,16 @@ def main() -> int:
     # the audit — the two heaviest pipeline queries previously had no
     # DuckDB-relative posture, so an env shift (like r5's) could not
     # be separated from a plan regression.
+    # r6 batch 2: segment_status_revenue is the one big-big shuffle
+    # join in the star — the join path whose DuckDB-relative posture
+    # matters most at scale — and dedup_cluster_sizes is the new
+    # heaviest pipeline entry (full minhash→components→rollup chain).
     audited = list(bench.HEADLINE) + [
         "ann_ivf_topk",
         "dedup_minhash_lsh",
         "ann_knn_within",
+        "segment_status_revenue",
+        "dedup_cluster_sizes",
     ]
     for name in audited:
         df = registry.QUERIES[name](spark, sf_dir)
