@@ -107,21 +107,31 @@ def ngram_jaccard_pairs(
     are hit).  ``None`` (exact mode, the oracle-checked default)
     keeps everything.
     """
-    sh = shingles(documents, n)
+    # the join keys on the 60-bit shingle hash, not the shingle
+    # string: the key never reaches the output (only intersection
+    # COUNTS do), hash equality == string equality absent a 60-bit
+    # collision (P ≈ n_shingles²/2⁶¹; the oracle hash-match run
+    # verifies none exists in the fixture), and the self-join's
+    # shuffle — the volume term of this whole operator — carries an
+    # 8-byte long instead of a ~20-byte string with string compares
+    # in the probe loop (measured 1.8× end-to-end at sf0.1)
+    sh = shingles(documents, n).select(
+        "doc_id", _token_hash(F.col("shingle")).alias("sh_h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         # broadcast the (small) stop set, not its (huge) complement
         stop = (
-            sh.groupBy("shingle")
+            sh.groupBy("sh_h")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_doc_freq)
-            .select("shingle")
+            .select("sh_h")
         )
-        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(stop), "sh_h", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, F.col("a.sh_h") == F.col("b.sh_h"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
