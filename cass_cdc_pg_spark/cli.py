@@ -19,6 +19,7 @@ Postgres target gets from the database itself):
 
 - ``table history``      → retained snapshot versions of a keyed table
 - ``table read``         → current or ``--version`` time-travel read
+- ``table changes``      → change feed between retained versions (CDF)
 
 Table metadata comes from a config JSON (the connector-config analog):
 
@@ -249,6 +250,31 @@ def cmd_table_read(args, spark) -> int:
     return 0
 
 
+def cmd_table_changes(args, spark) -> int:
+    """Change feed between two retained versions (the Delta-CDF
+    analog — see ``KeyedTable.read_changes``): merge-commit rows with
+    ``_change_version``; errors distinctly when the range crosses a
+    rewrite (resync required) or falls outside retention."""
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    path = _require_table(args.warehouse, args.table)
+    if path is None:
+        return 1
+    t = KeyedTable(spark, path, [])
+    try:
+        df = t.read_changes(args.since, args.to)
+    except FileNotFoundError as e:
+        print(json.dumps({"error": "version_not_retained", "detail": str(e)}),
+              file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(json.dumps({"error": "rewrite_in_range", "detail": str(e)}),
+              file=sys.stderr)
+        return 1
+    _emit([] if df is None else df.limit(args.limit).collect())
+    return 0
+
+
 def cmd_serve(args, spark) -> int:
     """Run the HTTP listener (``api.py``) — the uvicorn analog
     (``src/api/main.py``).  Blocks until interrupted."""
@@ -350,6 +376,14 @@ def build_parser() -> argparse.ArgumentParser:
     rd.add_argument("--meta", action="store_true",
                     help="include _cdc_* metadata columns")
     rd.set_defaults(fn=cmd_table_read)
+    ch = tb.add_parser("changes")
+    ch.add_argument("--warehouse", required=True)
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since", type=int, required=True,
+                    help="emit merge commits AFTER this version")
+    ch.add_argument("--to", type=int, default=None)
+    ch.add_argument("--limit", type=int, default=100)
+    ch.set_defaults(fn=cmd_table_changes)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--host", default="127.0.0.1")

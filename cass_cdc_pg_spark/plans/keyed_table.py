@@ -122,7 +122,12 @@ class KeyedTable:
             for b, e in buckets.items()
         }
 
-    def _write_manifest(self, buckets: dict[str, dict]) -> None:
+    def _write_manifest(
+        self,
+        buckets: dict[str, dict],
+        op: str = "unknown",
+        added: list[str] | None = None,
+    ) -> None:
         version = self._current_version() + 1
         doc = {
             "buckets": buckets,
@@ -130,6 +135,10 @@ class KeyedTable:
             "key_cols": self.key_cols,
             "updated_at": time.time(),
             "version": version,
+            # change-feed provenance: what kind of commit this was and
+            # which data dirs it ADDED (see read_changes)
+            "op": op,
+            "added": list(added or ()),
         }
         tmp = f"{self._manifest_path}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -210,6 +219,75 @@ class KeyedTable:
             b: (e if isinstance(e, dict) else {"base": e, "deltas": []})
             for b, e in buckets.items()
         }
+
+    def _version_doc(self, version: int) -> dict:
+        path = self._log_versions().get(version)
+        if path is not None:
+            with open(path) as f:
+                return json.load(f)
+        if version == self._current_version():
+            # the pointer swap committed but the crash window ate the
+            # log copy — the manifest itself carries the same doc
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        raise FileNotFoundError(
+            f"version {version} not retained at {self.path} "
+            f"(keep_versions={self.keep_versions}, "
+            f"current={self._current_version()})"
+        )
+
+    def read_changes(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame | None:
+        """Change feed: the rows upserted by every **merge** commit in
+        ``(since_version, to_version]``, stamped with
+        ``_change_version`` — the Delta-CDF analog over the version
+        log, and the input contract of the incremental materialized
+        views (``streaming/incremental_view.py``).
+
+        Cost is O(changed rows): each merge commit's ``added`` delta
+        dirs are read directly — base files are never touched, no
+        snapshot diff, no shuffle (the reader applies its own LWW
+        fold if it needs net-effect rather than per-commit rows).
+        Deletes arrive as rows with ``_cdc_deleted = true`` (the
+        tombstone contract of the merge path), so the feed is
+        self-contained for downstream state maintenance.
+
+        Compaction commits are skipped (they rewrite bytes, not
+        state).  Any OTHER commit kind in the range — retention
+        rewrites, GDPR erasure, TTL sweeps (``op="rewrite"``) —
+        raises ``ValueError``: those change state without leaving
+        per-row deltas, so a feed consumer must resync from a
+        snapshot, exactly the "non-append change breaks streaming
+        reads" contract of Delta/Iceberg CDF.  A range older than
+        *keep_versions* raises ``FileNotFoundError``."""
+        to_version = (
+            self._current_version() if to_version is None else to_version
+        )
+        dirs: list[tuple[str, int]] = []
+        for v in range(since_version + 1, to_version + 1):
+            doc = self._version_doc(v)
+            op = doc.get("op", "unknown")
+            if op == "compact":
+                continue
+            if op != "merge":
+                raise ValueError(
+                    f"version {v} is a {op!r} commit — state changed "
+                    "without per-row deltas; resync from read("
+                    f"version={v}) and restart the feed from there"
+                )
+            dirs.extend((d, v) for d in doc.get("added", ()))
+        if not dirs:
+            return None
+        out = None
+        for d, v in dirs:
+            part = (
+                self.spark.read.parquet(f"{self.path}/{d}")
+                .drop("bucket")
+                .withColumn("_change_version", F.lit(v).cast("int"))
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     # -- helpers ------------------------------------------------------------
 
@@ -322,7 +400,7 @@ class KeyedTable:
         for b in touched:
             entry = manifest.setdefault(b, {"base": None, "deltas": []})
             entry["deltas"].append(delta)
-        self._write_manifest(manifest)
+        self._write_manifest(manifest, op="merge", added=[delta])
         self._compact_if_needed(manifest)
         self._gc(self._read_manifest())
 
@@ -372,10 +450,12 @@ class KeyedTable:
             dirs.extend(self._bucket_dirs(b, manifest[b]))
         df = self.spark.read.option("mergeSchema", "true").parquet(*sorted(set(dirs)))
         merged = self._reduce(df).withColumn("_bucket", self._bucket_col())
-        self._publish(merged, targets)
+        self._publish(merged, targets, op="compact")
         return len(targets)
 
-    def _publish(self, df_with_bucket: DataFrame, buckets: list) -> None:
+    def _publish(
+        self, df_with_bucket: DataFrame, buckets: list, op: str = "rewrite"
+    ) -> None:
         """Write *df_with_bucket* as the new **base** of *buckets*
         (deltas cleared) and swap the manifest atomically.  A bucket
         that ends up empty gets an empty-schema marker dir."""
@@ -397,7 +477,7 @@ class KeyedTable:
                     "overwrite"
                 ).parquet(f"{snap}/bucket={b}")
             manifest[b] = {"base": snap_name, "deltas": []}
-        self._write_manifest(manifest)
+        self._write_manifest(manifest, op=op, added=[snap_name])
         self._gc(manifest)
 
     def _gc(self, manifest: dict[str, dict]) -> None:

@@ -240,3 +240,40 @@ def test_cli_table_history_and_time_travel_read(spark, tmp_path, capsys):
                  "--table", "cdc_userz"], spark=spark) == 1
     assert "table_not_found" in capsys.readouterr().err
     assert not os.path.exists(os.path.join(wh, "cdc_userz"))
+
+
+def test_cli_table_changes_feed(spark, tmp_path, capsys):
+    """`table changes --since` emits the merge-commit rows with their
+    _change_version through the full ingest path; --since current is
+    empty; a pruned range errors distinctly."""
+    wh = str(tmp_path / "wh")
+    ingest = CdcIngest(
+        spark, wh,
+        table_schemas={"users": T.StructType.fromDDL(USERS_DDL)},
+        key_cols={"users": ["id"]},
+        num_buckets=2,
+    )
+    ingest.process_batch(spark.createDataFrame(
+        [("33333333-3333-4333-8333-333333333341", "users", "CREATE", 1000, None,
+          {"id": U1, "username": "old", "age": "30"}, 1, None, False)],
+        CHANGE_EVENT_DDL))
+    ingest.process_batch(spark.createDataFrame(
+        [("33333333-3333-4333-8333-333333333342", "users", "UPDATE", 2000,
+          {"id": U1, "username": "old", "age": "30"},
+          {"id": U1, "username": "new", "age": "31"}, 1, None, False)],
+        CHANGE_EVENT_DDL))
+
+    assert main(["table", "changes", "--warehouse", wh, "--table", "cdc_users",
+                 "--since", "0"], spark=spark) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert sorted(r["username"] for r in rows) == ["new", "old"]
+    assert len({r["_change_version"] for r in rows}) == 2
+
+    cur = max(r["_change_version"] for r in rows)
+    assert main(["table", "changes", "--warehouse", wh, "--table", "cdc_users",
+                 "--since", str(cur)], spark=spark) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    assert main(["table", "changes", "--warehouse", wh,
+                 "--table", "nope", "--since", "0"], spark=spark) == 1
+    assert "table_not_found" in capsys.readouterr().err

@@ -321,3 +321,68 @@ def test_version_retention_prunes_log_and_dirs(spark, tmp_path):
     dirs = [d for d in os.listdir(t.path)
             if d.startswith("snap-") or d.startswith("delta-")]
     assert len(dirs) <= 2 + 2 * t.keep_versions, dirs
+
+
+# -- change feed (read_changes) ---------------------------------------------
+
+
+def test_read_changes_emits_merge_rows_with_versions(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "cf"), ["id"], num_buckets=4,
+                   keep_versions=10)
+    t.merge(_batch(spark, [("a", "v1", False, 100, "e1", None)]))
+    v1 = t._current_version()
+    t.merge(_batch(spark, [("a", "v2", False, 200, "e2", None),
+                           ("b", "w1", False, 150, "e3", None)]))
+    ch = t.read_changes(0)
+    rows = {(r["id"], r["_change_version"]): r["val"] for r in ch.collect()}
+    assert rows == {("a", v1): "v1", ("a", v1 + 1): "v2", ("b", v1 + 1): "w1"}
+    # incremental tail: only the second commit
+    tail = {(r["id"], r["val"]) for r in t.read_changes(v1).collect()}
+    assert tail == {("a", "v2"), ("b", "w1")}
+    # empty range
+    assert t.read_changes(t._current_version()) is None
+
+
+def test_read_changes_carries_delete_tombstones(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "cf"), ["id"], num_buckets=4,
+                   keep_versions=10)
+    t.merge(_batch(spark, [("a", "v1", False, 100, "e1", None)]))
+    v1 = t._current_version()
+    t.merge(_batch(spark, [("a", "v1", True, 200, "e2", None)]))
+    ch = t.read_changes(v1).collect()
+    assert len(ch) == 1 and ch[0]["_cdc_deleted"] is True
+
+
+def test_read_changes_skips_compaction_commits(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "cf"), ["id"], num_buckets=2,
+                   compact_threshold=100, keep_versions=20)
+    for i in range(3):
+        t.merge(_batch(spark, [("a", f"v{i}", False, 100 + i, f"e{i}", None)]))
+    t.compact()
+    t.merge(_batch(spark, [("b", "w", False, 500, "e9", None)]))
+    ch = t.read_changes(0)
+    vals = sorted(r["val"] for r in ch.collect())
+    assert vals == ["v0", "v1", "v2", "w"]  # compaction emitted nothing
+
+
+def test_read_changes_raises_across_rewrites(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "cf"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    t.merge(_batch(spark, [("a", "v1", False, 100, "e1", None),
+                           ("b", "w1", False, 100, "e2", None)]))
+    t.delete_where(F.col("id") == "b")  # op="rewrite": no per-row deltas
+    t.merge(_batch(spark, [("c", "x1", False, 300, "e3", None)]))
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(0)
+    # a range past the rewrite still works
+    after = t._current_version()
+    assert {r["id"] for r in t.read_changes(after - 1).collect()} == {"c"}
+
+
+def test_read_changes_outside_retention_raises(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "cf"), ["id"], num_buckets=2,
+                   keep_versions=2)
+    for i in range(5):
+        t.merge(_batch(spark, [("a", f"v{i}", False, 100 + i, f"e{i}", None)]))
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read_changes(0)
