@@ -169,6 +169,58 @@ def checksum_diff_precomputed(
     return _classify_checksum_join(s, t, pk)
 
 
+def incremental_checksum_diff(
+    src_table,
+    tgt_table,
+    since_version: int,
+    compare_cols: list[str],
+) -> DataFrame | None:
+    """CHECKSUM reconciliation restricted to the keys the SOURCE's
+    change feed touched after *since_version* — the delta complement
+    to the periodic full ``checksum_diff`` (reference analog: hourly
+    full jobs + on-demand scoped jobs,
+    ``src/services/reconciliation_engine.py``; this is the scoped job
+    with the scope derived from the table's own commit log instead of
+    a user predicate).
+
+    Cost is O(changed keys + their buckets), independent of table
+    size: the feed read touches only the merge deltas in the range,
+    both snapshot reads prune to the buckets those keys hash to, and
+    the compare semi-joins down to the changed keys before any
+    checksum is computed.  Returns None when the range contains no
+    changes; propagates the feed's ValueError when the range crosses
+    a rewrite (a scoped check cannot vouch for keys a rewrite touched
+    invisibly — run the full diff instead).
+
+    Both tables must share *key_cols*.  Drift on keys NOT touched in
+    the range is intentionally out of scope — that is what the
+    periodic full job is for."""
+    pk = list(src_table.key_cols)
+    changes = src_table.read_changes(since_version)
+    if changes is None:
+        return None
+    keys = changes.select(*pk).distinct()
+    bucket_of = lambda t: F.pmod(F.xxhash64(*pk), F.lit(t.num_buckets))  # noqa: E731
+    src_buckets = [
+        r[0] for r in keys.select(bucket_of(src_table).alias("_b")).distinct().collect()
+    ]
+    tgt_buckets = [
+        r[0] for r in keys.select(bucket_of(tgt_table).alias("_b")).distinct().collect()
+    ]
+    src = src_table.read(buckets=src_buckets)
+    tgt = tgt_table.read(buckets=tgt_buckets) if tgt_table.exists() else None
+    src = src.filter(~F.col("_cdc_deleted")).join(keys, pk, "left_semi")
+    if tgt is None:
+        return with_checksum(src, pk, compare_cols).select(
+            *pk,
+            F.lit(MISSING_IN_TARGET).alias("mismatch_type"),
+            F.col("checksum").alias("src_checksum"),
+            F.lit(None).cast("string").alias("tgt_checksum"),
+        )
+    tgt = tgt.filter(~F.col("_cdc_deleted")).join(keys, pk, "left_semi")
+    return checksum_diff(src, tgt, pk, compare_cols)
+
+
 def field_diff(
     src: DataFrame,
     tgt: DataFrame,

@@ -108,3 +108,48 @@ def test_bucketed_checksum_diff_is_shuffle_free(spark, tmp_path):
     plan = diff._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert diff.count() == 10  # the 10 missing keys
+
+
+def test_incremental_checksum_diff_scopes_to_changed_keys(spark, tmp_path):
+    """incremental_checksum_diff: only keys the source's change feed
+    touched after since_version are compared — a divergence introduced
+    earlier is invisible (the periodic full job's business), a
+    divergence in the range is flagged, matching keys in the range
+    produce no row, and an empty range returns None."""
+    from cass_cdc_pg_spark.operators.reconcile import (
+        DATA_MISMATCH,
+        MISSING_IN_TARGET,
+        incremental_checksum_diff,
+    )
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    ddl = ("id string, val string, _cdc_deleted boolean, "
+           "_cdc_timestamp_micros long, _last_event_id string, "
+           "_ttl_expiry_timestamp_us long")
+    mk = lambda rows: spark.createDataFrame(rows, ddl)  # noqa: E731
+    src = KeyedTable(spark, str(tmp_path / "src"), ["id"], num_buckets=4,
+                     keep_versions=10)
+    tgt = KeyedTable(spark, str(tmp_path / "tgt"), ["id"], num_buckets=8,
+                     keep_versions=10)
+
+    # seeded in sync — except 'stale' already diverges BEFORE the mark
+    src.merge(mk([("a", "v1", False, 100, "e1", None),
+                  ("stale", "x-src", False, 100, "e2", None)]))
+    tgt.merge(mk([("a", "v1", False, 100, "e1", None),
+                  ("stale", "x-tgt", False, 100, "e2", None)]))
+    mark = src._current_version()
+
+    # in-range: 'a' updated on both sides identically (clean), 'b' only
+    # in source (missing in target), 'c' diverges in value
+    src.merge(mk([("a", "v2", False, 200, "e3", None),
+                  ("b", "new", False, 200, "e4", None),
+                  ("c", "src-val", False, 200, "e5", None)]))
+    tgt.merge(mk([("a", "v2", False, 200, "e3", None),
+                  ("c", "tgt-val", False, 200, "e6", None)]))
+
+    out = incremental_checksum_diff(src, tgt, mark, ["val"])
+    got = {r["id"]: r["mismatch_type"] for r in out.collect()}
+    assert got == {"b": MISSING_IN_TARGET, "c": DATA_MISMATCH}
+
+    assert incremental_checksum_diff(src, tgt, src._current_version(),
+                                     ["val"]) is None
