@@ -286,7 +286,14 @@ class KeyedTable:
                 .drop("bucket")
                 .withColumn("_change_version", F.lit(v).cast("int"))
             )
-            out = part if out is None else out.unionByName(part)
+            # allowMissingColumns: commits from before an ADD_COLUMN
+            # evolution lack the new column; the feed backfills NULL,
+            # same as the snapshot read's mergeSchema
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
         return out
 
     # -- helpers ------------------------------------------------------------

@@ -386,3 +386,21 @@ def test_read_changes_outside_retention_raises(spark, tmp_path):
         t.merge(_batch(spark, [("a", f"v{i}", False, 100 + i, f"e{i}", None)]))
     with pytest.raises(FileNotFoundError, match="not retained"):
         t.read_changes(0)
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """A feed range spanning an ADD_COLUMN evolution backfills NULL
+    for commits from before the new column existed (the mergeSchema
+    contract of the snapshot read, carried into the feed)."""
+    t = KeyedTable(spark, str(tmp_path / "cf"), ["id"], num_buckets=2,
+                   keep_versions=10)
+    t.merge(_batch(spark, [("a", "v1", False, 100, "e1", None)]))
+    wide = spark.createDataFrame(
+        [("b", "w1", "extra", False, 200, "e2", None)],
+        "id string, val string, new_col string, _cdc_deleted boolean, "
+        "_cdc_timestamp_micros long, _last_event_id string, "
+        "_ttl_expiry_timestamp_us long")
+    t.merge(wide)
+    ch = {r["id"]: r for r in t.read_changes(0).collect()}
+    assert ch["a"]["new_col"] is None
+    assert ch["b"]["new_col"] == "extra"
