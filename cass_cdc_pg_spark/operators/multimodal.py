@@ -127,6 +127,93 @@ def extract_features(
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resize_ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def default_resizer(
+    payload: bytes, fmt: str, width: int, height: int
+) -> bytes:
+    """Placeholder codec, same seam as ``default_decoder``: inject a
+    real resizer (PIL ``Image.resize`` / ffmpeg scale) in deployment."""
+    raise NotImplementedError(
+        "image resizing requires a media library not present in this "
+        "environment; inject a resizer via resize_media(resizer=…)"
+    )
+
+
+def deterministic_fake_resizer(
+    payload: bytes, fmt: str, width: int, height: int
+) -> bytes:
+    """Deterministic stand-in: stride-subsample the payload bytes to
+    exactly width×height bytes (repeating when the source is smaller)
+    — wrong as pixels, right as plumbing: output size tracks the
+    requested dimensions, empty input yields empty output."""
+    n = width * height
+    if not payload or n <= 0:
+        return b""
+    reps = (n * len(payload) + len(payload) - 1) // len(payload)
+    step = max(len(payload) * reps // n, 1)
+    buf = (payload * reps)[::step][:n]
+    return bytes(buf)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, str, int, int], bytes] = default_resizer,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize via ``mapInPandas`` (Arrow batches) — the write-side
+    normalization pass of an image pipeline (thumbnail / train-res
+    standardization).  Same contract as ``extract_features``: errors
+    route per-row (``resize_ok``/``error``), never fail the job; the
+    projection is narrowed to (id, payload, fmt) BEFORE the Python
+    hop so no other column pays the Arrow transfer; output metadata
+    carries the new dimensions so downstream metadata-only queries
+    stay byte-free."""
+    import pandas as pd
+
+    fmt_col = "meta" in media.columns
+    narrow = media.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        (F.col("meta.format") if fmt_col else F.lit("bin")).alias("fmt"),
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload, fmt in zip(pdf["media_id"], pdf["payload"], pdf["fmt"]):
+                try:
+                    resized = resizer(
+                        bytes(payload) if payload is not None else b"",
+                        fmt, width, height,
+                    )
+                    out.append((mid, resized, width, height, True, None))
+                except Exception as e:  # noqa: BLE001 — route, don't fail
+                    out.append((mid, None, None, None, False, str(e)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "payload", "width", "height",
+                    "resize_ok", "error",
+                ],
+            )
+
+    return narrow.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(video: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling *plan*: one output row per requested frame
     timestamp (the decode of each frame goes through

@@ -56,3 +56,31 @@ def test_frame_sample_plan(media):
     plan = multimodal.frame_sample_plan(media.filter(F.col("media_id") == 3), every_ms=1000)
     ts = sorted(r["frame_ts_ms"] for r in plan.collect())
     assert ts == [0, 1000, 2000, 3000]
+
+
+def test_resize_media_with_fake_resizer(media):
+    out = {r["media_id"]: r for r in multimodal.resize_media(
+        media, 8, 4, resizer=multimodal.deterministic_fake_resizer
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    for mid in (1, 2):
+        assert out[mid]["resize_ok"]
+        assert out[mid]["width"] == 8 and out[mid]["height"] == 4
+        assert len(out[mid]["payload"]) == 32  # exactly width*height bytes
+    assert out[3]["payload"] == bytearray()  # null payload -> empty, no error
+    # deterministic: same input, same bytes
+    again = {r["media_id"]: r["payload"] for r in multimodal.resize_media(
+        media, 8, 4, resizer=multimodal.deterministic_fake_resizer
+    ).collect()}
+    assert again[1] == out[1]["payload"]
+
+
+def test_resize_media_routes_errors_and_default_stub(media):
+    def failing(payload, fmt, w, h):
+        raise ValueError("no resizer")
+
+    rows = multimodal.resize_media(media, 4, 4, resizer=failing).collect()
+    assert all(not r["resize_ok"] for r in rows)
+    assert all("no resizer" in r["error"] for r in rows)
+    stub = multimodal.resize_media(media, 4, 4).collect()  # default raises
+    assert all(not r["resize_ok"] for r in stub)
