@@ -92,3 +92,23 @@ def test_quantize_int8_reconstruction_bound(spark, vec):
     assert r["q_sum"] == sum(q) and r["q_max"] == max(q)
     assert all(-127 <= qi <= 127 for qi in q)
     assert all(abs(qi * scale - x) <= scale / 2 + 1e-12 for qi, x in zip(q, xs))
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=8), n=st.integers(2, 4))
+def test_shingles_matches_bruteforce(spark, docs, n):
+    """The zipped shifted-array shingle formulation (the perf-critical
+    r6 rewrite) against the obvious Python model: distinct n-token
+    shingles per doc, short docs yielding none, empties filtered."""
+    from cass_cdc_pg_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["shingle"]) for r in shingles(df, n).collect()}
+    want = set()
+    for i, d in enumerate(docs):
+        toks = [t for t in d.split(" ") if t]
+        for k in range(len(toks) - n + 1):
+            want.add((i, " ".join(toks[k:k + n])))
+    assert got == want
