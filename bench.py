@@ -453,6 +453,75 @@ def http_bench(spark, sf_dir: str, wh: str, n_requests: int = 200,
     }
 
 
+def cdf_bench(spark, sf_dir: str, warehouse: str) -> dict:
+    """Change-feed economics: build a keyed table from the events
+    fixture in 10 merge commits, then time (a) the full feed read,
+    (b) an incremental checksum reconcile scoped to the LAST commit
+    vs (c) the full checksum diff over the same two tables — the
+    measured form of the O(change)-vs-O(table) claim behind
+    ``read_changes`` / ``incremental_checksum_diff``."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.operators.reconcile import (
+        checksum_diff,
+        incremental_checksum_diff,
+    )
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+    from cass_cdc_pg_spark.sources.tables import events_with_micros
+
+    ev = events_with_micros(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_type").alias("val"),
+        F.lit(False).alias("_cdc_deleted"),
+        F.col("ts_us").alias("_cdc_timestamp_micros"),
+        F.col("event_id").cast("string").alias("_last_event_id"),
+        F.lit(None).cast("long").alias("_ttl_expiry_timestamp_us"),
+    )
+    src = KeyedTable(spark, f"{warehouse}/cdf_src", ["id"],
+                     num_buckets=32, keep_versions=64)
+    tgt = KeyedTable(spark, f"{warehouse}/cdf_tgt", ["id"],
+                     num_buckets=32, keep_versions=64)
+    # 9 bulk commits land on both sides; the 10th is the realistic CDC
+    # tail — a SMALL localized divergence (~0.5% of keys) only the
+    # source has.  Uniformly-spread bulk changes would touch every
+    # bucket and (correctly) erase the incremental win; the scoped
+    # check exists for the narrow-delta steady state.
+    chunks = ev.withColumn("_c", F.pmod(F.xxhash64("id"), F.lit(200)))
+    bulk = chunks.filter(F.col("_c") > 0).drop("_c")
+    tail = chunks.filter(F.col("_c") == 0).drop("_c")
+    nine = bulk.withColumn("_i", F.pmod(F.xxhash64("id"), F.lit(9)))
+    for i in range(9):
+        batch = nine.filter(F.col("_i") == i).drop("_i")
+        src.merge(batch)
+        tgt.merge(batch)
+    src.merge(tail)  # the divergent commit
+    before_last = src._current_version() - 1
+
+    t0 = _t.time()
+    n_feed = src.read_changes(0).count()
+    t_feed = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    n_incr = incremental_checksum_diff(src, tgt, before_last, ["val"]).count()
+    t_incr = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    n_full = checksum_diff(
+        src.read().filter(~F.col("_cdc_deleted")),
+        tgt.read().filter(~F.col("_cdc_deleted")),
+        ["id"], ["val"],
+    ).count()
+    t_full = round(_t.time() - t0, 3)
+    assert n_incr == n_full, (n_incr, n_full)  # same missing set found
+    return {
+        "cdf_feed_rows": n_feed,
+        "cdf_feed_read_sec": t_feed,
+        "cdf_incr_diff_sec": t_incr,
+        "cdf_full_diff_sec": t_full,
+        "cdf_diff_rows": n_incr,
+    }
+
+
 def bucketed_join_bench(spark, sf_dir: str, warehouse: str) -> dict:
     """Co-located-join economics: time lineitem⋈orders + orderkey
     rollup three ways — plain shuffled SMJ, the same join over
@@ -687,6 +756,8 @@ def main() -> None:
         http_stats = http_bench(spark, sf_dir, wh)
     with tempfile.TemporaryDirectory() as wh:
         bucketed_stats = bucketed_join_bench(spark, sf_dir, wh)
+    with tempfile.TemporaryDirectory() as wh:
+        cdf_stats = cdf_bench(spark, sf_dir, wh)
     ivf_split = ivf_split_bench(spark, sf_dir)
     contract = contract_bench(spark, sf_dir)
 
@@ -709,6 +780,7 @@ def main() -> None:
                 **lsm_stats,
                 **http_stats,
                 **bucketed_stats,
+                **cdf_stats,
                 **ivf_split,
                 **contract,
             }

@@ -201,12 +201,28 @@ def incremental_checksum_diff(
         return None
     keys = changes.select(*pk).distinct()
     bucket_of = lambda t: F.pmod(F.xxhash64(*pk), F.lit(t.num_buckets))  # noqa: E731
-    src_buckets = [
-        r[0] for r in keys.select(bucket_of(src_table).alias("_b")).distinct().collect()
-    ]
-    tgt_buckets = [
-        r[0] for r in keys.select(bucket_of(tgt_table).alias("_b")).distinct().collect()
-    ]
+    if src_table.num_buckets == tgt_table.num_buckets:
+        # one discovery job covers both sides (the common same-layout case)
+        src_buckets = [
+            r[0]
+            for r in keys.select(bucket_of(src_table).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        tgt_buckets = src_buckets
+    else:
+        src_buckets = [
+            r[0]
+            for r in keys.select(bucket_of(src_table).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        tgt_buckets = [
+            r[0]
+            for r in keys.select(bucket_of(tgt_table).alias("_b"))
+            .distinct()
+            .collect()
+        ]
     src = src_table.read(buckets=src_buckets)
     tgt = tgt_table.read(buckets=tgt_buckets) if tgt_table.exists() else None
     src = src.filter(~F.col("_cdc_deleted")).join(keys, pk, "left_semi")
