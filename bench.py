@@ -77,6 +77,7 @@ PIPELINE = [
     "segment_status_revenue",
     "events_daily_active",
     "lineitem_profile",
+    "events_key_skew",
 ]
 
 

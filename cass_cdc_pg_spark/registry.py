@@ -3218,6 +3218,35 @@ FROM u GROUP BY 1
 """
 
 
+def events_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest user keys with share-of-total — the
+    ``operators/skew.key_skew_profile`` diagnostic as a declared,
+    oracle-checked query: the number you read before choosing
+    broadcast vs AQE vs salting for any user-keyed join/agg.
+
+    One partial-aggregated shuffle on user_id; the share divides by a
+    window total over the AGGREGATED rows (no second scan of events);
+    the top-10 cut is a ``TakeOrderedAndProject`` with user_id
+    tiebreak, deterministic in both engines."""
+    from cass_cdc_pg_spark.operators.skew import key_skew_profile
+
+    ev = src.load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev.select("user_id"), ["user_id"], top=10)
+
+
+KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1)
+SELECT user_id, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE)
+             / CAST(SUM(n_rows) OVER () AS DOUBLE), 6) AS share
+FROM counts
+ORDER BY n_rows DESC, user_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     # ---- r6 head: the 25 entries past the r5 driver cap (all r4-driver-
     # green and re-verified by the repo's full check_oracle.py run in r5;
@@ -3273,11 +3302,11 @@ QUERIES = {
     "segment_status_revenue": segment_status_revenue_q,
     "events_daily_active": events_daily_active_q,
     "lineitem_profile": lineitem_profile_q,
-    # ---- slot 50: r5-driver-green filler completing the window ----
-    "events_funnel": events_funnel_q,
+    "events_key_skew": events_key_skew_q,
     # ---- r6 rotated tail: ALL r5-driver-green (CORRECTNESS_r05.json) and
     # re-checked every round by tools/check_oracle.py + pytest; past the
     # driver's 50-cap this round — must lead the r7 window ----
+    "events_funnel": events_funnel_q,
     "users_retention_cohorts": users_retention_cohorts_q,
     "docs_ngram_topk": docs_ngram_topk_q,
     "docs_tfidf_topterms": docs_tfidf_topterms_q,
@@ -3408,6 +3437,7 @@ ORACLE = {
     "segment_status_revenue": SEGMENT_STATUS_SQL,
     "events_daily_active": DAILY_ACTIVE_SQL,
     "lineitem_profile": LINEITEM_PROFILE_SQL,
+    "events_key_skew": KEY_SKEW_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -894,3 +894,18 @@ def test_profile_approximate_tracks_exact(spark, tmp_path):
         )
         assert rel <= 0.05, (c, approx[c].n_distinct, exact[c].n_distinct)
         assert approx[c].sum_v == exact[c].sum_v
+
+
+def test_key_skew_profile_partial_agg_topk(spark, tmp_path):
+    """events_key_skew (r6): one partial-aggregated user shuffle, the
+    share window runs over the AGGREGATE (tiny), and the top-10 cut is
+    TakeOrderedAndProject — no global sort of events."""
+    from cass_cdc_pg_spark.registry import events_key_skew_q
+
+    q = events_key_skew_q(spark, _write_events_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = q.collect()
+    assert len(rows) == 10
+    assert abs(sum(r.share for r in rows) - 10 / 17) < 0.01  # 17 uniform users
