@@ -20,6 +20,9 @@ Routes (reference ``src/api/routes/*``):
 - ``GET    /reconciliation/mismatches``       (``reconciliation.py:199``)
 - ``POST   /reconciliation/mismatches/{id}/resolve`` (``reconciliation.py:245``)
 - ``DELETE /records/{keyspace}/{table}/{primary_key}`` (``gdpr.py:38``)
+- ``GET    /tables/{table}/history``           (beyond-reference: version log)
+- ``GET    /tables/{table}/changes?since=``    (beyond-reference: change feed;
+  410 past retention, 409 across a rewrite)
 
 Middleware parity (reference ``src/middleware/*``): every response
 carries an ``X-Request-ID`` (echoed from the request header or
@@ -362,6 +365,48 @@ class CdcApiService:
             raise ApiError(404, str(e)) from e
 
 
+    def table_history(self, table: str) -> list[dict]:
+        _validate_identifier(table, "table")
+        t = self._keyed_table_or_404(table)
+        return t.history()
+
+    def table_changes(self, table: str, params: dict) -> list[dict]:
+        """Change feed over HTTP (the CDF surface of `table changes`):
+        410 Gone when the range fell out of retention, 409 Conflict
+        when it crosses a rewrite commit (resync required)."""
+        _validate_identifier(table, "table")
+        t = self._keyed_table_or_404(table)
+        try:
+            since = int(params["since"])
+        except (KeyError, ValueError) as e:
+            raise ApiError(422, "query param 'since' (int) required") from e
+        to = int(params["to"]) if "to" in params else None
+        limit = min(int(params.get("limit", 100)), 1000)
+        try:
+            df = t.read_changes(since, to)
+        except FileNotFoundError as e:
+            raise ApiError(410, str(e)) from e
+        except ValueError as e:
+            raise ApiError(409, str(e)) from e
+        if df is None:
+            return []
+        return [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+
+    def _keyed_table_or_404(self, table: str):
+        import os
+
+        from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+        cfg = self.table_config["tables"].get(table)
+        if cfg is None:
+            raise ApiError(404, f"unknown table: {table}")
+        wh = self._require_warehouse()
+        path = f"{wh}/cdc_{table}"
+        if not os.path.exists(f"{path}/_manifest.json"):
+            raise ApiError(404, f"table {table} has no data yet")
+        return KeyedTable(self.spark, path, cfg["keys"])
+
+
 # ---------------------------------------------------------------------------
 # transport
 # ---------------------------------------------------------------------------
@@ -385,6 +430,8 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("DELETE",
      re.compile(r"^/records/(?P<keyspace>[^/]+)/(?P<table>[^/]+)/(?P<primary_key>[^/]+)$"),
      "gdpr_delete"),
+    ("GET", re.compile(r"^/tables/(?P<table>[^/]+)/history$"), "table_history"),
+    ("GET", re.compile(r"^/tables/(?P<table>[^/]+)/changes$"), "table_changes"),
 ]
 
 
@@ -460,6 +507,9 @@ class _Handler(BaseHTTPRequestHandler):
                 lambda: svc.reconciliation_resolve(
                     path_args["mismatch_id"], body),
             "gdpr_delete": lambda: svc.gdpr_delete(**path_args),
+            "table_history": lambda: svc.table_history(**path_args),
+            "table_changes":
+                lambda: svc.table_changes(path_args["table"], params),
         }
         return dispatch[name]()
 

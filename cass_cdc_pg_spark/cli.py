@@ -20,6 +20,7 @@ Postgres target gets from the database itself):
 - ``table history``      → retained snapshot versions of a keyed table
 - ``table read``         → current or ``--version`` time-travel read
 - ``table changes``      → change feed between retained versions (CDF)
+- ``table compact``      → fold LSM deltas into fresh bases (OPTIMIZE)
 
 Table metadata comes from a config JSON (the connector-config analog):
 
@@ -275,6 +276,20 @@ def cmd_table_changes(args, spark) -> int:
     return 0
 
 
+def cmd_table_compact(args, spark) -> int:
+    """Fold LSM deltas into fresh bases (the OPTIMIZE verb); prints
+    the number of buckets compacted."""
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    path = _require_table(args.warehouse, args.table)
+    if path is None:
+        return 1
+    t = KeyedTable(spark, path, [])
+    n = t.compact()
+    print(json.dumps({"table": args.table, "buckets_compacted": n}))
+    return 0
+
+
 def cmd_serve(args, spark) -> int:
     """Run the HTTP listener (``api.py``) — the uvicorn analog
     (``src/api/main.py``).  Blocks until interrupted."""
@@ -384,6 +399,10 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--to", type=int, default=None)
     ch.add_argument("--limit", type=int, default=100)
     ch.set_defaults(fn=cmd_table_changes)
+    co = tb.add_parser("compact")
+    co.add_argument("--warehouse", required=True)
+    co.add_argument("--table", required=True)
+    co.set_defaults(fn=cmd_table_compact)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--host", default="127.0.0.1")

@@ -202,3 +202,47 @@ def test_api_rate_limit(spark, tmp_path):
         # a different route still has quota
         st, _, _ = _req(base, "GET", "/health")
         assert st == 200
+
+
+def test_api_table_history_and_changes(spark, tmp_path):
+    """GET /tables/{t}/history lists retained versions; /changes
+    streams the feed rows with _change_version; 422 without since,
+    404 for unknown/empty tables, 410 past retention."""
+    wh = str(tmp_path / "wh")
+    ingest = CdcIngest(
+        spark, wh,
+        table_schemas={"users": T.StructType.fromDDL(USERS_DDL)},
+        key_cols={"users": ["id"]},
+        num_buckets=2,
+    )
+    mk = lambda eid, op, ts, before, after: (  # noqa: E731
+        eid, "users", op, ts, before, after, 1, None, False)
+    ingest.process_batch(spark.createDataFrame(
+        [mk("44444444-4444-4444-8444-444444444441", "CREATE", 1000, None,
+            {"id": U1, "username": "a", "age": "30"})], CHANGE_EVENT_DDL))
+    ingest.process_batch(spark.createDataFrame(
+        [mk("44444444-4444-4444-8444-444444444442", "UPDATE", 2000,
+            {"id": U1, "username": "a", "age": "30"},
+            {"id": U1, "username": "b", "age": "31"})], CHANGE_EVENT_DDL))
+
+    cfg = {"tables": {"users": {"ddl": USERS_DDL, "keys": ["id"]}}}
+    with _server(spark, wh=wh, cfg=cfg) as base:
+        st, _, hist = _req(base, "GET", "/tables/users/history")
+        assert st == 200 and len(hist) >= 2
+        assert all("version" in h for h in hist)
+
+        st, _, rows = _req(base, "GET", "/tables/users/changes?since=0")
+        assert st == 200
+        assert sorted(r["username"] for r in rows) == ["a", "b"]
+        assert len({r["_change_version"] for r in rows}) == 2
+
+        last = max(r["_change_version"] for r in rows)
+        st, _, rows = _req(base, "GET", f"/tables/users/changes?since={last}")
+        assert st == 200 and rows == []
+
+        st, _, err = _req(base, "GET", "/tables/users/changes")
+        assert st == 422 and "since" in err["detail"]
+        st, _, _ = _req(base, "GET", "/tables/ghost/changes?since=0")
+        assert st == 404
+        st, _, _ = _req(base, "GET", "/tables/ghost/history")
+        assert st == 404

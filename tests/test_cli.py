@@ -277,3 +277,27 @@ def test_cli_table_changes_feed(spark, tmp_path, capsys):
     assert main(["table", "changes", "--warehouse", wh,
                  "--table", "nope", "--since", "0"], spark=spark) == 1
     assert "table_not_found" in capsys.readouterr().err
+
+
+def test_cli_table_compact(spark, tmp_path, capsys):
+    """`table compact` folds deltas and reports bucket count; a second
+    run is a no-op (0 buckets)."""
+    wh = str(tmp_path / "wh")
+    ingest = CdcIngest(
+        spark, wh,
+        table_schemas={"users": T.StructType.fromDDL(USERS_DDL)},
+        key_cols={"users": ["id"]},
+        num_buckets=2,
+    )
+    for i in (1, 2):
+        ingest.process_batch(spark.createDataFrame(
+            [(f"33333333-3333-4333-8333-33333333335{i}", "users", "CREATE",
+              1000 * i, None, {"id": f"u{i}", "username": "x", "age": "1"},
+              1, None, False)], CHANGE_EVENT_DDL))
+    assert main(["table", "compact", "--warehouse", wh,
+                 "--table", "cdc_users"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["buckets_compacted"] >= 1
+    assert main(["table", "compact", "--warehouse", wh,
+                 "--table", "cdc_users"], spark=spark) == 0
+    assert json.loads(capsys.readouterr().out)["buckets_compacted"] == 0
