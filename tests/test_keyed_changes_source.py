@@ -123,3 +123,42 @@ def test_default_start_is_current_version(registered, tmp_path):
     assert not os.path.exists(out) or not [
         f for f in os.listdir(out) if f.endswith(".parquet")
     ] or spark.read.parquet(out).count() == 0
+
+
+def test_derived_table_pipeline_converges(registered, tmp_path):
+    """Chained CDC: stream table A's change feed into derived table B
+    (foreachBatch → LWW merge). After two runs with new commits in
+    between, B's live state equals A's — the exactly-once derived-table
+    pipeline, composed entirely from engine pieces (feed source +
+    idempotent merge)."""
+    spark = registered
+    a = KeyedTable(spark, str(tmp_path / "a"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    b = KeyedTable(spark, str(tmp_path / "b"), ["id"], num_buckets=4,
+                   keep_versions=20)
+    a.merge(_batch(spark, [("x", "v1", False, 100, "e1", None),
+                           ("y", "w1", False, 100, "e2", None)]))
+    cp = str(tmp_path / "cp")
+
+    def run():
+        q = (
+            spark.readStream.format("keyed_changes")
+            .option("path", a.path).option("starting_version", "0").load()
+            .writeStream.foreachBatch(
+                lambda df, bid: b.merge(df.drop("_change_version")))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {(r["id"], r["val"]) for r in b.read_live().collect()} == \
+        {("x", "v1"), ("y", "w1")}
+
+    a.merge(_batch(spark, [("x", "v2", False, 200, "e3", None),
+                           ("y", "w1", True, 200, "e4", None)]))  # delete y
+    run()
+    live = {(r["id"], r["val"]) for r in b.read_live().collect()}
+    assert live == {("x", "v2")}  # update applied, tombstone deleted y
+    assert b.read().count() == 2  # tombstone retained in full state
