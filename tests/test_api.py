@@ -246,3 +246,26 @@ def test_api_table_history_and_changes(spark, tmp_path):
         assert st == 404
         st, _, _ = _req(base, "GET", "/tables/ghost/history")
         assert st == 404
+
+
+def test_api_changes_conflict_after_rewrite(spark, tmp_path):
+    """A GDPR erasure (rewrite commit) in the requested range returns
+    409 with the resync message — the error contract of the CDF
+    surface."""
+    wh = str(tmp_path / "wh")
+    ingest = CdcIngest(
+        spark, wh,
+        table_schemas={"users": T.StructType.fromDDL(USERS_DDL)},
+        key_cols={"users": ["id"]},
+        num_buckets=2,
+    )
+    ingest.process_batch(spark.createDataFrame(
+        [("55555555-5555-4555-8555-555555555551", "users", "CREATE", 1000,
+          None, {"id": U1, "username": "a", "age": "30"}, 1, None, False)],
+        CHANGE_EVENT_DDL))
+    cfg = {"tables": {"users": {"ddl": USERS_DDL, "keys": ["id"]}}}
+    with _server(spark, wh=wh, cfg=cfg) as base:
+        st, _, _ = _req(base, "DELETE", f"/records/cdc/users/{U1}")
+        assert st == 200
+        st, _, err = _req(base, "GET", "/tables/users/changes?since=0")
+        assert st == 409 and "rewrite" in err["detail"]
