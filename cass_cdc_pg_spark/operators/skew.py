@@ -100,20 +100,29 @@ def salted_aggregate(
 def key_skew_profile(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
     """Diagnostic: per-key row counts with share-of-total for the
     heaviest *top* keys — the number you look at before choosing
-    broadcast vs AQE vs salting.  One partial-aggregated shuffle plus
-    a distributed top-k; the total comes from a window over the
-    aggregated rows, not a second scan."""
-    from pyspark.sql import Window
+    broadcast vs AQE vs salting.
 
+    One partial-aggregated shuffle for the per-key counts; the total
+    is a SCALAR aggregate over those counts, broadcast back as a
+    one-row join.  The two branches share the same groupBy subtree, so
+    exchange reuse runs the count shuffle once — the total costs one
+    tiny extra job over already-shuffled partials, never a second
+    scan.  The previous form (``F.sum over Window.partitionBy()``)
+    funnelled every distinct key through ONE task — at 100× with
+    1e7-1e8 distinct keys, a single-task sort inside the very operator
+    meant to diagnose skew.  The top-k finish is
+    ``TakeOrderedAndProject`` (per-partition heap + driver merge), not
+    a global sort."""
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    w = Window.partitionBy()
+    total = counts.agg(F.sum("n_rows").alias("__total"))
     return (
-        counts.select(
+        counts.join(F.broadcast(total))
+        .select(
             *keys,
             "n_rows",
             F.round(
                 F.col("n_rows").cast("double")
-                / F.sum("n_rows").over(w).cast("double"),
+                / F.col("__total").cast("double"),
                 6,
             ).alias("share"),
         )

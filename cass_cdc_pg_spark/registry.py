@@ -3023,14 +3023,27 @@ def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whale-curve rollup behind "top 10% of customers = X% of revenue".
 
     Spend per customer is one partial-aggregated shuffle with DECIMAL
-    accumulation.  The NTILE is an unpartitioned window — a global
-    RANGE-partitioned sort of the CUSTOMER aggregate (not the orders
-    fact), which is the part that survives 100×: customers are ~1e9
-    rows at 100 TB, range-sortable; the orders fact never sorts.  The
-    ordering key (spend DESC, custkey) is tie-free, so tier edges are
-    deterministic in both engines; the final 10-row rollup
-    partial-aggregates per tier."""
-    from pyspark.sql import Window
+    accumulation.  Decile assignment reproduces NTILE(10) EXACTLY but
+    with NO unpartitioned window (the r6 form's global ``ntile`` put
+    every customer in one task — the anti-pattern at 1e9+ customers).
+    Instead, the ``token_budget_select`` two-phase range rank:
+
+    1. ``repartitionByRange(spend desc, custkey)`` gives partitions
+       that are globally ordered partition-to-partition;
+       ``sortWithinPartitions`` orders rows inside each, and an
+       Arrow-batched ``mapInPandas`` pass emits the partition-LOCAL
+       row number — every core ranks only its own range slice.
+    2. Per-partition row counts (a tiny agg that reuses phase 1's
+       shuffle files) collect to the driver — O(#partitions), never
+       O(customers) — and become broadcast prefix offsets, so
+       global_rank = offset + local_rn.
+
+    NTILE(10) over N tie-free-ordered rows is then pure arithmetic on
+    the rank: the first N%10 tiles hold ceil(N/10) rows, the rest
+    floor(N/10).  The ordering key (spend DESC, custkey) is total, so
+    tier edges are deterministic in both engines; the final 10-row
+    rollup partial-aggregates per tier."""
+    import numpy as np
 
     o = src.load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast("decimal(18,6)").alias("_p")
@@ -3038,9 +3051,61 @@ def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("_n"), F.sum("_p").alias("_s")
     )
-    w = Window.orderBy(F.col("_s").desc(), F.col("o_custkey").asc())
+    order = [F.col("_s").desc(), F.col("o_custkey").asc()]
+    ranged = (
+        spend.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def _local_rank(batches):
+        run = 0
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.assign(_rn=np.arange(run + 1, run + 1 + len(pdf)))
+                run += len(pdf)
+                yield pdf
+
+    local = ranged.mapInPandas(
+        _local_rank,
+        schema="o_custkey long, _n long, _s decimal(18,6), _pid int, _rn long",
+    )
+
+    # phase 2: per-partition counts -> prefix offsets (rows == #partitions)
+    sizes = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_total = sum(sizes.values())
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    if n_total == 0:
+        return spark.createDataFrame(
+            [],
+            "decile int, n_customers long, n_orders long, "
+            "total_spend double, min_spend double, max_spend double",
+        )
+    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+
+    # NTILE(10) arithmetic: first `big` tiles get size_hi rows, rest size_lo
+    size_lo, big = divmod(n_total, 10)
+    size_hi = size_lo + 1
+    cutoff = big * size_hi  # last rank covered by the big tiles
+    rank = F.col("_offset") + F.col("_rn")
+    if size_lo == 0:  # fewer rows than tiles: tile == rank
+        decile = rank
+    else:
+        decile = F.when(
+            rank <= F.lit(cutoff),
+            (rank - 1) / F.lit(size_hi) + 1,
+        ).otherwise(
+            F.lit(big) + (rank - F.lit(cutoff) - 1) / F.lit(size_lo) + 1
+        )
     return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        local.join(F.broadcast(offsets_df), "_pid")
+        .withColumn("decile", F.floor(decile).cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -3248,64 +3313,9 @@ LIMIT 10
 
 
 QUERIES = {
-    # ---- r6 head: the 25 entries past the r5 driver cap (all r4-driver-
-    # green and re-verified by the repo's full check_oracle.py run in r5;
-    # per the rotation contract they lead this round's window) ----
-    "events_stratified_sample": events_stratified_sample_q,
-    "events_top3_per_user": events_top3_per_user_q,
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "decontam_ngram_overlap": decontam_ngram_overlap_q,
-    "docs_token_percentiles": docs_token_percentiles_q,
-    "docs_mix_upsample": docs_mix_upsample_q,
-    "docs_token_budget": docs_token_budget_q,
-    "docs_pack_sequences": docs_pack_sequences_q,
-    "ann_cosine_topk": ann_cosine_topk_q,
-    "similarity_lsh_topk": similarity_lsh_topk_q,
-    "embedding_neardup": embedding_neardup_q,
-    "q9_dlq_stats": q9_dlq_stats,
-    "q10_job_stats": q10_job_stats,
-    "t7_validation_split": t7_validation_split,
-    "t9_ttl_expiry": t9_ttl_expiry,
-    "dedup_exact_groups": dedup_exact_groups,
-    "text_token_stats": text_token_stats_q,
-    "text_repetition_stats": text_repetition_q,
-    "embedding_quantize_int8": embedding_quantize_q,
-    "docs_length_histogram": docs_length_histogram_q,
-    "text_bpe_token_count": text_bpe_token_count_q,
-    "text_quality": text_quality_q,
-    "text_winnow_fps": text_winnow_q,
-    "text_lang_id": text_lang_id_q,
-    # ---- queries touched in r6 (must stay in-window) ----
-    "docs_quality_tiers": docs_quality_tiers_q,
-    "docs_source_token_quantiles": docs_source_token_quantiles_q,
-    "docs_lang_mix": docs_lang_mix_q,
-    "ann_ivf_topk": ann_ivf_topk_q,
-    "events_anomaly_stats": events_anomaly_stats_q,
-    "embeddings_cell_stats": embeddings_cell_stats_q,
-    "ann_ivf_recall": ann_ivf_recall_q,
-    "dedup_minhash_lsh": dedup_minhash_lsh_q,
-    "ann_knn_within": ann_knn_within_q,
-    # ---- new in r6 (inserted here as they land) ----
-    "events_moving_stats": events_moving_stats_q,
-    "events_props_stats": events_props_stats_q,
-    "events_cube_counts": events_cube_counts_q,
-    "events_type_pivot": events_type_pivot_q,
-    "sales_top_suppliers": sales_top_suppliers_q,
-    "sales_region_share": sales_region_share_q,
-    "embedding_semdedup_keep": embedding_semdedup_keep_q,
-    "dedup_cluster_sizes": dedup_cluster_sizes_q,
-    "orders_priority_late": orders_priority_late_q,
-    "part_min_cost_supplier": part_min_cost_supplier_q,
-    "customer_value_deciles": customer_value_deciles_q,
-    "sales_returns_by_brand": sales_returns_by_brand_q,
-    "segment_status_revenue": segment_status_revenue_q,
-    "events_daily_active": events_daily_active_q,
-    "lineitem_profile": lineitem_profile_q,
-    "events_key_skew": events_key_skew_q,
-    # ---- r6 rotated tail: ALL r5-driver-green (CORRECTNESS_r05.json) and
-    # re-checked every round by tools/check_oracle.py + pytest; past the
-    # driver's 50-cap this round — must lead the r7 window ----
+    # ---- r7 head: the 41 entries past the r6 driver cap (all r5-driver-
+    # green, CORRECTNESS_r05.json, and re-verified by check_oracle.py every
+    # round; per the rotation contract they lead this round's window) ----
     "events_funnel": events_funnel_q,
     "users_retention_cohorts": users_retention_cohorts_q,
     "docs_ngram_topk": docs_ngram_topk_q,
@@ -3347,6 +3357,61 @@ QUERIES = {
     "q12_listing_events": q12_listing_events,
     "q13_listing_lineitem": q13_listing_lineitem,
     "q17_table_counts": q17_table_counts,
+    # ---- queries rewritten in r7 (must stay in-window) ----
+    "events_key_skew": events_key_skew_q,
+    "customer_value_deciles": customer_value_deciles_q,
+    # ---- new in r7 (inserted here as they land) ----
+    # ---- r7 rotated tail: ALL r6-driver-green (CORRECTNESS_r06.json) and
+    # re-checked every round by tools/check_oracle.py + pytest; past the
+    # driver's 50-cap this round — must lead the r8 window ----
+    "events_stratified_sample": events_stratified_sample_q,
+    "events_top3_per_user": events_top3_per_user_q,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "decontam_ngram_overlap": decontam_ngram_overlap_q,
+    "docs_token_percentiles": docs_token_percentiles_q,
+    "docs_mix_upsample": docs_mix_upsample_q,
+    "docs_token_budget": docs_token_budget_q,
+    "docs_pack_sequences": docs_pack_sequences_q,
+    "ann_cosine_topk": ann_cosine_topk_q,
+    "similarity_lsh_topk": similarity_lsh_topk_q,
+    "embedding_neardup": embedding_neardup_q,
+    "q9_dlq_stats": q9_dlq_stats,
+    "q10_job_stats": q10_job_stats,
+    "t7_validation_split": t7_validation_split,
+    "t9_ttl_expiry": t9_ttl_expiry,
+    "dedup_exact_groups": dedup_exact_groups,
+    "text_token_stats": text_token_stats_q,
+    "text_repetition_stats": text_repetition_q,
+    "embedding_quantize_int8": embedding_quantize_q,
+    "docs_length_histogram": docs_length_histogram_q,
+    "text_bpe_token_count": text_bpe_token_count_q,
+    "text_quality": text_quality_q,
+    "text_winnow_fps": text_winnow_q,
+    "text_lang_id": text_lang_id_q,
+    "docs_quality_tiers": docs_quality_tiers_q,
+    "docs_source_token_quantiles": docs_source_token_quantiles_q,
+    "docs_lang_mix": docs_lang_mix_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
+    "events_anomaly_stats": events_anomaly_stats_q,
+    "embeddings_cell_stats": embeddings_cell_stats_q,
+    "ann_ivf_recall": ann_ivf_recall_q,
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "ann_knn_within": ann_knn_within_q,
+    "events_moving_stats": events_moving_stats_q,
+    "events_props_stats": events_props_stats_q,
+    "events_cube_counts": events_cube_counts_q,
+    "events_type_pivot": events_type_pivot_q,
+    "sales_top_suppliers": sales_top_suppliers_q,
+    "sales_region_share": sales_region_share_q,
+    "embedding_semdedup_keep": embedding_semdedup_keep_q,
+    "dedup_cluster_sizes": dedup_cluster_sizes_q,
+    "orders_priority_late": orders_priority_late_q,
+    "part_min_cost_supplier": part_min_cost_supplier_q,
+    "sales_returns_by_brand": sales_returns_by_brand_q,
+    "segment_status_revenue": segment_status_revenue_q,
+    "events_daily_active": events_daily_active_q,
+    "lineitem_profile": lineitem_profile_q,
 }
 
 ORACLE = {

@@ -778,24 +778,28 @@ def test_min_cost_supplier_group_limit_after_partial_agg(spark, tmp_path):
     assert len({r.l_partkey for r in rows}) == 7
 
 
-def test_value_deciles_windows_aggregate_not_fact(spark, tmp_path):
-    """customer_value_deciles (r6): the NTILE global sort runs over
-    the per-customer AGGREGATE (29 rows here; ~customers at scale),
-    never the orders fact — the plan's single-partition window input
-    must sit above the custkey aggregation, and spend must
-    partial-aggregate map-side."""
+def test_value_deciles_no_unpartitioned_window(spark, tmp_path):
+    """customer_value_deciles (r7): NTILE semantics with NO
+    unpartitioned window and NO single-partition Exchange — the rank
+    is a range-partitioned per-partition row number plus a broadcast
+    prefix-offset join (the token_budget_select two-phase technique),
+    the decile is closed-form arithmetic on that rank, and spend
+    partial-aggregates map-side before any of it."""
     from cass_cdc_pg_spark.registry import customer_value_deciles_q
 
     q = customer_value_deciles_q(spark, _write_star_fixture(spark, tmp_path))
     plan = _plan(q)
     assert "partial_sum" in plan, plan
-    assert "ntile" in plan.lower(), plan
-    # the window's sort must consume the aggregated relation: the
-    # custkey aggregation (its Exchange) sits BELOW the Window node,
-    # i.e. later in the tree string
-    assert plan.index("Window") < plan.index("hashpartitioning(o_custkey"), plan
+    assert "ntile" not in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     rows = q.collect()
     assert sum(r.n_customers for r in rows) == 29
+    # 29 customers over 10 tiles: NTILE gives 9 tiles of 3 and one of 2
+    sizes = sorted(r.n_customers for r in rows)
+    assert sizes == [2] + [3] * 9, sizes
 
 
 def test_returns_by_brand_filter_pushed_and_broadcast(spark, tmp_path):
@@ -897,15 +901,20 @@ def test_profile_approximate_tracks_exact(spark, tmp_path):
 
 
 def test_key_skew_profile_partial_agg_topk(spark, tmp_path):
-    """events_key_skew (r6): one partial-aggregated user shuffle, the
-    share window runs over the AGGREGATE (tiny), and the top-10 cut is
+    """events_key_skew (r7): one partial-aggregated user shuffle, the
+    share total is a SCALAR aggregate broadcast back — NO window
+    anywhere (the r6 form's ``Window.partitionBy()`` funnelled every
+    distinct key through one task), the count shuffle is reused for
+    the total branch (single scan at runtime), and the top-10 cut is
     TakeOrderedAndProject — no global sort of events."""
     from cass_cdc_pg_spark.registry import events_key_skew_q
 
     q = events_key_skew_q(spark, _write_events_fixture(spark, tmp_path))
-    plan = _plan(q)
+    rows = q.collect()
+    plan = _plan(q)  # post-collect: AQE final plan
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
-    rows = q.collect()
+    assert "Window" not in plan, plan
+    assert "ReusedExchange" in plan, plan  # total reads the count shuffle
     assert len(rows) == 10
     assert abs(sum(r.share for r in rows) - 10 / 17) < 0.01  # 17 uniform users

@@ -107,3 +107,4 @@ def test_key_skew_profile_finds_hot_key(spark):
     assert prof[0].share > 0.4
     plan = _plan(key_skew_profile(_skewed(spark), ["k"], top=3))
     assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan  # share total is a scalar agg, not a window
