@@ -378,10 +378,13 @@ class CdcApiService:
         t = self._keyed_table_or_404(table)
         try:
             since = int(params["since"])
+            to = int(params["to"]) if "to" in params else None
+            limit = min(int(params.get("limit", 100)), 1000)
         except (KeyError, ValueError) as e:
-            raise ApiError(422, "query param 'since' (int) required") from e
-        to = int(params["to"]) if "to" in params else None
-        limit = min(int(params.get("limit", 100)), 1000)
+            raise ApiError(
+                422, "query params 'since' (int, required), 'to'/'limit' "
+                "(int) malformed"
+            ) from e
         try:
             df = t.read_changes(since, to)
         except FileNotFoundError as e:

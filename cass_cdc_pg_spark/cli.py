@@ -285,6 +285,21 @@ def cmd_table_compact(args, spark) -> int:
     if path is None:
         return 1
     t = KeyedTable(spark, path, [])
+    if not t.key_cols:
+        # legacy manifest without persisted key_cols: compacting would
+        # LWW-reduce with zero group keys — one row per bucket, durable
+        # data loss from a maintenance verb. Refuse.
+        print(
+            json.dumps(
+                {
+                    "error": "no_key_cols",
+                    "detail": "manifest has no key_cols; re-create the "
+                    "table or pass keys explicitly before compacting",
+                }
+            ),
+            file=sys.stderr,
+        )
+        return 1
     n = t.compact()
     print(json.dumps({"table": args.table, "buckets_compacted": n}))
     return 0

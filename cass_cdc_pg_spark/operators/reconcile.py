@@ -196,27 +196,34 @@ def incremental_checksum_diff(
     the range is intentionally out of scope — that is what the
     periodic full job is for."""
     pk = list(src_table.key_cols)
+    if sorted(tgt_table.key_cols) != sorted(pk):
+        raise ValueError(
+            "incremental_checksum_diff requires both tables to share key "
+            f"columns; src={pk} tgt={list(tgt_table.key_cols)}"
+        )
     changes = src_table.read_changes(since_version)
     if changes is None:
         return None
     keys = changes.select(*pk).distinct()
-    bucket_of = lambda t: F.pmod(F.xxhash64(*pk), F.lit(t.num_buckets))  # noqa: E731
-    if src_table.num_buckets == tgt_table.num_buckets:
+    # xxhash64 is argument-ORDER-sensitive: each side's buckets must be
+    # hashed with that side's own persisted key order, or live target
+    # rows land in unpruned buckets and are falsely MISSING_IN_TARGET.
+    bucket_of = lambda t: F.pmod(  # noqa: E731
+        F.xxhash64(*t.key_cols), F.lit(t.num_buckets)
+    )
+    src_buckets = [
+        r[0]
+        for r in keys.select(bucket_of(src_table).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    if (
+        src_table.num_buckets == tgt_table.num_buckets
+        and list(tgt_table.key_cols) == pk
+    ):
         # one discovery job covers both sides (the common same-layout case)
-        src_buckets = [
-            r[0]
-            for r in keys.select(bucket_of(src_table).alias("_b"))
-            .distinct()
-            .collect()
-        ]
         tgt_buckets = src_buckets
     else:
-        src_buckets = [
-            r[0]
-            for r in keys.select(bucket_of(src_table).alias("_b"))
-            .distinct()
-            .collect()
-        ]
         tgt_buckets = [
             r[0]
             for r in keys.select(bucket_of(tgt_table).alias("_b"))

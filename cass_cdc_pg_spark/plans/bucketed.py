@@ -83,15 +83,35 @@ def colocated_join(
     With both sides bucketed (same column, same count), the physical
     plan is a SortMergeJoin whose children are the bucketed scans
     directly — no Exchange on either side (pinned by
-    tests/test_bucketed.py).  Callers verify the layout contract up
-    front rather than silently paying a shuffle."""
+    tests/test_bucketed.py).  The guard verifies the FULL layout
+    contract — both sides bucketed, same bucket count, same bucket
+    columns, and the join keys covering them — because any mismatch
+    makes Spark silently plan Exchanges, which is exactly what this
+    helper promises not to do."""
+    specs = {}
     for t in (left_table, right_table):
-        if not is_bucketed(spark, t):
+        spec = bucket_spec(spark, t)
+        if spec is None:
             raise ValueError(
                 f"{t} is not a bucketed table — colocated_join would "
                 "silently re-shuffle; use save_bucketed() first or "
                 "join the DataFrames directly"
             )
+        specs[t] = spec
+    (ln, lcols), (rn, rcols) = specs[left_table], specs[right_table]
+    if ln != rn or lcols != rcols:
+        raise ValueError(
+            f"bucket layouts differ — {left_table}: {ln} buckets on "
+            f"{lcols}, {right_table}: {rn} buckets on {rcols}; Spark "
+            "would silently re-shuffle both sides"
+        )
+    join_keys = {on} if isinstance(on, str) else set(on)
+    if not set(lcols) <= join_keys:
+        raise ValueError(
+            f"join keys {sorted(join_keys)} do not cover bucket columns "
+            f"{lcols} — the bucketed layout cannot satisfy the join's "
+            "required distribution and Spark would re-shuffle"
+        )
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
@@ -119,5 +139,25 @@ def save_partitioned(
 
 def is_bucketed(spark: SparkSession, table: str) -> bool:
     """True iff the catalog records a bucket spec for *table*."""
-    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-    return any(r.col_name == "Num Buckets" for r in rows)
+    return bucket_spec(spark, table) is not None
+
+
+def bucket_spec(
+    spark: SparkSession, table: str
+) -> tuple[int, tuple[str, ...]] | None:
+    """(num_buckets, bucket_columns) from the catalog, or None when
+    the table is not bucketed.  Read from DESCRIBE TABLE EXTENDED —
+    the same metadata FileSourceScanExec uses to report its
+    outputPartitioning."""
+    rows = {r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()}
+    if "Num Buckets" not in rows:
+        return None
+    n = int(rows["Num Buckets"])
+    # rendered as e.g. [`k`] or [`k`, `v`]
+    cols = tuple(
+        c.strip(" `")
+        for c in rows.get("Bucket Columns", "").strip("[]").split(",")
+        if c.strip(" `")
+    )
+    return n, cols

@@ -298,7 +298,22 @@ class KeyedTable:
 
     # -- helpers ------------------------------------------------------------
 
+    def _require_keys(self) -> None:
+        # A legacy manifest without persisted key_cols plus an empty
+        # constructor list would make _reduce group by NOTHING —
+        # lww_latest would collapse every bucket to one row.  Refuse
+        # loudly rather than silently destroy data (a maintenance verb
+        # like compact() rewrites bases durably).
+        if not self.key_cols:
+            raise ValueError(
+                f"KeyedTable at {self.path} has no key columns: the "
+                "manifest predates key_cols persistence and none were "
+                "passed to the constructor. Re-open the table with "
+                "explicit key_cols before reading or compacting."
+            )
+
     def _bucket_col(self):
+        self._require_keys()
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.num_buckets))
 
     def exists(self) -> bool:
@@ -312,6 +327,7 @@ class KeyedTable:
         return dirs
 
     def _reduce(self, df: DataFrame) -> DataFrame:
+        self._require_keys()
         return lww_latest(
             df,
             self.key_cols,

@@ -62,6 +62,20 @@ def _version_doc(path: str, version: int) -> dict:
     )
 
 
+def _oldest_retained(path: str) -> int:
+    """Smallest version whose commit doc is still on disk (retention
+    prunes `_log/` oldest-first; the live `_manifest.json` always
+    covers the current version)."""
+    log_dir = f"{path}/_log"
+    versions = []
+    if os.path.isdir(log_dir):
+        for n in os.listdir(log_dir):
+            if n.startswith("manifest.v") and n.endswith(".json"):
+                versions.append(int(n[len("manifest.v"):-len(".json")]))
+    cur = _current_version(path)
+    return min(versions) if versions else cur
+
+
 def _merge_dirs(path: str, lo: int, hi: int) -> list[tuple[int, str]]:
     """(version, data dir) for every merge commit in (lo, hi]."""
     out: list[tuple[int, str]] = []
@@ -103,8 +117,9 @@ def _rows(files: list[str], fields: list[str], version: int) -> Iterator[Tuple]:
 
 
 class KeyedChangesBatchReader(DataSourceReader):
-    """Full-feed batch read from ``since_version`` (default 0): one
-    input partition per merge-commit data dir."""
+    """Full-feed batch read from ``since_version`` (default: the
+    oldest retained version boundary): one input partition per
+    merge-commit data dir."""
 
     def __init__(self, path: str, since: int, fields: list[str]) -> None:
         self.parts = _merge_dirs(path, since, _current_version(path))
@@ -196,8 +211,16 @@ class KeyedChangesDataSource(DataSource):
         return [f.name for f in self.schema().fields]
 
     def reader(self, schema) -> KeyedChangesBatchReader:
-        since = int(self.options.get("since_version", 0))
-        return KeyedChangesBatchReader(self._path(), since, self._fields())
+        # Default = everything still RETAINED, not version 0: on any
+        # table whose earliest versions aged past keep_versions a
+        # bare spark.read would otherwise always fail FileNotFoundError.
+        # An explicit since_version keeps strict semantics (and the
+        # not-retained error) — callers asking for a specific range
+        # must not silently get a shorter one.
+        sv = self.options.get("since_version")
+        path = self._path()
+        since = int(sv) if sv is not None else max(0, _oldest_retained(path) - 1)
+        return KeyedChangesBatchReader(path, since, self._fields())
 
     def simpleStreamReader(self, schema) -> KeyedChangesStreamReader:
         sv = self.options.get("starting_version")

@@ -242,6 +242,11 @@ def test_api_table_history_and_changes(spark, tmp_path):
 
         st, _, err = _req(base, "GET", "/tables/users/changes")
         assert st == 422 and "since" in err["detail"]
+        # malformed to/limit are 422 validation errors, not 500s
+        st, _, _ = _req(base, "GET", "/tables/users/changes?since=0&to=zzz")
+        assert st == 422
+        st, _, _ = _req(base, "GET", "/tables/users/changes?since=0&limit=x")
+        assert st == 422
         st, _, _ = _req(base, "GET", "/tables/ghost/changes?since=0")
         assert st == 404
         st, _, _ = _req(base, "GET", "/tables/ghost/history")

@@ -140,3 +140,49 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(p) if d.startswith("day=")
     ) == [f"day={i}" for i in range(10)]
+
+
+def test_colocated_join_refuses_mismatched_bucket_count(spark, bucketed_pair, tmp_path):
+    """Same column but DIFFERENT bucket counts: Spark would silently
+    re-shuffle one side — the guard must catch it, not just
+    'is bucketed at all'."""
+    lt, _ = bucketed_pair
+    from cass_cdc_pg_spark.plans.bucketed import save_bucketed
+
+    other = spark.range(100).selectExpr("id AS k", "id AS w")
+    save_bucketed(other, "t_b16", "k", 16, path=str(tmp_path / "b16"))
+    try:
+        with pytest.raises(ValueError, match="bucket layouts differ"):
+            colocated_join(spark, lt, "t_b16", "k")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_b16")
+
+
+def test_colocated_join_refuses_mismatched_bucket_column(spark, bucketed_pair, tmp_path):
+    lt, _ = bucketed_pair
+    from cass_cdc_pg_spark.plans.bucketed import save_bucketed
+
+    other = spark.range(100).selectExpr("id AS k", "id AS w")
+    save_bucketed(other, "t_colw", "w", 8, path=str(tmp_path / "colw"))
+    try:
+        with pytest.raises(ValueError, match="bucket layouts differ"):
+            colocated_join(spark, lt, "t_colw", "k")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_colw")
+
+
+def test_colocated_join_refuses_join_key_off_bucket_column(spark, bucketed_pair):
+    """Both sides identically bucketed on k, but the requested join is
+    on a non-bucket column: the layout can't satisfy the join's
+    distribution, so the guard raises instead of shuffling."""
+    lt, rt = bucketed_pair
+    with pytest.raises(ValueError, match="do not cover bucket columns"):
+        colocated_join(spark, lt, rt, "v")
+
+
+def test_bucket_spec_reads_catalog(spark, bucketed_pair):
+    from cass_cdc_pg_spark.plans.bucketed import bucket_spec
+
+    lt, rt = bucketed_pair
+    assert bucket_spec(spark, lt) == (8, ("k",))
+    assert bucket_spec(spark, rt) == (8, ("k",))

@@ -301,3 +301,30 @@ def test_cli_table_compact(spark, tmp_path, capsys):
     assert main(["table", "compact", "--warehouse", wh,
                  "--table", "cdc_users"], spark=spark) == 0
     assert json.loads(capsys.readouterr().out)["buckets_compacted"] == 0
+
+
+def test_cli_table_compact_refuses_legacy_manifest_without_keys(spark, tmp_path, capsys):
+    """compact on a legacy manifest with no persisted key_cols must
+    refuse (exit 1, no_key_cols) — compacting keyless would LWW-reduce
+    each bucket to a single row."""
+    wh = str(tmp_path / "wh")
+    ingest = CdcIngest(
+        spark, wh,
+        table_schemas={"users": T.StructType.fromDDL(USERS_DDL)},
+        key_cols={"users": ["id"]},
+        num_buckets=2,
+    )
+    ingest.process_batch(spark.createDataFrame(
+        [("33333333-3333-4333-8333-333333333361", "users", "CREATE",
+          1000, None, {"id": "u1", "username": "x", "age": "1"},
+          1, None, False)], CHANGE_EVENT_DDL))
+    mpath = f"{wh}/cdc_users/_manifest.json"
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("key_cols", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    assert main(["table", "compact", "--warehouse", wh,
+                 "--table", "cdc_users"], spark=spark) == 1
+    assert "no_key_cols" in capsys.readouterr().err

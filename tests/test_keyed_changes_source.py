@@ -162,3 +162,26 @@ def test_derived_table_pipeline_converges(registered, tmp_path):
     live = {(r["id"], r["val"]) for r in b.read_live().collect()}
     assert live == {("x", "v2")}  # update applied, tombstone deleted y
     assert b.read().count() == 2  # tombstone retained in full state
+
+
+def test_batch_default_reads_retained_window_after_retention(registered, tmp_path):
+    """A bare batch read on a table whose earliest versions aged past
+    keep_versions must NOT fail — the default since_version is the
+    oldest RETAINED boundary, so it returns exactly the retained
+    commits. An explicit since_version keeps strict semantics and
+    still errors when the requested range is gone."""
+    spark = registered
+    t = _table(spark, tmp_path, keep_versions=2)
+    for i in range(6):
+        t.merge(_batch(spark, [("a", f"v{i}", False, 100 + i, f"e{i}", None)]))
+    cur = t._current_version()
+
+    df = spark.read.format("keyed_changes").option("path", t.path).load()
+    versions = sorted({r["_change_version"] for r in df.collect()})
+    assert versions  # does not raise, returns the retained tail
+    assert versions[-1] == cur
+    assert all(v > cur - 4 for v in versions)
+
+    with pytest.raises(Exception, match="not retained"):
+        (spark.read.format("keyed_changes")
+         .option("path", t.path).option("since_version", "0").load().collect())

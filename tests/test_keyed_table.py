@@ -404,3 +404,33 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     ch = {r["id"]: r for r in t.read_changes(0).collect()}
     assert ch["a"]["new_col"] is None
     assert ch["b"]["new_col"] == "extra"
+
+
+def test_legacy_manifest_without_keys_refuses_reduce_and_compact(spark, tmp_path):
+    """A pre-LSM manifest with no persisted key_cols, opened with an
+    empty constructor list, must REFUSE to LWW-reduce or compact —
+    grouping by zero keys would collapse every bucket to one row
+    (silent durable data loss from a maintenance verb)."""
+    import json
+
+    path = str(tmp_path / "legacy")
+    t = KeyedTable(spark, path, ["id"], num_buckets=2)
+    t.merge(_batch(spark, [("a", "v1", False, 100, "e1", None),
+                           ("b", "v1", False, 100, "e2", None)]))
+
+    # simulate the legacy manifest: drop the persisted key_cols
+    with open(f"{path}/_manifest.json") as f:
+        m = json.load(f)
+    m.pop("key_cols", None)
+    with open(f"{path}/_manifest.json", "w") as f:
+        json.dump(m, f)
+
+    legacy = KeyedTable(spark, path, [])
+    assert legacy.key_cols == []
+    with pytest.raises(ValueError, match="no key columns"):
+        legacy.compact()
+    with pytest.raises(ValueError, match="no key columns"):
+        legacy.read().collect()
+    # rows are untouched: reopening with explicit keys still sees both
+    again = KeyedTable(spark, path, ["id"])
+    assert again.read().count() == 2

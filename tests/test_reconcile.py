@@ -153,3 +153,50 @@ def test_incremental_checksum_diff_scopes_to_changed_keys(spark, tmp_path):
 
     assert incremental_checksum_diff(src, tgt, src._current_version(),
                                      ["val"]) is None
+
+
+def test_incremental_checksum_diff_key_order_mismatch(spark, tmp_path):
+    """xxhash64 is argument-order-sensitive: when the two tables
+    persist the SAME key set in DIFFERENT order, target buckets must
+    be hashed with the target's own order — the old code used the
+    source's order for both, skipped live target rows, and falsely
+    reported MISSING_IN_TARGET."""
+    from cass_cdc_pg_spark.operators.reconcile import (
+        incremental_checksum_diff,
+    )
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    ddl = ("k1 string, k2 string, val string, _cdc_deleted boolean, "
+           "_cdc_timestamp_micros long, _last_event_id string, "
+           "_ttl_expiry_timestamp_us long")
+    mk = lambda rows: spark.createDataFrame(rows, ddl)  # noqa: E731
+    src = KeyedTable(spark, str(tmp_path / "src"), ["k1", "k2"],
+                     num_buckets=8, keep_versions=10)
+    tgt = KeyedTable(spark, str(tmp_path / "tgt"), ["k2", "k1"],
+                     num_buckets=8, keep_versions=10)
+    rows = [(f"a{i}", f"b{i}", "v", False, 100, f"e{i}", None)
+            for i in range(20)]
+    src.merge(mk(rows))
+    mark = src._current_version()
+    upd = [(f"a{i}", f"b{i}", "v2", False, 200, f"x{i}", None)
+           for i in range(20)]
+    src.merge(mk(upd))
+    tgt.merge(mk(upd))
+
+    # all 20 changed keys are IDENTICAL on both sides -> no mismatch rows
+    out = incremental_checksum_diff(src, tgt, mark, ["val"])
+    assert out.count() == 0
+
+
+def test_incremental_checksum_diff_rejects_different_key_sets(spark, tmp_path):
+    import pytest
+
+    from cass_cdc_pg_spark.operators.reconcile import (
+        incremental_checksum_diff,
+    )
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    src = KeyedTable(spark, str(tmp_path / "s2"), ["a"], num_buckets=2)
+    tgt = KeyedTable(spark, str(tmp_path / "t2"), ["b"], num_buckets=2)
+    with pytest.raises(ValueError, match="share key columns"):
+        incremental_checksum_diff(src, tgt, 0, ["val"])
