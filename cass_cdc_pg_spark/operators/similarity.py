@@ -396,6 +396,100 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup_greedy_survivors(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """EXACT SemDeDup greedy selection over near-dup candidate pairs:
+    process ids ascending, keep an id iff no already-KEPT lower id is
+    within the threshold.  This is the lexicographically-first maximal
+    independent set of the pair graph — the semantics the SemDeDup
+    paper's sequential sweep computes (reference behavior analog:
+    keep-one-per-duplicate-cluster; cf. the one-pass rule in
+    ``registry.embedding_semdedup_keep_q``, which drops ANY id with a
+    lower near-dup neighbor and therefore over-drops — a dropped
+    vector still kills its own higher-id neighbors there).
+
+    Distributed rounds-bounded fixpoint (same loop discipline as
+    ``dedup.connected_components``):
+
+    1. kept_now  = ids that appear only as the LOW side of remaining
+       edges (no undecided lower neighbor can drop them)
+    2. dropped_now = high sides of edges whose low side was just kept
+    3. remaining edges drop every edge touching a decided id —
+       crucially including edges OUT of dropped ids, which is exactly
+       the correction over the one-pass rule
+
+    Each round is two distinct-aggregations and three anti-joins over
+    the shrinking edge set — never the corpus — plus ONE driver action
+    (``isEmpty`` on the checkpointed edge set).  Near-dup graphs are
+    unions of dense clusters: a clique decides in one round, so rounds
+    ≈ the longest id-ordered dependency chain (2-3 in practice).  A
+    path graph is the pathological case (n/2 rounds); if ``max_iter``
+    is hit, the remaining undecided ids fall back to the conservative
+    one-pass rule (over-drop bounded to the unconverged remainder) and
+    ``stats["converged"]`` reports False rather than looping forever.
+
+    *pairs* must satisfy ``id_a < id_b`` per row (the shape
+    ``embedding_neardup_pairs`` emits).  Returns a one-column ``id``
+    DataFrame of survivors drawn from *all_ids* (ids with no pairs at
+    all always survive)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dropped = None  # accumulated drop list, unioned per round
+    rounds, converged = 0, True
+    for _ in range(max_iter):
+        if edges.isEmpty():
+            break
+        rounds += 1
+        kept_now = (
+            edges.select(F.col("a").alias("id"))
+            .distinct()
+            .join(
+                edges.select(F.col("b").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+        )
+        dropped_now = (
+            edges.join(kept_now, edges["a"] == kept_now["id"])
+            .select("b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(dropped_now, "b", "left_anti")
+            .join(
+                dropped_now.select(F.col("b").alias("a")), "a", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_drops = dropped_now.select(F.col("b").alias("id"))
+        dropped = new_drops if dropped is None else dropped.unionByName(new_drops)
+    else:
+        if not edges.isEmpty():
+            converged = False
+            # conservative fallback for the unconverged remainder:
+            # one-pass "any lower undecided neighbor drops you"
+            rest = edges.select(F.col("b").alias("id")).distinct()
+            dropped = rest if dropped is None else dropped.unionByName(rest)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    out_col = all_ids.columns[0]
+    survivors = all_ids.select(F.col(out_col).alias("id"))
+    if dropped is None:
+        return survivors
+    return survivors.join(dropped.distinct(), "id", "left_anti")
+
+
 def quantize_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -2829,13 +2829,45 @@ def embedding_semdedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as the pair query (bucket equi-join, never
     all-pairs); the survivor step is one anti-join of the corpus
     against the distinct id_b side, which AQE broadcasts when the
-    dropped set is small and shuffles on the id otherwise."""
+    dropped set is small and shuffles on the id otherwise.
+
+    Semantics note: this one-pass rule drops ANY vector with a lower-id
+    near-dup neighbor, so a vector dropped by a survivor still kills
+    its own higher-id neighbors — it OVER-drops relative to the true
+    sequential greedy sweep (bias bounded by the id-ordered dependency
+    chains of the pair graph; on a clique the two rules agree).  The
+    exact-greedy fixpoint is ``embedding_semdedup_greedy`` /
+    ``similarity.semdedup_greedy_survivors``, pinned against a
+    sequential model in tests/test_text_dedup_similarity.py."""
     emb = src.load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_neardup_pairs(emb, threshold=0.35)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (
         emb.select("vec_id", F.col("label").cast("int").alias("label"))
         .join(dropped, "vec_id", "left_anti")
+    )
+
+
+def embedding_semdedup_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SemDeDup greedy survivors (iterative fixpoint) — the
+    corrected-semantics sibling of ``embedding_semdedup_keep``: a
+    vector survives iff no KEPT lower id is within the threshold, so
+    vectors shadowed by an already-dropped neighbor are rescued.
+
+    Not SQL-expressible (greedy MIS needs recursion with negation), so
+    this entry has no oracle twin — the driver records a rows-only
+    check and the exactness is pinned in pytest against a sequential
+    greedy model.  Scale shape: the rounds-bounded fixpoint of
+    ``semdedup_greedy_survivors`` touches only the candidate-pair
+    graph, never the corpus; survivor extraction is one anti-join."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.35)
+    kept = similarity.semdedup_greedy_survivors(
+        pairs, emb.select("vec_id")
+    ).withColumnRenamed("id", "vec_id")
+    return (
+        emb.select("vec_id", F.col("label").cast("int").alias("label"))
+        .join(kept, "vec_id", "left_semi")
     )
 
 
@@ -3361,6 +3393,7 @@ QUERIES = {
     "events_key_skew": events_key_skew_q,
     "customer_value_deciles": customer_value_deciles_q,
     # ---- new in r7 (inserted here as they land) ----
+    "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
     # ---- r7 rotated tail: ALL r6-driver-green (CORRECTNESS_r06.json) and
     # re-checked every round by tools/check_oracle.py + pytest; past the
     # driver's 50-cap this round — must lead the r8 window ----

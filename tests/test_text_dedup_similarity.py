@@ -532,3 +532,92 @@ def test_connected_components_path_graph_converges_in_log_rounds(spark):
     assert len(rows) == 1000
     assert all(r["component"] == 0 for r in rows)
     assert stats["rounds"] <= 12, stats
+
+
+def _greedy_model(n_ids, pairs):
+    """Sequential SemDeDup sweep: ids ascending, keep iff no KEPT
+    lower neighbor — the semantics the distributed fixpoint must match."""
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(b, set()).add(a)
+    kept = set()
+    for i in sorted(n_ids):
+        if not (nbrs.get(i, set()) & kept):
+            kept.add(i)
+    return kept
+
+
+def test_semdedup_greedy_matches_sequential_model(spark):
+    """semdedup_greedy_survivors == the exact sequential greedy on
+    randomized pair graphs (seeded), including chains where the
+    one-pass rule over-drops."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n = 40
+        ids = list(range(n))
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(ids, 2)))
+                for _ in range(rng.randint(5, 60))
+            }
+        )
+        pdf = spark.createDataFrame(
+            [(a, b) for a, b in pairs] or [(0, 1)][:0],
+            "id_a long, id_b long",
+        ) if pairs else spark.createDataFrame([], "id_a long, id_b long")
+        all_ids = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+        stats = {}
+        got = {
+            r["id"]
+            for r in similarity.semdedup_greedy_survivors(
+                pdf, all_ids, stats=stats
+            ).collect()
+        }
+        want = _greedy_model(ids, pairs)
+        assert got == want, (trial, sorted(got ^ want), stats)
+        assert stats.get("converged", True) is True
+
+
+def test_semdedup_greedy_rescues_chain_overdrop(spark):
+    """On the chain 0-1-2 (0~1, 1~2, 0!~2): one-pass drops {1, 2};
+    greedy keeps 2 because its only lower neighbor 1 was itself
+    dropped.  This is exactly the over-drop bias the one-pass
+    docstring documents."""
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in range(3)], "vec_id long")
+    stats = {}
+    got = {
+        r["id"]
+        for r in similarity.semdedup_greedy_survivors(
+            pairs, all_ids, stats=stats
+        ).collect()
+    }
+    assert got == {0, 2}
+    one_pass = {0, 1, 2} - {b for _, b in [(0, 1), (1, 2)]}
+    assert one_pass == {0}  # over-drops vec 2
+    # one round: 0 kept (no lower neighbor), 1 dropped, and dropping 1
+    # removes its out-edge, so 2's survival needs no second round
+    assert stats["rounds"] == 1 and stats["converged"]
+
+
+def test_semdedup_greedy_round_cap_falls_back_conservatively(spark):
+    """A long path with max_iter=1: round 1 decides the head; the
+    fallback one-pass-drops the remaining undecided high sides, so the
+    result is a SUBSET of the exact greedy (never an over-keep) and
+    converged=False is reported."""
+    path = [(i, i + 1) for i in range(10)]
+    pairs = spark.createDataFrame(path, "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in range(11)], "vec_id long")
+    stats = {}
+    got = {
+        r["id"]
+        for r in similarity.semdedup_greedy_survivors(
+            pairs, all_ids, max_iter=1, stats=stats
+        ).collect()
+    }
+    exact = _greedy_model(range(11), path)  # evens
+    assert stats["converged"] is False
+    assert got <= exact
+    assert 0 in got  # decided in round 1
