@@ -744,7 +744,13 @@ def main() -> None:
     # two bucket counts: merge cost is O(batch) regardless of bucket
     # count (LSM delta appends — see plans/keyed_table.py), so ev/s
     # must hold steady as buckets scale toward the thousands a 100 TB
-    # table needs
+    # table needs.  One UNTIMED warmup replay first: the very first
+    # merge pays JVM/codegen/Arrow warmup worth ~2× on this container
+    # (measured r7: 15.2k cold vs 32-35k warm on identical code — the
+    # r5→r6 "regression" band), and a throughput contract number
+    # should measure the steady state, not JIT.
+    with tempfile.TemporaryDirectory() as wh:
+        ingest_bench(spark, sf_dir, wh)
     with tempfile.TemporaryDirectory() as wh:
         eps = ingest_bench(spark, sf_dir, wh)
     with tempfile.TemporaryDirectory() as wh:
