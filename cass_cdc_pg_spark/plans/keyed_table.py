@@ -445,6 +445,21 @@ class KeyedTable:
         )
         self.merge(stamped)
 
+    def overwrite(self, state: DataFrame) -> None:
+        """Replace the ENTIRE table state with *state* (key cols +
+        META_COLS + payload) in ONE atomic rewrite commit — the
+        restore/resync verb (consumer side of the CDF rewrite
+        contract, ``streaming/follower.py``).  Every bucket is
+        republished, so rows absent from *state* — e.g. GDPR
+        hard-deleted upstream, with no tombstone — are gone afterward,
+        which a merge could never do.  Commits as ``op="rewrite"``:
+        this table's OWN feed consumers must resync in turn."""
+        missing = [c for c in (*self.key_cols, *META_COLS) if c not in state.columns]
+        if missing:
+            raise ValueError(f"overwrite state missing columns: {missing}")
+        reduced = self._reduce(state).withColumn("_bucket", self._bucket_col())
+        self._publish(reduced, list(range(self.num_buckets)), op="rewrite")
+
     # -- compaction ---------------------------------------------------------
 
     def _compact_if_needed(self, manifest: dict[str, dict]) -> None:
