@@ -142,6 +142,14 @@ _FUNNEL_STATE_SCHEMA = T.StructType(
     ]
 )
 
+_FUNNEL_STATE_BUF_SCHEMA = T.StructType(
+    [
+        T.StructField("signup_ts_us", T.LongType()),
+        T.StructField("purchase_ts_us", T.LongType()),
+        T.StructField("conv_buf", T.ArrayType(T.LongType())),
+    ]
+)
+
 
 def funnel_stream(
     events: DataFrame,
@@ -149,6 +157,7 @@ def funnel_stream(
     convert_type: str = "purchase",
     key_col: str = "user_id",
     ts_us_col: str = "ts_us",
+    buffer_conversions: int = 0,
 ) -> DataFrame:
     """Streaming funnel conversion — the per-key-state twin of the
     batch ``features.funnel_conversion``: O(1) state per user
@@ -168,8 +177,26 @@ def funnel_stream(
     query is the reconciler (same stance as the windowed features'
     HLL distinct).  Convergence to the batch answer is pinned by
     test.
+
+    ``buffer_conversions = k > 0`` switches to bounded-buffer state
+    (+k longs per user): the k EARLIEST conversion timestamps ever
+    seen persist across microbatches, and the first qualifying
+    conversion is recomputed from the buffer whenever an earlier start
+    retrogrades in.  This CLOSES the divergence window whenever any
+    buffered conversion qualifies: evicted conversions are all later
+    than every buffered one, so the buffered minimum-qualifying is
+    globally minimal.  The only residual divergence needs ALL k
+    buffered conversions to precede the final start while an evicted
+    (later) one qualifies — i.e. more than k distinct pre-start
+    conversions for one user.  k=0 (default) keeps the O(1) state.
     """
     import pandas as pd
+
+    if buffer_conversions > 0:
+        return _funnel_stream_buffered(
+            events, start_type, convert_type, key_col, ts_us_col,
+            buffer_conversions,
+        )
 
     def fn(key, pdfs, state: GroupState):
         (user,) = key
@@ -208,6 +235,64 @@ def funnel_stream(
         fn,
         outputStructType=FUNNEL_SCHEMA,
         stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _funnel_stream_buffered(
+    events: DataFrame,
+    start_type: str,
+    convert_type: str,
+    key_col: str,
+    ts_us_col: str,
+    k: int,
+) -> DataFrame:
+    """Bounded-buffer funnel state (see ``funnel_stream``): per user,
+    (earliest start, first qualifying conversion, k earliest
+    conversions).  Order-insensitive within and across batches — all
+    three state fields are monotone minima, so the fold is a pure
+    min-merge and retrograde arrival of either event kind converges
+    without replay."""
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        s, p, buf = state.get if state.exists else (None, None, [])
+        buf = list(buf or [])
+        starts, convs = [], []
+        for pdf in pdfs:
+            for t, et in zip(pdf[ts_us_col], pdf["event_type"]):
+                if et == start_type:
+                    starts.append(int(t))
+                elif et == convert_type:
+                    convs.append(int(t))
+        s_vals = [t for t in (s, *starts) if t is not None]
+        new_s = min(s_vals) if s_vals else None
+        buf = sorted(set(buf) | set(convs))[:k]
+        # recompute first-qualifying from the buffer + the running p;
+        # if any buffered conversion >= start, its min is globally
+        # minimal (evictions are all later than max(buf))
+        cands = [c for c in buf if new_s is not None and c >= new_s]
+        if p is not None:
+            cands.append(p)
+        new_p = min(cands) if cands and new_s is not None else None
+        changed = new_s is not None and (new_s, new_p) != (s, p)
+        state.update((new_s, new_p, buf))
+        if changed:
+            yield pd.DataFrame(
+                [[
+                    user, new_s, new_p,
+                    1 if new_p is not None else 0,
+                    (new_p - new_s) // 1_000_000 if new_p is not None else None,
+                ]],
+                columns=[f.name for f in FUNNEL_SCHEMA.fields],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_BUF_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

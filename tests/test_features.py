@@ -467,6 +467,34 @@ def test_funnel_streaming_retrograde_divergence_bound(spark, tmp_path):
     assert got[20] == expected[20] == (100, 2000, 1)
     assert got[40] == expected[40] == (1000, None, 0)
 
+    # CONVERGING MODE (r7): with a bounded conversion buffer the same
+    # replay matches the batch answer exactly — the buffer persists
+    # pre-start conversions across microbatches, closing the u10/u40
+    # divergence the O(1) mode documents above
+    from cass_cdc_pg_spark.streaming.stateful import funnel_stream as _fs
+
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q2 = (
+        _fs(stream2, buffer_conversions=4)
+        .writeStream.format("memory").queryName("funnel_retro_buf")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_buf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_buf = {}
+    for r in spark.sql(
+        "SELECT * FROM funnel_retro_buf"
+    ).collect():  # update mode: last row per user wins
+        got_buf[r["user_id"]] = (
+            r["signup_ts_us"], r["first_purchase_ts_us"], r["converted"],
+        )
+    assert got_buf == expected
+
 
 def test_value_anomaly_stats_partition_order_invariant(spark):
     """The 3σ rollup must be bitwise identical under any partitioning
