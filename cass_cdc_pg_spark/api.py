@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
@@ -90,6 +91,7 @@ class CdcApiService:
         warehouse: str | None = None,
         table_config: dict | None = None,
         secrets=None,
+        cache_ttl: float = 2.0,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
@@ -98,8 +100,46 @@ class CdcApiService:
         self.secrets = secrets
         self._jobs: dict[str, dict] = {}
         self._jobs_lock = threading.Lock()
+        self.cache_ttl = cache_ttl
+        self._cache: dict[str, tuple[float, object]] = {}
+        self._cache_lock = threading.Lock()
 
     # -- shared plumbing ----------------------------------------------------
+
+    def _cached(self, key: str, compute):
+        """Short-TTL cache for hot READ-ONLY routes whose answers cost
+        Spark actions (health probes, DLQ stats).  Under concurrent
+        load every request was paying driver-side job latency for an
+        answer that changes at microbatch cadence — the reference's
+        dashboard polling has the same shape and caches at the proxy.
+        Any mutating route calls ``_invalidate_cache`` so the server
+        keeps read-your-writes semantics; ``cache_ttl=0`` disables."""
+        if self.cache_ttl <= 0:
+            return compute()
+        now = time.monotonic()
+        with self._cache_lock:
+            hit = self._cache.get(key)
+            if hit is not None and hit[0] > now:
+                return hit[1]
+        val = compute()
+        with self._cache_lock:
+            self._cache[key] = (now + self.cache_ttl, val)
+        return val
+
+    def _invalidate_cache(self, *prefixes: str) -> None:
+        """Drop cached entries whose key starts with any *prefix* (all
+        entries when none given).  Mutating routes invalidate only the
+        families they can affect — a reconciliation trigger must not
+        force every health probe and DLQ read to recompute."""
+        with self._cache_lock:
+            if not prefixes:
+                self._cache.clear()
+                return
+            for k in [
+                k for k in self._cache
+                if any(k.startswith(p) for p in prefixes)
+            ]:
+                del self._cache[k]
 
     def _require_warehouse(self) -> str:
         if not self.warehouse:
@@ -159,7 +199,7 @@ class CdcApiService:
         )
 
     def health(self) -> tuple[int, dict]:
-        out = self._health_service().check_all()
+        out = self._cached("health", lambda: self._health_service().check_all())
         return (503 if out["status"] == "unhealthy" else 200), out
 
     def health_component(self, component: str) -> tuple[int, dict]:
@@ -173,7 +213,7 @@ class CdcApiService:
         }
         if component not in probes:
             raise ApiError(404, f"unknown component: {component}")
-        out = probes[component]()
+        out = self._cached(f"health:{component}", probes[component])
         return (503 if out["status"] == "unhealthy" else 200), out
 
     def metrics(self) -> str:
@@ -184,6 +224,12 @@ class CdcApiService:
     # -- dlq ----------------------------------------------------------------
 
     def dlq_records(self, params: dict) -> list[dict]:
+        key = "dlq_records:" + json.dumps(
+            {k: params[k] for k in sorted(params)}, sort_keys=True
+        )
+        return self._cached(key, lambda: self._dlq_records_compute(params))
+
+    def _dlq_records_compute(self, params: dict) -> list[dict]:
         from cass_cdc_pg_spark.operators.listings import listing
         from cass_cdc_pg_spark.plans.keyed_table import META_COLS
 
@@ -206,24 +252,33 @@ class CdcApiService:
         return [r.asDict() for r in out.collect()]
 
     def dlq_stats(self) -> dict:
-        from cass_cdc_pg_spark.plans.keyed_table import META_COLS
+        return self._cached("dlq_stats", self._dlq_stats_compute)
 
-        df = self._dlq_table().read_live().drop(*META_COLS)
-        by = {
-            dim: {
-                str(r[dim]): r["count"]
-                for r in df.groupBy(dim).count().orderBy(dim).collect()
-            }
-            for dim in ("error_type", "resolution_status", "source_table")
-        }
-        by["total"] = df.count()
-        return by
+    def _dlq_stats_compute(self) -> dict:
+        # ONE Spark action: group on the full dim triple (bounded by
+        # distinct error/status/table combinations, tiny by contract)
+        # and marginalize driver-side — was 4 actions (3 groupBys +
+        # count), i.e. 4 job latencies per request under load
+        df = self._dlq_table().read_live()
+        dims = ("error_type", "resolution_status", "source_table")
+        rows = df.groupBy(*dims).count().collect()
+        by: dict = {dim: {} for dim in dims}
+        total = 0
+        for r in rows:
+            total += r["count"]
+            for dim in dims:
+                k = str(r[dim])
+                by[dim][k] = by[dim].get(k, 0) + r["count"]
+        out = {dim: dict(sorted(by[dim].items())) for dim in dims}
+        out["total"] = total
+        return out
 
     def dlq_replay(self, body: dict) -> dict:
         ids = body.get("event_ids") or body.get("ids")
         if not isinstance(ids, list) or not ids:
             raise ApiError(422, "event_ids must be a non-empty list")
         n = self._ingest().replay_dlq([str(i) for i in ids])
+        self._invalidate_cache("dlq", "health")
         return {"replayed": n, "resolution_status": "MANUAL_RESOLVED"}
 
     # -- reconciliation -----------------------------------------------------
@@ -231,8 +286,13 @@ class CdcApiService:
     _STRATEGIES = ("row_count", "checksum", "timestamp_range", "sample")
 
     def reconciliation_trigger(self, body: dict) -> dict:
-        from cass_cdc_pg_spark import registry
-
+        """Sync by default (job completes in-request; the CLI/test
+        contract).  ``{"async": true}`` matches the REFERENCE contract
+        (``reconciliation.py:73-119`` returns ``status=RUNNING`` and
+        the client polls ``/jobs/{id}``): the job registers as
+        ``running``, the reconcile runs on a worker thread, and the
+        response returns at registration latency instead of
+        Spark-job latency."""
         strategy = body.get("strategy", "row_count")
         if strategy not in self._STRATEGIES:
             raise ApiError(422, f"unknown strategy: {strategy}")
@@ -240,13 +300,49 @@ class CdcApiService:
         if not sf_dir:
             raise ApiError(503, "sf_dir not configured")
         limit = int(body.get("limit", 100))
+        job_id = uuid.uuid4().hex
+        if body.get("async"):
+            job = {
+                "job_id": job_id,
+                "strategy": strategy,
+                "status": "running",
+                "row_count": None,
+                "mismatch_count": None,
+                "rows": [],
+            }
+            with self._jobs_lock:
+                self._jobs[job_id] = job
+
+            def _worker() -> None:
+                try:
+                    self._run_reconciliation(job_id, strategy, sf_dir, limit)
+                except Exception as e:  # surface via job status, not a socket
+                    with self._jobs_lock:
+                        self._jobs[job_id] = {
+                            "job_id": job_id,
+                            "strategy": strategy,
+                            "status": "failed",
+                            "detail": str(e),
+                            "row_count": None,
+                            "mismatch_count": None,
+                            "rows": [],
+                        }
+
+            threading.Thread(target=_worker, daemon=True).start()
+            return dict(job)
+        return self._run_reconciliation(job_id, strategy, sf_dir, limit)
+
+    def _run_reconciliation(
+        self, job_id: str, strategy: str, sf_dir: str, limit: int
+    ) -> dict:
+        from cass_cdc_pg_spark import registry
+
         q = {
             "row_count": registry.q1_row_count,
             "checksum": registry.q3_checksum_diff,
             "timestamp_range": registry.q5_range_diff,
             "sample": registry.q6_sample,
         }[strategy]
-        job_id = uuid.uuid4().hex
         rows = [r.asDict() for r in q(self.spark, sf_dir).limit(limit).collect()]
         # checksum / timestamp_range rows each name a divergent key →
         # durable mismatch records through the real LSM merge path;
@@ -285,6 +381,7 @@ class CdcApiService:
         }
         with self._jobs_lock:
             self._jobs[job_id] = job
+        self._invalidate_cache("recon", "mismatch")
         return job
 
     def reconciliation_jobs(self) -> list[dict]:
@@ -338,6 +435,7 @@ class CdcApiService:
         if not updated.take(1):
             raise ApiError(404, f"mismatch {mismatch_id} not found")
         t.upsert(updated)
+        self._invalidate_cache("recon", "mismatch")
         return {"mismatch_id": mismatch_id, "resolution_status": status}
 
     # -- gdpr ---------------------------------------------------------------
@@ -358,11 +456,13 @@ class CdcApiService:
         key_col = cfg["keys"][0]
         pred = F.col(key_col).cast("string") == primary_key
         try:
-            return GdprService(self.spark, audit).erase(
+            out = GdprService(self.spark, audit).erase(
                 src, src, pred, table, primary_key, requester="api_user"
             )
         except KeyError as e:
             raise ApiError(404, str(e)) from e
+        self._invalidate_cache("health", "tables")
+        return out
 
 
     def table_history(self, table: str) -> list[dict]:

@@ -274,3 +274,56 @@ def test_api_changes_conflict_after_rewrite(spark, tmp_path):
         assert st == 200
         st, _, err = _req(base, "GET", "/tables/users/changes?since=0")
         assert st == 409 and "rewrite" in err["detail"]
+
+
+def test_api_hot_route_cache_and_invalidation(spark, tmp_path):
+    """The short-TTL read cache: repeated dlq_stats within the TTL
+    reuses the computed answer (no extra Spark actions); any mutating
+    route invalidates, so read-your-writes holds; cache_ttl=0
+    disables caching entirely."""
+    wh = str(tmp_path / "wh")
+    _seed_warehouse(spark, wh)  # seeds one invalid event -> one DLQ row
+
+    from cass_cdc_pg_spark.api import CdcApiService
+
+    svc = CdcApiService(spark, sf_dir=None, warehouse=wh, cache_ttl=60.0)
+    first = svc.dlq_stats()
+    assert first["total"] == 1
+    calls = []
+    orig = svc._dlq_stats_compute
+    svc._dlq_stats_compute = lambda: calls.append(1) or orig()
+    assert svc.dlq_stats() == first  # served from cache
+    assert calls == []
+    svc._invalidate_cache()
+    assert svc.dlq_stats() == first  # recomputed after invalidation
+    assert calls == [1]
+
+    nocache = CdcApiService(spark, sf_dir=None, warehouse=wh, cache_ttl=0)
+    seen = []
+    inner = nocache._dlq_stats_compute
+    nocache._dlq_stats_compute = lambda: seen.append(1) or inner()
+    nocache.dlq_stats(); nocache.dlq_stats()
+    assert seen == [1, 1]  # every call computes
+
+
+def test_api_async_reconciliation_trigger(spark, tmp_path):
+    """The reference trigger contract (reconciliation.py:73-119):
+    async returns status=running immediately; polling /jobs/{id}
+    eventually shows completed with the same fields the sync path
+    returns."""
+    import time as _time
+
+    wh = str(tmp_path / "wh")
+    with _server(spark, wh=wh, sf_dir=SF) as base:
+        st, _, job = _req(base, "POST", "/reconciliation/trigger",
+                          body={"strategy": "row_count", "async": True})
+        assert st == 200 and job["status"] == "running"
+        jid = job["job_id"]
+        for _ in range(120):
+            st, _, got = _req(base, "GET", f"/reconciliation/jobs/{jid}")
+            assert st == 200
+            if got["status"] != "running":
+                break
+            _time.sleep(0.5)
+        assert got["status"] == "completed", got
+        assert {"src_count", "tgt_count", "severity"} <= set(got["rows"][0])
