@@ -3344,6 +3344,206 @@ LIMIT 10
 """
 
 
+def orders_fulfillment_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment lag per priority (TPC-H Q12 family,
+    adapted to this schema's date columns): per priority, item count,
+    exact total/max lag in days, and the count shipped >90 days after
+    the order — the SLA breach rollup.
+
+    All outputs are exact integers (sums of day diffs), so the oracle
+    hash has no float-rounding surface.  At 100 TB both sides shuffle
+    once on orderkey (orders is SF-proportional — no broadcast), both
+    scans prune to 2-3 columns, and the rollup partial-aggregates to
+    a 5-row grid."""
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _li(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority", lag.alias("_lag"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_lag").cast("long").alias("total_lag_days"),
+            F.max("_lag").cast("long").alias("max_lag_days"),
+            F.sum((F.col("_lag") > 90).cast("long")).cast("long").alias("n_late_90d"),
+        )
+    )
+
+
+FULFILLMENT_LAG_SQL = """
+WITH j AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  CAST(l_shipdate AS DATE)) AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(lag) AS BIGINT) AS total_lag_days,
+       CAST(MAX(lag) AS BIGINT) AS max_lag_days,
+       CAST(SUM(CASE WHEN lag > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_90d
+FROM j GROUP BY 1
+"""
+
+
+def docs_dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per corpus source — the first number a
+    curation run reports (how dirty is each feed?).
+
+    Per-doc dup flag via one hash-grouped count (md5 of the text —
+    identical in both engines) joined back on the 16-byte digest;
+    never an all-pairs comparison.  At 100 TB: two shuffles of
+    (digest, source)-width rows, then a tiny per-source rollup.
+    Cross-source leakage is surfaced too: docs whose text also appears
+    under a DIFFERENT source (licensing/provenance smell)."""
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text")).alias("_h")
+    )
+    stats = docs.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.count_distinct(F.col("source")).alias("_nsrc"),
+    )
+    return (
+        docs.join(stats, "_h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("_cnt") > 1).cast("long")).cast("long").alias("n_dup_docs"),
+            F.sum((F.col("_nsrc") > 1).cast("long")).cast("long")
+            .alias("n_cross_source"),
+            F.round(
+                F.sum((F.col("_cnt") > 1).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+DUP_RATE_SQL = """
+WITH d AS (SELECT source, md5(text) AS h FROM documents),
+c AS (SELECT h, COUNT(*) AS cnt, COUNT(DISTINCT source) AS nsrc
+      FROM d GROUP BY 1)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_source,
+       ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
+FROM d JOIN c USING (h)
+GROUP BY 1
+"""
+
+
+def customer_order_recency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency profile per market segment: days since each customer's
+    last order, measured against the corpus max date — churn-risk
+    rollup.
+
+    The anchor date is a SCALAR aggregate broadcast back — never a
+    window.  Its branch scans exactly ONE column (o_orderdate,
+    columnar; a stats-only read once parquet aggregate pushdown is on)
+    and moves one row per partition through a single-partition
+    exchange — the correct scalar shape, vs. funnelling every
+    customer through an unpartitioned window.  customer is
+    SF-proportional so the customer⋈per-customer-aggregate join is a
+    plain equi join on custkey; all outputs are exact integer day
+    sums."""
+    o = src.load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    last = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("_mx"))
+    cust = src.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rec = F.datediff(F.col("_mx"), F.col("_last"))
+    return (
+        last.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(anchor))
+        .select("c_mktsegment", "_n", rec.alias("_rec"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("_n").cast("long").alias("n_orders"),
+            F.sum("_rec").cast("long").alias("total_recency_days"),
+            F.max("_rec").cast("long").alias("max_recency_days"),
+            F.sum((F.col("_rec") > 30).cast("long")).cast("long").alias("n_stale_30d"),
+        )
+    )
+
+
+ORDER_RECENCY_SQL = """
+WITH last AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT c_mktsegment, n,
+         datediff('day', CAST(last_dt AS DATE),
+                  CAST((SELECT MAX(o_orderdate) FROM orders) AS DATE)) AS rec
+  FROM last JOIN customer ON o_custkey = c_custkey)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(SUM(rec) AS BIGINT) AS total_recency_days,
+       CAST(MAX(rec) AS BIGINT) AS max_recency_days,
+       CAST(SUM(CASE WHEN rec > 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stale_30d
+FROM r GROUP BY 1
+"""
+
+
+def events_gap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event think-time per event type: for every event, the gap
+    to the SAME USER's previous event (any type), rolled up by the
+    current event's type — the arrival-process profile behind session
+    gap tuning.
+
+    The lag window is PARTITIONED by user (state = one row per user
+    per task — scale-safe, unlike the unpartitioned windows r7
+    removed), the (ts, event_id) order is total so both engines pick
+    identical predecessors, and the rollup is exact integer µs."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    return (
+        ev.select("event_type", gap.alias("_gap"))
+        .filter(F.col("_gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("_gap").cast("long").alias("total_gap_us"),
+            F.min("_gap").cast("long").alias("min_gap_us"),
+            F.max("_gap").cast("long").alias("max_gap_us"),
+        )
+    )
+
+
+GAP_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+g AS (
+  SELECT event_type,
+         ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS gap
+  FROM e)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS total_gap_us,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     # ---- r7 head: the 41 entries past the r6 driver cap (all r5-driver-
     # green, CORRECTNESS_r05.json, and re-verified by check_oracle.py every
@@ -3394,6 +3594,10 @@ QUERIES = {
     "customer_value_deciles": customer_value_deciles_q,
     # ---- new in r7 (inserted here as they land) ----
     "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
+    "orders_fulfillment_lag": orders_fulfillment_lag_q,
+    "docs_dup_rate_by_source": docs_dup_rate_by_source_q,
+    "customer_order_recency": customer_order_recency_q,
+    "events_gap_stats": events_gap_stats_q,
     # ---- r7 rotated tail: ALL r6-driver-green (CORRECTNESS_r06.json) and
     # re-checked every round by tools/check_oracle.py + pytest; past the
     # driver's 50-cap this round — must lead the r8 window ----
@@ -3536,6 +3740,10 @@ ORACLE = {
     "events_daily_active": DAILY_ACTIVE_SQL,
     "lineitem_profile": LINEITEM_PROFILE_SQL,
     "events_key_skew": KEY_SKEW_SQL,
+    "orders_fulfillment_lag": FULFILLMENT_LAG_SQL,
+    "docs_dup_rate_by_source": DUP_RATE_SQL,
+    "customer_order_recency": ORDER_RECENCY_SQL,
+    "events_gap_stats": GAP_STATS_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -153,6 +153,10 @@ def test_every_declared_query_has_an_oracle_or_documented_exemption():
 
     queries = set(entrymod.queries())
     oracles = set(_oracles())
-    rows_only_ok = set()  # no exemptions today
+    # iterative greedy MIS is not SQL-expressible (recursion with
+    # negation); exactness is pinned against a sequential model in
+    # tests/test_text_dedup_similarity.py instead
+    rows_only_ok = {"embedding_semdedup_greedy"}
     missing = queries - oracles - rows_only_ok
     assert not missing, f"declared queries lacking an oracle: {sorted(missing)}"
+    assert rows_only_ok <= queries  # exemptions must stay real

@@ -918,3 +918,64 @@ def test_key_skew_profile_partial_agg_topk(spark, tmp_path):
     assert "ReusedExchange" in plan, plan  # total reads the count shuffle
     assert len(rows) == 10
     assert abs(sum(r.share for r in rows) - 10 / 17) < 0.01  # 17 uniform users
+
+
+def test_order_recency_scalar_anchor_broadcast_no_window(spark, tmp_path):
+    """customer_order_recency (r7): the corpus-max anchor date is a
+    broadcast scalar aggregate whose branch scans ONE pruned column,
+    never a window; the customer join stays an equi join (no
+    cartesian, no sort-merge of the anchor)."""
+    from cass_cdc_pg_spark.registry import customer_order_recency_q
+
+    q = customer_order_recency_q(spark, _write_star_fixture(spark, tmp_path))
+    rows = q.collect()
+    plan = _plan(q)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the anchor branch's scan prunes to the single date column
+    assert "ReadSchema: struct<o_orderdate:timestamp>" in plan, plan
+    assert sum(r.n_customers for r in rows) == 29
+
+
+def test_dup_rate_hash_join_not_all_pairs(spark, tmp_path):
+    """docs_dup_rate_by_source (r7): dup detection is a hash-grouped
+    count joined back on the digest — equi joins only, no cartesian,
+    one documents scan feeding both branches via exchange reuse."""
+    import os
+
+    from cass_cdc_pg_spark.registry import docs_dup_rate_by_source_q
+
+    p = str(tmp_path / "sf")
+    os.makedirs(p, exist_ok=True)
+    spark.range(300).selectExpr(
+        "id AS doc_id",
+        "concat('text-', CAST(id % 100 AS STRING)) AS text",
+        "'en' AS lang",
+        "element_at(array('a','b','c'), CAST(id % 3 AS INT) + 1) AS source",
+        "10 AS n_chars",
+    ).write.parquet(os.path.join(p, "documents.parquet"))
+    q = docs_dup_rate_by_source_q(spark, p)
+    rows = {r.source: r for r in q.collect()}
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # every id%100 text appears 3x (once per source) -> all dups, all cross-source
+    assert all(r.n_dup_docs == r.n_docs == 100 for r in rows.values())
+    assert all(r.n_cross_source == 100 for r in rows.values())
+    assert all(r.dup_rate == 1.0 for r in rows.values())
+
+
+def test_gap_stats_window_partitioned_by_user(spark, tmp_path):
+    """events_gap_stats (r7): the lag window carries a user partition
+    spec (no 'No Partition Defined' single-task sort) and the rollup
+    partial-aggregates."""
+    from cass_cdc_pg_spark.registry import events_gap_stats_q
+
+    q = events_gap_stats_q(spark, _write_events_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "Window" in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    rows = q.collect()
+    # 500 events, 17 users -> 500-17 gaps
+    assert sum(r.n_gaps for r in rows) == 483

@@ -73,7 +73,8 @@ SELECTED: list[tuple[str, str]] = [
     ("part_min_cost_supplier",
      "decimal-exact argmin; WindowGroupLimit after partial agg"),
     ("customer_value_deciles",
-     "NTILE sorts the customer AGGREGATE, never the orders fact"),
+     "exact NTILE via range-partitioned rank + broadcast offsets; "
+     "no Window, no Exchange SinglePartition"),
     ("segment_status_revenue",
      "big-big custkey shuffle join, projections pruned pre-Exchange"),
     ("events_daily_active",
@@ -83,7 +84,16 @@ SELECTED: list[tuple[str, str]] = [
     ("dedup_cluster_sizes",
      "LSH pairs -> pointer-doubled components -> two tiny rollups"),
     ("events_key_skew",
-     "partial-aggregated user shuffle; share window over the AGGREGATE"),
+     "partial-aggregated user shuffle; scalar total broadcast back "
+     "(ReusedExchange), no Window"),
+    ("orders_fulfillment_lag",
+     "big-big orderkey shuffle join, 2-3 column scans, 5-row rollup"),
+    ("docs_dup_rate_by_source",
+     "digest-grouped dup counts joined back on the hash; no all-pairs"),
+    ("customer_order_recency",
+     "scalar anchor broadcast over a one-column scan; no Window"),
+    ("events_gap_stats",
+     "lag window PARTITIONED by user; partial-aggregated rollup"),
 ]
 
 
