@@ -21,6 +21,7 @@ Postgres target gets from the database itself):
 - ``table read``         → current or ``--version`` time-travel read
 - ``table changes``      → change feed between retained versions (CDF)
 - ``table compact``      → fold LSM deltas into fresh bases (OPTIMIZE)
+- ``table sync``         → follow a change feed into a derived table (auto-resync)
 
 Table metadata comes from a config JSON (the connector-config analog):
 
@@ -305,6 +306,31 @@ def cmd_table_compact(args, spark) -> int:
     return 0
 
 
+def cmd_table_sync(args, spark) -> int:
+    """Advance a derived table from a source table's change feed —
+    incremental when the range is clean, automatic snapshot resync
+    across rewrite commits (``streaming/follower.py``)."""
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+    from cass_cdc_pg_spark.streaming.follower import ChangeFeedFollower
+
+    src_path = _require_table(args.warehouse, args.table)
+    if src_path is None:
+        return 1
+    source = KeyedTable(spark, src_path, [])
+    if not source.key_cols:
+        print(json.dumps({"error": "no_key_cols",
+                          "detail": "source manifest has no key_cols"}),
+              file=sys.stderr)
+        return 1
+    target = KeyedTable(
+        spark, f"{args.warehouse.rstrip('/')}/{args.target}", source.key_cols,
+        num_buckets=source.num_buckets,
+    )
+    st = ChangeFeedFollower(spark, source, target).sync()
+    print(json.dumps({"table": args.table, "target": args.target, **st}))
+    return 0
+
+
 def cmd_serve(args, spark) -> int:
     """Run the HTTP listener (``api.py``) — the uvicorn analog
     (``src/api/main.py``).  Blocks until interrupted."""
@@ -418,6 +444,13 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--warehouse", required=True)
     co.add_argument("--table", required=True)
     co.set_defaults(fn=cmd_table_compact)
+    sy = tb.add_parser("sync")
+    sy.add_argument("--warehouse", required=True)
+    sy.add_argument("--table", required=True,
+                    help="source table (the feed to follow)")
+    sy.add_argument("--target", required=True,
+                    help="derived table dir name under the warehouse")
+    sy.set_defaults(fn=cmd_table_sync)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--host", default="127.0.0.1")

@@ -328,3 +328,45 @@ def test_cli_table_compact_refuses_legacy_manifest_without_keys(spark, tmp_path,
     assert main(["table", "compact", "--warehouse", wh,
                  "--table", "cdc_users"], spark=spark) == 1
     assert "no_key_cols" in capsys.readouterr().err
+
+
+def test_cli_table_sync_follows_and_resyncs(spark, tmp_path, capsys):
+    """`table sync`: incremental follow of a source table's feed into a
+    derived table; a GDPR-style rewrite on the source resyncs
+    automatically on the next invocation."""
+    wh = str(tmp_path / "wh")
+    ingest = CdcIngest(
+        spark, wh,
+        table_schemas={"users": T.StructType.fromDDL(USERS_DDL)},
+        key_cols={"users": ["id"]},
+        num_buckets=2,
+    )
+    mk = lambda i, uid: (  # noqa: E731
+        f"33333333-3333-4333-8333-3333333333{i:02d}", "users", "CREATE",
+        1000 + i, None, {"id": uid, "username": f"u{i}", "age": "1"},
+        1, None, False)
+    ingest.process_batch(spark.createDataFrame(
+        [mk(71, "a1"), mk(72, "a2")], CHANGE_EVENT_DDL))
+
+    assert main(["table", "sync", "--warehouse", wh, "--table", "cdc_users",
+                 "--target", "derived_users"], spark=spark) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["resynced"] is False
+
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+    derived = KeyedTable(spark, f"{wh}/derived_users", ["id"])
+    assert derived.read_live().count() == 2
+
+    # rewrite on the source (hard delete) + another merge
+    src = KeyedTable(spark, f"{wh}/cdc_users", ["id"])
+    from pyspark.sql import functions as F
+    assert src.delete_where(F.col("id") == "a1") == 1
+    ingest.process_batch(spark.createDataFrame(
+        [mk(73, "a3")], CHANGE_EVENT_DDL))
+
+    assert main(["table", "sync", "--warehouse", wh, "--table", "cdc_users",
+                 "--target", "derived_users"], spark=spark) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["resynced"] is True
+    live = {r["id"] for r in derived.read_live().collect()}
+    assert live == {"a2", "a3"}
