@@ -3544,6 +3544,149 @@ GROUP BY 1
 """
 
 
+def lineitem_revenue_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-change forecast (TPC-H Q6): the what-if sum of
+    ``extendedprice * discount`` over a year of shipments in a
+    discount band with small quantities — the classic
+    filter-pushdown showcase.
+
+    All three predicates reach the parquet scan (PushedFilters →
+    row-group min/max pruning); the aggregate is a scalar DECIMAL
+    partial-sum — at 100 TB the scan reads only matching row groups
+    of three columns and moves one partial row per partition."""
+    li = _li(spark, sf_dir).select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("forecast_revenue"),
+        )
+    )
+
+
+REVENUE_FORECAST_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                  AS DOUBLE), 2) AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def sales_promo_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share per month (TPC-H Q14): what fraction of
+    each month's discounted revenue came from PROMO-type parts.
+
+    part (SF-small vs lineitem) broadcasts; both revenue sums
+    accumulate as DECIMAL through one month-keyed partial-aggregated
+    shuffle; the share divides at the end as double.  At 100 TB the
+    fact side shuffles once into a ≤84-cell month grid."""
+    li = _li(spark, sf_dir).select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = src.load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+            rev.alias("_rev"),
+            promo.alias("_promo"),
+        )
+        .groupBy("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("_rev").cast("double"), 2).alias("revenue"),
+            F.round(F.sum("_promo").cast("double"), 2).alias("promo_revenue"),
+            F.round(
+                F.sum("_promo").cast("double") / F.sum("_rev").cast("double"),
+                6,
+            ).alias("promo_share"),
+        )
+    )
+
+
+PROMO_SHARE_SQL = """
+WITH j AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(month(l_shipdate) AS INT) AS mo,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev,
+         CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT yr, mo,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(promo) AS DOUBLE), 2) AS promo_revenue,
+       ROUND(CAST(SUM(promo) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6)
+           AS promo_share
+FROM j GROUP BY 1, 2
+"""
+
+
+def lineitem_discount_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (discount band × return flag) — a bounded 2-D
+    histogram rollup (the pricing-sensitivity grid).
+
+    The band is integer bucket arithmetic on the scan projection (no
+    UDF), the grid is ≤ 33 cells, and every measure is an exact
+    DECIMAL/era-integer partial aggregate — the bounded-state shape
+    that survives any scale."""
+    li = _li(spark, sf_dir).select(
+        "l_discount", "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    band = F.floor(F.col("l_discount") * 100).cast("int")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.select(
+            band.alias("discount_pct"),
+            "l_returnflag",
+            rev.alias("_rev"),
+            F.col("l_quantity").cast("decimal(18,6)").alias("_qty"),
+        )
+        .groupBy("discount_pct", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("_qty").cast("double"), 2).alias("total_qty"),
+            F.round(F.sum("_rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+DISCOUNT_BANDS_SQL = """
+SELECT CAST(FLOOR(l_discount * 100) AS INT) AS discount_pct,
+       l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS total_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # ---- r7 head: the 41 entries past the r6 driver cap (all r5-driver-
     # green, CORRECTNESS_r05.json, and re-verified by check_oracle.py every
@@ -3598,6 +3741,9 @@ QUERIES = {
     "docs_dup_rate_by_source": docs_dup_rate_by_source_q,
     "customer_order_recency": customer_order_recency_q,
     "events_gap_stats": events_gap_stats_q,
+    "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
+    "sales_promo_share": sales_promo_share_q,
+    "lineitem_discount_bands": lineitem_discount_bands_q,
     # ---- r7 rotated tail: ALL r6-driver-green (CORRECTNESS_r06.json) and
     # re-checked every round by tools/check_oracle.py + pytest; past the
     # driver's 50-cap this round — must lead the r8 window ----
@@ -3744,6 +3890,9 @@ ORACLE = {
     "docs_dup_rate_by_source": DUP_RATE_SQL,
     "customer_order_recency": ORDER_RECENCY_SQL,
     "events_gap_stats": GAP_STATS_SQL,
+    "lineitem_revenue_forecast": REVENUE_FORECAST_SQL,
+    "sales_promo_share": PROMO_SHARE_SQL,
+    "lineitem_discount_bands": DISCOUNT_BANDS_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

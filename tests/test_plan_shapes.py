@@ -979,3 +979,50 @@ def test_gap_stats_window_partitioned_by_user(spark, tmp_path):
     rows = q.collect()
     # 500 events, 17 users -> 500-17 gaps
     assert sum(r.n_gaps for r in rows) == 483
+
+
+def test_revenue_forecast_all_filters_pushed(spark, tmp_path):
+    """lineitem_revenue_forecast (r7, TPC-H Q6): every predicate
+    reaches the parquet scan as a PushedFilter (row-group pruning at
+    scale) and the scan reads only the four touched columns."""
+    from cass_cdc_pg_spark.registry import lineitem_revenue_forecast_q
+
+    q = lineitem_revenue_forecast_q(spark, _write_star_fixture(spark, tmp_path))
+    # toString truncates PushedFilters; the formatted explain shows all
+    fmt = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in fmt, fmt
+    assert "LessThan(l_quantity,24.0)" in fmt, fmt
+    assert "GreaterThanOrEqual(l_discount,0.02)" in fmt, fmt
+    assert "l_partkey" not in fmt, fmt  # untouched columns pruned
+    rows = q.collect()
+    assert len(rows) == 1 and rows[0].n_items >= 0
+
+
+def test_promo_share_broadcasts_part_dim(spark, tmp_path):
+    """sales_promo_share (r7, TPC-H Q14): part broadcasts into the
+    fact scan's stage; the month rollup partial-aggregates DECIMAL."""
+    from cass_cdc_pg_spark.registry import sales_promo_share_q
+
+    q = sales_promo_share_q(spark, _write_star_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+    rows = q.collect()
+    assert all(0.0 <= r.promo_share <= 1.0 for r in rows)
+
+
+def test_discount_bands_single_scan_no_join(spark, tmp_path):
+    """lineitem_discount_bands (r7): one fact scan, one bounded-grid
+    shuffle, no join, no UDF."""
+    from cass_cdc_pg_spark.registry import lineitem_discount_bands_q
+
+    q = lineitem_discount_bands_q(spark, _write_star_fixture(spark, tmp_path))
+    plan = _plan(q)
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    rows = q.collect()
+    assert sum(r.n_items for r in rows) == 2000  # every lineitem row lands
