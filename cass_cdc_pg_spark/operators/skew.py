@@ -97,6 +97,47 @@ def salted_aggregate(
     )
 
 
+def auto_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    sample_fraction: float = 0.01,
+    hot_share: float = 0.05,
+    seed: int = 0,
+    how: str = "inner",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Salt only when it pays: profile a SAMPLE of *left*'s join keys
+    (one cheap pass over ~``sample_fraction`` of the rows, seeded —
+    deterministic per data layout) and apply :func:`salted_join` only
+    if the heaviest sampled key owns at least ``hot_share`` of the
+    sampled rows; otherwise join plain and skip the ×``n_salts``
+    right-side replication entirely.
+
+    This is the decision a planner would make from statistics, made
+    explicit: salting uniform data WASTES shuffle volume (every right
+    row replicated n_salts times for no reducer relief), while not
+    salting a 10%-hot key leaves one reducer running for hours at
+    100 TB.  The result is identical either way (both branches pinned
+    result-identical by tests/test_skew.py); ``stats["salted"]``
+    reports the decision and ``stats["hot_share"]`` the measured
+    share, so operators can log why."""
+    prof = key_skew_profile(
+        left.sample(fraction=sample_fraction, seed=seed), on, top=1
+    ).collect()
+    share = float(prof[0]["share"]) if prof else 0.0
+    salted = share >= hot_share
+    if stats is not None:
+        stats["salted"] = salted
+        stats["hot_share"] = share
+        if prof:
+            stats["hot_key"] = tuple(prof[0][k] for k in on)
+    if salted:
+        return salted_join(left, right, on, n_salts=n_salts, how=how)
+    return left.join(right, on, how)
+
+
 def key_skew_profile(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
     """Diagnostic: per-key row counts with share-of-total for the
     heaviest *top* keys — the number you look at before choosing

@@ -1026,3 +1026,35 @@ def test_discount_bands_single_scan_no_join(spark, tmp_path):
     assert "EvalPython" not in plan, plan
     rows = q.collect()
     assert sum(r.n_items for r in rows) == 2000  # every lineitem row lands
+
+
+def test_value_deciles_tile_arithmetic_matches_ntile(spark, tmp_path):
+    """Property pin for the r7 closed-form NTILE: for several customer
+    counts (including n<10, n%10==0, and ragged sizes) the rewritten
+    query's per-decile customer counts must equal what a real
+    NTILE(10) window assigns."""
+    import os
+
+    for n in (3, 7, 10, 29, 40, 73):
+        p = str(tmp_path / f"sf{n}")
+        os.makedirs(p, exist_ok=True)
+        spark.range(n * 3).selectExpr(
+            "id AS o_orderkey",
+            f"id % {n} AS o_custkey",
+            "'O' AS o_orderstatus",
+            "CAST(id * 7 % 97 AS DOUBLE) + id AS o_totalprice",
+            "timestamp_micros(1704067200000000) AS o_orderdate",
+            "'1-URGENT' AS o_orderpriority",
+        ).write.parquet(os.path.join(p, "orders.parquet"))
+        from cass_cdc_pg_spark.registry import customer_value_deciles_q
+
+        got = {
+            r.decile: r.n_customers
+            for r in customer_value_deciles_q(spark, p).collect()
+        }
+        lo, big = divmod(n, 10)
+        if lo == 0:
+            want = {i + 1: 1 for i in range(n)}
+        else:
+            want = {i + 1: (lo + 1 if i < big else lo) for i in range(10)}
+        assert got == want, (n, got)

@@ -108,3 +108,34 @@ def test_key_skew_profile_finds_hot_key(spark):
     plan = _plan(key_skew_profile(_skewed(spark), ["k"], top=3))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan  # share total is a scalar agg, not a window
+
+
+def test_auto_salted_join_salts_hot_keys_and_matches_plain(spark):
+    from cass_cdc_pg_spark.operators.skew import auto_salted_join
+
+    left = _skewed(spark)  # key 0 owns ~half the rows
+    right = spark.range(50).selectExpr("id AS k", "concat('n', id) AS name")
+    stats = {}
+    out = auto_salted_join(left, right, ["k"], sample_fraction=0.2,
+                           stats=stats)
+    assert stats["salted"] is True
+    assert stats["hot_share"] > 0.3
+    assert stats["hot_key"] == (0,)
+    plain = left.join(right, ["k"]).groupBy("k").count()
+    got = out.groupBy("k").count()
+    assert {(r.k, r["count"]) for r in got.collect()} == \
+        {(r.k, r["count"]) for r in plain.collect()}
+    assert "__salt" in _plan(out)
+
+
+def test_auto_salted_join_skips_salting_uniform_keys(spark):
+    from cass_cdc_pg_spark.operators.skew import auto_salted_join
+
+    left = spark.range(20_000).selectExpr("id % 1000 AS k", "id AS v")
+    right = spark.range(1000).selectExpr("id AS k", "concat('n', id) AS name")
+    stats = {}
+    out = auto_salted_join(left, right, ["k"], sample_fraction=0.2,
+                           stats=stats)
+    assert stats["salted"] is False  # ~0.1% per key: salting would waste
+    assert "__salt" not in _plan(out)
+    assert out.count() == 20_000
