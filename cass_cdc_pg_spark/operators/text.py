@@ -502,6 +502,33 @@ def mix_upsample(
     )
 
 
+def train_val_test_split(
+    documents: DataFrame,
+    weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split step of a
+    training-data pipeline, as a pure projection: doc *d* lands in a
+    split by ``(id·48271) mod 10000`` against cumulative
+    weight thresholds (the same engine-portable Lehmer draw as
+    ``mix_upsample``; *id_col* must be numeric).
+
+    Properties that matter at 100 TB: no shuffle, no sampling
+    nondeterminism (``df.randomSplit`` draws depend on partitioning),
+    stable under re-runs and incremental appends (a doc's split never
+    changes when new docs arrive), and disjoint-and-exhaustive by
+    construction.  Returns the input plus a ``split`` column."""
+    t_m = int(round(weights[0] * 10000))
+    v_m = t_m + int(round(weights[1] * 10000))
+    draw = F.pmod(F.col(id_col).cast("long") * F.lit(48271), F.lit(10000))
+    split = (
+        F.when(draw < t_m, F.lit("train"))
+        .when(draw < v_m, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.withColumn("split", split)
+
+
 def token_budget_select(
     documents: DataFrame,
     budget_tokens: int,

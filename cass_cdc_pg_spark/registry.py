@@ -3687,6 +3687,39 @@ GROUP BY 1, 2
 """
 
 
+def docs_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split audit: per (split, lang) doc counts and
+    char volume — the manifest a split step emits for review.
+
+    The assignment (``text.train_val_test_split``) is a pure
+    projection (Lehmer draw against cumulative thresholds), so the
+    whole query is one scan plus a bounded-grid partial-aggregated
+    shuffle; determinism across engines is the oracle check itself."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return (
+        text.train_val_test_split(docs)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+SPLIT_STATS_SQL = """
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN (doc_id * 48271) % 10000 < 9000 THEN 'train'
+              WHEN (doc_id * 48271) % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # ---- r7 head: the 41 entries past the r6 driver cap (all r5-driver-
     # green, CORRECTNESS_r05.json, and re-verified by check_oracle.py every
@@ -3744,6 +3777,7 @@ QUERIES = {
     "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
     "sales_promo_share": sales_promo_share_q,
     "lineitem_discount_bands": lineitem_discount_bands_q,
+    "docs_split_stats": docs_split_stats_q,
     # ---- r7 rotated tail: ALL r6-driver-green (CORRECTNESS_r06.json) and
     # re-checked every round by tools/check_oracle.py + pytest; past the
     # driver's 50-cap this round — must lead the r8 window ----
@@ -3893,6 +3927,7 @@ ORACLE = {
     "lineitem_revenue_forecast": REVENUE_FORECAST_SQL,
     "sales_promo_share": PROMO_SHARE_SQL,
     "lineitem_discount_bands": DISCOUNT_BANDS_SQL,
+    "docs_split_stats": SPLIT_STATS_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -112,3 +112,34 @@ def test_shingles_matches_bruteforce(spark, docs, n):
         for k in range(len(toks) - n + 1):
             want.add((i, " ".join(toks[k:k + n])))
     assert got == want
+
+
+def test_train_val_test_split_disjoint_stable_and_shuffle_free(spark):
+    """Split assignment: disjoint+exhaustive, stable under appends
+    (existing docs never move), approximately weighted, and a pure
+    projection (no Exchange, no Python)."""
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.operators.text import train_val_test_split
+
+    docs = spark.range(10_000).selectExpr("id AS doc_id", "'t' AS text")
+    out = train_val_test_split(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000
+    assert 0.85 <= counts["train"] / 10_000 <= 0.95
+    assert counts["val"] + counts["test"] <= 0.15 * 10_000
+
+    # append stability: the first 10k docs' assignments are unchanged
+    # when the corpus doubles
+    bigger = train_val_test_split(
+        spark.range(20_000).selectExpr("id AS doc_id", "'t' AS text"))
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in bigger.filter(F.col("doc_id") < 10_000).collect()}
+    assert a == b
