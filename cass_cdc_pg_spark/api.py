@@ -103,6 +103,8 @@ class CdcApiService:
         self.cache_ttl = cache_ttl
         self._cache: dict[str, tuple[float, object]] = {}
         self._cache_lock = threading.Lock()
+        self._cache_epoch = 0  # bumped by every invalidation
+        self._cache_max_entries = 256
 
     # -- shared plumbing ----------------------------------------------------
 
@@ -121,17 +123,34 @@ class CdcApiService:
             hit = self._cache.get(key)
             if hit is not None and hit[0] > now:
                 return hit[1]
+            epoch = self._cache_epoch
         val = compute()
         with self._cache_lock:
-            self._cache[key] = (now + self.cache_ttl, val)
+            # an invalidation DURING compute means this value may
+            # predate a mutation — serve it, but don't cache it, or a
+            # pre-mutation answer would outlive the invalidation and
+            # break the read-your-writes promise
+            if self._cache_epoch == epoch:
+                if len(self._cache) >= self._cache_max_entries:
+                    # purge expired first; if still full, drop the
+                    # soonest-to-expire (client-supplied param combos
+                    # must not grow the cache without bound)
+                    for k in [k for k, v in self._cache.items() if v[0] <= now]:
+                        del self._cache[k]
+                    while len(self._cache) >= self._cache_max_entries:
+                        del self._cache[min(self._cache, key=lambda k: self._cache[k][0])]
+                self._cache[key] = (now + self.cache_ttl, val)
         return val
 
     def _invalidate_cache(self, *prefixes: str) -> None:
         """Drop cached entries whose key starts with any *prefix* (all
         entries when none given).  Mutating routes invalidate only the
         families they can affect — a reconciliation trigger must not
-        force every health probe and DLQ read to recompute."""
+        force every health probe and DLQ read to recompute.  Bumps the
+        epoch so in-flight computes started before the mutation are
+        not cached after it."""
         with self._cache_lock:
+            self._cache_epoch += 1
             if not prefixes:
                 self._cache.clear()
                 return
@@ -381,7 +400,10 @@ class CdcApiService:
         }
         with self._jobs_lock:
             self._jobs[job_id] = job
-        self._invalidate_cache("recon", "mismatch")
+        # job listings and mismatch reads are served uncached (jobs
+        # live in-memory; mismatches hit the LSM table directly), so
+        # there is nothing to invalidate here today — revisit if those
+        # routes ever gain cache entries
         return job
 
     def reconciliation_jobs(self) -> list[dict]:
@@ -435,7 +457,6 @@ class CdcApiService:
         if not updated.take(1):
             raise ApiError(404, f"mismatch {mismatch_id} not found")
         t.upsert(updated)
-        self._invalidate_cache("recon", "mismatch")
         return {"mismatch_id": mismatch_id, "resolution_status": status}
 
     # -- gdpr ---------------------------------------------------------------

@@ -51,7 +51,6 @@ def distinct_sketches(
 def distinct_over(
     sketches: DataFrame,
     predicate: Column | None = None,
-    bucket_name: str = "bucket",
 ) -> DataFrame:
     """Distinct estimate for the union of every bucket matching
     *predicate* (all buckets when None): reads only the sketch rows,

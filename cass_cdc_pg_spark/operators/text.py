@@ -492,7 +492,10 @@ def mix_upsample(
         w = F.when(F.col(group_col) == g, F.lit(float(x))).otherwise(w)
     base = F.floor(w).cast("long")
     frac_mills = F.round((w - F.floor(w)) * 1000).cast("long")
-    draw = F.pmod(F.col(id_col).cast("long") * F.lit(48271), F.lit(1000))
+    draw = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(1000)) * F.lit(48271),
+        F.lit(1000),
+    )
     n_copies = base + F.when(draw < frac_mills, F.lit(1)).otherwise(F.lit(0))
     return (
         documents.withColumn("_n", n_copies)
@@ -520,7 +523,10 @@ def train_val_test_split(
     construction.  Returns the input plus a ``split`` column."""
     t_m = int(round(weights[0] * 10000))
     v_m = t_m + int(round(weights[1] * 10000))
-    draw = F.pmod(F.col(id_col).cast("long") * F.lit(48271), F.lit(10000))
+    draw = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(10000)) * F.lit(48271),
+        F.lit(10000),
+    )
     split = (
         F.when(draw < t_m, F.lit("train"))
         .when(draw < v_m, F.lit("val"))
@@ -550,9 +556,9 @@ def token_budget_select(
        ``mapInPandas`` pass computes the partition-local running sum
        (vectorized ``cumsum``; Arrow-batched, order-preserving) — no
        further Exchange, so every core works on its own range slice.
-    2. Per-partition token totals (one map-side-combined tiny agg;
-       the action reuses phase 1's shuffle files, so tokenization
-       runs once) collect to the driver — bounded by the partition
+    2. Per-partition token totals (one map-side-combined tiny agg
+       over the persisted phase-1 partitions, so tokenization runs
+       once) collect to the driver — bounded by the partition
        count, never by the data — and become prefix offsets.
        Partitions whose prefix already meets the budget are pruned
        before the final pass; the offsets broadcast-join back on
@@ -575,10 +581,16 @@ def token_budget_select(
         "doc_id", n.alias("n_tokens"), q.alias("quality")
     )
     order = [F.col("quality").desc(), F.col("doc_id")]
+    # persist() freezes the ranged layout: the per-partition totals
+    # job fills the cache and the final cumsum query reads the SAME
+    # materialized partitions — tokenization/scoring runs once, and
+    # the offsets can never disagree with the final pass's range
+    # boundaries
     ranged = (
         scored.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
 
     def _local_cumsum(batches):

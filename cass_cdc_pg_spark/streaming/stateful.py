@@ -269,11 +269,14 @@ def _funnel_stream_buffered(
                     convs.append(int(t))
         s_vals = [t for t in (s, *starts) if t is not None]
         new_s = min(s_vals) if s_vals else None
-        buf = sorted(set(buf) | set(convs))[:k]
-        # recompute first-qualifying from the buffer + the running p;
-        # if any buffered conversion >= start, its min is globally
-        # minimal (evictions are all later than max(buf))
-        cands = [c for c in buf if new_s is not None and c >= new_s]
+        # qualify against EVERYTHING visible this batch — the old
+        # buffer AND all current-batch conversions (a batch conversion
+        # evicted from the k-truncated buffer must still qualify NOW;
+        # only cross-batch retro-qualification is buffer-bounded) —
+        # then persist the k earliest for future retrogrades
+        live = set(buf) | set(convs)
+        buf = sorted(live)[:k]
+        cands = [c for c in live if new_s is not None and c >= new_s]
         if p is not None:
             cands.append(p)
         new_p = min(cands) if cands and new_s is not None else None

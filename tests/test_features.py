@@ -519,3 +519,45 @@ def test_value_anomaly_stats_partition_order_invariant(spark):
     # sanity on 'b' (values 1.01, 3.33, 2.2, 2.1): no 3σ outliers
     b = dict((t, (n, a)) for t, n, m, th, a in outs[0])["b"]
     assert b == (4, 0)
+
+
+def test_funnel_buffered_batch_conversion_beyond_buffer_still_qualifies(spark, tmp_path):
+    """Regression (r7 review): with k=1, a pre-start conversion fills
+    the buffer in batch 1; batch 2 brings the start AND a later
+    qualifying conversion that the truncated buffer would evict — it
+    must still qualify from the current batch (only cross-batch
+    retro-qualification is buffer-bounded)."""
+    import json
+    import os
+
+    from cass_cdc_pg_spark.streaming.stateful import funnel_stream
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    batches = (
+        ("b1", [(1, 10, "purchase")]),
+        ("b2", [(1, 20, "signup"), (1, 30, "purchase")]),
+    )
+    for name, rows in batches:
+        with open(f"{in_dir}/{name}.jsonl", "w") as fh:
+            for uid, t, et in rows:
+                fh.write(json.dumps(
+                    {"user_id": uid, "ts_us": t, "event_type": et}) + "\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, event_type string")
+        .option("maxFilesPerTrigger", 1).json(in_dir)
+    )
+    q = (
+        funnel_stream(stream, buffer_conversions=1)
+        .writeStream.format("memory").queryName("funnel_k1")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    last = {}
+    for r in spark.sql("SELECT * FROM funnel_k1").collect():
+        last[r["user_id"]] = (r["signup_ts_us"], r["first_purchase_ts_us"],
+                              r["converted"])
+    assert last[1] == (20, 30, 1)

@@ -38,7 +38,7 @@ def test_sketch_estimate_close_to_exact(spark):
 def test_range_union_matches_exact_within_tolerance(spark):
     ev = _events(spark)
     sk = distinct_sketches(ev, F.col("day"), "user_id", bucket_name="day")
-    got = distinct_over(sk, F.col("day") < 10, bucket_name="day").first()
+    got = distinct_over(sk, F.col("day") < 10).first()
     exact = (
         ev.filter(F.col("day") < 10).select("user_id").distinct().count()
     )
@@ -55,8 +55,8 @@ def test_rollup_union_is_associative(spark):
     weeks = rollup_sketches(
         days, (F.col("day") / 7).cast("int"), bucket_name="week"
     )
-    via_days = distinct_over(days, bucket_name="day").first()["distinct_estimate"]
-    via_weeks = distinct_over(weeks, bucket_name="week").first()["distinct_estimate"]
+    via_days = distinct_over(days).first()["distinct_estimate"]
+    via_weeks = distinct_over(weeks).first()["distinct_estimate"]
     assert via_days == via_weeks
 
 
