@@ -72,12 +72,19 @@ def main() -> int:
     # join in the star — the join path whose DuckDB-relative posture
     # matters most at scale — and dedup_cluster_sizes is the new
     # heaviest pipeline entry (full minhash→components→rollup chain).
+    # r7: the two de-skew rewrites (events_key_skew,
+    # customer_value_deciles) join so the window→scalar-broadcast and
+    # NTILE→two-phase-rank rewrites carry a DuckDB-relative posture,
+    # plus orders_fulfillment_lag — the new big-big join entry.
     audited = list(bench.HEADLINE) + [
         "ann_ivf_topk",
         "dedup_minhash_lsh",
         "ann_knn_within",
         "segment_status_revenue",
         "dedup_cluster_sizes",
+        "events_key_skew",
+        "customer_value_deciles",
+        "orders_fulfillment_lag",
     ]
     for name in audited:
         df = registry.QUERIES[name](spark, sf_dir)
