@@ -78,6 +78,16 @@ PIPELINE = [
     "events_daily_active",
     "lineitem_profile",
     "events_key_skew",
+    # r7 additions
+    "embedding_semdedup_greedy",
+    "orders_fulfillment_lag",
+    "docs_dup_rate_by_source",
+    "customer_order_recency",
+    "events_gap_stats",
+    "lineitem_revenue_forecast",
+    "sales_promo_share",
+    "lineitem_discount_bands",
+    "docs_split_stats",
 ]
 
 
