@@ -621,3 +621,32 @@ def test_semdedup_greedy_round_cap_falls_back_conservatively(spark):
     assert stats["converged"] is False
     assert got <= exact
     assert 0 in got  # decided in round 1
+
+
+def test_knn_within_arrow_kernel_bit_identical_to_jvm(spark):
+    """The r7 Arrow cell kernel must return EXACTLY the JVM fold's
+    rows — same dimension-at-a-time float64 op sequence, same 6-dp
+    rounding, same (sim desc, neighbor_id) ranking — including on
+    near-tie vectors and a 2-vector cell."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        lbl = i % 4
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base], lbl))
+    # a near-tie pair in one cell and a minimal 2-vector cell
+    rows.append((100, rows[0][1], 0))          # duplicate vector: sim 1.0 tie
+    rows.append((200, [1.0] * 8, 9))
+    rows.append((201, [1.0] * 8, 9))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    jvm = {tuple(r) for r in similarity.knn_within(emb, k=3).collect()}
+    arr = {
+        tuple(r)
+        for r in similarity.knn_within(emb, k=3, kernel="arrow").collect()
+    }
+    assert jvm == arr
+    assert len(jvm) > 0

@@ -33,7 +33,9 @@ SELECTED: list[tuple[str, str]] = [
     ("ann_cosine_topk", "corpus never shuffles; query side broadcast"),
     ("ann_ivf_topk", "assignment is a projection; probes broadcast"),
     ("ann_knn_within",
-     "equi-join on the cell key; WindowGroupLimit prunes top-k pre-shuffle"),
+     "Arrow cell kernel (r7): per-cell gram matrix in one "
+     "FlatMapGroupsInPandas, only top-k-reachable candidates reach "
+     "the ranking shuffle (JVM fold path retained, bit-identical)"),
     ("docs_token_budget",
      "two-phase cumsum: rangepartitioning, no Exchange SinglePartition"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
