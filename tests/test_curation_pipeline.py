@@ -1,0 +1,101 @@
+"""End-to-end curation pipeline composition: quality gate → exact
+dedup → train/val/test split → sequence packing, as ONE lazily
+composed Spark plan — the flow a real training-data run executes.
+
+Each stage is an individually-tested operator; this suite pins the
+INVARIANTS that must survive composition: conservation (no doc lost
+or duplicated across stages), disjointness (splits partition the
+survivors), split stability (dedup before vs after split assigns
+identical memberships), and token accounting (packed totals equal
+the surviving train docs' totals)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cass_cdc_pg_spark.operators import dedup, text
+
+
+def _corpus(spark, n=400):
+    # every third doc is an exact dup of its predecessor; every
+    # seventh is too short to pass the quality gate
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        """CASE
+             WHEN id % 7 = 0 THEN 'short doc'
+             WHEN id % 3 = 2 THEN concat('body ', CAST(id - 1 AS STRING), ' ',
+                  concat_ws(' ', transform(sequence(0, 24), i -> concat('w', i))))
+             ELSE concat('body ', CAST(id AS STRING), ' ',
+                  concat_ws(' ', transform(sequence(0, 24), i -> concat('w', i))))
+           END AS text""",
+        "'en' AS lang",
+        "element_at(array('web','books'), CAST(id % 2 AS INT) + 1) AS source",
+        "100 AS n_chars",
+    )
+
+
+def test_pipeline_conservation_and_disjoint_splits(spark):
+    docs = _corpus(spark)
+    n_total = docs.count()
+
+    ok = (
+        text.quality_score(docs)
+        .filter(F.col("quality_bucket") == "ok")
+        .select("doc_id")
+    )
+    surviving = dedup.exact_dedup(docs.join(ok, "doc_id"))
+    n_ok = ok.count()
+    n_surv = surviving.count()
+    assert 0 < n_surv < n_ok < n_total  # each stage really dropped docs
+
+    split = text.train_val_test_split(surviving)
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n_surv  # disjoint + exhaustive
+    assert counts.get("train", 0) > counts.get("val", 0) + counts.get("test", 0)
+
+    # conservation through packing: every surviving train doc appears
+    # exactly once, and packed token totals match the doc totals
+    train = split.filter(F.col("split") == "train")
+    packed = text.pack_sequences(train, seq_len=64, n_shards=4)
+    assert packed.count() == train.count()
+    tok_docs = train.select(
+        F.sum(F.size(text.tokens(F.col("text")))).alias("t")
+    ).first()["t"]
+    tok_packed = packed.select(F.sum("n_tokens").alias("t")).first()["t"]
+    assert tok_docs == tok_packed
+
+
+def test_split_assignment_commutes_with_dedup(spark):
+    """Split-then-dedup and dedup-then-split give every surviving doc
+    the SAME split — the id-keyed draw is independent of corpus
+    membership, so curation stages can be reordered/incrementalized
+    without shuffling docs between splits."""
+    docs = _corpus(spark)
+    deduped = dedup.exact_dedup(docs)
+
+    a = {r["doc_id"]: r["split"]
+         for r in text.train_val_test_split(deduped).collect()}
+    b_full = {r["doc_id"]: r["split"]
+              for r in text.train_val_test_split(docs).collect()}
+    assert a == {i: b_full[i] for i in a}
+
+
+def test_pipeline_is_one_lazy_plan_no_intermediate_actions(spark):
+    """The composed flow stays ONE DataFrame plan until an action:
+    building quality→dedup→split triggers no Spark jobs (packing is
+    excluded here — its shard offsets need a driver pass by design)."""
+    sc = spark.sparkContext
+    before = sc.uiWebUrl  # touch nothing job-related
+    tracker = sc.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    docs = _corpus(spark)
+    ok = (
+        text.quality_score(docs)
+        .filter(F.col("quality_bucket") == "ok")
+        .select("doc_id")
+    )
+    out = text.train_val_test_split(dedup.exact_dedup(docs.join(ok, "doc_id")))
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before  # no action ran while composing
+    assert out.columns[-1] == "split"
