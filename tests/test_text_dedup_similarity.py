@@ -636,10 +636,13 @@ def test_knn_within_arrow_kernel_bit_identical_to_jvm(spark):
         lbl = i % 4
         base = [rng.uniform(-1, 1) for _ in range(8)]
         rows.append((i, [float(x) for x in base], lbl))
-    # a near-tie pair in one cell and a minimal 2-vector cell
+    # a near-tie pair in one cell, a minimal 2-vector cell, and a
+    # SINGLETON cell (must vanish silently, not crash the kernel's
+    # empty-frame Arrow conversion)
     rows.append((100, rows[0][1], 0))          # duplicate vector: sim 1.0 tie
     rows.append((200, [1.0] * 8, 9))
     rows.append((201, [1.0] * 8, 9))
+    rows.append((300, [0.5] * 8, 77))          # alone in its cell
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
