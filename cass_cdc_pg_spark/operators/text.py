@@ -780,17 +780,27 @@ def ngram_topk(documents: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
     aggregation) so the k-row answer is deterministic across engines.
 
     Documents with fewer than *n* tokens contribute nothing (the
-    unguarded descending ``sequence`` would crash ``slice`` — same
-    guard as ``dedup.shingles``).
+    unguarded negative-length ``slice`` would throw — same guard as
+    ``dedup.shingles``).  Gram construction is the zipped-shifted-view
+    formulation ``dedup.shingles`` adopted in r6 (n−1 linear
+    ``zip_with`` passes with plain concats; the per-position
+    ``transform``+``slice`` form allocates an n-element array copy
+    per gram and measured 4.8× slower for the same output) — minus
+    the ``array_distinct``, because the heavy-hitter count includes
+    within-document repeats.
     """
     toks = tokens(F.col("text"))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - n + 1
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
         documents.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
