@@ -59,30 +59,15 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct n-token shingles per document.
 
-    Built by zipping n shifted views of the token array
-    (``zip_with(slice(toks,1,m), slice(toks,2,m), concat)`` …): n−1
-    linear passes with plain string concats.  The per-position
-    formulation (``transform(sequence(...), i → concat_ws(slice(toks,
-    i+1, n)))``) allocates an n-element array copy per shingle and
-    measured 4.8× slower on the sf0.1 corpus for the same output —
-    shingling is the dominant map-side cost of the whole MinHash
-    pipeline, so this is the formulation that matters at 100 TB.
+    Gram construction is the shared :func:`text.zipped_grams` (the
+    zipped shifted-view formulation this module introduced in r6 —
+    4.8× faster map side than per-position slices; see its
+    docstring); shingling is the dominant map-side cost of the whole
+    MinHash pipeline, so that formulation is what matters at 100 TB.
+    Documents with fewer than *n* tokens produce no shingles."""
+    from cass_cdc_pg_spark.operators.text import zipped_grams
 
-    Documents with fewer than *n* tokens produce no shingles (the
-    ``when`` guard keeps the negative-length ``slice`` branch from
-    evaluating — unguarded it throws INVALID_PARAMETER_VALUE)."""
-    toks = tokens(F.col("text"))
-    m = F.size(toks) - n + 1
-    acc = F.slice(toks, 1, m)
-    for k in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, k + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    sh = F.when(F.size(toks) >= n, F.array_distinct(acc)).otherwise(
-        F.array().cast("array<string>")
-    )
+    sh = F.array_distinct(zipped_grams(tokens(F.col("text")), n))
     return documents.select("doc_id", F.explode(sh).alias("shingle"))
 
 

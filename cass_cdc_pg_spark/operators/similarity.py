@@ -45,6 +45,20 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _np_seq_dot(np, a, b):
+    """Row-wise dot product accumulated ONE DIMENSION AT A TIME across
+    the whole batch — the exact float64 op sequence of the JVM
+    left-to-right fold (and the oracle's ``list_reduce``), just
+    vectorized across rows.  Shared by every Arrow kernel so the
+    bit-identity discipline lives in one place (a plain ``np.dot``
+    uses pairwise/SIMD summation and can differ in the last ulp, which
+    6-dp rounding may amplify across a rounding boundary)."""
+    acc = np.zeros(a.shape[0])
+    for d in range(a.shape[1]):
+        acc += a[:, d] * b[:, d]
+    return acc
+
+
 def _scored_arrow(
     corpus: DataFrame,
     queries: DataFrame,
@@ -85,10 +99,7 @@ def _scored_arrow(
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)  # Q x D
 
     def seq_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(a.shape[0])
-        for d in range(a.shape[1]):
-            acc += a[:, d] * b[:, d]
-        return acc
+        return _np_seq_dot(np, a, b)
 
     qnorm = np.sqrt(seq_dot(qm, qm))
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -571,6 +582,16 @@ def knn_within(
     """
     if kernel == "arrow":
         return _knn_within_arrow(embeddings, group_col, id_col, vec_col, k)
+    # degenerate-row contract, identical in both kernels: NULL-group
+    # rows can never match (the equi-join drops NULL keys anyway),
+    # NULL-vector rows are excluded rather than producing null sims,
+    # and zero-norm vectors are excluded because cosine is undefined
+    # for them (under ANSI mode the division would error, not NaN)
+    embeddings = embeddings.filter(
+        F.col(group_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (_dot(F.col(vec_col), F.col(vec_col)) > 0)
+    )
     g = F.col(group_col)
     # norms precomputed once per vector, not once per pair: the pair
     # loop then runs ONE array fold (the dot product) instead of
@@ -623,18 +644,17 @@ def _knn_within_arrow(
     """Arrow cell kernel for :func:`knn_within` — see its docstring.
     Emits UNROUNDED candidate sims (top-k-reachable under the 1e-6
     guard, self excluded); the caller-visible rounding and ranking
-    stay Spark-side so the result is bit-identical to the JVM path."""
+    stay Spark-side so the result is bit-identical to the JVM path.
+
+    Degenerate-input parity with the JVM path (pinned by test):
+    NULL-group, NULL-vector, and zero-norm rows are excluded up front
+    in BOTH kernels — cosine is undefined for a zero vector, and
+    under ANSI mode the JVM division would error rather than NaN."""
     import numpy as np
     import pandas as pd
 
     id_type = embeddings.schema[id_col].dataType.simpleString()
     grp_type = embeddings.schema[group_col].dataType.simpleString()
-
-    def seq_dot(a, b):
-        acc = np.zeros(a.shape[0])
-        for d in range(a.shape[1]):
-            acc += a[:, d] * b[:, d]
-        return acc
 
     def cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
@@ -647,18 +667,22 @@ def _knn_within_arrow(
         m = np.array(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         )
-        norm = np.sqrt(seq_dot(m, m))
-        acc = np.zeros((n, n))
-        for d in range(m.shape[1]):
-            acc += np.outer(m[:, d], m[:, d])
-        sims = acc / np.outer(norm, norm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norm = np.sqrt(_np_seq_dot(np, m, m))
+            acc = np.zeros((n, n))
+            for d in range(m.shape[1]):
+                acc += np.outer(m[:, d], m[:, d])
+            sims = acc / np.outer(norm, norm)
         kk = min(k, n - 1)
         out_q, out_n, out_s = [], [], []
         for j in range(n):
-            col = sims[:, j].copy()
-            col[j] = -np.inf  # self never scores or holds a slot
-            kth = np.partition(col, -kk)[-kk]
-            keep = col >= kth - 1e-6
+            col = sims[:, j]
+            # Spark DESC orders NaN first; mirror that in the numpy
+            # top-k by mapping NaN→+inf for selection only
+            cmp = np.where(np.isnan(col), np.inf, col)
+            cmp[j] = -np.inf  # self never scores or holds a slot
+            kth = np.partition(cmp, -kk)[-kk]
+            keep = cmp >= kth - 1e-6
             out_q.append(np.full(int(keep.sum()), ids[j]))
             out_n.append(ids[keep])
             out_s.append(col[keep])
@@ -671,7 +695,11 @@ def _knn_within_arrow(
             }
         )
 
-    cand = embeddings.select(group_col, id_col, vec_col).groupBy(
+    cand = embeddings.select(group_col, id_col, vec_col).filter(
+        F.col(group_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (_dot(F.col(vec_col), F.col(vec_col)) > 0)
+    ).groupBy(
         group_col
     ).applyInPandas(
         cell,

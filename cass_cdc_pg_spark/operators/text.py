@@ -764,6 +764,31 @@ def source_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def zipped_grams(toks: Column, n: int) -> Column:
+    """All *n*-token grams of *toks*, within-document repeats kept,
+    built by n−1 zipped shifted-view passes
+    (``zip_with(slice(toks,1,m), slice(toks,2,m), concat)`` …) — the
+    formulation ``dedup.shingles`` adopted in r6: plain string concats
+    on linear passes, where the per-position
+    ``transform``+``slice`` form allocates an n-element array copy per
+    gram and measured 4.8× slower for the same output.  Shared by
+    shingling and heavy-hitter counting so the gram DEFINITION cannot
+    drift between them.  Docs with fewer than *n* tokens yield an
+    empty array (the ``when`` guard keeps the negative-length
+    ``slice`` branch from evaluating)."""
+    m = F.size(toks) - n + 1
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def ngram_topk(documents: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
     """Corpus-wide top-*k* most frequent token *n*-grams (total
     occurrence count, within-document repeats included) — the
@@ -779,28 +804,12 @@ def ngram_topk(documents: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
     broken (count desc, gram asc — gram is unique after the
     aggregation) so the k-row answer is deterministic across engines.
 
-    Documents with fewer than *n* tokens contribute nothing (the
-    unguarded negative-length ``slice`` would throw — same guard as
-    ``dedup.shingles``).  Gram construction is the zipped-shifted-view
-    formulation ``dedup.shingles`` adopted in r6 (n−1 linear
-    ``zip_with`` passes with plain concats; the per-position
-    ``transform``+``slice`` form allocates an n-element array copy
-    per gram and measured 4.8× slower for the same output) — minus
-    the ``array_distinct``, because the heavy-hitter count includes
+    Documents with fewer than *n* tokens contribute nothing.  Grams
+    come from :func:`zipped_grams` (shared with ``dedup.shingles``)
+    WITHOUT a distinct, because the heavy-hitter count includes
     within-document repeats.
     """
-    toks = tokens(F.col("text"))
-    m = F.size(toks) - n + 1
-    acc = F.slice(toks, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, j + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    grams = F.when(F.size(toks) >= n, acc).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = zipped_grams(tokens(F.col("text")), n)
     return (
         documents.select(F.explode(grams).alias("gram"))
         .groupBy("gram")

@@ -86,7 +86,6 @@ def test_pipeline_is_one_lazy_plan_no_intermediate_actions(spark):
     building quality→dedup→split triggers no Spark jobs (packing is
     excluded here — its shard offsets need a driver pass by design)."""
     sc = spark.sparkContext
-    before = sc.uiWebUrl  # touch nothing job-related
     tracker = sc.statusTracker()
     jobs_before = len(tracker.getJobIdsForGroup() or [])
     docs = _corpus(spark)

@@ -653,3 +653,28 @@ def test_knn_within_arrow_kernel_bit_identical_to_jvm(spark):
     }
     assert jvm == arr
     assert len(jvm) > 0
+
+
+def test_knn_within_degenerate_inputs_parity(spark):
+    """NULL labels, NULL vectors, and zero-norm vectors (undefined
+    cosine; ANSI mode would error on the division) are EXCLUDED by
+    both kernels identically — the remaining well-formed rows still
+    rank each other."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.8, 0.2], 0),
+        (3, [0.0, 0.0], 0),     # zero norm: excluded (cosine undefined)
+        (4, [1.0, 1.0], None),  # NULL label: excluded
+        (5, None, 0),           # NULL vector: excluded
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    jvm = {tuple(r) for r in similarity.knn_within(emb, k=2).collect()}
+    arr = {
+        tuple(r)
+        for r in similarity.knn_within(emb, k=2, kernel="arrow").collect()
+    }
+    assert jvm == arr
+    ids_seen = {t[0] for t in jvm} | {t[1] for t in jvm}
+    assert ids_seen == {1, 2}  # only the well-formed pair survives
