@@ -88,6 +88,7 @@ PIPELINE = [
     "sales_promo_share",
     "lineitem_discount_bands",
     "docs_split_stats",
+    "docs_duplicated_spans",
 ]
 
 

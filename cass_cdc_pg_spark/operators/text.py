@@ -819,6 +819,63 @@ def ngram_topk(documents: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
     )
 
 
+def duplicated_span_stats(
+    documents: DataFrame, span_tokens: int = 8, group_col: str = "source"
+) -> DataFrame:
+    """Per-*group_col* duplicated-SPAN profile — the practical
+    distributed stand-in for exact substring dedup (the "Deduplicating
+    Training Data Makes Language Models Better" tier between
+    whole-document hashing and fuzzy near-dup): a token window of
+    length *span_tokens* is DUPLICATED if the identical window occurs
+    anywhere else in the corpus (another doc or a repeat within the
+    same doc — both are memorization surface).  Reports, per group,
+    window totals, the duplicated fraction, and how many docs are
+    majority-duplicated (the cut candidates).
+
+    Scale shape: windows build map-side via the shared
+    :func:`zipped_grams` passes and partial-count before the one
+    (window, count) shuffle; the membership join back to per-doc
+    windows is an equi join on the window key.  The join key here is
+    the raw window string for engine-exact oracle parity; a 100 TB
+    deployment keys on a 64-bit hash of it instead (8-byte shuffle
+    rows — the same trade ``dedup.minhash_lsh_pairs`` makes) at the
+    cost of a vanishing collision rate.  A true suffix-array LCP scan
+    also finds UNALIGNED overlaps; fixed windows trade that for
+    data-parallelism (every shared substring of length ≥ 2·span−1 is
+    still guaranteed to contribute a duplicated window — the
+    winnowing bound)."""
+    toks = tokens(F.col("text"))
+    per_doc = documents.select(
+        "doc_id",
+        F.col(group_col),
+        F.explode(zipped_grams(toks, span_tokens)).alias("_w"),
+    )
+    counts = per_doc.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    doc_stats = (
+        per_doc.join(counts, "_w")
+        .groupBy("doc_id", group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_w"),
+            F.sum((F.col("_c") > 1).cast("long")).alias("_n_dup"),
+        )
+    )
+    return (
+        doc_stats.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n_w").cast("long").alias("total_windows"),
+            F.sum("_n_dup").cast("long").alias("dup_windows"),
+            F.round(
+                F.sum("_n_dup").cast("double") / F.sum("_n_w").cast("double"),
+                6,
+            ).alias("dup_window_frac"),
+            F.sum(
+                (F.col("_n_dup") * 2 > F.col("_n_w")).cast("long")
+            ).cast("long").alias("n_docs_majority_dup"),
+        )
+    )
+
+
 def tfidf_topterms(documents: DataFrame, k: int = 5) -> DataFrame:
     """Top-*k* most salient terms per document, ranked by scaled
     tf/df — the linear-idf variant of tf-idf, chosen deliberately:

@@ -3729,6 +3729,45 @@ FROM s GROUP BY 1, 2
 """
 
 
+def docs_duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated token-span profile per source — the exact-substring
+    dedup tier (see ``text.duplicated_span_stats``): which feeds carry
+    verbatim-repeated content, and how many docs are majority
+    boilerplate."""
+    return text.duplicated_span_stats(
+        src.load_table(spark, sf_dir, "documents"), span_tokens=8
+    )
+
+
+DUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+w AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(tk) - 6),
+                               i -> array_to_string(tk[i:i+7], ' '))) AS win
+  FROM toks WHERE len(tk) >= 8),
+c AS (SELECT win, COUNT(*) AS cnt FROM w GROUP BY 1),
+d AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_w,
+         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM w JOIN c USING (win)
+  GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_w) AS BIGINT) AS total_windows,
+       CAST(SUM(n_dup) AS BIGINT) AS dup_windows,
+       ROUND(CAST(SUM(n_dup) AS DOUBLE) / CAST(SUM(n_w) AS DOUBLE), 6)
+           AS dup_window_frac,
+       CAST(SUM(CASE WHEN n_dup * 2 > n_w THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_majority_dup
+FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
     # ---- r7 head: the 41 entries past the r6 driver cap (all r5-driver-
     # green, CORRECTNESS_r05.json, and re-verified by check_oracle.py every
@@ -3787,6 +3826,7 @@ QUERIES = {
     "sales_promo_share": sales_promo_share_q,
     "lineitem_discount_bands": lineitem_discount_bands_q,
     "docs_split_stats": docs_split_stats_q,
+    "docs_duplicated_spans": docs_duplicated_spans_q,
     # NOTE: the r7 head is 52 entries — the driver's 50-cap leaves the
     # last two NEW queries (lineitem_discount_bands, docs_split_stats;
     # both trivial exact-integer rollups, hash-matched locally at two
@@ -3941,6 +3981,7 @@ ORACLE = {
     "sales_promo_share": PROMO_SHARE_SQL,
     "lineitem_discount_bands": DISCOUNT_BANDS_SQL,
     "docs_split_stats": SPLIT_STATS_SQL,
+    "docs_duplicated_spans": DUP_SPANS_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -678,3 +678,48 @@ def test_knn_within_degenerate_inputs_parity(spark):
     assert jvm == arr
     ids_seen = {t[0] for t in jvm} | {t[1] for t in jvm}
     assert ids_seen == {1, 2}  # only the well-formed pair survives
+
+
+def test_duplicated_span_stats_known_counts(spark):
+    """Hand-checkable span accounting: doc 1 and 2 share their full
+    8-token prefix; doc 3 is unique; doc 4 repeats a span WITHIN
+    itself (intra-doc repeats are duplicated surface too)."""
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " tail one", "s1"),
+        (2, shared + " tail two", "s1"),
+        (3, "q r s t u v w x y z", "s2"),
+        (4, " ".join(["p1 p2 p3 p4 p5 p6 p7 p8"] * 2), "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           text.duplicated_span_stats(docs, span_tokens=8).collect()}
+
+    s1 = out["s1"]
+    # each s1 doc has 10 tokens -> 3 windows; the docs share a 9-token
+    # prefix ("a..h tail"), so TWO of each doc's windows ([a..h] and
+    # [b..tail]) occur twice corpus-wide -> 4 duplicated windows, and
+    # 2 of 3 windows duplicated makes both docs majority-dup
+    assert s1["n_docs"] == 2 and s1["total_windows"] == 6
+    assert s1["dup_windows"] == 4
+    assert s1["n_docs_majority_dup"] == 2
+
+    s2 = out["s2"]
+    # doc 3: 10 tokens -> 3 unique windows. doc 4: 16 tokens -> 9
+    # windows; the repeated 8-token block occurs at offsets 1 and 9
+    # (identical window twice) -> 2 duplicated windows
+    assert s2["n_docs"] == 2 and s2["total_windows"] == 12
+    assert s2["dup_windows"] == 2
+    assert s2["n_docs_majority_dup"] == 0
+
+
+def test_duplicated_span_short_docs_contribute_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short", "s"), (2, " ".join(f"t{i}" for i in range(8)), "s")],
+        "doc_id long, text string, source string",
+    )
+    out = text.duplicated_span_stats(docs, span_tokens=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # only doc 2 reaches 8 tokens: exactly one window, not duplicated
+    assert (r["n_docs"], r["total_windows"], r["dup_windows"]) == (1, 1, 0)
