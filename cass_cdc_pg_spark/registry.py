@@ -3827,10 +3827,11 @@ QUERIES = {
     "lineitem_discount_bands": lineitem_discount_bands_q,
     "docs_split_stats": docs_split_stats_q,
     "docs_duplicated_spans": docs_duplicated_spans_q,
-    # NOTE: the r7 head is 52 entries — the driver's 50-cap leaves the
-    # last two NEW queries (lineitem_discount_bands, docs_split_stats;
-    # both trivial exact-integer rollups, hash-matched locally at two
-    # SFs) just past the window; they lead the r8 rotation.
+    # NOTE: the r7 head is 53 entries — the driver's 50-cap leaves the
+    # last three NEW queries (lineitem_discount_bands, docs_split_stats,
+    # docs_duplicated_spans; all exact-arithmetic rollups, hash-matched
+    # locally at two SFs) just past the window; they lead the r8
+    # rotation.
     # ---- r7 rotated tail: ALL r6-driver-green (CORRECTNESS_r06.json) and
     # re-checked every round by tools/check_oracle.py + pytest; past the
     # driver's 50-cap this round — must lead the r8 window ----
