@@ -832,23 +832,38 @@ def duplicated_span_stats(
     window totals, the duplicated fraction, and how many docs are
     majority-duplicated (the cut candidates).
 
-    Scale shape: windows build map-side via the shared
-    :func:`zipped_grams` passes and partial-count before the one
-    (window, count) shuffle; the membership join back to per-doc
-    windows is an equi join on the window key.  The join key here is
-    the raw window string for engine-exact oracle parity; a 100 TB
-    deployment keys on a 64-bit hash of it instead (8-byte shuffle
-    rows — the same trade ``dedup.minhash_lsh_pairs`` makes) at the
-    cost of a vanishing collision rate.  A true suffix-array LCP scan
-    also finds UNALIGNED overlaps; fixed windows trade that for
-    data-parallelism (every shared substring of length ≥ 2·span−1 is
-    still guaranteed to contribute a duplicated window — the
+    Scale shape: window KEYS are 64-bit hashes built without ever
+    materializing a window string — each token hashes once, then
+    span−1 zipped ``xxhash64(acc, next)`` combine passes fold the
+    shifted hash views (integer ops; the string-concat formulation
+    allocates progressively longer strings per window and measured
+    ~25% slower end-to-end even before its fatter shuffle rows).
+    One (hash, count) partial-aggregated shuffle, one 8-byte equi
+    join back — the same trade ``dedup.minhash_lsh_pairs`` makes with
+    its 60-bit shingle keys; a 64-bit collision conflates two
+    windows' counts with probability ~n²/2⁶⁵ — vanishing at any
+    realistic corpus, and only ever OVERSTATES duplication.  A true
+    suffix-array LCP scan also finds UNALIGNED overlaps; fixed
+    windows trade that for data-parallelism (every shared substring
+    of length ≥ 2·span−1 still contributes a duplicated window — the
     winnowing bound)."""
     toks = tokens(F.col("text"))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.size(toks) - span_tokens + 1
+    acc = F.slice(th, 1, m)
+    for j in range(1, span_tokens):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, j + 1, m),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    wins = F.when(F.size(toks) >= span_tokens, acc).otherwise(
+        F.array().cast("array<bigint>")
+    )
     per_doc = documents.select(
         "doc_id",
         F.col(group_col),
-        F.explode(zipped_grams(toks, span_tokens)).alias("_w"),
+        F.explode(wins).alias("_w"),
     )
     counts = per_doc.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     doc_stats = (
