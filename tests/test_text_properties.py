@@ -143,3 +143,34 @@ def test_train_val_test_split_disjoint_stable_and_shuffle_free(spark):
     b = {r["doc_id"]: r["split"]
          for r in bigger.filter(F.col("doc_id") < 10_000).collect()}
     assert a == b
+
+
+def test_zipped_grams_equals_per_position_formulation(spark):
+    """The shared fast gram builder must equal the naive per-position
+    transform+slice formulation (the definition) for every n and doc
+    length, including n > len, n == len, and empty docs."""
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.operators.text import tokens, zipped_grams
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, "a b"), (3, "a b c"),
+         (4, "a b c d e"), (5, "x x x x")],
+        "doc_id long, text string",
+    )
+    for n in (2, 3, 4):
+        toks = tokens(F.col("text"))
+        naive = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        rows = docs.select(
+            "doc_id",
+            zipped_grams(toks, n).alias("fast"),
+            naive.alias("slow"),
+        ).collect()
+        for r in rows:
+            assert list(r["fast"]) == list(r["slow"]), (n, r["doc_id"])
