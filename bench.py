@@ -795,29 +795,59 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "pipeline_queries": pipeline,
-                "pipeline_total": round(sum(pipeline.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "warm": True,
-                "ingest_events_per_sec": round(eps, 1),
-                "ingest_events_per_sec_256_buckets": round(eps_256, 1),
-                **stream_stats,
-                **lsm_stats,
-                **http_stats,
-                **bucketed_stats,
-                **cdf_stats,
-                **ivf_split,
-                **contract,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "pipeline_queries": pipeline,
+        "pipeline_total": round(sum(pipeline.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warm": True,
+        "ingest_events_per_sec": round(eps, 1),
+        "ingest_events_per_sec_256_buckets": round(eps_256, 1),
+        **stream_stats,
+        **lsm_stats,
+        **http_stats,
+        **bucketed_stats,
+        **cdf_stats,
+        **ivf_split,
+        **contract,
+    }
+    # Full record: first stdout line + a file next to this script.  The
+    # driver keeps only the LAST ~2000 chars of stdout and json-parses
+    # the final line, so the full map (which outgrew that window in r6,
+    # leaving BENCH "parsed": null) must NOT be last.
+    print(json.dumps(full))
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    # Compact headline as the FINAL line: everything a round-over-round
+    # comparison needs, guaranteed under the driver's 2000-char window.
+    headline_keys = [
+        "metric", "value", "unit", "queries", "pipeline_total", "sf",
+        "warm", "ingest_events_per_sec",
+        "ingest_events_per_sec_256_buckets", "microbatch_p50_sec",
+        "microbatch_p95_sec", "kill_restart_crash_injected",
+        "kill_restart_rows_expected", "kill_restart_rows_lost",
+        "kill_restart_rows_duplicated", "http_requests_per_sec",
+        "http_p95_ms", "http_errors", "contract_floor_sec",
+        "contract_q1_spark_sec", "contract_q1_duck_sec",
+        "contract_q1_raw_ratio", "contract_q1_adj_ratio",
+        "contract_q3_spark_sec", "contract_q3_duck_sec",
+        "contract_q3_raw_ratio", "contract_q3_adj_ratio",
+    ]
+    compact = {k: full[k] for k in headline_keys if k in full}
+    compact["pipeline_slowest"] = dict(
+        sorted(pipeline.items(), key=lambda kv: -kv[1])[:5]
     )
+    compact["full_record"] = "line 1 of stdout + bench_full.json"
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: drop per-query maps first
+        compact.pop("queries", None)
+        compact.pop("pipeline_slowest", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

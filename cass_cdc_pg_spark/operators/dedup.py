@@ -423,8 +423,22 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    verts = sym.select(F.col("u").alias("node")).distinct()
-    labels = verts.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    # Neighbour-min label init (r8): label(v) = min(v, direct
+    # neighbours) — one aggregation folded into the labels-checkpoint
+    # job that the identity init already paid for.  This IS round 1's
+    # propagate step, so unions of cliques (the near-dup shape, where
+    # every member sees the minimum directly) converge in ONE loop
+    # round (the confirming pass) instead of two.  Any
+    # label(v) ≤ v naming a same-component node is a valid state for
+    # min-label + pointer doubling, so the fixpoint is unchanged.
+    labels = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("_mn"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_mn")).alias("component")
+        )
+        .localCheckpoint(eager=True)
+    )
     rounds = 0
     for _ in range(max_iter):
         rounds += 1

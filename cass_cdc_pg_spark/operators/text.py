@@ -548,28 +548,27 @@ def token_budget_select(
     Default quality = unique-token ratio (the C4-style repetition
     gate).
 
-    Two-phase distributed cumulative sum — no global-order window:
+    Distributed cumulative sum with NO global-order window, as ONE
+    declarative plan / one driver action:
 
     1. ``repartitionByRange(quality desc, doc_id)`` gives range
-       partitions that are globally ordered partition-to-partition;
-       ``sortWithinPartitions`` orders rows inside each.  A
-       ``mapInPandas`` pass computes the partition-local running sum
-       (vectorized ``cumsum``; Arrow-batched, order-preserving) — no
-       further Exchange, so every core works on its own range slice.
-    2. Per-partition token totals (one map-side-combined tiny agg
-       over the persisted phase-1 partitions, so tokenization runs
-       once) collect to the driver — bounded by the partition
-       count, never by the data — and become prefix offsets.
-       Partitions whose prefix already meets the budget are pruned
-       before the final pass; the offsets broadcast-join back on
-       partition id.
+       partitions that are globally ordered partition-to-partition; a
+       running-sum window PARTITIONED on the range-partition id
+       computes the partition-local cumsum — per-task state is one
+       range slice, never the corpus, so the shape survives 100×.
+    2. Global running total = local cumsum + prefix offset.  Offsets
+       come from the per-partition token totals (O(#partitions) rows)
+       via a broadcast cross join of that tiny relation with itself —
+       32×32 rows, constant at any SF.  Partitions whose prefix
+       already meets the budget are pruned by the inner broadcast
+       join (their offset rows are filtered out).
 
-    At 100 TB every partition contributes only a running-sum scan of
-    its own slice plus one integer per partition on the driver; the
-    single-partition global window this replaces would have pushed
-    every row through one task.
+    The range Exchange feeds both the cumsum and the totals branch
+    via ReusedExchange, so tokenization/scoring runs once.  The r7
+    form spent two extra jobs (persist fill + offsets collect) and
+    never unpersisted its cached layout (r7 ADVICE leak); this form
+    persists nothing and collects nothing.
     """
-    spark = documents.sparkSession
     toks = tokens(F.col("text"))
     n = F.size(toks).cast("long")
     q = (
@@ -581,50 +580,33 @@ def token_budget_select(
         "doc_id", n.alias("n_tokens"), q.alias("quality")
     )
     order = [F.col("quality").desc(), F.col("doc_id")]
-    # persist() freezes the ranged layout: the per-partition totals
-    # job fills the cache and the final cumsum query reads the SAME
-    # materialized partitions — tokenization/scoring runs once, and
-    # the offsets can never disagree with the final pass's range
-    # boundaries
-    ranged = (
-        scored.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged = scored.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    from pyspark.sql import Window
 
-    def _local_cumsum(batches):
-        run = 0
-        for pdf in batches:
-            if len(pdf):
-                c = pdf["n_tokens"].cumsum() + run
-                run = int(c.iloc[-1])
-                pdf = pdf.assign(_local_run=c)
-                yield pdf
-
-    local = ranged.mapInPandas(
-        _local_cumsum,
-        schema="doc_id long, n_tokens long, quality double, _pid int, _local_run long",
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-
-    # phase 2: per-partition totals -> prefix offsets (rows == #partitions)
-    totals = {
-        r["_pid"]: r["tot"]
-        for r in ranged.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("tot"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(totals):
-        if acc < budget_tokens:  # partitions past the budget: pruned
-            offsets.append((pid, acc))
-        acc += totals[pid]
-    if not offsets:
-        empty = "doc_id long, n_tokens long, quality double, running_tokens long"
-        return spark.createDataFrame([], empty)
-    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    local = ranged.withColumn("_local_run", F.sum("n_tokens").over(w))
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b._pid") < F.col("a._pid"), F.col("b._tot")
+                ).otherwise(F.lit(0))
+            ).alias("_offset")
+        )
+        .filter(F.col("_offset") < budget_tokens)
+    )
     return (
-        local.join(F.broadcast(offsets_df), "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         .withColumn(
             "running_tokens", F.col("_local_run") + F.col("_offset")
         )
@@ -860,18 +842,33 @@ def duplicated_span_stats(
     wins = F.when(F.size(toks) >= span_tokens, acc).otherwise(
         F.array().cast("array<bigint>")
     )
-    per_doc = documents.select(
-        "doc_id",
-        F.col(group_col),
-        F.explode(wins).alias("_w"),
-    )
+    # r8 shape: the join-back moves ONLY duplicated-window rows.
+    # Window totals per doc need no explode at all (n_w = size(wins)),
+    # so the exploded rows exist solely to (a) count occurrences per
+    # hash and (b) semi-join against the count>1 keys — the semi probe
+    # emits just the duplicated rows, which at a healthy corpus are a
+    # small fraction, instead of shipping every window's count back
+    # through a full equi join.  Group labels ride the narrow per-doc
+    # branch, never the per-window rows.
+    per_doc = documents.select("doc_id", F.explode(wins).alias("_w"))
     counts = per_doc.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    dup_w = counts.filter(F.col("_c") > 1).select("_w")
+    n_dup = (
+        per_doc.join(dup_w, "_w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_dup"))
+    )
     doc_stats = (
-        per_doc.join(counts, "_w")
-        .groupBy("doc_id", group_col)
-        .agg(
-            F.count(F.lit(1)).alias("_n_w"),
-            F.sum((F.col("_c") > 1).cast("long")).alias("_n_dup"),
+        documents.select(
+            "doc_id", F.col(group_col), F.size(wins).alias("_n_w")
+        )
+        .filter(F.col("_n_w") > 0)
+        .join(n_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            group_col,
+            "_n_w",
+            F.coalesce(F.col("_n_dup"), F.lit(0)).alias("_n_dup"),
         )
     )
     return (

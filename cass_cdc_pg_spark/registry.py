@@ -3146,26 +3146,28 @@ def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spend per customer is one partial-aggregated shuffle with DECIMAL
     accumulation.  Decile assignment reproduces NTILE(10) EXACTLY but
     with NO unpartitioned window (the r6 form's global ``ntile`` put
-    every customer in one task — the anti-pattern at 1e9+ customers).
-    Instead, the ``token_budget_select`` two-phase range rank:
+    every customer in one task — the anti-pattern at 1e9+ customers):
 
     1. ``repartitionByRange(spend desc, custkey)`` gives partitions
-       that are globally ordered partition-to-partition;
-       ``sortWithinPartitions`` orders rows inside each, and an
-       Arrow-batched ``mapInPandas`` pass emits the partition-LOCAL
-       row number — every core ranks only its own range slice.
-    2. Per-partition row counts (a tiny agg that reuses phase 1's
-       shuffle files) collect to the driver — O(#partitions), never
-       O(customers) — and become broadcast prefix offsets, so
-       global_rank = offset + local_rn.
+       that are globally ordered partition-to-partition; a window
+       PARTITIONED on the range-partition id then emits the
+       partition-LOCAL row number — per-task state is one range
+       slice, never the full key set, so the shape survives 100×.
+    2. Global rank = local row number + prefix offset.  The offsets
+       come from the per-partition counts (O(#partitions) rows) via a
+       broadcast cross join of that tiny relation with itself —
+       32×32 rows, constant at any SF — which also yields the grand
+       total, so NTILE's tile sizes are closed-form columns (exact
+       integer arithmetic: (a - a%b)/b with a made divisible).
 
-    NTILE(10) over N tie-free-ordered rows is then pure arithmetic on
-    the rank: the first N%10 tiles hold ceil(N/10) rows, the rest
-    floor(N/10).  The ordering key (spend DESC, custkey) is total, so
-    tier edges are deterministic in both engines; the final 10-row
+    Everything is ONE declarative plan / ONE driver action: the r7
+    form spent two extra jobs (persist fill + offsets collect) and
+    leaked the persisted aggregate in long-lived sessions (r7 ADVICE);
+    this form persists nothing and collects nothing, and the range
+    Exchange feeds both the rank and the counts branch via
+    ReusedExchange.  The ordering key (spend DESC, custkey) is total,
+    so tier edges are deterministic in both engines; the final 10-row
     rollup partial-aggregates per tier."""
-    import numpy as np
-
     o = src.load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast("decimal(18,6)").alias("_p")
     )
@@ -3173,66 +3175,45 @@ def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("_n"), F.sum("_p").alias("_s")
     )
     order = [F.col("_s").desc(), F.col("o_custkey").asc()]
-    # persist() materializes the ranged layout ONCE: the sizes job
-    # (phase 2) fills the cache and the final query reads the same
-    # frozen partitions — no recompute of the scan+aggregate+range
-    # shuffle, and no reliance on two independent jobs sampling
-    # identical range boundaries
-    ranged = (
-        spend.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged = spend.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    from pyspark.sql import Window
 
-    def _local_rank(batches):
-        run = 0
-        for pdf in batches:
-            if len(pdf):
-                pdf = pdf.assign(_rn=np.arange(run + 1, run + 1 + len(pdf)))
-                run += len(pdf)
-                yield pdf
-
-    local = ranged.mapInPandas(
-        _local_rank,
-        schema="o_custkey long, _n long, _s decimal(18,6), _pid int, _rn long",
-    )
-
-    # phase 2: per-partition counts -> prefix offsets (rows == #partitions)
-    sizes = {
-        r["_pid"]: r["c"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    n_total = sum(sizes.values())
-    offsets, acc = [], 0
-    for pid in sorted(sizes):
-        offsets.append((pid, acc))
-        acc += sizes[pid]
-    if n_total == 0:
-        return spark.createDataFrame(
-            [],
-            "decile int, n_customers long, n_orders long, "
-            "total_spend double, min_spend double, max_spend double",
+    w = Window.partitionBy("_pid").orderBy(*order)
+    rows = ranged.withColumn("_rn", F.row_number().over(w).cast("long"))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b._pid") < F.col("a._pid"), F.col("b._c")
+                ).otherwise(F.lit(0))
+            ).alias("_offset"),
+            F.sum("b._c").alias("_total"),
         )
-    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    )
 
-    # NTILE(10) arithmetic: first `big` tiles get size_hi rows, rest size_lo
-    size_lo, big = divmod(n_total, 10)
+    def _idiv(x, y):  # exact long division: numerator made divisible
+        return ((x - x % y) / y).cast("long")
+
+    n_total = F.col("_total")
+    size_lo = _idiv(n_total, F.lit(10))
+    big = n_total % 10
     size_hi = size_lo + 1
     cutoff = big * size_hi  # last rank covered by the big tiles
     rank = F.col("_offset") + F.col("_rn")
-    if size_lo == 0:  # fewer rows than tiles: tile == rank
-        decile = rank
-    else:
-        decile = F.when(
-            rank <= F.lit(cutoff),
-            (rank - 1) / F.lit(size_hi) + 1,
-        ).otherwise(
-            F.lit(big) + (rank - F.lit(cutoff) - 1) / F.lit(size_lo) + 1
-        )
+    decile = (
+        F.when(size_lo == 0, rank)
+        .when(rank <= cutoff, _idiv(rank - 1, size_hi) + 1)
+        .otherwise(big + _idiv(rank - cutoff - 1, size_lo) + 1)
+    )
     return (
-        local.join(F.broadcast(offsets_df), "_pid")
-        .withColumn("decile", F.floor(decile).cast("int"))
+        rows.join(F.broadcast(offsets), "_pid")
+        .withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),

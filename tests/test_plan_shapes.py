@@ -791,10 +791,18 @@ def test_value_deciles_no_unpartitioned_window(spark, tmp_path):
     plan = _plan(q)
     assert "partial_sum" in plan, plan
     assert "ntile" not in plan.lower(), plan
-    assert "Window" not in plan, plan
+    # windows are allowed ONLY partitioned on the range-partition id
+    # (per-task state = one range slice); an unpartitioned window
+    # would show an empty partition spec + a SinglePartition exchange
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.lstrip().startswith("_pid"), plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+    # r8: single declarative plan — no persist/collect inside the
+    # builder (r7 leaked its persisted aggregate; r7 ADVICE)
     rows = q.collect()
     assert sum(r.n_customers for r in rows) == 29
     # 29 customers over 10 tiles: NTILE gives 9 tiles of 3 and one of 2
