@@ -116,13 +116,19 @@ class CdcApiService:
         dashboard polling has the same shape and caches at the proxy.
         Any mutating route calls ``_invalidate_cache`` so the server
         keeps read-your-writes semantics; ``cache_ttl=0`` disables."""
+        import copy
+
         if self.cache_ttl <= 0:
             return compute()
         now = time.monotonic()
         with self._cache_lock:
             hit = self._cache.get(key)
             if hit is not None and hit[0] > now:
-                return hit[1]
+                # defensive copy (r7 ADVICE): the stored dicts/lists
+                # are mutable — a handler that edits its response in
+                # place (request ids, pagination trims) must not
+                # poison every later hit within the TTL
+                return copy.deepcopy(hit[1])
             epoch = self._cache_epoch
         val = compute()
         with self._cache_lock:
@@ -139,7 +145,9 @@ class CdcApiService:
                         del self._cache[k]
                     while len(self._cache) >= self._cache_max_entries:
                         del self._cache[min(self._cache, key=lambda k: self._cache[k][0])]
-                self._cache[key] = (now + self.cache_ttl, val)
+                # store a private copy too: the first caller gets the
+                # original and may mutate it after this returns
+                self._cache[key] = (now + self.cache_ttl, copy.deepcopy(val))
         return val
 
     def _invalidate_cache(self, *prefixes: str) -> None:

@@ -669,23 +669,33 @@ def _knn_within_arrow(
         )
         with np.errstate(divide="ignore", invalid="ignore"):
             norm = np.sqrt(_np_seq_dot(np, m, m))
-            acc = np.zeros((n, n))
-            for d in range(m.shape[1]):
-                acc += np.outer(m[:, d], m[:, d])
-            sims = acc / np.outer(norm, norm)
         kk = min(k, n - 1)
         out_q, out_n, out_s = [], [], []
-        for j in range(n):
-            col = sims[:, j]
-            # Spark DESC orders NaN first; mirror that in the numpy
-            # top-k by mapping NaN→+inf for selection only
-            cmp = np.where(np.isnan(col), np.inf, col)
-            cmp[j] = -np.inf  # self never scores or holds a slot
-            kth = np.partition(cmp, -kk)[-kk]
-            keep = cmp >= kth - 1e-6
-            out_q.append(np.full(int(keep.sum()), ids[j]))
-            out_n.append(ids[keep])
-            out_s.append(col[keep])
+        # Query-column BLOCKS (r7 ADVICE): the full n×n gram matrix is
+        # 16·n² bytes inside one Python worker — tens of GB at the
+        # documented cell bound.  Accumulating sims[:, j0:j1] a block
+        # at a time keeps peak memory O(n·block) while staying
+        # dimension-at-a-time in the same d order, so every element
+        # sees the identical float-op sequence (bit-identical output).
+        block = 512
+        for j0 in range(0, n, block):
+            j1 = min(j0 + block, n)
+            acc = np.zeros((n, j1 - j0))
+            for d in range(m.shape[1]):
+                acc += np.outer(m[:, d], m[j0:j1, d])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = acc / np.outer(norm, norm[j0:j1])
+            for j in range(j0, j1):
+                col = sims[:, j - j0]
+                # Spark DESC orders NaN first; mirror that in the
+                # numpy top-k by mapping NaN→+inf for selection only
+                cmp = np.where(np.isnan(col), np.inf, col)
+                cmp[j] = -np.inf  # self never scores or holds a slot
+                kth = np.partition(cmp, -kk)[-kk]
+                keep = cmp >= kth - 1e-6
+                out_q.append(np.full(int(keep.sum()), ids[j]))
+                out_n.append(ids[keep])
+                out_s.append(col[keep])
         return pd.DataFrame(
             {
                 group_col: np.repeat(grp, sum(len(x) for x in out_q)),

@@ -63,12 +63,22 @@ class ChangeFeedFollower:
 
     # -- cursor (atomic, same replace discipline as the manifests) ----------
 
-    def _cursor(self) -> int:
+    def _cursor(self) -> int | None:
+        """Stored version, or ``None`` when the cursor belongs to a
+        DIFFERENT source (r7 ADVICE): its version numbers index the
+        other table's commit log, so trusting it either no-ops (new
+        source's version <= stale cursor) or silently skips the new
+        source's early history — and even merging from 0 would leave
+        the old source's rows in the target.  ``None`` makes sync()
+        take the snapshot-OVERWRITE path, which replaces state."""
         try:
             with open(self.cursor_path) as f:
-                return int(json.load(f)["version"])
+                state = json.load(f)
         except FileNotFoundError:
             return 0
+        if state.get("source") not in (None, self.source.path):
+            return None
+        return int(state["version"])
 
     def _write_cursor(self, version: int) -> None:
         tmp = f"{self.cursor_path}.tmp"
@@ -87,6 +97,8 @@ class ChangeFeedFollower:
         replaying per-row deltas."""
         hi = self.source._current_version()
         cur = self._cursor()
+        if cur is None:  # cursor from another source: force re-seed
+            return self._resync(0, hi)
         if hi <= cur:
             return {"from": cur, "to": cur, "resynced": False}
         try:

@@ -115,3 +115,72 @@ def test_overwrite_commits_rewrite_so_downstream_feeds_resync(spark, tmp_path):
     assert _live(t) == {("a", "v2")}
     with pytest.raises(ValueError, match="rewrite"):
         t.read_changes(mark)
+
+
+def test_follower_repointed_at_different_source_forces_resync(spark, tmp_path):
+    """r7 ADVICE: a cursor written while following source A must not
+    be trusted against source C — C's versions index a different
+    commit log.  Worst case pre-fix: C's current version <= A's stale
+    cursor made sync() a silent no-op and the target kept A's data
+    forever.  The fix treats the mismatch as a forced snapshot
+    OVERWRITE (not a merge — a merge could never remove A's rows)."""
+    a = KeyedTable(spark, str(tmp_path / "a"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    b = KeyedTable(spark, str(tmp_path / "b"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    for i in range(3):
+        a.merge(_batch(spark, [("ak", f"v{i}", False, 100 + i, f"e{i}", None)]))
+    f = ChangeFeedFollower(spark, a, b)
+    st = f.sync()
+    assert st["resynced"] is False and _live(b) == {("ak", "v2")}
+
+    c = KeyedTable(spark, str(tmp_path / "c"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    c.merge(_batch(spark, [("ck", "c1", False, 500, "ce1", None)]))
+    # same target dir, different source: C's version (1) <= stale cursor (3)
+    f2 = ChangeFeedFollower(spark, c, b)
+    st = f2.sync()
+    assert st["resynced"] is True
+    assert _live(b) == _live(c) == {("ck", "c1")}
+    assert b.read().filter(F.col("id") == "ak").count() == 0
+
+    # and the follow continues incrementally against the new source
+    c.merge(_batch(spark, [("ck", "c2", False, 600, "ce2", None)]))
+    st = f2.sync()
+    assert st["resynced"] is False and _live(b) == {("ck", "c2")}
+
+
+def test_follower_add_column_mid_feed_stays_incremental(spark, tmp_path):
+    """r7 verdict item 6: an ADD_COLUMN evolution arriving BETWEEN
+    incremental applies must flow through sync() with NULL backfill
+    and WITHOUT a snapshot resync (compatible adds are merge-safe:
+    read_changes reads old commits with allowMissingColumns and merge
+    writes the widened schema with mergeSchema).  Reference scenario:
+    tests/integration/test_schema_add_column.py:52."""
+    wide_ddl = DDL + ", extra string"
+    a = KeyedTable(spark, str(tmp_path / "a"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    b = KeyedTable(spark, str(tmp_path / "b"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    f = ChangeFeedFollower(spark, a, b)
+
+    a.merge(_batch(spark, [("x", "v1", False, 100, "e1", None)]))
+    st = f.sync()
+    assert st["resynced"] is False and _live(b) == {("x", "v1")}
+
+    # the evolution: a wider batch lands on the source mid-feed
+    a.merge(spark.createDataFrame(
+        [("y", "w1", False, 200, "e2", None, "bonus")], wide_ddl))
+    st = f.sync()
+    assert st["resynced"] is False  # compatible add: NO resync needed
+    out = {(r["id"], r["val"], r["extra"])
+           for r in b.read_live().collect()}
+    assert out == {("x", "v1", None), ("y", "w1", "bonus")}
+
+    # post-evolution narrow writes still apply (old producers linger)
+    a.merge(_batch(spark, [("x", "v2", False, 300, "e3", None)]))
+    st = f.sync()
+    assert st["resynced"] is False
+    out = {(r["id"], r["val"], r["extra"])
+           for r in b.read_live().collect()}
+    assert out == {("x", "v2", None), ("y", "w1", "bonus")}
