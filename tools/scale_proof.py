@@ -1,0 +1,127 @@
+"""One-off scale spot-proof (r7 verdict item 7): replay the heaviest
+pipeline entries at 1x and 10x data volume and report how wall time
+scales, to empirically separate the per-query session constant from
+the data-proportional work that the BASELINE.md posture notes argue
+about.
+
+10x inputs are synthesized from sf0.1 by replicating with id offsets;
+document text gets a deterministic per-replica prefix token so
+replicas are NOT near-duplicates of each other (the workload keeps
+its per-doc dedup character instead of degenerating into a 10-way
+exact-dup stress test), and orders keep their per-customer
+distribution with shifted customer ids.
+
+Usage:  python tools/scale_proof.py [sf_dir] [out_json]
+Writes a JSON summary (default scale_proof.json) and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+REPLICAS = 10
+
+
+def _replicate_docs(spark, sf_dir: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    parts = []
+    for i in range(REPLICAS):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                F.concat(F.lit(f"r{i} "), F.col("text")).alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
+def _replicate_orders(spark, sf_dir: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi_k = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    hi_c = orders.agg(F.max("o_custkey")).first()[0] + 1
+    parts = []
+    for i in range(REPLICAS):
+        parts.append(
+            orders.select(
+                (F.col("o_orderkey") + F.lit(i * hi_k)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(i * hi_c)).alias("o_custkey"),
+                *[
+                    c
+                    for c in orders.columns
+                    if c not in ("o_orderkey", "o_custkey")
+                ],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    import tempfile
+
+    from cass_cdc_pg_spark.registry import (
+        customer_value_deciles_q,
+        dedup_cluster_sizes_q,
+        docs_duplicated_spans_q,
+        dedup_components_q,
+    )
+    from cass_cdc_pg_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "scale_proof.json"
+    spark = get_spark(app_name="scale-proof")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries = {
+        "dedup_cluster_sizes": dedup_cluster_sizes_q,
+        "dedup_components": dedup_components_q,
+        "docs_duplicated_spans": docs_duplicated_spans_q,
+        "customer_value_deciles": customer_value_deciles_q,
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _replicate_docs(spark, sf_dir, tmp)
+        _replicate_orders(spark, sf_dir, tmp)
+        # the 10x dir needs every table the query loaders touch; the
+        # remaining tables are only read by loaders we don't call here
+        report: dict = {"sf_dir": sf_dir, "replicas": REPLICAS, "queries": {}}
+        for name, fn in queries.items():
+            fn(spark, sf_dir).count()  # warm (codegen, file listing)
+            t1 = min(_timed(lambda: fn(spark, sf_dir).count()) for _ in range(2))
+            fn(spark, tmp).count()
+            t10 = min(_timed(lambda: fn(spark, tmp).count()) for _ in range(2))
+            report["queries"][name] = {
+                "sec_1x": t1,
+                "sec_10x": t10,
+                "scale_ratio": round(t10 / t1, 2) if t1 else None,
+            }
+            print(f"# {name}: 1x={t1}s 10x={t10}s ratio={t10/t1:.2f}")
+    with open(out_json, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
