@@ -3850,7 +3850,10 @@ QUERIES = {
     # its persist+collect (windowed prefix offsets instead) — rewritten
     # queries stay in-window per the rotation contract:
     "customer_value_deciles": customer_value_deciles_q,
-    # (d) the r6-green tail (44 of 48 fit; the last 4 lead r9) ----
+    # (c2) composes on r8-touched connected_components, so it re-enters
+    # the window too (rewritten-stays-in-window contract):
+    "corpus_clean_keep": corpus_clean_keep_q,
+    # (d) the r6-green tail (43 of 48 fit; the last 5 lead r9) ----
     "events_stratified_sample": events_stratified_sample_q,
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
@@ -3894,12 +3897,12 @@ QUERIES = {
     "embedding_semdedup_keep": embedding_semdedup_keep_q,
     "dedup_cluster_sizes": dedup_cluster_sizes_q,
     "orders_priority_late": orders_priority_late_q,
-    "part_min_cost_supplier": part_min_cost_supplier_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r9:
-    # the 4 r6-green tail entries that did not fit the r8 window lead
+    # the 5 r6-green tail entries that did not fit the r8 window lead
     # the r9 window, followed by the r7-green block below (r7-green =
     # CORRECTNESS_r07.json; last driver-green round noted per block).
+    "part_min_cost_supplier": part_min_cost_supplier_q,
     "sales_returns_by_brand": sales_returns_by_brand_q,
     "segment_status_revenue": segment_status_revenue_q,
     "events_daily_active": events_daily_active_q,
@@ -3932,7 +3935,6 @@ QUERIES = {
     "q18_gdpr_erasure": q18_gdpr_erasure,
     "c1_lww_state": c1_lww_state,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "corpus_clean_keep": corpus_clean_keep_q,
     "text_fingerprint": text_fingerprint_q,
     "q20_drift_severity": q20_drift_severity,
     "q19_retention": q19_retention,

@@ -723,3 +723,29 @@ def test_duplicated_span_short_docs_contribute_nothing(spark):
     r = out[0]
     # only doc 2 reaches 8 tokens: exactly one window, not duplicated
     assert (r["n_docs"], r["total_windows"], r["dup_windows"]) == (1, 1, 0)
+
+
+def test_knn_within_arrow_block_boundary_parity(spark):
+    """r8: the Arrow cell kernel accumulates the gram matrix in
+    512-query column blocks (r7 ADVICE memory fix).  A single cell
+    LARGER than one block must produce exactly the JVM rows — the
+    block seams (query 511/512, final partial block) are where an
+    off-by-one in the self-mask or column indexing would bite."""
+    import random
+
+    rng = random.Random(23)
+    n = 530  # > one 512 block, with a 18-wide final partial block
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)], 1) for i in range(n)
+    ]
+    rows.append((n, rows[0][1], 1))  # cross-block exact tie with id 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    jvm = {tuple(r) for r in similarity.knn_within(emb, k=2).collect()}
+    arr = {
+        tuple(r)
+        for r in similarity.knn_within(emb, k=2, kernel="arrow").collect()
+    }
+    assert jvm == arr
+    assert len({q for q, *_ in jvm}) == n + 1  # every vector answered
