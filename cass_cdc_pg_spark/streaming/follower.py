@@ -98,6 +98,12 @@ class ChangeFeedFollower:
         hi = self.source._current_version()
         cur = self._cursor()
         if cur is None:  # cursor from another source: force re-seed
+            if hi == 0:
+                # new source has no commits yet — nothing to seed
+                # from (and no schema to build an empty snapshot
+                # with).  Leave the stale cursor in place so the
+                # resync fires at the source's first commit.
+                return {"from": 0, "to": 0, "resynced": False}
             return self._resync(0, hi)
         if hi <= cur:
             return {"from": cur, "to": cur, "resynced": False}

@@ -184,3 +184,27 @@ def test_follower_add_column_mid_feed_stays_incremental(spark, tmp_path):
     out = {(r["id"], r["val"], r["extra"])
            for r in b.read_live().collect()}
     assert out == {("x", "v2", None), ("y", "w1", "bonus")}
+
+
+def test_follower_repointed_at_empty_source_defers_resync(spark, tmp_path):
+    """Re-pointing at a source with NO commits yet must not crash (no
+    snapshot exists to seed from) and must still resync at the new
+    source's first commit."""
+    a = KeyedTable(spark, str(tmp_path / "a"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    b = KeyedTable(spark, str(tmp_path / "b"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    a.merge(_batch(spark, [("x", "v1", False, 100, "e1", None)]))
+    ChangeFeedFollower(spark, a, b).sync()
+
+    c = KeyedTable(spark, str(tmp_path / "c"), ["id"], num_buckets=2,
+                   keep_versions=20)
+    f2 = ChangeFeedFollower(spark, c, b)
+    st = f2.sync()  # empty new source: no-op, no crash
+    assert st == {"from": 0, "to": 0, "resynced": False}
+    assert _live(b) == {("x", "v1")}  # stale but intact
+
+    c.merge(_batch(spark, [("ck", "c1", False, 500, "ce1", None)]))
+    st = f2.sync()  # first commit on the new source: forced re-seed
+    assert st["resynced"] is True
+    assert _live(b) == {("ck", "c1")}
