@@ -250,6 +250,29 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     ).cast("double") / F.lit(num_hashes)
+    # Each pair is emitted ONLY from its first agreeing band (r8): a
+    # pair matching k bands joins k times, and the old dropDuplicates
+    # was a full Exchange over the candidate pairs — a real shuffle at
+    # 100 TB.  "First agreeing band" is computable map-side from the
+    # two signatures already on the joined row (bands per-element
+    # equal), so the dedup becomes a filter and the pair set is
+    # emitted exactly once with NO post-join shuffle.  Side effect: a
+    # pure md5 bucket collision (buckets equal, band values not) no
+    # longer yields a candidate — which matches the oracle's
+    # join-on-band-values semantics exactly.
+    band_agree = F.array(
+        *[
+            F.expr(
+                " AND ".join(
+                    f"a.sig[{bi * rows_per_band + r}] = "
+                    f"b.sig[{bi * rows_per_band + r}]"
+                    for r in range(rows_per_band)
+                )
+            )
+            for bi in range(bands)
+        ]
+    )
+    first_band = F.array_position(band_agree, F.lit(True)) - 1
     return (
         a.join(
             b,
@@ -257,13 +280,13 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.band") == first_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(est, 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
