@@ -367,6 +367,23 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
+
+    # First-agreeing-band dedup (r8, same trade as minhash_lsh_pairs):
+    # a pair agreeing on k bands joins k times; band agreement is
+    # EXACTLY bucket equality here (the bucket IS the band slice), so
+    # "emit only from the first agreeing band" is a map-side filter on
+    # the two fingerprints already on the row — the old dropDuplicates
+    # was a full Exchange over the candidate pairs.
+    def _slice(col, bi):
+        return F.shiftright(col, bi * width).bitwiseAND(F.lit(mask))
+
+    band_agree = F.array(
+        *[
+            _slice(F.col("a.simhash"), bi) == _slice(F.col("b.simhash"), bi)
+            for bi in range(bands)
+        ]
+    )
+    first_band = F.array_position(band_agree, F.lit(True)) - 1
     cand = (
         a.join(
             b,
@@ -374,13 +391,13 @@ def simhash_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.band") == first_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("fp_a"),
             F.col("b.simhash").alias("fp_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     return (
         cand.withColumn(
