@@ -749,3 +749,52 @@ def test_knn_within_arrow_block_boundary_parity(spark):
     }
     assert jvm == arr
     assert len({q for q, *_ in jvm}) == n + 1  # every vector answered
+
+
+def test_lsh_first_band_emission_equals_dedup_reference(spark):
+    """r8: minhash_lsh_pairs emits each candidate pair exactly once
+    via the first-agreeing-band filter (no post-join dedup shuffle).
+    Pin: the output has no duplicate (doc_a, doc_b) rows AND equals
+    the reference formulation (join on every agreeing band, then
+    distinct) on a corpus dense with multi-band near-dup families."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for fam in range(12):
+        base = [rng.choice(vocab) for _ in range(30)]
+        for rep in range(3):  # 3 siblings per family: many shared bands
+            doc = list(base)
+            for _ in range(rep):  # light mutation
+                doc[rng.randrange(len(doc))] = rng.choice(vocab)
+            rows.append((fam * 10 + rep, " ".join(doc)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, n=2, threshold=0.2
+    )
+    got = [(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in pairs.collect()]
+    assert len(got) == len({(a, b) for a, b, _ in got}), "duplicate pairs"
+
+    # reference: signatures -> all-band agreement -> distinct pairs
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.minhash_signatures(docs, 32, 2).collect()
+    }
+    ref = set()
+    ids = sorted(sig)
+    rpb = 32 // 8
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            sa, sb = sig[da], sig[db]
+            if any(
+                sa[bi * rpb:(bi + 1) * rpb] == sb[bi * rpb:(bi + 1) * rpb]
+                for bi in range(8)
+            ):
+                frac = sum(x == y for x, y in zip(sa, sb)) / 32.0
+                est = math.floor(frac * 10000 + 0.5) / 10000  # half-up, like F.round
+                if est >= 0.2:
+                    ref.add((da, db, est))
+    assert {(a, b, e) for a, b, e in got} == ref
+    assert len(ref) > 10  # the fixture really exercises multi-band hits
