@@ -822,33 +822,47 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "bench_full.json"), "w") as fh:
         json.dump(full, fh, indent=1)
-    # Compact headline as the FINAL line: everything a round-over-round
-    # comparison needs, guaranteed under the driver's 2000-char window.
-    headline_keys = [
-        "metric", "value", "unit", "queries", "pipeline_total", "sf",
-        "warm", "ingest_events_per_sec",
-        "ingest_events_per_sec_256_buckets", "microbatch_p50_sec",
-        "microbatch_p95_sec", "kill_restart_crash_injected",
-        "kill_restart_rows_expected", "kill_restart_rows_lost",
-        "kill_restart_rows_duplicated", "http_requests_per_sec",
-        "http_p95_ms", "http_errors", "contract_floor_sec",
-        "contract_q1_spark_sec", "contract_q1_duck_sec",
-        "contract_q1_raw_ratio", "contract_q1_adj_ratio",
-        "contract_q3_spark_sec", "contract_q3_duck_sec",
-        "contract_q3_raw_ratio", "contract_q3_adj_ratio",
-    ]
-    compact = {k: full[k] for k in headline_keys if k in full}
+    print(compact_headline(full))
+    spark.stop()
+
+
+#: keys the compact final stdout line carries — everything a
+#: round-over-round comparison needs, nothing that can grow with the
+#: query count
+HEADLINE_KEYS = [
+    "metric", "value", "unit", "queries", "pipeline_total", "sf",
+    "warm", "ingest_events_per_sec",
+    "ingest_events_per_sec_256_buckets", "microbatch_p50_sec",
+    "microbatch_p95_sec", "kill_restart_crash_injected",
+    "kill_restart_rows_expected", "kill_restart_rows_lost",
+    "kill_restart_rows_duplicated", "http_requests_per_sec",
+    "http_p95_ms", "http_errors", "contract_floor_sec",
+    "contract_q1_spark_sec", "contract_q1_duck_sec",
+    "contract_q1_raw_ratio", "contract_q1_adj_ratio",
+    "contract_q3_spark_sec", "contract_q3_duck_sec",
+    "contract_q3_raw_ratio", "contract_q3_adj_ratio",
+]
+
+
+def compact_headline(full: dict, limit: int = 1900) -> str:
+    """Compact final-line JSON, guaranteed under *limit* chars (the
+    driver keeps only the last ~2000 chars of stdout and parses the
+    final line — the full record outgrew that in r6 and the
+    machine-readable BENCH field was null for two rounds).  Unit test:
+    tests/test_cli.py::test_bench_compact_headline_bounded."""
+    compact = {k: full[k] for k in HEADLINE_KEYS if k in full}
     compact["pipeline_slowest"] = dict(
-        sorted(pipeline.items(), key=lambda kv: -kv[1])[:5]
+        sorted(
+            full.get("pipeline_queries", {}).items(), key=lambda kv: -kv[1]
+        )[:5]
     )
     compact["full_record"] = "line 1 of stdout + bench_full.json"
     line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: drop per-query maps first
+    if len(line) > limit:  # belt-and-braces: drop per-query maps first
         compact.pop("queries", None)
         compact.pop("pipeline_slowest", None)
         line = json.dumps(compact)
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

@@ -370,3 +370,56 @@ def test_cli_table_sync_follows_and_resyncs(spark, tmp_path, capsys):
     assert st["resynced"] is True
     live = {r["id"] for r in derived.read_live().collect()}
     assert live == {"a2", "a3"}
+
+
+def test_bench_compact_headline_bounded():
+    """The driver parses only the FINAL stdout line and keeps ~2000
+    chars of tail; bench.py's compact headline must stay under that
+    even as the query registry grows (the full map broke this in r6,
+    nulling the machine-readable BENCH record for two rounds)."""
+    import json
+    import sys
+    sys.path.insert(0, ".")
+    from bench import HEADLINE, compact_headline
+
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {q: 0.123 for q in HEADLINE},
+        # simulate a 500-entry pipeline map: must NOT leak into the line
+        "pipeline_queries": {f"query_name_{i}": i / 7.0 for i in range(500)},
+        "pipeline_total": 99.9,
+        "sf": 0.1,
+        "warm": True,
+        "ingest_events_per_sec": 36342.5,
+        "ingest_events_per_sec_256_buckets": 24675.2,
+        "microbatch_p50_sec": 1.4,
+        "microbatch_p95_sec": 2.9,
+        "kill_restart_crash_injected": True,
+        "kill_restart_rows_expected": 40000,
+        "kill_restart_rows_lost": 0,
+        "kill_restart_rows_duplicated": 0,
+        "http_requests_per_sec": 194.0,
+        "http_p95_ms": 17.5,
+        "http_errors": 0,
+        "contract_floor_sec": 0.0182,
+        "contract_q1_spark_sec": 0.0147,
+        "contract_q1_duck_sec": 0.0202,
+        "contract_q1_raw_ratio": 0.73,
+        "contract_q1_adj_ratio": 0.0,
+        "contract_q3_spark_sec": 0.1674,
+        "contract_q3_duck_sec": 0.3118,
+        "contract_q3_raw_ratio": 0.54,
+        "contract_q3_adj_ratio": 0.48,
+    }
+    line = compact_headline(full)
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert parsed["contract_q1_raw_ratio"] == 0.73
+    assert len(parsed["pipeline_slowest"]) == 5
+    assert "pipeline_queries" not in parsed
+
+    # pathological: absurdly long query names still stay bounded
+    full["queries"] = {"q" * 300 + str(i): 0.1 for i in range(10)}
+    assert len(compact_headline(full)) < 1900
