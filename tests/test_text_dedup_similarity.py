@@ -798,3 +798,42 @@ def test_lsh_first_band_emission_equals_dedup_reference(spark):
                     ref.add((da, db, est))
     assert {(a, b, e) for a, b, e in got} == ref
     assert len(ref) > 10  # the fixture really exercises multi-band hits
+
+
+def test_dedup_shared_memo_invalidates_on_fixture_change(spark, tmp_path):
+    """r8: the session-scoped pair/components memo must key on the
+    documents fixture's (realpath, mtime_ns) — a regenerated fixture
+    at the same path serves FRESH results, and the
+    SPARK_GRAFT_NO_DEDUP_MEMO escape hatch bypasses the cache."""
+    import os
+    import time as _time
+
+    from cass_cdc_pg_spark.registry import dedup_minhash_lsh_q
+
+    sf_dir = str(tmp_path)
+    p = os.path.join(sf_dir, "documents.parquet")
+
+    def write_docs(texts):
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".tmpdir")
+        part = [
+            f for f in os.listdir(p + ".tmpdir") if f.endswith(".parquet")
+        ][0]
+        os.replace(os.path.join(p + ".tmpdir", part), p)
+
+    dup = "the same text repeated here " * 4
+    write_docs([dup, dup, "something entirely different words zebra"])
+    n1 = dedup_minhash_lsh_q(spark, sf_dir).count()
+    assert n1 == 1  # docs 0,1 are identical -> one pair
+
+    _time.sleep(0.01)  # ensure a distinct mtime_ns
+    write_docs([dup, "now unique alpha beta gamma", "delta epsilon zeta"])
+    n2 = dedup_minhash_lsh_q(spark, sf_dir).count()
+    assert n2 == 0  # fresh fixture, no near-dups: memo must not serve n1
+
+    os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
+    try:
+        assert dedup_minhash_lsh_q(spark, sf_dir).count() == 0
+    finally:
+        del os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"]

@@ -78,7 +78,13 @@ def _timed(fn) -> float:
 
 
 def main() -> None:
+    import os
     import tempfile
+
+    # time the real per-call dedup pipeline, not the session-scoped
+    # materialized-pairs memo (registry._dedup_shared) — with the memo
+    # on, a warmed run measures a few hundred cached rows
+    os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
 
     from cass_cdc_pg_spark.registry import (
         customer_value_deciles_q,
