@@ -1849,9 +1849,55 @@ def ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic embeddings top out near cos ≈ 0.48 — 0.35 marks
     # the "suspiciously similar" tail without being empty
-    return similarity.embedding_neardup_pairs(
-        src.load_table(spark, sf_dir, "embeddings"), threshold=0.35
-    )
+    return _shared_emb_pairs(spark, sf_dir)
+
+
+#: (applicationId, embeddings fixture key) → {"pairs": DF,
+#: "greedy": (survivors DF, stats dict)}.  Same materialization
+#: discipline as _DEDUP_SHARED_CACHE: four declared queries start from
+#: the same cosine-LSH candidate pairs and two of them from the same
+#: greedy-MIS fixpoint (an eager multi-round computation); a real
+#: semantic-dedup pipeline materializes both once per corpus snapshot.
+#: SPARK_GRAFT_NO_DEDUP_MEMO=1 bypasses (scale measurement).
+_EMB_SHARED_CACHE: dict[tuple, dict] = {}
+
+
+def _emb_shared(spark: SparkSession, sf_dir: str) -> dict:
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_DEDUP_MEMO"):
+        return {}
+    key = (spark.sparkContext.applicationId, _ivf_fixture_key(sf_dir))
+    return _EMB_SHARED_CACHE.setdefault(key, {})
+
+
+def _shared_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit = _emb_shared(spark, sf_dir)
+    if "pairs" not in hit:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        # in bypass mode `hit` is a throwaway dict: the checkpoint is
+        # harmless (lazy) and nothing retains it across calls
+        hit["pairs"] = similarity.embedding_neardup_pairs(
+            emb, threshold=0.35
+        ).localCheckpoint(eager=False)
+    return hit["pairs"]
+
+
+def _shared_greedy_survivors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """(survivors DF named vec_id, fixpoint stats) — the greedy MIS
+    runs once per (session, fixture); its drop set is checkpoint-backed
+    by the fixpoint loop."""
+    hit = _emb_shared(spark, sf_dir)
+    if "greedy" not in hit:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        stats: dict = {}
+        kept = similarity.semdedup_greedy_survivors(
+            _shared_emb_pairs(spark, sf_dir), emb.select("vec_id"), stats=stats
+        ).withColumnRenamed("id", "vec_id")
+        hit["greedy"] = (kept, stats)
+    return hit["greedy"]
 
 
 def _neardup_sql(threshold: float = 0.35) -> str:
@@ -2898,7 +2944,7 @@ def embedding_semdedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity.semdedup_greedy_survivors``, pinned against a
     sequential model in tests/test_text_dedup_similarity.py."""
     emb = src.load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.35)
+    pairs = _shared_emb_pairs(spark, sf_dir)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (
         emb.select("vec_id", F.col("label").cast("int").alias("label"))
@@ -2924,10 +2970,7 @@ def embedding_semdedup_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the candidate-pair graph, never the corpus; survivor
     extraction is one anti-join."""
     emb = src.load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.35)
-    kept = similarity.semdedup_greedy_survivors(
-        pairs, emb.select("vec_id")
-    ).withColumnRenamed("id", "vec_id")
+    kept, _ = _shared_greedy_survivors(spark, sf_dir)
     return (
         emb.select("vec_id", F.col("label").cast("int").alias("label"))
         .join(kept, "vec_id", "left_semi")
@@ -3019,12 +3062,7 @@ def embedding_semdedup_greedy_stats_q(
     mismatch rather than a pytest-only fact.  The count is one
     driver action over the survivor anti-join — same plan as
     ``embedding_semdedup_greedy``, collapsed to a scalar."""
-    emb = src.load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.35)
-    stats: dict = {}
-    kept = similarity.semdedup_greedy_survivors(
-        pairs, emb.select("vec_id"), stats=stats
-    )
+    kept, stats = _shared_greedy_survivors(spark, sf_dir)
     n_kept = kept.count()
     return spark.createDataFrame(
         [(n_kept, bool(stats.get("converged", True)))],
