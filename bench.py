@@ -792,6 +792,22 @@ def main() -> None:
             if name not in pipeline or dt < pipeline[name]:
                 pipeline[name] = dt
 
+    # Honest-cold companion numbers: the dedup/semdedup families share
+    # session-scoped materialized pair/fixpoint tables (registry memos),
+    # so their warm per-query walls above time reuse, as a live engine
+    # would.  These two fields time the FULL computation with the memo
+    # bypassed so the record carries both views (tools/scale_proof.py
+    # measures scaling the same way).
+    cold: dict[str, float] = {}
+    os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
+    try:
+        for name in ("dedup_cluster_sizes", "embedding_semdedup_greedy"):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            cold[f"{name}_cold_sec"] = round(time.time() - t0, 3)
+    finally:
+        del os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"]
+
     import tempfile
 
     # two bucket counts: merge cost is O(batch) regardless of bucket
@@ -830,6 +846,7 @@ def main() -> None:
         "queries": timings,
         "pipeline_queries": pipeline,
         "pipeline_total": round(sum(pipeline.values()), 3),
+        **cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm": True,
         "ingest_events_per_sec": round(eps, 1),
