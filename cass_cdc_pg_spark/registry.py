@@ -1390,12 +1390,25 @@ def _dedup_shared(spark: SparkSession, sf_dir: str) -> dict:
     key = (spark.sparkContext.applicationId, _docs_fixture_key(sf_dir))
     hit = _DEDUP_SHARED_CACHE.get(key)
     if hit is None:
+        _evict_oldest(_DEDUP_SHARED_CACHE)
         docs = src.load_table(spark, sf_dir, "documents")
         pairs = dedup.minhash_lsh_pairs(
             docs, **_DEDUP_PAIR_PARAMS
         ).localCheckpoint(eager=False)
         hit = _DEDUP_SHARED_CACHE[key] = {"pairs": pairs}
     return hit
+
+
+#: long-lived sessions (the HTTP service) page through fixtures; the
+#: memos hold checkpoint-backed DataFrames, so cap each cache and drop
+#: the oldest entry — releasing the reference lets the driver GC free
+#: its checkpoint blocks
+_SHARED_CACHE_MAX = 4
+
+
+def _evict_oldest(cache: dict) -> None:
+    while len(cache) >= _SHARED_CACHE_MAX:
+        cache.pop(next(iter(cache)))
 
 
 def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1868,6 +1881,8 @@ def _emb_shared(spark: SparkSession, sf_dir: str) -> dict:
     if _os.environ.get("SPARK_GRAFT_NO_DEDUP_MEMO"):
         return {}
     key = (spark.sparkContext.applicationId, _ivf_fixture_key(sf_dir))
+    if key not in _EMB_SHARED_CACHE:
+        _evict_oldest(_EMB_SHARED_CACHE)
     return _EMB_SHARED_CACHE.setdefault(key, {})
 
 

@@ -423,3 +423,28 @@ def test_bench_compact_headline_bounded():
     # pathological: absurdly long query names still stay bounded
     full["queries"] = {"q" * 300 + str(i): 0.1 for i in range(10)}
     assert len(compact_headline(full)) < 1900
+
+
+def test_plan_lint_rules():
+    """Unit-test the plan-lint rules on synthetic plan strings (the
+    full tool builds every query; the rules themselves are pure)."""
+    import sys
+    sys.path.insert(0, ".")
+    from tools.plan_lint import lint_plan
+
+    assert lint_plan("q", "*(1) CartesianProduct\n+- Scan") != []
+    assert lint_plan("q", "+- BatchEvalPython [f(x)]") != []
+    assert lint_plan("q", "+- ArrowEvalPython [f(x)]") == []
+    bnlj = "+- BroadcastNestedLoopJoin BuildRight, Inner"
+    assert lint_plan("q", bnlj) != []
+    assert lint_plan("customer_value_deciles", bnlj) == []  # allowlisted
+    gw = ("+- Window [sum(x) windowspecdefinition(...)]\n"
+          "   +- Sort [x ASC]\n"
+          "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS")
+    assert lint_plan("q", gw) != []
+    assert lint_plan("docs_quality_tiers", gw) == []  # histogram cumsum
+    # scalar aggregate over partials: SinglePartition WITHOUT a Window
+    ok = ("+- HashAggregate(keys=[], functions=[sum(x)])\n"
+          "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+          "      +- HashAggregate(keys=[], functions=[partial_sum(x)])")
+    assert lint_plan("q", ok) == []
