@@ -29,7 +29,9 @@ SELECTED: list[tuple[str, str]] = [
      "PushedFilters + pruned ReadSchema + TakeOrderedAndProject(offset) top-k"),
     ("c1_lww_state", "partial_max_by map-side combine before the key shuffle"),
     ("dedup_exact_groups", "hash-groupBy on digest; text never shuffles"),
-    ("dedup_minhash_lsh", "banded bucket join: candidate pairs only"),
+    ("dedup_minhash_lsh",
+     "banded bucket join, candidate pairs only; first-agreeing-band "
+     "filter (r8) replaces the pair-dedup Exchange"),
     ("ann_cosine_topk", "corpus never shuffles; query side broadcast"),
     ("ann_ivf_topk", "assignment is a projection; probes broadcast"),
     ("ann_knn_within",
@@ -37,7 +39,9 @@ SELECTED: list[tuple[str, str]] = [
      "FlatMapGroupsInPandas, only top-k-reachable candidates reach "
      "the ranking shuffle (JVM fold path retained, bit-identical)"),
     ("docs_token_budget",
-     "two-phase cumsum: rangepartitioning, no Exchange SinglePartition"),
+     "single-action cumsum (r8): rangepartitioning + _pid-partitioned "
+     "running-sum window + broadcast offsets; no Exchange "
+     "SinglePartition, no persist/collect"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
     ("docs_source_stats",
      "one text scan; shuffles carry hashes/counters only"),
@@ -75,8 +79,10 @@ SELECTED: list[tuple[str, str]] = [
     ("part_min_cost_supplier",
      "decimal-exact argmin; WindowGroupLimit after partial agg"),
     ("customer_value_deciles",
-     "exact NTILE via range-partitioned rank + broadcast offsets; "
-     "no Window, no Exchange SinglePartition"),
+     "exact NTILE, single action (r8): range-partitioned local rank "
+     "(window PARTITIONED on _pid), broadcast cross-join offsets "
+     "over O(#partitions) rows; no unpartitioned Window, no Exchange "
+     "SinglePartition, no persist/collect"),
     ("segment_status_revenue",
      "big-big custkey shuffle join, projections pruned pre-Exchange"),
     ("events_daily_active",
