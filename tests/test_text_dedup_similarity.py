@@ -837,3 +837,37 @@ def test_dedup_shared_memo_invalidates_on_fixture_change(spark, tmp_path):
         assert dedup_minhash_lsh_q(spark, sf_dir).count() == 0
     finally:
         del os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"]
+
+
+def test_shared_memo_eviction_is_lru_not_fifo():
+    """r9 (r8 verdict #3): cycling 5 fixtures through a cap-4 cache
+    while fixture A stays hot must evict a COLD fixture, never A —
+    the old FIFO `_evict_oldest` dropped the oldest-INSERTED entry
+    even when it was the hottest."""
+    from cass_cdc_pg_spark.registry import (
+        _SHARED_CACHE_MAX,
+        _evict_oldest,
+        _lru_hit,
+    )
+
+    cache: dict = {}
+
+    def get_or_insert(key):
+        hit = _lru_hit(cache, key)
+        if hit is None:
+            _evict_oldest(cache)
+            hit = cache[key] = {"fixture": key}
+        return hit
+
+    assert _SHARED_CACHE_MAX == 4
+    hot = "A"
+    get_or_insert(hot)  # inserted FIRST — FIFO would evict it first
+    for cold in ("B", "C", "D", "E", "F"):
+        get_or_insert(cold)
+        assert _lru_hit(cache, hot) is not None, (cold, list(cache))
+        assert len(cache) <= _SHARED_CACHE_MAX
+    # and the LRU cold entries are the ones that left
+    assert "B" not in cache and "C" not in cache
+    # re-miss of an evicted key repopulates without exceeding the cap
+    get_or_insert("B")
+    assert len(cache) <= _SHARED_CACHE_MAX and "A" in cache
