@@ -386,6 +386,71 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks with
+    deterministic chunk ids and provenance — the retrieval/RAG-prep
+    sibling of :func:`pack_sequences` (that one concatenates ACROSS
+    docs into fixed training sequences; this one windows WITHIN a doc
+    so each chunk stays attributable to its source).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the chunk count is the
+    smallest ``c`` with ``(c-1)*stride + chunk_tokens >= n``, so every
+    token is covered, consecutive chunks share exactly *overlap*
+    tokens, and only the LAST chunk may run short.  Docs shorter than
+    one window yield a single chunk; zero-token docs yield nothing.
+    ``chunk_id = md5(doc_id ':' chunk_index)`` is deterministic across
+    runs and engines, and (doc_id, start_token) is the provenance a
+    RAG index needs to cite back into the source.
+
+    Scale shape: pure per-row higher-order-function work (tokenize →
+    sequence → explode → slice) — ZERO shuffle, whole-stage codegen,
+    embarrassingly parallel at 100 TB; output size is
+    ``~n_tokens/stride`` rows per doc.  The chunk-count arithmetic is
+    integer-exact (``(x - x%y)/y``), never float ``ceil``."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    base = documents.select(
+        "doc_id", tokens(F.col("text")).alias("_tk")
+    ).withColumn("_n", F.size("_tk").cast("long"))
+    x = F.col("_n") - chunk_tokens + stride - 1
+    extra = ((x - x % stride) / stride).cast("long")
+    n_chunks = (
+        F.when(F.col("_n") <= chunk_tokens, F.lit(1).cast("long"))
+        .otherwise(extra + 1)
+    )
+    start = (F.col("chunk_index") * stride).cast("int")
+    ctoks = F.slice(F.col("_tk"), start + F.lit(1), F.lit(chunk_tokens))
+    return (
+        base.filter(F.col("_n") > 0)
+        .withColumn(
+            "chunk_index",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_index").cast("int").alias("chunk_index"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("chunk_index").cast("string"),
+                )
+            ).alias("chunk_id"),
+            start.cast("long").alias("start_token"),
+            F.size(ctoks).cast("long").alias("n_chunk_tokens"),
+            F.array_join(ctoks, " ").alias("chunk_text"),
+        )
+    )
+
+
 def token_rarity(
     documents: DataFrame,
     max_broadcast_vocab: int = 4_000_000,

@@ -746,6 +746,50 @@ FROM r
 """
 
 
+#: chunking params for the declared query: the synthetic docs run
+#: 10-99 tokens, so 32-token windows with 8-token overlap (stride 24)
+#: yield 1-4 chunks per doc — short docs exercise the single-chunk
+#: path, long ones the ragged last window
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+
+
+def docs_chunk_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking with provenance (r9 — the
+    RAG/training prep sibling of ``docs_pack_sequences``): zero
+    shuffle, per-row HOF work only; see
+    :func:`operators.text.chunk_documents`."""
+    return text.chunk_documents(
+        src.load_table(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+CHUNK_WINDOWS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+c AS (SELECT doc_id, tk, n,
+             CASE WHEN n <= {_CHUNK_TOKENS} THEN 1
+                  ELSE (n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE} + 1 END AS n_chunks
+      FROM n),
+x AS (SELECT doc_id, tk, n, unnest(range(n_chunks)) AS i FROM c)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_index,
+       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS chunk_id,
+       CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+       CAST(LEAST({_CHUNK_TOKENS}, n - i * {_CHUNK_STRIDE}) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(tk[(i * {_CHUNK_STRIDE} + 1):(i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})],
+                       ' ') AS chunk_text
+FROM x
+"""
+
+
 def text_token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_rarity(src.load_table(spark, sf_dir, "documents"))
 
@@ -3995,6 +4039,7 @@ QUERIES = {
     "docs_mix_upsample": docs_mix_upsample_q,
     "docs_token_budget": docs_token_budget_q,
     "docs_pack_sequences": docs_pack_sequences_q,
+    "docs_chunk_windows": docs_chunk_windows_q,
     "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
     "embedding_neardup": embedding_neardup_q,
@@ -4123,6 +4168,7 @@ ORACLE = {
     "docs_mix_upsample": MIX_UPSAMPLE_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_pack_sequences": PACK_SEQUENCES_SQL,
+    "docs_chunk_windows": CHUNK_WINDOWS_SQL,
     "text_token_rarity": TOKEN_RARITY_SQL,
     "embedding_quantize_int8": QUANTIZE_INT8_SQL,
     "docs_length_histogram": LENGTH_HISTOGRAM_SQL,

@@ -446,6 +446,61 @@ def test_pack_sequences_chunking_and_shards(spark):
     assert got2[2]["shard"] == 0 and got2[2]["offset_in_pack"] == 6
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    """chunk_documents (r9): every token covered, consecutive chunks
+    share exactly `overlap` tokens, only the last chunk runs short,
+    ids deterministic, zero-token docs emit nothing, and the plan has
+    NO Exchange (pure per-row work)."""
+    import hashlib
+
+    from cass_cdc_pg_spark.operators.text import chunk_documents
+
+    # doc 1: 25 tokens / chunk 10 overlap 3 (stride 7):
+    #   chunks at 0,7,14,21 -> last covers [21,25) = 4 tokens
+    # doc 2: 10 tokens -> exactly one full window
+    # doc 3: 3 tokens (shorter than window) -> one short chunk
+    # doc 4: empty text -> nothing
+    toks1 = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(toks1)),
+            (2, " ".join(f"x{i}" for i in range(10))),
+            (3, "a b c"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=10, overlap=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_index"])
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    c1 = by_doc[1]
+    assert [r["start_token"] for r in c1] == [0, 7, 14, 21]
+    assert [r["n_chunk_tokens"] for r in c1] == [10, 10, 10, 4]
+    # coverage: concatenating stride-slices of the chunks == the doc
+    rebuilt = c1[0]["chunk_text"].split(" ")
+    for r in c1[1:]:
+        rebuilt += r["chunk_text"].split(" ")[3:]  # drop the overlap
+    assert rebuilt == toks1
+    # overlap: chunk i's last 3 tokens == chunk i+1's first 3
+    for a, b in zip(c1, c1[1:]):
+        assert a["chunk_text"].split(" ")[-3:] == b["chunk_text"].split(" ")[:3]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 10
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 3
+    # deterministic engine-portable id
+    assert c1[2]["chunk_id"] == hashlib.md5(b"1:2").hexdigest()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+
 def test_token_rarity_known_counts(spark):
     """corpus = 'a a b' + 'a c': freq a=3,b=1,c=1."""
     from cass_cdc_pg_spark.operators.text import token_rarity
