@@ -199,22 +199,23 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def banded_signatures(
     documents: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash + banded LSH candidate generation, Jaccard-estimated.
+    """(doc_id, sig, band, bucket) — the LSH band table: one row per
+    (doc, band) with the band's md5 bucket and the full signature.
 
-    rows-per-band = num_hashes/bands; docs agreeing on any full band
-    become candidates (join on band hash — the classic LSH bucket
-    join); candidates are scored by signature agreement fraction.
-    """
+    This is the relation a production pipeline MATERIALIZES once per
+    corpus snapshot: same-corpus dedup joins it against itself
+    (:func:`minhash_lsh_pairs`) and a daily new-doc batch joins
+    against the STORED table (:func:`incremental_minhash_pairs`)
+    instead of re-hashing the whole corpus."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, n)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         "sig",
         F.explode(
@@ -235,31 +236,27 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # est_jaccard is computed AT THE JOIN OUTPUT and the threshold is
-    # applied BEFORE the pair dedup: a pair matching k bands re-scores
-    # its 32-element zip_with k times (map-side CPU, bounded by
-    # bands), but the dedup Exchange then carries 24-byte
-    # (doc_a, doc_b, est) rows instead of both 256-byte signature
-    # arrays, and only above-threshold pairs at that — at 100 TB the
-    # dedup shuffle is the volume term, the re-scoring is noise.
-    est = F.size(
+
+
+def _sig_agreement(num_hashes: int):
+    """Estimated Jaccard from the two signatures on a joined
+    (a, b)-aliased row — symmetric, map-side."""
+    return F.size(
         F.filter(
             F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
             lambda eq: eq,
         )
     ).cast("double") / F.lit(num_hashes)
-    # Each pair is emitted ONLY from its first agreeing band (r8): a
-    # pair matching k bands joins k times, and the old dropDuplicates
-    # was a full Exchange over the candidate pairs — a real shuffle at
-    # 100 TB.  "First agreeing band" is computable map-side from the
-    # two signatures already on the joined row (bands per-element
-    # equal), so the dedup becomes a filter and the pair set is
-    # emitted exactly once with NO post-join shuffle.  Side effect: a
-    # pure md5 bucket collision (buckets equal, band values not) no
-    # longer yields a candidate — which matches the oracle's
-    # join-on-band-values semantics exactly.
+
+
+def _first_agreeing_band(num_hashes: int, bands: int):
+    """0-based index of the first band on which the (a, b)-aliased
+    signatures agree element-wise — the map-side pair-dedup key (r8):
+    a pair matching k bands joins k times, and emitting it only where
+    ``a.band == first_agreeing_band`` replaces the old
+    ``dropDuplicates`` Exchange (a real shuffle at 100 TB) with a
+    filter computed from the two signatures already on the row."""
+    rows_per_band = num_hashes // bands
     band_agree = F.array(
         *[
             F.expr(
@@ -272,7 +269,38 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    first_band = F.array_position(band_agree, F.lit(True)) - 1
+    return F.array_position(band_agree, F.lit(True)) - 1
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, Jaccard-estimated.
+
+    rows-per-band = num_hashes/bands; docs agreeing on any full band
+    become candidates (join on band hash — the classic LSH bucket
+    join); candidates are scored by signature agreement fraction.
+
+    est_jaccard is computed AT THE JOIN OUTPUT and the threshold is
+    applied BEFORE the pair dedup: a pair matching k bands re-scores
+    its 32-element zip_with k times (map-side CPU, bounded by bands),
+    but only 24-byte above-threshold (doc_a, doc_b, est) rows flow
+    on — at 100 TB any pair shuffle is the volume term, the
+    re-scoring is noise.  Each pair is emitted ONLY from its first
+    agreeing band (see :func:`_first_agreeing_band` — the r8 dedup
+    Exchange removal); side effect: a pure md5 bucket collision
+    (buckets equal, band values not) never yields a candidate, which
+    matches the oracle's join-on-band-values semantics exactly.
+    """
+    banded = banded_signatures(documents, num_hashes, bands, n)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    est = _sig_agreement(num_hashes)
+    first_band = _first_agreeing_band(num_hashes, bands)
     return (
         a.join(
             b,
@@ -284,6 +312,74 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_minhash_pairs(
+    band_table: DataFrame,
+    new_docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental corpus dedup, pair stage: near-dup pairs involving
+    at least one NEW document — the join a training-data pipeline
+    runs DAILY (new crawl batch vs the standing corpus) instead of
+    re-deduping 100 TB from scratch.
+
+    *band_table* is the existing corpus's MATERIALIZED
+    :func:`banded_signatures` relation ((doc_id, sig, band, bucket) —
+    stored once per corpus snapshot); *new_docs* is the raw new batch
+    (doc ids must be disjoint from the corpus).  Only the new batch
+    is shingled/hashed; the corpus is never re-tokenized and NEVER
+    self-joined — candidates are (new × (corpus ∪ new)) band-bucket
+    matches, so the base×base quadratic term is gone entirely and the
+    big side is touched exactly once, as a probe target.
+
+    With *broadcast_new* (default) the new band table broadcasts
+    (#new_docs × bands rows ≈ ~300 B each — a daily batch fits in
+    memory at any corpus size) and the corpus side never shuffles AT
+    ALL; set it False for a jumbo backfill batch and the join
+    degrades to a hash shuffle on (band, bucket), which is still
+    linear in corpus size.
+
+    Exactness: a pair's emission depends only on ITS two signatures,
+    so {pairs on grown corpus} = {pairs on old corpus} ∪ {this} —
+    disjointly.  Emission discipline matches
+    :func:`minhash_lsh_pairs`: first agreeing band only, scored at
+    the join output, ``doc_a < doc_b``; old–new pairs emit from the
+    (new, old) side once, new–new pairs are ordered by id.
+    """
+    nb = banded_signatures(new_docs, num_hashes, bands, n)
+    corpus = band_table.select("doc_id", "sig", "band", "bucket").withColumn(
+        "_new", F.lit(False)
+    )
+    both = corpus.unionByName(nb.withColumn("_new", F.lit(True)))
+    a = (F.broadcast(nb) if broadcast_new else nb).alias("a")
+    b = both.alias("b")
+    est = _sig_agreement(num_hashes)
+    first_band = _first_agreeing_band(num_hashes, bands)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            # old partner: always emit (the old side can't emit it);
+            # new partner: order by id so new-new pairs emit once
+            & (
+                (~F.col("b._new"))
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+        )
+        .filter(F.col("a.band") == first_band)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             F.round(est, 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
@@ -527,3 +623,83 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select("node", "component")
+
+
+def incremental_components(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+    stats: dict | None = None,
+    broadcast_remap: bool = True,
+) -> DataFrame:
+    """Incremental corpus dedup, cluster stage: merge a new batch's
+    near-dup edges (:func:`incremental_minhash_pairs`) into an
+    EXISTING component assignment without recomputing the global
+    fixpoint — the daily-batch companion of
+    :func:`connected_components`.
+
+    Algorithm (exact, not approximate):
+
+    1. **Condense**: map each new-edge endpoint to its existing
+       component label (nodes the base assignment has never seen —
+       i.e. new docs — represent themselves); drop edges whose two
+       endpoints condense to the same label (already merged).
+    2. **Solve small**: run the pointer-doubling fixpoint on the
+       condensed graph only — its vertices are (touched base labels ∪
+       new doc ids), so the iterative work is O(new batch), never
+       O(corpus), regardless of corpus size.
+    3. **Remap**: base nodes whose component label appears in the
+       condensed solution take its merged label (broadcast join of
+       the tiny remap relation against the base assignment — one
+       map-side pass over the big side); new nodes take their
+       condensed label directly.
+
+    Exactness: every base label is the MIN id of its base component,
+    and a condensed component's label is the min over its members
+    (base labels and new ids) — which IS the global min of the merged
+    cluster, so labels equal a full recompute's, member for member
+    (pinned by test and by the driver oracle of
+    ``dedup_incremental_components``, whose DuckDB twin recomputes
+    the full graph).  The output covers exactly the nodes a full
+    recompute would: every base node plus every new node touching an
+    edge.
+
+    *broadcast_remap* assumes the condensed solution is small (daily
+    batches touch few components); a backfill that merges a large
+    fraction of the corpus should set it False to fall back to a
+    shuffled equi-join on the label.
+    """
+    e = new_edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    lu = base_labels.select(F.col("node").alias("u"), F.col("component").alias("cu"))
+    lv = base_labels.select(F.col("node").alias("v"), F.col("component").alias("cv"))
+    cond = (
+        e.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            F.coalesce("cu", "u").alias("a"), F.coalesce("cv", "v").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    cc = connected_components(cond, "a", "b", max_iter=max_iter, stats=stats)
+    remap = cc.select(
+        F.col("node").alias("_k"), F.col("component").alias("_c")
+    )
+    if broadcast_remap:
+        remap = F.broadcast(remap)
+    base_out = (
+        base_labels.join(remap, base_labels["component"] == remap["_k"], "left")
+        .select("node", F.coalesce("_c", "component").alias("component"))
+    )
+    new_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .join(base_labels.select("node"), "node", "left_anti")
+    )
+    new_out = (
+        new_nodes.join(remap, new_nodes["node"] == remap["_k"], "left")
+        .select("node", F.coalesce("_c", F.col("node")).alias("component"))
+    )
+    return base_out.unionByName(new_out)

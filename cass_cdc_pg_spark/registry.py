@@ -18,7 +18,7 @@ order-pinned cosine fold, so scores are bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1609,6 +1609,93 @@ def corpus_clean_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 — incremental corpus dedup (daily new-batch vs standing corpus)
+# ---------------------------------------------------------------------------
+
+#: deterministic ~10% "new batch" carve-out of the documents fixture
+#: for the incremental dedup queries — same multiplicative-hash draw
+#: style as text.assign_splits, so the oracle mirrors it verbatim
+_INC_NEW_SQL = "((doc_id % 10000) * 48271) % 10000 < 1000"
+
+
+def _inc_is_new() -> Column:
+    return F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(10000)) * F.lit(48271), F.lit(10000)
+    ) < F.lit(1000)
+
+
+def _inc_split(spark: SparkSession, sf_dir: str):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return docs, docs.filter(~_inc_is_new()), docs.filter(_inc_is_new())
+
+
+def dedup_incremental_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup pair discovery (r9): the ~10% "new batch"
+    carve-out of the corpus joins the BASE corpus's band table —
+    exactly the daily pipeline step (new crawl vs materialized LSH
+    index), never a base×base re-join.  Oracle: the full-corpus pair
+    set filtered to pairs with ≥1 new side — exact because a pair's
+    emission depends only on its two signatures
+    (:func:`operators.dedup.incremental_minhash_pairs`)."""
+    _, base, new = _inc_split(spark, sf_dir)
+    p = _DEDUP_PAIR_PARAMS
+    band_table = dedup.banded_signatures(
+        base, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
+    )
+    return dedup.incremental_minhash_pairs(
+        band_table,
+        new,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        n=p["n"],
+        threshold=p["threshold"],
+    )
+
+
+INCREMENTAL_PAIRS_SQL = f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, est_jaccard FROM pairs
+WHERE ((doc_a % 10000) * 48271) % 10000 < 1000
+   OR ((doc_b % 10000) * 48271) % 10000 < 1000
+"""
+
+
+def dedup_incremental_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (r9): base-corpus components +
+    the new batch's pairs merged via the condensed-graph fixpoint
+    (:func:`operators.dedup.incremental_components`) — the iterative
+    work is O(new batch), never O(corpus).
+
+    The oracle is ``DEDUP_COMPONENTS_SQL`` VERBATIM — the full-graph
+    recompute over the grown corpus — so "incremental == full
+    recompute" is a driver-hash-checked fact every time this query is
+    in the window, not just a pytest pin."""
+    docs, base, new = _inc_split(spark, sf_dir)
+    p = _DEDUP_PAIR_PARAMS
+    base_pairs = dedup.minhash_lsh_pairs(base, **p)
+    base_cc = dedup.connected_components(base_pairs)
+    band_table = dedup.banded_signatures(
+        base, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
+    )
+    inc_pairs = dedup.incremental_minhash_pairs(
+        band_table,
+        new,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        n=p["n"],
+        threshold=p["threshold"],
+    )
+    merged = dedup.incremental_components(base_cc, inc_pairs)
+    out = docs.select("doc_id").join(
+        merged.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component_id"),
+    ).withColumn("is_canonical", F.col("component_id") == F.col("doc_id"))
 
 
 def events_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4064,6 +4151,8 @@ QUERIES = {
     "embeddings_cell_stats": embeddings_cell_stats_q,
     "ann_ivf_recall": ann_ivf_recall_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "dedup_incremental_pairs": dedup_incremental_pairs_q,
+    "dedup_incremental_components": dedup_incremental_components_q,
     "ann_knn_within": ann_knn_within_q,
     "events_moving_stats": events_moving_stats_q,
     "events_props_stats": events_props_stats_q,
@@ -4181,6 +4270,10 @@ ORACLE = {
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_incremental_pairs": INCREMENTAL_PAIRS_SQL,
+    # the full-graph recompute IS the incremental query's oracle:
+    # hash-match == "incremental equals full", checked by the driver
+    "dedup_incremental_components": DEDUP_COMPONENTS_SQL,
     "corpus_clean_keep": CORPUS_CLEAN_SQL,
     "events_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "events_top3_per_user": TOP3_PER_USER_SQL,

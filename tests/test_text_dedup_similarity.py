@@ -894,6 +894,184 @@ def test_dedup_shared_memo_invalidates_on_fixture_change(spark, tmp_path):
         del os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"]
 
 
+_INC_BASE_TEXTS = {
+    1: "alpha beta gamma delta epsilon zeta eta theta",
+    2: "alpha beta gamma delta epsilon zeta eta iota",  # near-dup of 1
+    3: "completely different words about spark engines here",
+    10: "one two three four five six seven eight nine ten",
+    11: "one two three four five six seven eight nine eleven",  # ~10
+}
+#: doc 0 sits BELOW every base id (its id must become the merged
+#: label); doc 5 bridges base components {1,2} and {10,11}; doc 7
+#: matches nothing
+_INC_NEW_TEXTS = {
+    0: "one two three four five six seven eight nine ten",
+    5: "alpha beta gamma delta epsilon zeta eta theta"
+       " one two three four five six seven eight nine ten",
+    7: "unrelated fresh content token stream nothing shared",
+}
+_INC_PARAMS = dict(num_hashes=32, bands=8, n=2, threshold=0.2)
+
+
+def _inc_docs(spark, texts):
+    return spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+
+def test_incremental_minhash_pairs_equals_full_restriction(spark):
+    """r9: the incremental pair stage (new batch vs the base corpus's
+    band table) emits EXACTLY the full-recompute pairs that touch a
+    new doc — same (doc_a, doc_b, est_jaccard) triples — and the base
+    pairs are exactly the rest, so incremental ∪ previous == full.
+    The plan must broadcast the new side (the corpus never
+    shuffles)."""
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = _inc_docs(spark, _INC_BASE_TEXTS)
+    new = _inc_docs(spark, _INC_NEW_TEXTS)
+    grown = base.unionByName(new)
+    new_ids = set(_INC_NEW_TEXTS)
+
+    full = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(grown, **_INC_PARAMS).collect()
+    }
+    assert full, "fixture must produce pairs"
+    want_inc = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert want_inc, "fixture must produce cross-batch pairs"
+
+    bt = banded_signatures(
+        base, _INC_PARAMS["num_hashes"], _INC_PARAMS["bands"], _INC_PARAMS["n"]
+    )
+    inc = incremental_minhash_pairs(bt, new, **_INC_PARAMS)
+    got_inc = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in inc.collect()
+    }
+    assert got_inc == want_inc
+    got_base = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(base, **_INC_PARAMS).collect()
+    }
+    assert got_base == full - want_inc
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """r9: merging the new batch's edges into the base component
+    assignment yields label-for-label the full recompute on the grown
+    corpus — including the two hard cases: a new doc MERGING two base
+    components, and a new doc whose id is smaller than every base
+    label (it must become the merged cluster's label)."""
+    from cass_cdc_pg_spark.operators.dedup import (
+        banded_signatures,
+        connected_components,
+        incremental_components,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = _inc_docs(spark, _INC_BASE_TEXTS)
+    new = _inc_docs(spark, _INC_NEW_TEXTS)
+    grown = base.unionByName(new)
+
+    base_cc = connected_components(minhash_lsh_pairs(base, **_INC_PARAMS))
+    bt = banded_signatures(
+        base, _INC_PARAMS["num_hashes"], _INC_PARAMS["bands"], _INC_PARAMS["n"]
+    )
+    inc_pairs = incremental_minhash_pairs(bt, new, **_INC_PARAMS)
+    got = {
+        (r["node"], r["component"])
+        for r in incremental_components(base_cc, inc_pairs).collect()
+    }
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            minhash_lsh_pairs(grown, **_INC_PARAMS)
+        ).collect()
+    }
+    assert got == want
+    # the bridge doc merged {1,2} with {10,11}, and the sub-minimal
+    # new id 0 is the merged label
+    labels = dict(got)
+    assert labels[1] == labels[10] == labels[5] == labels[0] == 0
+    # an empty new batch is a no-op: assignment passes through intact
+    empty = inc_pairs.limit(0)
+    unchanged = {
+        (r["node"], r["component"])
+        for r in incremental_components(base_cc, empty).collect()
+    }
+    assert unchanged == {
+        (r["node"], r["component"]) for r in base_cc.collect()
+    }
+
+
+def test_incremental_dedup_composes_with_change_feed(spark, tmp_path):
+    """r9 (r8 verdict #3): the daily-batch wiring end-to-end — the
+    corpus lives in a KeyedTable, the new batch arrives as a merge
+    commit, read_changes() IS the new-docs input, and the incremental
+    ladder over the feed matches the full recompute over
+    read_live()."""
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.operators.dedup import (
+        banded_signatures,
+        connected_components,
+        incremental_components,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+    from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+
+    def as_rows(texts, ts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in sorted(texts.items())],
+            "doc_id long, text string",
+        ).select(
+            "doc_id", "text",
+            F.lit(False).alias("_cdc_deleted"),
+            F.lit(ts).cast("long").alias("_cdc_timestamp_micros"),
+            F.lit("").alias("_last_event_id"),
+            F.lit(None).cast("long").alias("_ttl_expiry_timestamp_us"),
+        )
+
+    t = KeyedTable(spark, str(tmp_path / "corpus"), ["doc_id"], num_buckets=4)
+    t.merge(as_rows(_INC_BASE_TEXTS, 1))
+    v_base = t._current_version()
+    t.merge(as_rows(_INC_NEW_TEXTS, 2))
+
+    base = t.read(version=v_base).filter(~F.col("_cdc_deleted")).select("doc_id", "text")
+    feed = t.read_changes(v_base)
+    new = feed.filter(~F.col("_cdc_deleted")).select("doc_id", "text")
+    assert {r["doc_id"] for r in new.collect()} == set(_INC_NEW_TEXTS)
+
+    bt = banded_signatures(
+        base, _INC_PARAMS["num_hashes"], _INC_PARAMS["bands"], _INC_PARAMS["n"]
+    )
+    base_cc = connected_components(minhash_lsh_pairs(base, **_INC_PARAMS))
+    inc_pairs = incremental_minhash_pairs(bt, new, **_INC_PARAMS)
+    got = {
+        (r["node"], r["component"])
+        for r in incremental_components(base_cc, inc_pairs).collect()
+    }
+    live = t.read_live().select("doc_id", "text")
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            minhash_lsh_pairs(live, **_INC_PARAMS)
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_shared_memo_eviction_is_lru_not_fifo():
     """r9 (r8 verdict #3): cycling 5 fixtures through a cap-4 cache
     while fixture A stays hot must evict a COLD fixture, never A —
