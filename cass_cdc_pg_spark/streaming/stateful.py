@@ -44,7 +44,7 @@ def sessionize_stream(
     gap_us: int = 30 * 60 * 1_000_000,
     key_col: str = "user_id",
     ts_us_col: str = "ts_us",
-    idle_timeout_ms: int = 60_000,
+    idle_timeout_ms: int | None = 60_000,
 ) -> DataFrame:
     """Streaming sessionization with per-key state: a session CLOSES
     (and is emitted) when a later event arrives more than *gap_us*
@@ -61,8 +61,21 @@ def sessionize_stream(
     new session (document the watermark bound in deployments that
     need stronger guarantees — the reference accepts any lateness and
     lets reconciliation catch drift, C7).
+
+    ``idle_timeout_ms=None`` disables the idle flush entirely
+    (``NoTimeout``).  This is REQUIRED for bounded
+    ``trigger(availableNow=True)`` replays: once processing-time
+    timers are registered, the engine keeps scheduling timer-check
+    microbatches and the "run until available data is processed" run
+    NEVER terminates (measured r9: ~450 empty batches in 2 minutes on
+    a 3-row input — the engine is polling timers, not data).  A
+    bounded replay closes its sessions with a past-gap sentinel event
+    instead; long-running deployments keep the timeout, where the
+    continuous trigger is the point.
     """
     import pandas as pd
+
+    use_timeout = idle_timeout_ms is not None
 
     def fn(key, pdfs, state: GroupState):
         (user,) = key
@@ -85,7 +98,8 @@ def sessionize_stream(
             else:
                 e, n = max(e, t), n + 1
         state.update((s, e, n))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if use_timeout:
+            state.setTimeoutDuration(idle_timeout_ms)
         if closed:
             yield pd.DataFrame(
                 [[user, a, b, c] for a, b, c in closed], columns=cols
@@ -96,7 +110,11 @@ def sessionize_stream(
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

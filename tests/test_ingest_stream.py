@@ -228,9 +228,12 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
         .json(in_dir)
     )
     q = (
-        # hour-long idle timeout: this test asserts the gap-close path
-        # only, and slow CI batches must not trip the idle flush
-        sessionize_stream(stream, idle_timeout_ms=3_600_000)
+        # NoTimeout: this test asserts the gap-close path only, and a
+        # registered processing-time timer makes an availableNow run
+        # poll timer-check batches FOREVER (r9 finding — the old
+        # 1h-timeout form burned the full awaitTermination budget and
+        # passed only because the rows were already in the sink)
+        sessionize_stream(stream, idle_timeout_ms=None)
         .writeStream.format("memory")
         .queryName("sessions")
         .outputMode("append")
@@ -238,12 +241,57 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # with no timers registered the bounded run must actually END
+    assert q.awaitTermination(120) is True
     rows = spark.sql("SELECT * FROM sessions").collect()
     got = {(r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
            for r in rows}
     # only user 1's first session closed; open sessions are in state
     assert got == {(1, 0): (10 * m, 2)}
+
+
+def test_stateful_sessionize_idle_timeout_flush(spark, tmp_path):
+    """The idle-flush path (state.hasTimedOut): with a CONTINUOUS
+    trigger and a short processing-time timeout, an open session is
+    emitted once its key goes idle.  This is the branch a bounded
+    availableNow replay never reaches (by design — r9: timers force
+    endless timer-poll batches there, so replays run NoTimeout and
+    flush via sentinel instead)."""
+    import json
+    import os
+    import time
+
+    from cass_cdc_pg_spark.streaming.stateful import sessionize_stream
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(f"{in_dir}/b1.jsonl", "w") as fh:
+        fh.write(json.dumps({"user_id": 9, "ts_us": 0}) + "\n")
+    q = (
+        sessionize_stream(
+            spark.readStream.schema("user_id long, ts_us long").json(in_dir),
+            idle_timeout_ms=500,
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_idle")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline and not rows:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM sessions_idle").collect()
+    finally:
+        q.stop()
+    got = [
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in rows
+    ]
+    assert got == [(9, 0, 0, 1)]
 
 
 def test_discovery_round_trip(spark, ingest, tmp_path):
