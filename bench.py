@@ -293,7 +293,9 @@ def streaming_bench(spark, sf_dir: str, tmp: str, n_events: int = 40000,
     )
     q3.awaitTermination()
 
-    def pct(sample: list[float], p: float) -> float:
+    def pct(sample: list[float], p: float) -> float | None:
+        if not sample:
+            return None
         s = sorted(sample)
         return round(s[min(len(s) - 1, int(p * len(s)))], 3)
 
@@ -305,6 +307,17 @@ def streaming_bench(spark, sf_dir: str, tmp: str, n_events: int = 40000,
         "microbatch_p50_sec": pct(lat, 0.50),
         "microbatch_p95_sec": pct(lat, 0.95),
         "microbatch_batches": len(lat),
+        # BOTH runs' percentiles (r8 ADVICE): the chosen-min fields
+        # above measure the engine's steady state, but publishing only
+        # the winner one-sidedly biases the record — these carry the
+        # actual variance band (run 1 includes the crash-injected pass
+        # plus its replay, run 2 is crash-free)
+        "microbatch_p50_run1_sec": pct(latencies, 0.50),
+        "microbatch_p95_run1_sec": pct(latencies, 0.95),
+        "microbatch_batches_run1": len(latencies),
+        "microbatch_p50_run2_sec": pct(latencies2, 0.50),
+        "microbatch_p95_run2_sec": pct(latencies2, 0.95),
+        "microbatch_batches_run2": len(latencies2),
         "kill_restart_crash_injected": crashed,
         "kill_restart_rows_expected": len(rows),
         "kill_restart_rows_lost": len(rows) - live if live <= len(rows) else 0,
@@ -795,18 +808,39 @@ def main() -> None:
     # Honest-cold companion numbers: the dedup/semdedup families share
     # session-scoped materialized pair/fixpoint tables (registry memos),
     # so their warm per-query walls above time reuse, as a live engine
-    # would.  These two fields time the FULL computation with the memo
-    # bypassed so the record carries both views (tools/scale_proof.py
-    # measures scaling the same way).
+    # would.  These fields time the FULL computation with the memo
+    # bypassed so the record carries both views for EVERY memo consumer
+    # (r8 verdict #2 — with only 2 of 6 published, round-over-round
+    # pipeline totals quietly mixed memoized and real work), and
+    # pipeline_total_cold restates the pipeline total with the
+    # in-pipeline consumers swapped to their cold walls so totals stay
+    # apples-to-apples across rounds (tools/scale_proof.py measures
+    # scaling the same way).
+    MEMO_CONSUMERS = [
+        "dedup_minhash_lsh",
+        "dedup_components",
+        "dedup_cluster_sizes",
+        "corpus_clean_keep",  # not in PIPELINE; cold wall still published
+        "embedding_semdedup_keep",
+        "embedding_semdedup_greedy",
+    ]
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
     try:
-        for name in ("dedup_cluster_sizes", "embedding_semdedup_greedy"):
+        for name in MEMO_CONSUMERS:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()
             cold[f"{name}_cold_sec"] = round(time.time() - t0, 3)
     finally:
         del os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"]
+    pipeline_total_cold = round(
+        sum(pipeline.values())
+        - sum(pipeline[n] for n in MEMO_CONSUMERS if n in pipeline)
+        + sum(
+            cold[f"{n}_cold_sec"] for n in MEMO_CONSUMERS if n in pipeline
+        ),
+        3,
+    )
 
     import tempfile
 
@@ -846,6 +880,7 @@ def main() -> None:
         "queries": timings,
         "pipeline_queries": pipeline,
         "pipeline_total": round(sum(pipeline.values()), 3),
+        "pipeline_total_cold": pipeline_total_cold,
         **cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm": True,
@@ -875,10 +910,12 @@ def main() -> None:
 #: round-over-round comparison needs, nothing that can grow with the
 #: query count
 HEADLINE_KEYS = [
-    "metric", "value", "unit", "queries", "pipeline_total", "sf",
+    "metric", "value", "unit", "queries", "pipeline_total",
+    "pipeline_total_cold", "sf",
     "warm", "ingest_events_per_sec",
     "ingest_events_per_sec_256_buckets", "microbatch_p50_sec",
-    "microbatch_p95_sec", "kill_restart_crash_injected",
+    "microbatch_p95_sec", "microbatch_p95_run1_sec",
+    "microbatch_p95_run2_sec", "kill_restart_crash_injected",
     "kill_restart_rows_expected", "kill_restart_rows_lost",
     "kill_restart_rows_duplicated", "http_requests_per_sec",
     "http_p95_ms", "http_errors", "contract_floor_sec",

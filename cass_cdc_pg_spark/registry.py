@@ -4306,24 +4306,91 @@ FROM d GROUP BY 1
 
 
 QUERIES = {
-    # ---- r8 head (driver window = first 50 entries) ----
-    # (a) the 3 r7-new queries that sat just past r7's 50-cap:
+    # ---- r9 head (driver window = first 50 entries) ----
+    # (a) the 5 r6-green tail entries documented in r8 to lead this
+    # window (last driver row: CORRECTNESS_r06.json; replayed green by
+    # the r8 judge AND by tools/check_oracle.py this round):
+    "part_min_cost_supplier": part_min_cost_supplier_q,
+    "sales_returns_by_brand": sales_returns_by_brand_q,
+    "segment_status_revenue": segment_status_revenue_q,
+    "events_daily_active": events_daily_active_q,
+    "lineitem_profile": lineitem_profile_q,
+    # (b) new in r9 (never driver-checked): the incremental-dedup
+    # daily-batch ladder, document chunking, and the stateful-stream
+    # parity twins:
+    "dedup_incremental_pairs": dedup_incremental_pairs_q,
+    "dedup_incremental_components": dedup_incremental_components_q,
+    "docs_chunk_windows": docs_chunk_windows_q,
+    "stream_sessionize_parity": stream_sessionize_parity_q,
+    "stream_funnel_parity": stream_funnel_parity_q,
+    # (c) rewritten in r9 (rewritten-stays-in-window contract): the
+    # two two-phase-rank queries now freeze their range partitioning
+    # (frozen_range_pid — r8 ADVICE high/medium), and the greedy stats
+    # row became a lazy aggregate over the survivor plan:
+    "customer_value_deciles": customer_value_deciles_q,
+    "docs_token_budget": docs_token_budget_q,
+    "embedding_semdedup_greedy_stats": embedding_semdedup_greedy_stats_q,
+    # (d) the r7-green block (last driver row CORRECTNESS_r07.json):
+    # 37 of 47 fit; the 10 remainder lead r10 (see tail note).
+    "events_funnel": events_funnel_q,
+    "users_retention_cohorts": users_retention_cohorts_q,
+    "docs_ngram_topk": docs_ngram_topk_q,
+    "docs_tfidf_topterms": docs_tfidf_topterms_q,
+    "events_type_transitions": events_type_transitions_q,
+    "sales_rollup_totals": sales_rollup_totals_q,
+    "dedup_components": dedup_components_q,
+    "text_token_rarity": text_token_rarity_q,
+    "schema_evolution": schema_evolution_q,
+    "multimodal_features": multimodal_features_q,
+    "events_throughput_1min": events_throughput_1min_q,
+    "events_hopping_5min_1min": events_hopping_q,
+    "events_sessionize": events_sessionize_q,
+    "events_asof_session": events_asof_session_q,
+    "events_interval_session": events_interval_session_q,
+    "q1_row_count": q1_row_count,
+    "text_pii_scrub": text_pii_scrub_q,
+    "docs_source_stats": docs_source_stats_q,
+    "events_user_features": events_user_features_q,
+    "sales_by_nation_quarter": sales_by_nation_quarter_q,
+    "events_user_features_5min": events_user_features_5min_q,
+    "q2_checksums": q2_checksums,
+    "q3_checksum_diff": q3_checksum_diff,
+    "q11_listing_orders": q11_listing_orders,
+    "q18_gdpr_erasure": q18_gdpr_erasure,
+    "c1_lww_state": c1_lww_state,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "text_fingerprint": text_fingerprint_q,
+    "q20_drift_severity": q20_drift_severity,
+    "q19_retention": q19_retention,
+    "events_key_skew": events_key_skew_q,
+    "orders_fulfillment_lag": orders_fulfillment_lag_q,
+    "docs_dup_rate_by_source": docs_dup_rate_by_source_q,
+    "customer_order_recency": customer_order_recency_q,
+    "events_gap_stats": events_gap_stats_q,
+    "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
+    "sales_promo_share": sales_promo_share_q,
+    # ---- past the 50-cap this round; ALL re-checked every round by
+    # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
+    # FIRST the 10 r7-green entries that did not fit the r9 window
+    # (q4-q8, q12, q13, q17, q21, q22 — the long-green, low-risk
+    # listing/diff variants, each replayed green by check_oracle this
+    # round), THEN the r8-green block below.
+    "q4_missing_in_source": q4_missing_in_source,
+    "q5_range_diff": q5_range_diff,
+    "q6_sample": q6_sample,
+    "q7_point_lookup": q7_point_lookup,
+    "q8_field_diff": q8_field_diff,
+    "q12_listing_events": q12_listing_events,
+    "q13_listing_lineitem": q13_listing_lineitem,
+    "q17_table_counts": q17_table_counts,
+    "q21_dlq_replay_select": q21_dlq_replay_select,
+    "q22_resolve_update": q22_resolve_update,
+    # ---- r8-green block (all green in CORRECTNESS_r08.json) ----
     "lineitem_discount_bands": lineitem_discount_bands_q,
     "docs_split_stats": docs_split_stats_q,
     "docs_duplicated_spans": docs_duplicated_spans_q,
-    # (b) the greedy-MIS query, now WITH a recursive-CTE oracle
-    # (SEMDEDUP_GREEDY_SQL) — closes r7's one no_oracle row — plus its
-    # new convergence-observability twin:
     "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
-    "embedding_semdedup_greedy_stats": embedding_semdedup_greedy_stats_q,
-    # (c) rewritten this round (r8): the de-skew deciles rollup lost
-    # its persist+collect (windowed prefix offsets instead) — rewritten
-    # queries stay in-window per the rotation contract:
-    "customer_value_deciles": customer_value_deciles_q,
-    # (c2) composes on r8-touched connected_components, so it re-enters
-    # the window too (rewritten-stays-in-window contract):
     "corpus_clean_keep": corpus_clean_keep_q,
-    # (d) the r6-green tail (43 of 48 fit; the last 5 lead r9) ----
     "events_stratified_sample": events_stratified_sample_q,
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
@@ -4331,9 +4398,7 @@ QUERIES = {
     "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "docs_token_percentiles": docs_token_percentiles_q,
     "docs_mix_upsample": docs_mix_upsample_q,
-    "docs_token_budget": docs_token_budget_q,
     "docs_pack_sequences": docs_pack_sequences_q,
-    "docs_chunk_windows": docs_chunk_windows_q,
     "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
     "embedding_neardup": embedding_neardup_q,
@@ -4358,8 +4423,6 @@ QUERIES = {
     "embeddings_cell_stats": embeddings_cell_stats_q,
     "ann_ivf_recall": ann_ivf_recall_q,
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
-    "dedup_incremental_pairs": dedup_incremental_pairs_q,
-    "dedup_incremental_components": dedup_incremental_components_q,
     "ann_knn_within": ann_knn_within_q,
     "events_moving_stats": events_moving_stats_q,
     "events_props_stats": events_props_stats_q,
@@ -4370,68 +4433,6 @@ QUERIES = {
     "embedding_semdedup_keep": embedding_semdedup_keep_q,
     "dedup_cluster_sizes": dedup_cluster_sizes_q,
     "orders_priority_late": orders_priority_late_q,
-    # ---- past the 50-cap this round; ALL re-checked every round by
-    # tools/check_oracle.py + pytest.  Rotation bookkeeping for r9:
-    # the 5 r6-green tail entries that did not fit the r8 window lead
-    # the r9 window, followed by the r7-green block below (r7-green =
-    # CORRECTNESS_r07.json; last driver-green round noted per block).
-    "part_min_cost_supplier": part_min_cost_supplier_q,
-    "sales_returns_by_brand": sales_returns_by_brand_q,
-    "segment_status_revenue": segment_status_revenue_q,
-    "events_daily_active": events_daily_active_q,
-    "lineitem_profile": lineitem_profile_q,
-    # ---- r7-green block (all green in CORRECTNESS_r07.json) ----
-    "events_funnel": events_funnel_q,
-    "users_retention_cohorts": users_retention_cohorts_q,
-    "docs_ngram_topk": docs_ngram_topk_q,
-    "docs_tfidf_topterms": docs_tfidf_topterms_q,
-    "events_type_transitions": events_type_transitions_q,
-    "sales_rollup_totals": sales_rollup_totals_q,
-    "dedup_components": dedup_components_q,
-    "text_token_rarity": text_token_rarity_q,
-    "schema_evolution": schema_evolution_q,
-    "multimodal_features": multimodal_features_q,
-    "events_throughput_1min": events_throughput_1min_q,
-    "events_hopping_5min_1min": events_hopping_q,
-    "events_sessionize": events_sessionize_q,
-    "stream_sessionize_parity": stream_sessionize_parity_q,
-    "stream_funnel_parity": stream_funnel_parity_q,
-    "events_asof_session": events_asof_session_q,
-    "events_interval_session": events_interval_session_q,
-    "q1_row_count": q1_row_count,
-    "text_pii_scrub": text_pii_scrub_q,
-    "docs_source_stats": docs_source_stats_q,
-    "events_user_features": events_user_features_q,
-    "sales_by_nation_quarter": sales_by_nation_quarter_q,
-    "events_user_features_5min": events_user_features_5min_q,
-    "q2_checksums": q2_checksums,
-    "q3_checksum_diff": q3_checksum_diff,
-    "q11_listing_orders": q11_listing_orders,
-    "q18_gdpr_erasure": q18_gdpr_erasure,
-    "c1_lww_state": c1_lww_state,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "text_fingerprint": text_fingerprint_q,
-    "q20_drift_severity": q20_drift_severity,
-    "q19_retention": q19_retention,
-    "q21_dlq_replay_select": q21_dlq_replay_select,
-    "q22_resolve_update": q22_resolve_update,
-    "q4_missing_in_source": q4_missing_in_source,
-    "q5_range_diff": q5_range_diff,
-    "q6_sample": q6_sample,
-    "q7_point_lookup": q7_point_lookup,
-    "q8_field_diff": q8_field_diff,
-    "q12_listing_events": q12_listing_events,
-    "q13_listing_lineitem": q13_listing_lineitem,
-    "q17_table_counts": q17_table_counts,
-    # ---- r7-green, rewritten in r7 (unchanged in r8) ----
-    "events_key_skew": events_key_skew_q,
-    # ---- r7-green, new in r7 ----
-    "orders_fulfillment_lag": orders_fulfillment_lag_q,
-    "docs_dup_rate_by_source": docs_dup_rate_by_source_q,
-    "customer_order_recency": customer_order_recency_q,
-    "events_gap_stats": events_gap_stats_q,
-    "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
-    "sales_promo_share": sales_promo_share_q,
 }
 
 ORACLE = {

@@ -39,9 +39,17 @@ SELECTED: list[tuple[str, str]] = [
      "FlatMapGroupsInPandas, only top-k-reachable candidates reach "
      "the ranking shuffle (JVM fold path retained, bit-identical)"),
     ("docs_token_budget",
-     "single-action cumsum (r8): rangepartitioning + _pid-partitioned "
-     "running-sum window + broadcast offsets; no Exchange "
-     "SinglePartition, no persist/collect"),
+     "frozen two-phase cumsum (r9): the ranged relation is ONE lazy "
+     "localCheckpoint (Scan ExistingRDD, no rangepartitioning in this "
+     "plan) read by both the running-sum window (_pid-partitioned) "
+     "and the broadcast-offsets branch; no Exchange SinglePartition"),
+    ("dedup_incremental_pairs",
+     "daily-batch near-dup (r9): new-side band table broadcast "
+     "against base-corpus bands; no base x base self-join, no "
+     "CartesianProduct"),
+    ("docs_chunk_windows",
+     "overlapping token-window chunking (r9): per-row HOF pipeline, "
+     "ZERO Exchange"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
     ("docs_source_stats",
      "one text scan; shuffles carry hashes/counters only"),
@@ -79,10 +87,12 @@ SELECTED: list[tuple[str, str]] = [
     ("part_min_cost_supplier",
      "decimal-exact argmin; WindowGroupLimit after partial agg"),
     ("customer_value_deciles",
-     "exact NTILE, single action (r8): range-partitioned local rank "
-     "(window PARTITIONED on _pid), broadcast cross-join offsets "
-     "over O(#partitions) rows; no unpartitioned Window, no Exchange "
-     "SinglePartition, no persist/collect"),
+     "exact NTILE over a FROZEN range partitioning (r9): rank and "
+     "offset branches read one localCheckpoint RDD (Scan ExistingRDD; "
+     "a rangepartitioning Exchange here would mean the branches "
+     "re-sample boundaries independently — the r8 ADVICE bug); window "
+     "PARTITIONED on _pid, broadcast offsets, no Exchange "
+     "SinglePartition"),
     ("segment_status_revenue",
      "big-big custkey shuffle join, projections pruned pre-Exchange"),
     ("events_daily_active",

@@ -71,6 +71,35 @@ def _replicate_orders(spark, sf_dir: str, out: str) -> None:
     big.write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
 
+def _replicate_events(spark, sf_dir: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hi_e = ev.agg(F.max("event_id")).first()[0] + 1
+    hi_u = ev.agg(F.max("user_id")).first()[0] + 1
+    parts = []
+    for i in range(REPLICAS):
+        # shift BOTH ids: distinct keys scale 10x while each key keeps
+        # its per-user row distribution — the grown-corpus shape the
+        # skew profiler must stay sub-linear on (hot-key share is
+        # scale-free, so the profile's answer stays comparable)
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * hi_e)).alias("event_id"),
+                (F.col("user_id") + F.lit(i * hi_u)).alias("user_id"),
+                *[
+                    c
+                    for c in ev.columns
+                    if c not in ("event_id", "user_id")
+                ],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+
 def _timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -91,6 +120,7 @@ def main() -> None:
         dedup_cluster_sizes_q,
         docs_duplicated_spans_q,
         dedup_components_q,
+        events_key_skew_q,
     )
     from cass_cdc_pg_spark.session import get_spark
 
@@ -104,11 +134,15 @@ def main() -> None:
         "dedup_components": dedup_components_q,
         "docs_duplicated_spans": docs_duplicated_spans_q,
         "customer_value_deciles": customer_value_deciles_q,
+        # r9 (r8 verdict #5): the second floor-bound perf entry joins
+        # the measured-scaling record alongside deciles
+        "events_key_skew": events_key_skew_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
         _replicate_docs(spark, sf_dir, tmp)
         _replicate_orders(spark, sf_dir, tmp)
+        _replicate_events(spark, sf_dir, tmp)
         # the 10x dir needs every table the query loaders touch; the
         # remaining tables are only read by loaders we don't call here
         report: dict = {"sf_dir": sf_dir, "replicas": REPLICAS, "queries": {}}
