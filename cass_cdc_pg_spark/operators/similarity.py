@@ -376,6 +376,33 @@ def ivf_topk(
     return _topk(scored, k)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest EXISTING centroid (argmax
+    cosine, ties → lowest cell) without retraining — the index
+    maintenance step a daily embedding batch runs against a standing
+    IVF index (r9, the ANN sibling of the incremental dedup path:
+    the index is materialized state, the batch is a delta).
+
+    Pure constant-folded projection (``_cell_scores`` — the same
+    assignment expression ``ivf_topk`` and the cell-stats profile
+    use): no shuffle, no Python, embarrassingly parallel at any batch
+    size; downstream per-cell rollups decide when assignment quality
+    has drifted enough to retrain.  Output: (id, cell, sim) with sim
+    rounded to 6 dp so downstream min/max stats are partition-order
+    independent and engine-exact."""
+    scores = _cell_scores(f"`{vec_col}`", centroids)
+    return vectors.select(
+        F.col(id_col),
+        F.array_position(scores, F.array_max(scores)).alias("cell"),
+        F.round(F.array_max(scores), 6).alias("sim"),
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -2372,7 +2372,21 @@ def _replay_chunks(
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
+            # bounded wait: a pass that can't finish one small chunk
+            # in 10 min is wedged (e.g. a processing-time timer
+            # reintroduced — availableNow then polls timers forever,
+            # the r9 finding) — fail THIS query loudly instead of
+            # hanging the whole correctness harness
+            try:
+                if not q.awaitTermination(600):
+                    raise TimeoutError(
+                        f"stream replay pass {i} did not terminate in "
+                        "600s — availableNow is wedged (timer "
+                        "polling?); see sessionize_stream docstring"
+                    )
+            finally:
+                if q.isActive:
+                    q.stop()
 
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -2589,6 +2603,83 @@ def cell_stats_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
         except FileNotFoundError:
             return None
     return _CELL_STATS_SQL_CACHE[key]
+
+
+#: deterministic ~10% "new batch" carve-out of the embeddings fixture
+#: (same draw style as the documents split)
+_EMB_NEW_SQL = "((vec_id % 10000) * 48271) % 10000 < 1000"
+
+
+def _emb_is_new() -> Column:
+    return F.pmod(
+        F.pmod(F.col("vec_id"), F.lit(10000)) * F.lit(48271), F.lit(10000)
+    ) < F.lit(1000)
+
+
+def ann_ivf_incremental_assign_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF index maintenance (r9): the ~10% "new batch" carve-out of
+    the embeddings assigned to the STANDING centroids (no retrain —
+    the assignment is the same constant-folded projection the probe
+    path uses), rolled up per cell: arrival count + assignment-quality
+    range.  This is the drift report an ANN deployment reads daily to
+    decide when to retrain; at 100 TB the batch never shuffles except
+    for the ncentroids-row rollup.  Sim rounds to 6 dp BEFORE min/max
+    (order-independent, engine-exact — same stance as
+    ``embeddings_cell_stats``)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(
+        emb.filter(_emb_is_new()), _ivf_centroids(sf_dir)
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )
+
+
+def _incr_assign_sql(centroids: list[list[float]]) -> str:
+    cent_rows = ", ".join(
+        f"({i + 1}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(centroids)
+    )
+    return f"""
+WITH cent(cell, ctr) AS (VALUES {cent_rows}),
+cscore AS (
+  SELECT e.vec_id, e.embedding AS vec, cent.cell, {_cos_sql('vec', 'ctr')} AS s
+  FROM embeddings e CROSS JOIN cent
+  WHERE {_EMB_NEW_SQL}),
+cassign AS (
+  SELECT vec_id, cell, ROUND(s, 6) AS sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore)
+  WHERE rn = 1)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
+       MIN(sim) AS min_sim, MAX(sim) AS max_sim
+FROM cassign GROUP BY cell
+"""
+
+
+_INCR_ASSIGN_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def incr_assign_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _INCR_ASSIGN_SQL_CACHE:
+        try:
+            _INCR_ASSIGN_SQL_CACHE[key] = _incr_assign_sql(
+                _ivf_centroids(sf_dir)
+            )
+        except FileNotFoundError:
+            return None
+    return _INCR_ASSIGN_SQL_CACHE[key]
 
 
 def docs_tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4316,10 +4407,11 @@ QUERIES = {
     "events_daily_active": events_daily_active_q,
     "lineitem_profile": lineitem_profile_q,
     # (b) new in r9 (never driver-checked): the incremental-dedup
-    # daily-batch ladder, document chunking, and the stateful-stream
-    # parity twins:
+    # daily-batch ladder, incremental IVF assignment, document
+    # chunking, and the stateful-stream parity twins:
     "dedup_incremental_pairs": dedup_incremental_pairs_q,
     "dedup_incremental_components": dedup_incremental_components_q,
+    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
     "docs_chunk_windows": docs_chunk_windows_q,
     "stream_sessionize_parity": stream_sessionize_parity_q,
     "stream_funnel_parity": stream_funnel_parity_q,
@@ -4331,7 +4423,7 @@ QUERIES = {
     "docs_token_budget": docs_token_budget_q,
     "embedding_semdedup_greedy_stats": embedding_semdedup_greedy_stats_q,
     # (d) the r7-green block (last driver row CORRECTNESS_r07.json):
-    # 37 of 47 fit; the 10 remainder lead r10 (see tail note).
+    # 36 of 47 fit; the 11 remainder lead r10 (see tail note).
     "events_funnel": events_funnel_q,
     "users_retention_cohorts": users_retention_cohorts_q,
     "docs_ngram_topk": docs_ngram_topk_q,
@@ -4368,13 +4460,13 @@ QUERIES = {
     "customer_order_recency": customer_order_recency_q,
     "events_gap_stats": events_gap_stats_q,
     "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
-    "sales_promo_share": sales_promo_share_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 10 r7-green entries that did not fit the r9 window
-    # (q4-q8, q12, q13, q17, q21, q22 — the long-green, low-risk
-    # listing/diff variants, each replayed green by check_oracle this
-    # round), THEN the r8-green block below.
+    # FIRST the 11 r7-green entries that did not fit the r9 window
+    # (sales_promo_share + q4-q8, q12, q13, q17, q21, q22 — the
+    # long-green, low-risk entries, each replayed green by
+    # check_oracle this round), THEN the r8-green block below.
+    "sales_promo_share": sales_promo_share_q,
     "q4_missing_in_source": q4_missing_in_source,
     "q5_range_diff": q5_range_diff,
     "q6_sample": q6_sample,
@@ -4557,6 +4649,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     cs = cell_stats_oracle_sql(sf_dir)
     if cs is not None:
         out["embeddings_cell_stats"] = cs
+    ia = incr_assign_oracle_sql(sf_dir)
+    if ia is not None:
+        out["ann_ivf_incremental_assign"] = ia
     rc = ivf_recall_oracle_sql(sf_dir)
     if rc is not None:
         out["ann_ivf_recall"] = rc

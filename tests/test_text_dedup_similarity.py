@@ -894,6 +894,31 @@ def test_dedup_shared_memo_invalidates_on_fixture_change(spark, tmp_path):
         del os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"]
 
 
+def test_ivf_assign_known_cells_and_shuffle_free(spark):
+    """ivf_assign (r9): nearest-centroid assignment by cosine with
+    ties to the lowest cell, sim = rounded winning cosine, and the
+    projection plan has NO Exchange (index maintenance must be
+    map-side at any batch size)."""
+    from cass_cdc_pg_spark.operators.similarity import ivf_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [10.0, 1.0]),   # cell 1
+        (2, [0.5, 8.0]),    # cell 2
+        (3, [3.0, 3.0]),    # exact tie -> lowest cell (1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_assign(df, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["vec_id"]: (r["cell"], r["sim"]) for r in out.collect()}
+    assert got[1][0] == 1 and got[2][0] == 2 and got[3][0] == 1
+    import math
+
+    assert abs(got[1][1] - 10.0 / math.sqrt(101.0)) < 1e-6
+    assert abs(got[3][1] - round(1 / math.sqrt(2), 6)) < 1e-6
+
+
 _INC_BASE_TEXTS = {
     1: "alpha beta gamma delta epsilon zeta eta theta",
     2: "alpha beta gamma delta epsilon zeta eta iota",  # near-dup of 1
