@@ -703,3 +703,69 @@ def incremental_components(
         .select("node", F.coalesce("_c", F.col("node")).alias("component"))
     )
     return base_out.unionByName(new_out)
+
+
+def incremental_admission(
+    merged_labels: DataFrame,
+    base_ids: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup, decision stage: which NEW docs are
+    ADMITTED into the corpus — the output a daily ingestion job
+    actually acts on (pairs and clusters are evidence; this is the
+    verdict).
+
+    First-seen wins: a new doc is admitted iff its near-dup cluster
+    (on the grown graph — *merged_labels* from
+    :func:`incremental_components`; absent nodes are singletons)
+    contains NO incumbent (base) doc AND the doc is the lowest-id new
+    member of its cluster.  An incumbent is never displaced — even by
+    a new doc with a smaller id — which is what distinguishes
+    admission from the label's ``is_canonical`` flag (labels are
+    min-ids; incumbency is seniority).
+
+    Scale shape: the touched-cluster set is O(new batch), so the
+    incumbent check SEMI-joins the corpus assignment against a
+    broadcast of the new batch's cluster ids — the corpus moves
+    through one partial-aggregated count over touched clusters only;
+    nothing quadratic, nothing corpus-wide shuffled by text.
+
+    *base_ids* / *new_ids*: one-column id DataFrames (disjoint).
+    Output: (id_col, component_id, admit) for every new doc.
+    """
+    lbl = merged_labels.withColumnRenamed("node", id_col)
+    new_assign = (
+        new_ids.join(lbl, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component_id"),
+        )
+    )
+    touched = new_assign.select("component_id").distinct()
+    base_assign = (
+        base_ids.join(lbl, id_col, "left")
+        .select(
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component_id")
+        )
+    )
+    n_base = (
+        base_assign.join(F.broadcast(touched), "component_id", "left_semi")
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("_n_base"))
+    )
+    first_new = new_assign.groupBy("component_id").agg(
+        F.min(id_col).alias("_first_new")
+    )
+    return (
+        new_assign.join(F.broadcast(n_base), "component_id", "left")
+        .join(F.broadcast(first_new), "component_id")
+        .select(
+            id_col,
+            "component_id",
+            (
+                F.col("_n_base").isNull()
+                & (F.col(id_col) == F.col("_first_new"))
+            ).alias("admit"),
+        )
+    )

@@ -1698,6 +1698,61 @@ def dedup_incremental_components_q(spark: SparkSession, sf_dir: str) -> DataFram
     ).withColumn("is_canonical", F.col("component_id") == F.col("doc_id"))
 
 
+def dedup_incremental_admission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily ADMISSION decision (r9): for every new-batch doc,
+    admit iff its grown-graph cluster holds no incumbent and the doc
+    is its cluster's first-seen (lowest-id) new member — the verdict
+    stage on top of ``dedup_incremental_components``
+    (:func:`operators.dedup.incremental_admission`).  Oracle replays
+    the rule over the FULL-graph recompute, so first-seen-wins
+    semantics are hash-checked end to end."""
+    docs, base, new = _inc_split(spark, sf_dir)
+    p = _DEDUP_PAIR_PARAMS
+    base_pairs = dedup.minhash_lsh_pairs(base, **p)
+    base_cc = dedup.connected_components(base_pairs)
+    band_table = dedup.banded_signatures(
+        base, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
+    )
+    inc_pairs = dedup.incremental_minhash_pairs(
+        band_table,
+        new,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        n=p["n"],
+        threshold=p["threshold"],
+    )
+    merged = dedup.incremental_components(base_cc, inc_pairs)
+    return dedup.incremental_admission(
+        merged, base.select("doc_id"), new.select("doc_id")
+    )
+
+
+INCREMENTAL_ADMISSION_SQL = f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY node),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS cid,
+         ((d.doc_id % 10000) * 48271) % 10000 < 1000 AS is_new
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+flags AS (
+  SELECT cid,
+         SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS n_base,
+         MIN(CASE WHEN is_new THEN doc_id END) AS first_new
+  FROM assign GROUP BY cid)
+SELECT a.doc_id, a.cid AS component_id,
+       (f.n_base = 0 AND a.doc_id = f.first_new) AS admit
+FROM assign a JOIN flags f USING (cid)
+WHERE a.is_new
+"""
+
+
 def events_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data-mix quota sampling: at most 100 events per
     event_type, selected by a deterministic uniform order (md5 of the
@@ -4411,6 +4466,7 @@ QUERIES = {
     # chunking, and the stateful-stream parity twins:
     "dedup_incremental_pairs": dedup_incremental_pairs_q,
     "dedup_incremental_components": dedup_incremental_components_q,
+    "dedup_incremental_admission": dedup_incremental_admission_q,
     "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
     "docs_chunk_windows": docs_chunk_windows_q,
     "stream_sessionize_parity": stream_sessionize_parity_q,
@@ -4423,7 +4479,7 @@ QUERIES = {
     "docs_token_budget": docs_token_budget_q,
     "embedding_semdedup_greedy_stats": embedding_semdedup_greedy_stats_q,
     # (d) the r7-green block (last driver row CORRECTNESS_r07.json):
-    # 36 of 47 fit; the 11 remainder lead r10 (see tail note).
+    # 35 of 47 fit; the 12 remainder lead r10 (see tail note).
     "events_funnel": events_funnel_q,
     "users_retention_cohorts": users_retention_cohorts_q,
     "docs_ngram_topk": docs_ngram_topk_q,
@@ -4459,13 +4515,14 @@ QUERIES = {
     "docs_dup_rate_by_source": docs_dup_rate_by_source_q,
     "customer_order_recency": customer_order_recency_q,
     "events_gap_stats": events_gap_stats_q,
-    "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 11 r7-green entries that did not fit the r9 window
-    # (sales_promo_share + q4-q8, q12, q13, q17, q21, q22 — the
-    # long-green, low-risk entries, each replayed green by
-    # check_oracle this round), THEN the r8-green block below.
+    # FIRST the 12 r7-green entries that did not fit the r9 window
+    # (lineitem_revenue_forecast, sales_promo_share + q4-q8, q12,
+    # q13, q17, q21, q22 — the long-green, low-risk entries, each
+    # replayed green by check_oracle this round), THEN the r8-green
+    # block below.
+    "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
     "sales_promo_share": sales_promo_share_q,
     "q4_missing_in_source": q4_missing_in_source,
     "q5_range_diff": q5_range_diff,
@@ -4576,6 +4633,7 @@ ORACLE = {
     # the full-graph recompute IS the incremental query's oracle:
     # hash-match == "incremental equals full", checked by the driver
     "dedup_incremental_components": DEDUP_COMPONENTS_SQL,
+    "dedup_incremental_admission": INCREMENTAL_ADMISSION_SQL,
     "corpus_clean_keep": CORPUS_CLEAN_SQL,
     "events_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "events_top3_per_user": TOP3_PER_USER_SQL,

@@ -1039,6 +1039,44 @@ def test_incremental_components_equal_full_recompute(spark):
     }
 
 
+def test_incremental_admission_first_seen_wins(spark):
+    """r9: admission is SENIORITY, not min-id canonicality — a new doc
+    whose cluster holds any incumbent is rejected even when its id is
+    the cluster minimum; among incumbent-free clusters only the
+    lowest-id new member is admitted; singleton new docs are
+    admitted."""
+    from cass_cdc_pg_spark.operators.dedup import (
+        banded_signatures,
+        connected_components,
+        incremental_admission,
+        incremental_components,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = _inc_docs(spark, _INC_BASE_TEXTS)
+    new = _inc_docs(spark, _INC_NEW_TEXTS)
+    p = _INC_PARAMS
+    base_cc = connected_components(minhash_lsh_pairs(base, **p))
+    bt = banded_signatures(base, p["num_hashes"], p["bands"], p["n"])
+    inc_pairs = incremental_minhash_pairs(bt, new, **p)
+    merged = incremental_components(base_cc, inc_pairs)
+    got = {
+        r["doc_id"]: (r["component_id"], r["admit"])
+        for r in incremental_admission(
+            merged, base.select("doc_id"), new.select("doc_id")
+        ).collect()
+    }
+    assert set(got) == set(_INC_NEW_TEXTS)
+    # doc 0 duplicates incumbent 10 and is the cluster's MIN id — the
+    # label says canonical, admission says rejected (incumbency wins)
+    assert got[0] == (0, False)
+    # doc 5 bridges two incumbent clusters — rejected
+    assert got[5][1] is False
+    # doc 7 matches nothing — admitted as a singleton
+    assert got[7] == (7, True)
+
+
 def test_incremental_dedup_composes_with_change_feed(spark, tmp_path):
     """r9 (r8 verdict #3): the daily-batch wiring end-to-end — the
     corpus lives in a KeyedTable, the new batch arrives as a merge
