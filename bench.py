@@ -89,6 +89,12 @@ PIPELINE = [
     "lineitem_discount_bands",
     "docs_split_stats",
     "docs_duplicated_spans",
+    # r9 additions
+    "docs_chunk_windows",
+    "ann_ivf_incremental_assign",
+    "dedup_incremental_pairs",
+    "dedup_incremental_components",
+    "dedup_incremental_admission",
 ]
 
 
@@ -823,6 +829,12 @@ def main() -> None:
         "corpus_clean_keep",  # not in PIPELINE; cold wall still published
         "embedding_semdedup_keep",
         "embedding_semdedup_greedy",
+        # r9: the incremental ladder shares the _inc_base_state memo
+        # (the standing band table / assignment a pipeline stores);
+        # cold = full from-scratch rebuild incl. the base fixpoint
+        "dedup_incremental_pairs",
+        "dedup_incremental_components",
+        "dedup_incremental_admission",
     ]
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"

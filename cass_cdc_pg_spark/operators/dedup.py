@@ -296,7 +296,28 @@ def minhash_lsh_pairs(
     (buckets equal, band values not) never yields a candidate, which
     matches the oracle's join-on-band-values semantics exactly.
     """
-    banded = banded_signatures(documents, num_hashes, bands, n)
+    return lsh_pairs_from_bands(
+        banded_signatures(documents, num_hashes, bands, n),
+        num_hashes,
+        bands,
+        threshold,
+    )
+
+
+def lsh_pairs_from_bands(
+    banded: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The self-join stage of :func:`minhash_lsh_pairs`, taking an
+    already-built (possibly MATERIALIZED) band table — so a pipeline
+    that stores its band table per corpus snapshot
+    (:func:`banded_signatures`) can re-derive same-corpus pairs
+    without re-shingling, the same way the incremental path probes
+    it.  ``minhash_lsh_pairs(docs, ...)`` ≡
+    ``lsh_pairs_from_bands(banded_signatures(docs, ...), ...)`` —
+    identical plan by composition."""
     a = banded.alias("a")
     b = banded.alias("b")
     est = _sig_agreement(num_hashes)
