@@ -376,7 +376,13 @@ def incremental_minhash_pairs(
     the join output, ``doc_a < doc_b``; old–new pairs emit from the
     (new, old) side once, new–new pairs are ordered by id.
     """
-    nb = banded_signatures(new_docs, num_hashes, bands, n)
+    # lazy-checkpoint the new batch's band table: it feeds BOTH join
+    # sides (broadcast probe + the corpus union), and without the
+    # freeze each side would re-tokenize/shingle/minhash the batch —
+    # 2× the daily hash work for nothing (r9 review)
+    nb = banded_signatures(new_docs, num_hashes, bands, n).localCheckpoint(
+        eager=False
+    )
     corpus = band_table.select("doc_id", "sig", "band", "bucket").withColumn(
         "_new", F.lit(False)
     )
@@ -728,7 +734,6 @@ def incremental_components(
 
 def incremental_admission(
     merged_labels: DataFrame,
-    base_ids: DataFrame,
     new_ids: DataFrame,
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -746,33 +751,45 @@ def incremental_admission(
     admission from the label's ``is_canonical`` flag (labels are
     min-ids; incumbency is seniority).
 
-    Scale shape: the touched-cluster set is O(new batch), so the
-    incumbent check SEMI-joins the corpus assignment against a
-    broadcast of the new batch's cluster ids — the corpus moves
-    through one partial-aggregated count over touched clusters only;
-    nothing quadratic, nothing corpus-wide shuffled by text.
+    Scale shape — NO corpus-wide join anywhere (r9 review): an
+    incumbent whose cluster is touched by a new doc is connected to
+    that new doc, so it necessarily appears in *merged_labels* — an
+    isolated base doc's cluster is just itself and can never contain
+    a new doc.  Incumbent counting therefore never consults the
+    corpus id list: the merged assignment (the materialized table a
+    pipeline stores) is scanned ONCE, semi-filtered map-side by the
+    broadcast touched-cluster set (O(new batch) ids), and the new
+    batch — which fits in memory by the same standing assumption the
+    pair stage's ``broadcast_new`` makes — broadcasts into every
+    other join, so nothing big ever shuffles.
 
-    *base_ids* / *new_ids*: one-column id DataFrames (disjoint).
-    Output: (id_col, component_id, admit) for every new doc.
+    *new_ids*: one-column id DataFrame of the new batch (ids disjoint
+    from the corpus).  Output: (id_col, component_id, admit) for
+    every new doc.
     """
     lbl = merged_labels.withColumnRenamed("node", id_col)
+    # the new batch's own labels: restrict the big assignment to new
+    # ids map-side (broadcast semi), then resolve singletons
+    lbl_new = lbl.join(F.broadcast(new_ids), id_col, "left_semi")
     new_assign = (
-        new_ids.join(lbl, id_col, "left")
+        new_ids.join(F.broadcast(lbl_new), id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("component"), F.col(id_col)).alias("component_id"),
         )
     )
     touched = new_assign.select("component_id").distinct()
-    base_assign = (
-        base_ids.join(lbl, id_col, "left")
-        .select(
-            F.coalesce(F.col("component"), F.col(id_col)).alias("component_id")
-        )
-    )
+    # incumbents in touched clusters = touched-cluster members of the
+    # merged assignment that are NOT new docs (see docstring for why
+    # this loses no incumbent)
     n_base = (
-        base_assign.join(F.broadcast(touched), "component_id", "left_semi")
-        .groupBy("component_id")
+        lbl.join(
+            F.broadcast(touched),
+            lbl["component"] == touched["component_id"],
+            "left_semi",
+        )
+        .join(F.broadcast(new_ids), id_col, "left_anti")
+        .groupBy(F.col("component").alias("component_id"))
         .agg(F.count(F.lit(1)).alias("_n_base"))
     )
     first_new = new_assign.groupBy("component_id").agg(

@@ -1414,11 +1414,20 @@ _DEDUP_SHARED_CACHE: dict[tuple, dict] = {}
 _DEDUP_PAIR_PARAMS = {"num_hashes": 32, "bands": 8, "n": 2, "threshold": 0.2}
 
 
-def _docs_fixture_key(sf_dir: str) -> tuple[str, int]:
+def _fixture_key(sf_dir: str, table: str) -> tuple[str, int]:
+    """(realpath, mtime_ns) of a fixture table — THE shared
+    invalidation key for every per-fixture cache (dedup memos, IVF
+    centroids + generated oracles, stream-parity replays).  One
+    definition so an invalidation tweak can't silently diverge
+    between caches (r9 review)."""
     import os as _os
 
-    path = src.table_path(sf_dir, "documents")
+    path = src.table_path(sf_dir, table)
     return (_os.path.realpath(path), _os.stat(path).st_mtime_ns)
+
+
+def _docs_fixture_key(sf_dir: str) -> tuple[str, int]:
+    return _fixture_key(sf_dir, "documents")
 
 
 def _dedup_shared(spark: SparkSession, sf_dir: str) -> dict:
@@ -1615,16 +1624,29 @@ def corpus_clean_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r9 — incremental corpus dedup (daily new-batch vs standing corpus)
 # ---------------------------------------------------------------------------
 
-#: deterministic ~10% "new batch" carve-out of the documents fixture
-#: for the incremental dedup queries — same multiplicative-hash draw
-#: style as text.assign_splits, so the oracle mirrors it verbatim
-_INC_NEW_SQL = "((doc_id % 10000) * 48271) % 10000 < 1000"
+def _carveout_sql(id_expr: str) -> str:
+    """The deterministic ~10% "new batch" carve-out (multiplicative-
+    hash draw, same style as ``text.assign_splits``) as SQL text —
+    ONE definition shared by every oracle site, with
+    :func:`_carveout_col` as its Spark twin, so the two dialects
+    cannot drift (r9 review; the draw was previously written out six
+    times).  Pure string: safe at import time (the Column twin needs
+    an active SparkContext, so it is built lazily)."""
+    return f"(({id_expr} % 10000) * 48271) % 10000 < 1000"
+
+
+def _carveout_col(id_col: str) -> Column:
+    """Spark twin of :func:`_carveout_sql` — call-time only."""
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(10000)) * F.lit(48271), F.lit(10000)
+    ) < F.lit(1000)
+
+
+_INC_NEW_SQL = _carveout_sql("doc_id")
 
 
 def _inc_is_new() -> Column:
-    return F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(10000)) * F.lit(48271), F.lit(10000)
-    ) < F.lit(1000)
+    return _carveout_col("doc_id")
 
 
 def _inc_split(spark: SparkSession, sf_dir: str):
@@ -1689,7 +1711,13 @@ def _inc_merged(st: dict) -> DataFrame:
                 st["bands"], p["num_hashes"], p["bands"], p["threshold"]
             )
         )
-        st["merged"] = dedup.incremental_components(base_cc, _inc_pairs(st))
+        # freeze the merged assignment: the components query and both
+        # admission sub-plans read it several times, and without the
+        # checkpoint each read re-runs the remap joins over the full
+        # assignment (r9 review)
+        st["merged"] = dedup.incremental_components(
+            base_cc, _inc_pairs(st)
+        ).localCheckpoint(eager=False)
     return st["merged"]
 
 
@@ -1710,8 +1738,8 @@ def dedup_incremental_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCREMENTAL_PAIRS_SQL = f"""
 WITH {_minhash_ctes()}
 SELECT doc_a, doc_b, est_jaccard FROM pairs
-WHERE ((doc_a % 10000) * 48271) % 10000 < 1000
-   OR ((doc_b % 10000) * 48271) % 10000 < 1000
+WHERE {_carveout_sql("doc_a")}
+   OR {_carveout_sql("doc_b")}
 """
 
 
@@ -1751,9 +1779,7 @@ def dedup_incremental_admission_q(spark: SparkSession, sf_dir: str) -> DataFrame
     hash-checked end to end."""
     st = _inc_base_state(spark, sf_dir)
     return dedup.incremental_admission(
-        _inc_merged(st),
-        st["base"].select("doc_id"),
-        st["new"].select("doc_id"),
+        _inc_merged(st), st["new"].select("doc_id")
     )
 
 
@@ -1769,7 +1795,7 @@ reach(node, lbl) AS (
 comp AS (SELECT node AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY node),
 assign AS (
   SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS cid,
-         ((d.doc_id % 10000) * 48271) % 10000 < 1000 AS is_new
+         {_carveout_sql("d.doc_id")} AS is_new
   FROM documents d LEFT JOIN comp c USING (doc_id)),
 flags AS (
   SELECT cid,
@@ -1935,10 +1961,7 @@ def _ivf_fixture_key(sf_dir: str) -> tuple[str, int]:
     them by path alone lets a regenerated fixture serve fresh
     centroids to the Spark query but a stale cached oracle — a
     spurious mismatch (ADVICE r5)."""
-    import os as _os
-
-    path = src.table_path(sf_dir, "embeddings")
-    return (_os.path.realpath(path), _os.stat(path).st_mtime_ns)
+    return _fixture_key(sf_dir, "embeddings")
 
 
 def _centroid_cache_file(key: tuple[str, int]) -> str:
@@ -2382,10 +2405,7 @@ _PARITY_CHUNKS = 4
 
 
 def _events_fixture_key(sf_dir: str) -> tuple[str, int]:
-    import os as _os
-
-    path = src.table_path(sf_dir, "events")
-    return (_os.path.realpath(path), _os.stat(path).st_mtime_ns)
+    return _fixture_key(sf_dir, "events")
 
 
 def _stream_parity_slot(spark: SparkSession, sf_dir: str) -> dict:
@@ -2488,7 +2508,17 @@ def stream_sessionize_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: ``SESSIONIZE_SQL`` — the BATCH gaps-and-islands answer.
     A hash match is therefore the stream/batch parity statement
     itself: per-key state survived 4 stop/restart boundaries and
-    reproduced the batch sessions row for row."""
+    reproduced the batch sessions row for row.
+
+    Plan-tool caveat (accepted, unlike the greedy-stats case): the
+    returned DataFrame is a local relation of the streamed rows, so
+    plan lint has nothing to inspect HERE by construction — the
+    compute surface is a real streaming job whose plan the streaming
+    engine executes, and collapsing it into a lazy batch plan would
+    erase exactly the stream-side evidence this query exists to
+    produce.  The replay is memoized per (session, fixture), so a
+    lint/dump pass over the whole registry pays it once, and each
+    pass is bounded at 600 s (see ``_replay_chunks``)."""
     from cass_cdc_pg_spark.streaming.stateful import sessionize_stream
 
     slot = _stream_parity_slot(spark, sf_dir)
@@ -2547,7 +2577,9 @@ def stream_funnel_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay is in event-time order (the documented exactness regime of
     the O(1)-state fold; retrograde arrival is pinned separately by
     tests), so a hash match asserts the stream converged to the batch
-    answer across real restart boundaries."""
+    answer across real restart boundaries.  Same plan-tool caveat as
+    ``stream_sessionize_parity_q`` — local-relation output by
+    construction, replay memoized per session+fixture."""
     from cass_cdc_pg_spark.streaming.stateful import funnel_stream
 
     slot = _stream_parity_slot(spark, sf_dir)
@@ -2650,27 +2682,51 @@ def embeddings_cell_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cell_stats_sql(centroids: list[list[float]]) -> str:
+def _assign_rollup_sql(
+    centroids: list[list[float]],
+    metric_expr: str,
+    metric_name: str,
+    rollup: str,
+    where: str = "",
+) -> str:
+    """Shared oracle scaffold for every nearest-centroid-assignment
+    rollup (cell-balance stats, incremental-batch drift stats): the
+    centroid VALUES table, the cross-join cosine scores, and the
+    argmin assignment (``ROW_NUMBER ... ORDER BY s DESC, cell ASC`` —
+    ties to the lowest cell, matching the Spark side exactly) are ONE
+    definition, so a tie-break or rounding change cannot drift
+    between the ANN oracles (r9 review)."""
     cent_rows = ", ".join(
         f"({i + 1}, [{', '.join(repr(x) for x in c)}])"
         for i, c in enumerate(centroids)
     )
-    norm = f"sqrt(0.0 + {_DOT_SQL.format(a='vec', b='vec')})"
     return f"""
 WITH cent(cell, ctr) AS (VALUES {cent_rows}),
 cscore AS (
   SELECT e.vec_id, e.embedding AS vec, cent.cell, {_cos_sql('vec', 'ctr')} AS s
-  FROM embeddings e CROSS JOIN cent),
+  FROM embeddings e CROSS JOIN cent{where}),
 cassign AS (
-  SELECT vec_id, cell, ROUND({norm}, 6) AS nrm
+  SELECT vec_id, cell, {metric_expr} AS {metric_name}
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY s DESC, cell ASC) AS rn
         FROM cscore)
   WHERE rn = 1)
-SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
-FROM cassign GROUP BY cell
+{rollup}
 """
+
+
+def _cell_stats_sql(centroids: list[list[float]]) -> str:
+    norm = f"sqrt(0.0 + {_DOT_SQL.format(a='vec', b='vec')})"
+    return _assign_rollup_sql(
+        centroids,
+        metric_expr=f"ROUND({norm}, 6)",
+        metric_name="nrm",
+        rollup=(
+            "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,\n"
+            "       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm\n"
+            "FROM cassign GROUP BY cell"
+        ),
+    )
 
 
 #: keyed by the fixture's (realpath, mtime_ns) — see _ivf_fixture_key
@@ -2691,14 +2747,12 @@ def cell_stats_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
 
 
 #: deterministic ~10% "new batch" carve-out of the embeddings fixture
-#: (same draw style as the documents split)
-_EMB_NEW_SQL = "((vec_id % 10000) * 48271) % 10000 < 1000"
+#: (the shared _carveout_sql draw, on vec_id)
+_EMB_NEW_SQL = _carveout_sql("vec_id")
 
 
 def _emb_is_new() -> Column:
-    return F.pmod(
-        F.pmod(F.col("vec_id"), F.lit(10000)) * F.lit(48271), F.lit(10000)
-    ) < F.lit(1000)
+    return _carveout_col("vec_id")
 
 
 def ann_ivf_incremental_assign_q(
@@ -2725,26 +2779,17 @@ def ann_ivf_incremental_assign_q(
 
 
 def _incr_assign_sql(centroids: list[list[float]]) -> str:
-    cent_rows = ", ".join(
-        f"({i + 1}, [{', '.join(repr(x) for x in c)}])"
-        for i, c in enumerate(centroids)
+    return _assign_rollup_sql(
+        centroids,
+        metric_expr="ROUND(s, 6)",
+        metric_name="sim",
+        rollup=(
+            "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,\n"
+            "       MIN(sim) AS min_sim, MAX(sim) AS max_sim\n"
+            "FROM cassign GROUP BY cell"
+        ),
+        where=f"\n  WHERE {_EMB_NEW_SQL}",
     )
-    return f"""
-WITH cent(cell, ctr) AS (VALUES {cent_rows}),
-cscore AS (
-  SELECT e.vec_id, e.embedding AS vec, cent.cell, {_cos_sql('vec', 'ctr')} AS s
-  FROM embeddings e CROSS JOIN cent
-  WHERE {_EMB_NEW_SQL}),
-cassign AS (
-  SELECT vec_id, cell, ROUND(s, 6) AS sim
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY s DESC, cell ASC) AS rn
-        FROM cscore)
-  WHERE rn = 1)
-SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
-       MIN(sim) AS min_sim, MAX(sim) AS max_sim
-FROM cassign GROUP BY cell
-"""
 
 
 _INCR_ASSIGN_SQL_CACHE: dict[tuple[str, int], str] = {}

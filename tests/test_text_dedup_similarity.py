@@ -1064,7 +1064,7 @@ def test_incremental_admission_first_seen_wins(spark):
     got = {
         r["doc_id"]: (r["component_id"], r["admit"])
         for r in incremental_admission(
-            merged, base.select("doc_id"), new.select("doc_id")
+            merged, new.select("doc_id")
         ).collect()
     }
     assert set(got) == set(_INC_NEW_TEXTS)
