@@ -95,6 +95,11 @@ PIPELINE = [
     "dedup_incremental_pairs",
     "dedup_incremental_components",
     "dedup_incremental_admission",
+    # r9 late additions (pipeline_total grows by these 3 entries —
+    # compare older rounds against the other 58)
+    "docs_block_dedup",
+    "docs_quality_budget_by_source",
+    "embedding_cluster_sample",
 ]
 
 

@@ -403,6 +403,45 @@ def ivf_assign(
     )
 
 
+def cluster_sample(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    per_cell: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sample: assign every vector to its
+    nearest standing IVF centroid (:func:`ivf_assign` — the same
+    constant-folded projection the probe path uses) and keep the
+    *per_cell* most-representative members of each cell (highest
+    cosine to centroid, ties → lowest id).  Equal representation per
+    cell regardless of cell population is the coverage-sampling step
+    of training-data curation — the cheap distributed stand-in for
+    k-center selection (every region of embedding space contributes,
+    a dominant dense cluster cannot crowd the sample).
+
+    Scale shape: assignment is a shuffle-free codegen projection;
+    the ``row_number() <= per_cell`` prune compiles to
+    WindowGroupLimit, so every input partition forwards at most
+    ``per_cell`` rows PER CELL map-side and the single exchange
+    carries O(ncentroids · per_cell · n_partitions) 24-byte rows —
+    never the corpus, no matter how hot a cell is.  Ranking orders by
+    the 6-dp ROUNDED sim (what :func:`ivf_assign` emits) with id
+    tie-break, so the sample is partition-order independent and
+    engine-exact."""
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cell").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn(
+            "cell_rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("cell_rank") <= per_cell)
+        .select(id_col, "cell", "sim", "cell_rank")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -689,6 +689,61 @@ def token_budget_select(
     )
 
 
+def quality_token_budget_by_source(
+    documents: DataFrame, budget_tokens: int = 8_000
+) -> DataFrame:
+    """Per-SOURCE budgeted curation: within each source, admit docs
+    that pass the C4-style quality gate (>= 20 tokens, unique-token
+    ratio >= 0.3 — the exact ``quality_score`` "ok" bucket) in
+    descending (unique_ratio, then doc_id) order until the per-source
+    running token total exceeds *budget_tokens*.  This is the
+    domain-mixture construction step of a training-data pipeline:
+    every source contributes its best documents up to an equal token
+    budget, so no single domain dominates the mix.
+
+    Scale shape — the naive form is a running-sum window partitioned
+    by source, which makes one task scan one source's ENTIRE doc set
+    (unboundedly large at 100 TB).  Instead the budget's own
+    arithmetic bounds the winners first: every admitted doc has
+    >= 20 tokens, so no doc ranked below ``budget/20`` within its
+    source can possibly fit the budget.  A ``row_number() <= cap``
+    prune therefore runs FIRST — Spark compiles it to
+    WindowGroupLimit, a map-side partial top-k per partition, so the
+    shuffle carries at most ``cap`` narrow rows per (source,
+    input-partition) — and only the <= cap survivors per source feed
+    the actual running-sum window.  Both windows share one
+    partitioning+ordering, so the plan has a single exchange.  The
+    cumsum-then-filter semantics are unchanged (the prune is exact,
+    not approximate); the oracle is the plain windowed-SQL form."""
+    from pyspark.sql import Window
+
+    min_tokens = 20
+    cap = budget_tokens // min_tokens
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    ur = F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4)
+    ok = documents.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        ur.alias("unique_ratio"),
+    ).filter((F.col("n_tokens") >= min_tokens) & (F.col("unique_ratio") >= 0.3))
+    w = Window.partitionBy("source").orderBy(
+        F.col("unique_ratio").desc(), F.col("doc_id").asc()
+    )
+    pruned = ok.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= cap
+    )
+    run = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pruned.withColumn("running_tokens", run.cast("long"))
+        .filter(F.col("running_tokens") <= budget_tokens)
+        .select("doc_id", "source", "n_tokens", "unique_ratio", "running_tokens")
+    )
+
+
 #: Java-regex PII patterns (run Spark-side only; no oracle — the
 #: synthetic corpus contains no PII, so the scrubber is pinned by
 #: pytest on planted rows instead of a declared query).
@@ -956,6 +1011,112 @@ def duplicated_span_stats(
             F.sum(
                 (F.col("_n_dup") * 2 > F.col("_n_w")).cast("long")
             ).cast("long").alias("n_docs_majority_dup"),
+        )
+    )
+
+
+def remove_duplicated_blocks(
+    documents: DataFrame, block_tokens: int = 20
+) -> DataFrame:
+    """C4-style duplicated-block REMOVAL (the apply step whose
+    profile is :func:`duplicated_span_stats`): each doc's token
+    stream is cut into consecutive non-overlapping blocks of
+    *block_tokens* (the last block may run short); a block that
+    occurs more than once in the corpus — in another doc or repeated
+    within the same doc — keeps only its globally FIRST occurrence
+    (ordered by doc_id, then block index; C4 keeps one occurrence of
+    every three-sentence span the same way).  Output is the per-doc
+    removal manifest: blocks/tokens before and after, which is what
+    the pipeline actually persists (the cleaned text is a cheap
+    re-slice given the manifest).  Zero-token docs have no blocks and
+    are omitted, like the span profile.
+
+    Scale shape: block KEYS are 64-bit hashes folded from per-token
+    hashes (integer ops, no window-string allocation — the same trade
+    ``duplicated_span_stats`` documents), finalized with the block
+    length so a short tail block can never alias a longer block's
+    prefix fold.  One (hash → count + min(doc_id, idx)) partially
+    aggregated shuffle over ~n_tokens/block_tokens 32-byte rows, then
+    an equi join that moves ONLY occurrences of duplicated blocks
+    (count > 1) back — unique blocks, the overwhelming majority of a
+    healthy corpus, never travel twice.  A 64-bit collision can only
+    merge two distinct blocks (over-removal) with probability
+    ~n²/2⁶⁵ — vanishing, and caught by the string-keyed oracle if it
+    ever fired at test SF."""
+    b = block_tokens
+    toks = tokens(F.col("text"))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    x = n + b - 1
+    nb = ((x - x % b) / b).cast("int")
+    bh = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.xxhash64(
+            F.aggregate(
+                F.slice(th, i * b + 1, b),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: F.xxhash64(acc, t),
+            ),
+            F.least(F.lit(b), n - i * b),
+        ),
+    )
+    base = documents.select(
+        "doc_id",
+        "source",
+        n.alias("_n"),
+        nb.alias("_nb"),
+        bh.alias("_bh"),
+    ).filter(F.col("_n") > 0)
+    per_block = base.select(
+        "doc_id",
+        "_n",
+        F.posexplode("_bh").alias("idx", "_h"),
+    ).withColumn(
+        "_blen",
+        F.least(F.lit(b), F.col("_n") - F.col("idx") * b).cast("long"),
+    )
+    dup_first = (
+        per_block.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct("doc_id", "idx")).alias("_fo"),
+        )
+        .filter(F.col("_c") > 1)
+        .select("_h", "_fo")
+    )
+    removed = (
+        per_block.join(dup_first, "_h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("_fo.doc_id"))
+                & (F.col("idx") == F.col("_fo.idx"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_rm"),
+            F.sum("_blen").cast("long").alias("_t_rm"),
+        )
+    )
+    return (
+        base.select(
+            "doc_id",
+            "source",
+            F.col("_nb").cast("long").alias("n_blocks"),
+            F.col("_n").cast("long").alias("tokens_total"),
+        )
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_blocks",
+            F.coalesce(F.col("_n_rm"), F.lit(0)).cast("long").alias(
+                "n_blocks_removed"
+            ),
+            "tokens_total",
+            (
+                F.col("tokens_total") - F.coalesce(F.col("_t_rm"), F.lit(0))
+            ).cast("long").alias("tokens_kept"),
         )
     )
 

@@ -1104,3 +1104,61 @@ def test_value_deciles_tile_arithmetic_matches_ntile(spark, tmp_path):
         else:
             want = {i + 1: (lo + 1 if i < big else lo) for i in range(10)}
         assert got == want, (n, got)
+
+
+def test_quality_budget_by_source_group_limit_before_exchange(spark):
+    """docs_quality_budget_by_source (r9): the exact rank prune
+    (budget/min_tokens) must compile to a PARTIAL WindowGroupLimit
+    below the single hash exchange — each input partition forwards at
+    most cap rows per source, so no task ever scans one source's full
+    doc set — and both windows must share that one exchange."""
+    from cass_cdc_pg_spark.operators.text import quality_token_budget_by_source
+
+    docs = spark.range(500).selectExpr(
+        "id AS doc_id",
+        "'the quick brown fox jumps over the lazy dog again and again "
+        "with twenty distinct tokens here now' AS text",
+        "concat('s', id % 4) AS source",
+    )
+    plan = _plan(quality_token_budget_by_source(docs))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_cluster_sample_group_limit_and_no_join(spark):
+    """embedding_cluster_sample (r9): assignment is a shuffle-free
+    constant-folded projection; the per-cell top-m prune is a partial
+    WindowGroupLimit, so the single exchange carries O(cells * m *
+    partitions) rows — never the corpus."""
+    from cass_cdc_pg_spark.operators.similarity import cluster_sample
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    vecs = spark.range(300).selectExpr(
+        "id AS vec_id",
+        "array(cast(id % 7 as float), cast(1 + id % 3 as float)) AS embedding",
+    )
+    plan = _plan(cluster_sample(vecs, cents, per_cell=5))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_block_dedup_partial_agg_and_dup_only_joinback(spark):
+    """docs_block_dedup (r9): the block-hash rollup must partial-
+    aggregate map-side, the join-back may only move occurrences of
+    DUPLICATED blocks (count>1 filter precedes the join), and no
+    cartesian anywhere."""
+    from cass_cdc_pg_spark.operators.text import remove_duplicated_blocks
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "'a b c d e f g h i j k l m n o p q r s t u v w x' AS text",
+        "'s' AS source",
+    )
+    plan = _plan(remove_duplicated_blocks(docs))
+    assert "partial_count" in plan, plan
+    assert "> 1)" in plan, plan          # dup-only prefilter
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

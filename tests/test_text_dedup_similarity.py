@@ -1167,3 +1167,94 @@ def test_shared_memo_eviction_is_lru_not_fifo():
     # re-miss of an evicted key repopulates without exceeding the cap
     get_or_insert("B")
     assert len(cache) <= _SHARED_CACHE_MAX and "A" in cache
+
+
+def test_remove_duplicated_blocks_known_accounting(spark):
+    """Hand-checkable block accounting (block_tokens=4): the globally
+    FIRST occurrence of every duplicated block survives (ordered by
+    doc_id then block index), repeats are cut — including repeats
+    WITHIN one doc — and a short tail block must never alias the
+    prefix of a full block (the length-finalized hash)."""
+    rows = [
+        (1, "a b c d e f g h", "s1"),        # 2 full blocks, both first
+        (2, "a b c d x y", "s1"),            # blk0 dup of doc1, tail unique
+        (3, "a b c d a b c d", "s2"),        # both blocks repeat doc1's blk0
+        (4, "a b", "s2"),                    # partial block == doc1 prefix
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.remove_duplicated_blocks(docs, block_tokens=4).collect()
+    }
+    assert len(out) == 4
+    # doc 1: first occurrence of [a b c d] and [e f g h] — keeps all
+    assert (out[1]["n_blocks"], out[1]["n_blocks_removed"]) == (2, 0)
+    assert (out[1]["tokens_total"], out[1]["tokens_kept"]) == (8, 8)
+    # doc 2: [a b c d] is a repeat (doc1 blk0 came first); [x y] unique
+    assert (out[2]["n_blocks"], out[2]["n_blocks_removed"]) == (2, 1)
+    assert (out[2]["tokens_total"], out[2]["tokens_kept"]) == (6, 2)
+    # doc 3: BOTH blocks repeat [a b c d] — intra-doc repeats cut too
+    assert (out[3]["n_blocks"], out[3]["n_blocks_removed"]) == (2, 2)
+    assert (out[3]["tokens_total"], out[3]["tokens_kept"]) == (8, 0)
+    # doc 4: 2-token partial [a b] must NOT collide with the 4-token
+    # block [a b c d] whose fold passes through the same prefix state
+    assert (out[4]["n_blocks"], out[4]["n_blocks_removed"]) == (1, 0)
+    assert (out[4]["tokens_total"], out[4]["tokens_kept"]) == (2, 2)
+
+
+def test_remove_duplicated_blocks_omits_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "s"), (2, "a b c", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = text.remove_duplicated_blocks(docs, block_tokens=4).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["n_blocks"] == 1 and out[0]["tokens_kept"] == 3
+
+
+def test_quality_token_budget_by_source_gate_order_and_cut(spark):
+    """The quality gate (>=20 tokens, unique_ratio>=0.3) filters
+    first; within a source admission is by unique_ratio DESC then
+    doc_id, cut at the running-token budget (strict fit)."""
+    uniq = " ".join(f"w{i}" for i in range(20))          # ur = 1.0
+    mostly = "x " * 14 + " ".join(f"y{i}" for i in range(6))  # ur < 0.3
+    mid = " ".join(f"w{i % 12}" for i in range(20))      # ur = 0.6
+    rows = [
+        (1, uniq, "s1"),       # ur 1.0, 20 tokens — admitted first
+        (2, mid, "s1"),        # ur 0.6, 20 tokens — admitted second
+        (3, uniq, "s1"),       # ur 1.0 but doc_id>1 — admitted after 1
+        (4, "too short", "s1"),    # < 20 tokens — gated out
+        (5, mostly, "s1"),     # repetitive — gated out
+        (6, mid, "s2"),        # other source has its own budget
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = text.quality_token_budget_by_source(docs, budget_tokens=45)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # s1 order: doc1 (run 20), doc3 (run 40), doc2 would hit 60 > 45
+    assert set(got) == {1, 3, 6}
+    assert got[1]["running_tokens"] == 20
+    assert got[3]["running_tokens"] == 40
+    assert got[6]["running_tokens"] == 20 and got[6]["source"] == "s2"
+
+
+def test_cluster_sample_balanced_and_ranked(spark):
+    """Every cell contributes at most per_cell members, ranked by
+    rounded cosine-to-centroid with id tie-break — a dense cluster
+    cannot crowd out a sparse one."""
+    # two orthogonal centroids; 5 vectors near c0, 1 near c1
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [1.0, 0.01 * i]) for i in range(5)] + [(9, [0.05, 2.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cluster_sample(vecs, cents, per_cell=2).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append((r["cell_rank"], r["vec_id"]))
+    assert set(by_cell) == {1, 2}
+    assert len(by_cell[1]) == 2 and len(by_cell[2]) == 1
+    # cell 1: vec 0 has cosine exactly 1.0 (rank 1); vec 1 next
+    assert sorted(by_cell[1]) == [(1, 0), (2, 1)]
+    assert by_cell[2] == [(1, 9)]

@@ -50,6 +50,15 @@ SELECTED: list[tuple[str, str]] = [
     ("docs_chunk_windows",
      "overlapping token-window chunking (r9): per-row HOF pipeline, "
      "ZERO Exchange"),
+    ("docs_block_dedup",
+     "duplicated-block removal (r9): partial-agg (hash -> count + "
+     "first-occurrence) shuffle; join-back moves count>1 rows only"),
+    ("docs_quality_budget_by_source",
+     "per-source token budget (r9): PARTIAL WindowGroupLimit below "
+     "the single hash Exchange; both windows share it"),
+    ("embedding_cluster_sample",
+     "cluster-balanced sample (r9): shuffle-free assignment + "
+     "partial WindowGroupLimit; one Exchange of O(cells*m) rows"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
     ("docs_source_stats",
      "one text scan; shuffles carry hashes/counters only"),
