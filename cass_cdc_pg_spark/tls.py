@@ -1,0 +1,150 @@
+"""TLS 1.3 configuration — the transport-security analog.
+
+The reference pins every client connection to TLS 1.3 and hands each
+driver its option dict (``src/config/tls_config.py:1-150``:
+``create_tls_context`` + Cassandra/PostgreSQL/Kafka option builders).
+A Spark deployment has different connection surfaces, so the same
+contract is re-expressed over what a Spark job actually opens:
+
+- :func:`create_tls_context` — the SSLContext factory, TLS 1.3 pinned
+  at both ends of the version range, same cipher preference string,
+  client- or server-side.
+- :func:`kafka_ssl_options` — ``kafka.ssl.*`` reader/writer options
+  for the Structured Streaming Kafka connector in PEM form (Kafka
+  supports ``ssl.keystore.type=PEM`` since 2.7, so no JKS conversion
+  step); pass the dict straight into ``spark.readStream.format(
+  "kafka").options(**...)``.
+- :func:`jdbc_ssl_properties` — PostgreSQL JDBC sink properties
+  (``sslmode=verify-full`` when a CA is pinned, ``require``
+  otherwise), the ``df.write.jdbc(..., properties=...)`` shape.
+- :func:`secure_server` — wraps the bound socket of an already-
+  constructed ``CdcApiServer`` (or any ``socketserver`` server) so
+  the HTTP surface serves TLS 1.3; certificates are the operator's
+  (the reference terminates TLS at each service the same way).
+
+Everything here is driver-side configuration: contexts and dicts are
+built before any reader/writer/server starts, nothing travels to
+executors, and key material is referenced by path only (pair with
+:mod:`cass_cdc_pg_spark.secrets` to resolve the paths).
+"""
+
+from __future__ import annotations
+
+import ssl
+
+#: The reference's cipher preference string, verbatim (it is the
+#: standard forward-secrecy-only OpenSSL list).  TLS 1.3 suites are
+#: controlled separately by OpenSSL and are already FS-only; this
+#: matters for the ``set_ciphers`` contract and any future downgrade.
+CIPHERS = "ECDHE+AESGCM:ECDHE+CHACHA20:DHE+AESGCM:DHE+CHACHA20:!aNULL:!MD5:!DSS"
+
+
+def create_tls_context(
+    cert_file: str | None = None,
+    key_file: str | None = None,
+    ca_file: str | None = None,
+    verify_mode: ssl.VerifyMode = ssl.CERT_REQUIRED,
+    server_side: bool = False,
+) -> ssl.SSLContext:
+    """TLS 1.3-only ``SSLContext`` (reference
+    ``tls_config.create_tls_context``, plus a server-side variant the
+    reference builds implicitly inside each service container).
+
+    ``minimum_version == maximum_version == TLSv1_3`` — a peer that
+    cannot speak 1.3 fails the handshake rather than negotiating
+    down.  Client contexts verify by default; ``verify_mode`` is only
+    consulted client-side (a server context's policy toward *client*
+    certs stays at its library default unless a CA is given, which
+    enables mutual TLS)."""
+    purpose = (
+        ssl.Purpose.CLIENT_AUTH if server_side else ssl.Purpose.SERVER_AUTH
+    )
+    context = ssl.create_default_context(purpose)
+    context.minimum_version = ssl.TLSVersion.TLSv1_3
+    context.maximum_version = ssl.TLSVersion.TLSv1_3
+    if not server_side:
+        if verify_mode == ssl.CERT_NONE:
+            context.check_hostname = False
+        context.verify_mode = verify_mode
+    if ca_file:
+        context.load_verify_locations(cafile=ca_file)
+        if server_side:
+            # CA on the server side == require client certificates
+            context.verify_mode = ssl.CERT_REQUIRED
+    if cert_file and key_file:
+        context.load_cert_chain(certfile=cert_file, keyfile=key_file)
+    context.set_ciphers(CIPHERS)
+    return context
+
+
+def kafka_ssl_options(
+    cert_file: str | None = None,
+    key_file: str | None = None,
+    ca_file: str | None = None,
+    prefix: str = "kafka.",
+) -> dict[str, str]:
+    """Structured-Streaming Kafka connector SSL options (reference
+    ``get_kafka_ssl_config`` — its librdkafka ``ssl.*.location`` keys
+    become the connector's JVM-client keys, PEM type so the same
+    files serve both).  Feed into ``.options(**opts)`` next to
+    ``subscribePattern`` (see ``streaming/ingest.py:kafka_stream``);
+    the ``kafka.`` prefix is how the Spark connector forwards
+    pass-through client configs."""
+    opts = {
+        f"{prefix}security.protocol": "SSL",
+        f"{prefix}ssl.enabled.protocols": "TLSv1.3",
+        f"{prefix}ssl.protocol": "TLSv1.3",
+    }
+    if ca_file:
+        opts[f"{prefix}ssl.truststore.type"] = "PEM"
+        opts[f"{prefix}ssl.truststore.location"] = ca_file
+    if cert_file:
+        opts[f"{prefix}ssl.keystore.type"] = "PEM"
+        opts[f"{prefix}ssl.keystore.location"] = cert_file
+    if key_file:
+        opts[f"{prefix}ssl.key.location"] = key_file
+    return opts
+
+
+def jdbc_ssl_properties(
+    cert_file: str | None = None,
+    key_file: str | None = None,
+    ca_file: str | None = None,
+) -> dict[str, str]:
+    """PostgreSQL JDBC sink SSL properties (reference
+    ``get_postgresql_ssl_params`` — same libpq-style keys, which the
+    pgjdbc driver accepts).  With a CA pinned the mode escalates to
+    ``verify-full`` (server identity checked), matching the
+    reference's ``check_hostname=True`` posture on its other
+    clients; without one, ``require`` (encrypt, trust on first use).
+    Pass as the ``properties`` dict of ``DataFrameWriter.jdbc``."""
+    props = {
+        "ssl": "true",
+        "sslmode": "verify-full" if ca_file else "require",
+    }
+    if ca_file:
+        props["sslrootcert"] = ca_file
+    if cert_file:
+        props["sslcert"] = cert_file
+    if key_file:
+        props["sslkey"] = key_file
+    return props
+
+
+def secure_server(
+    server,
+    cert_file: str,
+    key_file: str,
+    ca_file: str | None = None,
+) -> None:
+    """Upgrade a bound-but-not-yet-started ``socketserver`` server
+    (e.g. ``api.CdcApiServer``) to TLS 1.3: wraps the listening
+    socket so every accepted connection handshakes before the HTTP
+    handler sees it.  Call between construction and ``start()``.
+    With *ca_file* the server also demands client certificates
+    (mutual TLS)."""
+    context = create_tls_context(
+        cert_file=cert_file, key_file=key_file, ca_file=ca_file,
+        server_side=True,
+    )
+    server.socket = context.wrap_socket(server.socket, server_side=True)
