@@ -100,6 +100,13 @@ PIPELINE = [
     "docs_block_dedup",
     "docs_quality_budget_by_source",
     "embedding_cluster_sample",
+    # r9 wave-3 additions (pipeline_total grows by these 5 entries —
+    # compare older rounds against the other 61)
+    "lineitem_small_qty_revenue",
+    "orders_big_basket_customers",
+    "supplier_sole_late_blame",
+    "customer_dormant_balance",
+    "docs_heavy_hitters",
 ]
 
 

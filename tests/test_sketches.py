@@ -66,3 +66,78 @@ def test_sketch_plan_partial_aggregates_and_stays_jvm(spark):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "partial_hll_sketch_agg" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_candidates_contain_all_guaranteed_heavy_tokens(spark):
+    """The Misra-Gries guarantee made a test: every token whose global
+    count exceeds n/(capacity+1) MUST survive in the candidate union,
+    even against an adversarial stream of singletons engineered to
+    force constant summary evictions."""
+    from cass_cdc_pg_spark.operators.sketches import heavy_hitter_candidates
+
+    # 5 heavy tokens x200 + 5000 distinct singletons, n = 6000;
+    # capacity 64 -> threshold n/65 ~ 92 < 200: h0..h4 must survive.
+    df = spark.range(6000).selectExpr(
+        "CASE WHEN id < 1000 THEN array(concat('h', CAST(id % 5 AS STRING))) "
+        "ELSE array(concat('s', CAST(id AS STRING))) END AS tk"
+    ).repartition(4)
+    cands = {
+        r.token
+        for r in heavy_hitter_candidates(df, F.col("tk"), capacity=64).collect()
+    }
+    assert {f"h{i}" for i in range(5)} <= cands, sorted(cands)[:20]
+
+
+def test_heavy_hitters_exact_certified_top5(spark):
+    """When the certification bound holds, the sketch pipeline's
+    output IS the exact global top-k: counts match a plain groupBy and
+    certified=True on every row."""
+    from cass_cdc_pg_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(6000).selectExpr(
+        "CASE WHEN id < 1000 THEN array(concat('h', CAST(id % 5 AS STRING))) "
+        "ELSE array(concat('s', CAST(id AS STRING))) END AS tk"
+    ).repartition(4)
+    rows = heavy_hitters(df, F.col("tk"), k=5, capacity=64).collect()
+    got = {(r.token, r.n_occurrences) for r in rows}
+    assert got == {(f"h{i}", 200) for i in range(5)}, got
+    assert all(r.certified for r in rows), rows
+
+
+def test_heavy_hitters_uniform_stream_yields_no_survivors(spark):
+    """Honesty under uniformity: a uniform stream has no heavy
+    hitters, and the MG compress provably evicts everything (every
+    stored count equals the eviction threshold), so the pipeline
+    returns an EMPTY result rather than an arbitrary unprovable
+    top-k.  Note the design consequence: a token GUARANTEED to
+    survive (count > n/(capacity+1)) also certifies the kth bound, so
+    any undersized/lucky output can only carry certified=False — a
+    full certified list is exact by construction."""
+    from cass_cdc_pg_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(2000).selectExpr(
+        "array(concat('t', CAST(id % 1000 AS STRING))) AS tk"
+    ).repartition(4)
+    rows = heavy_hitters(df, F.col("tk"), k=5, capacity=8).collect()
+    assert rows == [], rows
+
+
+def test_heavy_hitters_null_and_empty_arrays_ignored(spark):
+    """Null token arrays and empty arrays contribute nothing — the MG
+    pass must not crash on them and the totals must exclude them."""
+    from cass_cdc_pg_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(100).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN CAST(NULL AS ARRAY<STRING>) "
+        "WHEN id % 3 = 1 THEN array() "
+        "ELSE array('x', 'y') END AS tk"
+    )
+    rows = heavy_hitters(df, F.col("tk"), k=2, capacity=16).collect()
+    got = sorted((r.token, r.n_occurrences) for r in rows)
+    assert got == [("x", 33), ("y", 33)], got
+    assert all(r.certified for r in rows)

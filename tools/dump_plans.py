@@ -59,6 +59,25 @@ SELECTED: list[tuple[str, str]] = [
     ("embedding_cluster_sample",
      "cluster-balanced sample (r9): shuffle-free assignment + "
      "partial WindowGroupLimit; one Exchange of O(cells*m) rows"),
+    ("lineitem_small_qty_revenue",
+     "correlated-avg join-back (r9, Q17 family): brand parts + "
+     "per-part averages both broadcast; lineitem rows never shuffle "
+     "(single partial-agg Exchange of (partkey, partials))"),
+    ("orders_big_basket_customers",
+     "having-threshold join-back (r9, Q18 family): per-order partial "
+     "agg + >300 filter BEFORE the joins; distributed top-k"),
+    ("supplier_sole_late_blame",
+     "Q21 family rewritten as ONE fact shuffle (r9): both per-order "
+     "aggregates reuse the lineitem x orders join partitioning; "
+     "<=3 hash Exchanges total"),
+    ("customer_dormant_balance",
+     "scalar-subquery + anti-join (r9, Q22 family): broadcast LEFT "
+     "ANTI against recent orders; 1-row avg broadcast; exact "
+     "multiply-form threshold"),
+    ("docs_heavy_hitters",
+     "Misra-Gries sketch-then-confirm (r9): MapInPandas candidates, "
+     "broadcast-filtered exact confirm, counts frozen behind "
+     "localCheckpoint (Scan ExistingRDD), distributed top-k"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
     ("docs_source_stats",
      "one text scan; shuffles carry hashes/counters only"),

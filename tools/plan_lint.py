@@ -37,6 +37,8 @@ CROSS_JOIN_ALLOWED = {
     "docs_token_budget",
     "events_key_skew",          # counts × 1-row total (share-of-total)
     "customer_order_recency",   # join × 1-row max-date anchor
+    "customer_dormant_balance",  # customers × 1-row avg-balance scalar
+    "docs_heavy_hitters",       # k-row top-k × two 1-row certify aggs
 }
 
 #: queries whose single-partition window is deliberately bounded: it
