@@ -124,15 +124,28 @@ def heavy_hitter_candidates(
             for toks in pdf["tk"]:
                 if toks is not None:
                     counts.update(toks)
-            if len(counts) > capacity:
-                vals = sorted(counts.values(), reverse=True)
-                thresh = vals[capacity]  # (capacity+1)-th largest
-                counts = Counter(
-                    {k: v - thresh for k, v in counts.items() if v > thresh}
-                )
+            counts = mg_compress(counts, capacity)
         yield pd.DataFrame({"token": list(counts)})
 
     return src_df.mapInPandas(mg, "token string")
+
+
+def mg_compress(counts, capacity: int):
+    """One Misra-Gries compress step: subtract the (capacity+1)-th
+    largest stored count from every entry and drop non-positives —
+    the merge/compress of Agarwal et al.'s mergeable-summaries form.
+    Every entry's stored count drops by at most ``thresh``, and
+    ``thresh × (capacity+1) ≤`` (weight currently stored), so the
+    cumulative under-count after any sequence of updates+compresses
+    is ≤ n/(capacity+1).  Pure function, property-tested directly in
+    ``tests/test_sketches.py``."""
+    if len(counts) <= capacity:
+        return counts
+    from collections import Counter
+
+    vals = sorted(counts.values(), reverse=True)
+    thresh = vals[capacity]  # (capacity+1)-th largest
+    return Counter({k: v - thresh for k, v in counts.items() if v > thresh})
 
 
 def heavy_hitters(

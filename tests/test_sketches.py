@@ -141,3 +141,44 @@ def test_heavy_hitters_null_and_empty_arrays_ignored(spark):
     got = sorted((r.token, r.n_occurrences) for r in rows)
     assert got == [("x", 33), ("y", 33)], got
     assert all(r.certified for r in rows)
+
+
+def test_mg_compress_stream_guarantee_property():
+    """Property (no Spark): for ANY stream and ANY batch split, a
+    token whose total count exceeds n/(capacity+1) survives the
+    repeated update+compress cycle, and every survivor's stored count
+    under-counts its true count by at most n/(capacity+1) in total —
+    the Misra-Gries bound the candidate pass relies on."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cass_cdc_pg_spark.operators.sketches import mg_compress
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stream=st.lists(st.integers(min_value=0, max_value=30), max_size=300),
+        capacity=st.integers(min_value=1, max_value=12),
+        splits=st.lists(st.integers(min_value=1, max_value=50), max_size=20),
+    )
+    def run(stream, capacity, splits):
+        truth = Counter(stream)
+        n = len(stream)
+        counts: Counter = Counter()
+        i = 0
+        for w in splits + [len(stream)]:
+            batch = stream[i : i + w]
+            i += w
+            counts.update(batch)
+            counts = mg_compress(counts, capacity)
+        bound = n / (capacity + 1)
+        for tok, true_count in truth.items():
+            if true_count > bound:
+                assert tok in counts, (tok, true_count, bound, counts)
+            if tok in counts:
+                assert counts[tok] <= true_count
+                assert true_count - counts[tok] <= bound + 1e-9
+        assert len(counts) <= capacity
+
+    run()
