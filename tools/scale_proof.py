@@ -46,7 +46,7 @@ def _replicate_docs(spark, sf_dir: str, out: str) -> None:
     big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
 
-def _replicate_orders(spark, sf_dir: str, out: str) -> None:
+def _replicate_orders(spark, sf_dir: str, out: str) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -69,6 +69,59 @@ def _replicate_orders(spark, sf_dir: str, out: str) -> None:
     for p in parts[1:]:
         big = big.unionByName(p)
     big.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    return hi_k, hi_c
+
+
+def _replicate_lineitem(spark, sf_dir: str, out: str, hi_k: int) -> None:
+    """10x lineitem with l_orderkey shifted by the SAME stride as the
+    orders replication, so order⋈lineitem referential integrity holds
+    in the grown corpus (the Q18/Q21-analog joins stay honest);
+    suppliers/parts are dims and stay fixed, matching a fact-grows
+    deployment."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parts = []
+    for i in range(REPLICAS):
+        parts.append(
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * hi_k)).alias("l_orderkey"),
+                *[c for c in li.columns if c != "l_orderkey"],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+
+def _replicate_customer(spark, sf_dir: str, out: str, hi_c: int) -> None:
+    """10x customer with c_custkey shifted by the orders replication's
+    custkey stride — every replicated order keeps a matching customer."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    parts = []
+    for i in range(REPLICAS):
+        parts.append(
+            cust.select(
+                (F.col("c_custkey") + F.lit(i * hi_c)).alias("c_custkey"),
+                *[c for c in cust.columns if c != "c_custkey"],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/customer.parquet")
+
+
+def _copy_dims(spark, sf_dir: str, out: str) -> None:
+    """Dims the new-entry loaders touch, unreplicated (dims don't grow
+    10x when the fact tables do)."""
+    for t in ("supplier", "nation", "part", "region"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
 
 
 def _replicate_events(spark, sf_dir: str, out: str) -> None:
@@ -120,7 +173,10 @@ def main() -> None:
         dedup_cluster_sizes_q,
         docs_duplicated_spans_q,
         dedup_components_q,
+        docs_heavy_hitters_q,
         events_key_skew_q,
+        orders_big_basket_customers_q,
+        supplier_sole_late_blame_q,
     )
     from cass_cdc_pg_spark.session import get_spark
 
@@ -137,11 +193,21 @@ def main() -> None:
         # r9 (r8 verdict #5): the second floor-bound perf entry joins
         # the measured-scaling record alongside deciles
         "events_key_skew": events_key_skew_q,
+        # r9 wave 3: the two heaviest new analytics shapes (floor-bound
+        # vs DuckDB raw at toy SF — the scaling ratio is the posture
+        # evidence) and the MG sketch pipeline (its shuffle volume is
+        # data-size INDEPENDENT, so the ratio isolates scan+python cost)
+        "orders_big_basket_customers": orders_big_basket_customers_q,
+        "supplier_sole_late_blame": supplier_sole_late_blame_q,
+        "docs_heavy_hitters": docs_heavy_hitters_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
         _replicate_docs(spark, sf_dir, tmp)
-        _replicate_orders(spark, sf_dir, tmp)
+        hi_k, hi_c = _replicate_orders(spark, sf_dir, tmp)
+        _replicate_lineitem(spark, sf_dir, tmp, hi_k)
+        _replicate_customer(spark, sf_dir, tmp, hi_c)
+        _copy_dims(spark, sf_dir, tmp)
         _replicate_events(spark, sf_dir, tmp)
         # the 10x dir needs every table the query loaders touch; the
         # remaining tables are only read by loaders we don't call here
