@@ -100,13 +100,14 @@ PIPELINE = [
     "docs_block_dedup",
     "docs_quality_budget_by_source",
     "embedding_cluster_sample",
-    # r9 wave-3 additions (pipeline_total grows by these 5 entries —
+    # r9 wave-3 additions (pipeline_total grows by these 6 entries —
     # compare older rounds against the other 61)
     "lineitem_small_qty_revenue",
     "orders_big_basket_customers",
     "supplier_sole_late_blame",
     "customer_dormant_balance",
     "docs_heavy_hitters",
+    "dedup_cross_source_matrix",
 ]
 
 
@@ -847,6 +848,9 @@ def main() -> None:
         "dedup_incremental_pairs",
         "dedup_incremental_components",
         "dedup_incremental_admission",
+        # r9 wave 3: the cross-source matrix reads the same shared
+        # pair materialization — cold = full pair recompute + rollup
+        "dedup_cross_source_matrix",
     ]
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"

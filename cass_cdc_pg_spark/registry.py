@@ -1579,6 +1579,72 @@ SELECT doc_a, doc_b, est_jaccard FROM pairs
 """
 
 
+def dedup_cross_source_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: for every unordered pair
+    of corpus sources, how many near-dup pairs bridge them and how
+    similar those bridges are — the standard curation diagnostic for
+    "which feeds are copies of each other" (e.g. a crawl re-serving a
+    wiki dump) before choosing per-source sampling rates.
+
+    Scale shape: the pair table comes from the shared memoized
+    MinHash-LSH materialization (the expensive part, computed once per
+    session+fixture); attaching sources is two equi-joins of the
+    SMALL pair relation against the (doc_id, source) projection, then
+    a ≤|sources|² rollup.  The mean similarity aggregates the INTEGER
+    signature-agreement count k (est_jaccard × num_hashes is exact by
+    construction) and divides once per output row, so no engine can
+    disagree on a float fold order."""
+    p = _DEDUP_PAIR_PARAMS
+    pairs = _shared_minhash_pairs(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = pairs.join(
+        docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+        ),
+        "doc_a",
+    )
+    ab = a.join(
+        docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+        ),
+        "doc_b",
+    )
+    k = F.round(F.col("est_jaccard") * p["num_hashes"]).cast("long")
+    return (
+        ab.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            k.alias("_k"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum("_k") / F.lit(float(p["num_hashes"])) / F.count(F.lit(1)),
+                6,
+            ).alias("mean_est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_MATRIX_SQL = f"""
+WITH {_minhash_ctes()},
+lab AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(ROUND(est_jaccard * 32) AS BIGINT) AS k
+  FROM pairs
+  JOIN documents da ON doc_a = da.doc_id
+  JOIN documents db ON doc_b = db.doc_id)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(k) / 32.0 / COUNT(*), 6) AS mean_est_jaccard
+FROM lab GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pairs → connected components by
     min-label propagation; every document gets a component id (its
@@ -5156,6 +5222,7 @@ QUERIES = {
     "customer_dormant_balance": customer_dormant_balance_q,
     "docs_heavy_hitters": docs_heavy_hitters_q,
     "stream_hopping_parity": stream_hopping_parity_q,
+    "dedup_cross_source_matrix": dedup_cross_source_matrix_q,
     # (c) rewritten in r9 (rewritten-stays-in-window contract): the
     # two two-phase-rank queries now freeze their range partitioning
     # (frozen_range_pid — r8 ADVICE high/medium), and the greedy stats
@@ -5189,10 +5256,9 @@ QUERIES = {
     "q2_checksums": q2_checksums,
     "q3_checksum_diff": q3_checksum_diff,
     "q11_listing_orders": q11_listing_orders,
-    "q18_gdpr_erasure": q18_gdpr_erasure,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 22 r7-green entries that did not fit the r9 window —
+    # FIRST the 23 r7-green entries that did not fit the r9 window —
     # the 12 documented at the r9 freeze (lineitem_revenue_forecast,
     # sales_promo_share + q4-q8, q12, q13, q17, q21, q22) plus the 4
     # displaced when the late-r9 additions (stream_dedup_parity,
@@ -5200,11 +5266,12 @@ QUERIES = {
     # embedding_cluster_sample — new queries take window priority)
     # entered the head (orders_fulfillment_lag,
     # docs_dup_rate_by_source, customer_order_recency,
-    # events_gap_stats) plus the 6 displaced by the wave-3 additions
-    # (c1_lww_state, dedup_ngram_jaccard, text_fingerprint,
-    # q20_drift_severity, q19_retention, events_key_skew); every one
-    # replayed green by check_oracle this round — THEN the r8-green
-    # block below.
+    # events_gap_stats) plus the 7 displaced by the wave-3 additions
+    # (q18_gdpr_erasure, c1_lww_state, dedup_ngram_jaccard,
+    # text_fingerprint, q20_drift_severity, q19_retention,
+    # events_key_skew); every one replayed green by check_oracle this
+    # round — THEN the r8-green block below.
+    "q18_gdpr_erasure": q18_gdpr_erasure,
     "c1_lww_state": c1_lww_state,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "text_fingerprint": text_fingerprint_q,
@@ -5399,6 +5466,7 @@ ORACLE = {
     "customer_dormant_balance": DORMANT_BALANCE_SQL,
     "docs_heavy_hitters": HEAVY_HITTERS_SQL,
     "stream_hopping_parity": HOPPING_SQL,
+    "dedup_cross_source_matrix": CROSS_SOURCE_MATRIX_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
