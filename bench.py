@@ -108,6 +108,13 @@ PIPELINE = [
     "customer_dormant_balance",
     "docs_heavy_hitters",
     "dedup_cross_source_matrix",
+    # r9 wave-4 additions (pipeline_total grows by these 5 entries —
+    # compare older rounds against the other 67)
+    "nation_trade_flows",
+    "lineitem_bracket_revenue",
+    "customer_returns_ranking",
+    "part_supplier_diversity",
+    "nation_profit_by_year",
 ]
 
 

@@ -4128,6 +4128,347 @@ ORDER BY n_occurrences DESC, token
 """
 
 
+def nation_trade_flows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade-flow matrix (TPC-H Q7 family): shipped revenue
+    between every (supplier nation, customer nation) pair per ship
+    year — the two-sided-dimension shape where the SAME tiny dim
+    (nation) labels both ends of one fact row.
+
+    Scale shape: the ship-date filter pushes to the lineitem scan.
+    supplier⋈nation collapses to a broadcast (suppkey → nation) map;
+    the customer-side nation is a second broadcast of the 25-row dim
+    AFTER the custkey join, so nation never shuffles.  The big-big
+    joins are lineitem⋈orders (orderkey) and ⋈customer (custkey) —
+    the two unavoidable fact shuffles of the Q7 shape (at toy SF AQE
+    broadcasts both small sides; at 100 TB they are the only
+    Exchanges that carry data rows, and both carry pruned
+    4-column projections, never text).  Revenue accumulates as
+    DECIMAL; output is a ≤25×25×2 matrix."""
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = src.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = src.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sdim = (
+        src.load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            rev.alias("_r"),
+        )
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("_r"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+TRADE_FLOWS_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def lineitem_bracket_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-bracket promotion revenue (TPC-H Q19 family): three
+    OR'ed (brand, size-range, quantity-range) brackets, reported per
+    bracket — the shape where the textbook predicate defeats pushdown.
+
+    Scale shape: Catalyst does NOT derive single-column bounds from an
+    OR-of-ANDs spanning both join sides, so the query states the
+    derived hulls explicitly — ``p_brand IN (…) AND p_size BETWEEN 1
+    AND 15`` lands in the part scan and ``l_quantity BETWEEN 1 AND
+    30`` lands in the LINEITEM scan as parquet pushed filters (row
+    groups outside the hull never decompress).  The hull-filtered part
+    list BROADCASTS; the residual bracket disjunction evaluates
+    post-join on the survivors; the only Exchange carries 3 bracket
+    partials.  Quantity bounds compare exactly (integral doubles), so
+    both engines agree on boundary rows."""
+    _B = [
+        ("Brand#1", 5, 1, 11),
+        ("Brand#2", 10, 10, 20),
+        ("Brand#3", 15, 20, 30),
+    ]
+    p = (
+        src.load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin([b for b, *_ in _B])
+            & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _li(spark, sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).filter(F.col("l_quantity").between(1, 30))
+    bracket = F.lit(None).cast("string")
+    cond = F.lit(False)
+    for name, (b, smax, qlo, qhi) in zip(["small", "medium", "large"], _B):
+        this = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        bracket = F.when(this, F.lit(name)).otherwise(bracket)
+        cond = cond | this
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .select(bracket.alias("bracket"), rev.alias("_r"))
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("_r"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("bracket")
+    )
+
+
+BRACKET_REVENUE_SQL = """
+SELECT CASE WHEN p_brand = 'Brand#1' THEN 'small'
+            WHEN p_brand = 'Brand#2' THEN 'medium'
+            ELSE 'large' END AS bracket,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_returns_ranking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter
+    (TPC-H Q10 family) — the filter-heavy rank-then-enrich shape.
+
+    Scale shape: BOTH selective filters push to their scans
+    (``l_returnflag = 'R'`` kills 2/3 of lineitem row-group-side;
+    the quarter range kills ~96% of orders), the surviving fact joins
+    on orderkey, and the per-customer rollup happens BEFORE touching
+    the wide customer table — the custkey join sees one row per
+    qualifying customer, not one per lineitem.  The final rank is a
+    distributed top-k (TakeOrderedAndProject) on the EXACT decimal
+    revenue with a custkey tiebreak, so the selected 20 are engine-
+    independent; rounding happens after selection."""
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    ).filter(F.col("l_returnflag") == "R")
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    c = src.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", rev.alias("_r"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_r").alias("_rev"),
+        )
+    )
+    return (
+        per_cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "n_items",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+RETURNS_RANKING_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o_orderdate <  TIMESTAMP '1996-10-01'
+  GROUP BY 1)
+SELECT c_custkey, c_name, n_name AS nation, n_items,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev DESC, c_custkey LIMIT 20
+"""
+
+
+def part_supplier_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per part segment (TPC-H Q16 family): how
+    many DISTINCT suppliers ship each (p_type, size-band) segment,
+    excluding one blacklisted brand and the PROMO type — the
+    count-distinct-over-derived-edges shape (the reference corpus has
+    no partsupp table; the supplier↔part edge set is derived from the
+    fact table, which is what a CDC-fed warehouse does anyway).
+
+    Scale shape: a strictly-shrinking three-stage cascade.  (1) the
+    fact projects to 2 key columns and dedups (partkey, suppkey) —
+    map-side partial dedup collapses the repeats before the only
+    fact-sized Exchange; (2) the tiny filtered part dim BROADCASTS
+    onto the edge set and (type, band, suppkey) dedups — the shuffle
+    carries edge-set rows, not fact rows; (3) the final count is a
+    ≤|types|×|bands| rollup.  No COUNT(DISTINCT) expression ever
+    reaches an aggregate — each stage is a plain hash dedup, so every
+    stage partial-aggregates map-side (expand-free)."""
+    edges = (
+        _li(spark, sf_dir).select("l_partkey", "l_suppkey").distinct()
+    )
+    band = F.floor((F.col("p_size") - 1) / 10).cast("int")
+    p = (
+        src.load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_type", band.alias("size_band"))
+    )
+    return (
+        edges.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_type", "size_band", "l_suppkey")
+        .distinct()
+        .groupBy("p_type", "size_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("supplier_cnt"))
+        .orderBy("p_type", "size_band")
+    )
+
+
+SUPPLIER_DIVERSITY_SQL = """
+WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_type, CAST(FLOOR((p_size - 1) / 10) AS INT) AS size_band,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM edges JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def nation_profit_by_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit by supplier nation and order year (TPC-H
+    Q9 family) for parts named ``red …``: profit = revenue minus a
+    cost proxy (50% of retail price per unit — the corpus has no
+    partsupp/supplycost column; the proxy is documented, not hidden).
+
+    Scale shape: the name predicate is a PREFIX match, so it pushes to
+    the part scan as ``StringStartsWith`` (a LIKE '%red%' would scan
+    every row); the surviving ~1/8 of parts BROADCAST into the
+    lineitem scan and cut the fact BEFORE its only shuffle — the
+    orderkey Exchange carries pre-filtered 5-column rows.  The
+    supplier→nation map broadcasts.  Both profit terms are cast to
+    DECIMAL(18,6) per row BEFORE the subtraction and the sum, so
+    accumulation is exact in both engines and rounds once at output.
+    """
+    p = (
+        src.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    o = src.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sdim = (
+        src.load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        - (F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.5))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            profit.alias("_p"),
+        )
+        .groupBy("nation", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("_p"), 2).cast("double").alias("profit"),
+        )
+        .orderBy("nation", "yr")
+    )
+
+
+NATION_PROFIT_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))
+                     - CAST(p_retailprice * l_quantity * 0.5
+                            AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def embedding_semdedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup survivor list (SemDeDup-style selection): a
     vector survives iff no LOWER-id vector sits within the cosine
@@ -5223,6 +5564,17 @@ QUERIES = {
     "docs_heavy_hitters": docs_heavy_hitters_q,
     "stream_hopping_parity": stream_hopping_parity_q,
     "dedup_cross_source_matrix": dedup_cross_source_matrix_q,
+    # (b3) new in r9 wave 4 (never driver-checked): the remaining
+    # TPC-H query families the catalog lacked — two-sided nation dim
+    # (Q7), disjunctive brackets with explicit pushdown hulls (Q19),
+    # filter-heavy rank-then-enrich (Q10), count-distinct cascade over
+    # derived supplier↔part edges (Q16), and the profit rollup with a
+    # prefix-pushed name predicate (Q9):
+    "nation_trade_flows": nation_trade_flows_q,
+    "lineitem_bracket_revenue": lineitem_bracket_revenue_q,
+    "customer_returns_ranking": customer_returns_ranking_q,
+    "part_supplier_diversity": part_supplier_diversity_q,
+    "nation_profit_by_year": nation_profit_by_year_q,
     # (c) rewritten in r9 (rewritten-stays-in-window contract): the
     # two two-phase-rank queries now freeze their range partitioning
     # (frozen_range_pid — r8 ADVICE high/medium), and the greedy stats
@@ -5251,14 +5603,9 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
     "events_user_features": events_user_features_q,
-    "sales_by_nation_quarter": sales_by_nation_quarter_q,
-    "events_user_features_5min": events_user_features_5min_q,
-    "q2_checksums": q2_checksums,
-    "q3_checksum_diff": q3_checksum_diff,
-    "q11_listing_orders": q11_listing_orders,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 23 r7-green entries that did not fit the r9 window —
+    # FIRST the 28 r7-green entries that did not fit the r9 window —
     # the 12 documented at the r9 freeze (lineitem_revenue_forecast,
     # sales_promo_share + q4-q8, q12, q13, q17, q21, q22) plus the 4
     # displaced when the late-r9 additions (stream_dedup_parity,
@@ -5269,8 +5616,16 @@ QUERIES = {
     # events_gap_stats) plus the 7 displaced by the wave-3 additions
     # (q18_gdpr_erasure, c1_lww_state, dedup_ngram_jaccard,
     # text_fingerprint, q20_drift_severity, q19_retention,
-    # events_key_skew); every one replayed green by check_oracle this
-    # round — THEN the r8-green block below.
+    # events_key_skew) plus the 5 displaced by the wave-4 additions
+    # (sales_by_nation_quarter, events_user_features_5min,
+    # q2_checksums, q3_checksum_diff, q11_listing_orders); every one
+    # replayed green by check_oracle this round — THEN the r8-green
+    # block below.
+    "sales_by_nation_quarter": sales_by_nation_quarter_q,
+    "events_user_features_5min": events_user_features_5min_q,
+    "q2_checksums": q2_checksums,
+    "q3_checksum_diff": q3_checksum_diff,
+    "q11_listing_orders": q11_listing_orders,
     "q18_gdpr_erasure": q18_gdpr_erasure,
     "c1_lww_state": c1_lww_state,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
@@ -5467,6 +5822,11 @@ ORACLE = {
     "docs_heavy_hitters": HEAVY_HITTERS_SQL,
     "stream_hopping_parity": HOPPING_SQL,
     "dedup_cross_source_matrix": CROSS_SOURCE_MATRIX_SQL,
+    "nation_trade_flows": TRADE_FLOWS_SQL,
+    "lineitem_bracket_revenue": BRACKET_REVENUE_SQL,
+    "customer_returns_ranking": RETURNS_RANKING_SQL,
+    "part_supplier_diversity": SUPPLIER_DIVERSITY_SQL,
+    "nation_profit_by_year": NATION_PROFIT_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -1240,3 +1240,87 @@ def test_heavy_hitters_frozen_counts_topk_no_row_udf(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_trade_flows_nation_dims_broadcast_single_agg_exchange(spark):
+    """nation_trade_flows (Q7 family): the 25-row nation dim labels
+    BOTH sides of the fact via broadcasts (never a shuffle), the
+    ship-date filter pushes to the lineitem scan, and at toy SF the
+    whole plan carries exactly one hashpartitioning Exchange (the
+    final matrix rollup) — at scale only the orderkey/custkey joins
+    may add fact Exchanges, never the dims."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.nation_trade_flows_q(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bracket_revenue_hulls_push_to_both_scans(spark):
+    """lineitem_bracket_revenue (Q19 family): Catalyst cannot derive
+    single-column bounds from the OR-of-ANDs, so the explicitly-stated
+    hulls MUST appear as pushed parquet filters on both scans —
+    l_quantity<=30 on lineitem, In(p_brand,...) on part — the filtered
+    part side broadcasts, and the only Exchange carries 3 bracket
+    partials."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.lineitem_bracket_revenue_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "LessThanOrEqual(l_quantity,30" in plan, plan
+    assert "In(p_brand" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_returns_ranking_filters_push_and_topk(spark):
+    """customer_returns_ranking (Q10 family): the returnflag equality
+    pushes to the lineitem scan, the per-customer rollup happens
+    BEFORE the customer join (partial_sum ahead of one custkey-side
+    exchange), and the final rank is a distributed top-k, never a
+    global sort."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.customer_returns_ranking_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_supplier_diversity_strictly_shrinking_dedup_cascade(spark):
+    """part_supplier_diversity (Q16 family): no COUNT(DISTINCT) Expand
+    anywhere — the cascade is three plain hash dedups/rollups (edge
+    dedup, (type,band,supp) dedup, final count), each partial-
+    aggregating map-side, with the part dim broadcast between stages."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.part_supplier_diversity_q(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_nation_profit_prefix_predicate_pushes_to_part_scan(spark):
+    """nation_profit_by_year (Q9 family): the 'red %' name predicate
+    is a PREFIX match so it must push to the part scan as
+    StringStartsWith (a '%red%' contains-match cannot), the filtered
+    part list broadcasts into lineitem BEFORE the orderkey join, and
+    the dims never shuffle."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.nation_profit_by_year_q(spark, "/root/testdata/sf0.001"))
+    assert "StringStartsWith(p_name,red)" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan

@@ -78,6 +78,25 @@ SELECTED: list[tuple[str, str]] = [
      "Misra-Gries sketch-then-confirm (r9): MapInPandas candidates, "
      "broadcast-filtered exact confirm, counts frozen behind "
      "localCheckpoint (Scan ExistingRDD), distributed top-k"),
+    ("nation_trade_flows",
+     "two-sided nation dim (r9 wave 4, Q7 family): 25-row dim "
+     "broadcasts onto BOTH fact ends; ship-date filter pushed; one "
+     "matrix-rollup Exchange at toy SF"),
+    ("lineitem_bracket_revenue",
+     "disjunctive brackets (r9 wave 4, Q19 family): explicit hulls "
+     "pushed to BOTH parquet scans (qty<=30 on lineitem, brand-IN on "
+     "part); residual OR evaluated post-broadcast-join"),
+    ("customer_returns_ranking",
+     "rank-then-enrich (r9 wave 4, Q10 family): returnflag + quarter "
+     "filters pushed; per-customer rollup BEFORE the customer join; "
+     "distributed top-k on exact DECIMAL revenue"),
+    ("part_supplier_diversity",
+     "count-distinct cascade (r9 wave 4, Q16 family): three strictly-"
+     "shrinking hash dedups, no Expand, part dim broadcast"),
+    ("nation_profit_by_year",
+     "profit rollup (r9 wave 4, Q9 family): StringStartsWith pushed "
+     "to the part scan; filtered parts broadcast-cut lineitem BEFORE "
+     "the orderkey join; DECIMAL-exact profit terms"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
     ("docs_source_stats",
      "one text scan; shuffles carry hashes/counters only"),
