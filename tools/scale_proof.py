@@ -177,6 +177,9 @@ def main() -> None:
         events_key_skew_q,
         orders_big_basket_customers_q,
         supplier_sole_late_blame_q,
+        nation_trade_flows_q,
+        part_supplier_diversity_q,
+        customer_returns_ranking_q,
     )
     from cass_cdc_pg_spark.session import get_spark
 
@@ -200,6 +203,14 @@ def main() -> None:
         "orders_big_basket_customers": orders_big_basket_customers_q,
         "supplier_sole_late_blame": supplier_sole_late_blame_q,
         "docs_heavy_hitters": docs_heavy_hitters_q,
+        # r9 wave 4: the two-fact-join Q7 matrix (both data Exchanges
+        # grow with the fact), the Q16 dedup cascade (every stage's
+        # volume grows 10x), and the Q10 rank-then-enrich (filters cut
+        # before both shuffles — the ratio shows how much of the toy-SF
+        # wall was session floor)
+        "nation_trade_flows": nation_trade_flows_q,
+        "part_supplier_diversity": part_supplier_diversity_q,
+        "customer_returns_ranking": customer_returns_ranking_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
