@@ -115,6 +115,8 @@ PIPELINE = [
     "customer_returns_ranking",
     "part_supplier_diversity",
     "nation_profit_by_year",
+    "dedup_best_of_cluster",
+    "docs_length_bucketing",
 ]
 
 
@@ -858,6 +860,9 @@ def main() -> None:
         # r9 wave 3: the cross-source matrix reads the same shared
         # pair materialization — cold = full pair recompute + rollup
         "dedup_cross_source_matrix",
+        # r9 wave 4: quality-aware canonical selection reads the
+        # shared CC materialization — cold = pairs + fixpoint + agg
+        "dedup_best_of_cluster",
     ]
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"

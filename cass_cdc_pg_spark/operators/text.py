@@ -804,6 +804,50 @@ def length_histogram(documents: DataFrame) -> DataFrame:
     )
 
 
+def padding_waste(documents: DataFrame, multiple: int = 32) -> DataFrame:
+    """Per-length-bucket padding-waste report: docs rounded up to the
+    next ``multiple`` of tokens (the pad-to-multiple batching most
+    training stacks use when sequences are NOT packed), with the
+    tokens each bucket wastes on padding — the measurement that
+    justifies switching to :func:`pack_sequences` (whose waste is the
+    per-pack remainder instead).
+
+    ``bucket_len`` is computed INTEGER-exact as
+    ``(n + m - 1) - ((n + m - 1) % m)`` — pure integer add/mod, never
+    float ``ceil(n / m)``, which can land below the integer at exact
+    multiples on some engines and put boundary docs in the wrong
+    bucket.  One scan + one ≤(max_len/multiple)-row aggregate; the
+    waste ratio divides two exact longs once per output row.
+    """
+    n = F.size(tokens(F.col("text"))).cast("long")
+    up = n + F.lit(multiple - 1)
+    bucket = up - (up % multiple)
+    return (
+        documents.select(n.alias("n"), bucket.cast("long").alias("bucket_len"))
+        .filter(F.col("n") > 0)
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            (F.sum(F.col("bucket_len") - F.col("n"))).cast("long").alias(
+                "padding_tokens"
+            ),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "total_tokens",
+            "padding_tokens",
+            F.round(
+                F.col("padding_tokens")
+                / (F.col("bucket_len") * F.col("n_docs")).cast("double"),
+                4,
+            ).alias("waste_ratio"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """Per-source (per-domain) corpus profile — the aggregation that
     drives training-mix decisions: how big is each source, how much of

@@ -1726,6 +1726,111 @@ def corpus_clean_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_best_of_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: for
+    every MULTI-member cluster, pick the member a curator would keep —
+    quality bucket 'ok' first, then highest vocabulary diversity, then
+    longest, doc_id as the final tiebreak — instead of the smallest-id
+    member that pure graph canonicality keeps.  ``upgraded`` marks
+    clusters where the two rules disagree (real corpora: the crawl
+    copy of a wiki page often has boilerplate bolted on, so min-id is
+    the WRONG keep ~half the time).
+
+    Scale shape: reuses the shared memoized pair/CC materialization;
+    the selection is ONE aggregate with ``max_by`` over a packed
+    ordering struct — partial-aggregated map-side, so the Exchange
+    carries one candidate row per (partition, component), never a
+    window sort.  The ordering is total (doc_id unique), so the chosen
+    member is engine-independent."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    comp = dedup_components_q(spark, sf_dir).select("doc_id", "component_id")
+    qual = text.quality_score(docs).select(
+        "doc_id", "n_chars", "unique_ratio", "quality_bucket"
+    )
+    ordering = F.struct(
+        (F.col("quality_bucket") == "ok").cast("int").alias("ok"),
+        F.col("unique_ratio").alias("u"),
+        F.col("n_chars").alias("c"),
+        (-F.col("doc_id")).alias("negid"),
+    )
+    return (
+        comp.join(qual, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max_by("doc_id", ordering).alias("best_doc_id"),
+            F.max_by("quality_bucket", ordering).alias("best_quality"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .withColumn("upgraded", F.col("best_doc_id") != F.col("min_doc_id"))
+        .orderBy("component_id")
+    )
+
+
+BEST_OF_CLUSTER_SQL = f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY node),
+qual AS (
+  SELECT doc_id, n_chars,
+         ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS unique_ratio,
+         CASE WHEN len(tk) < 20 THEN 'too_short'
+              WHEN ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) < 0.3 THEN 'repetitive'
+              ELSE 'ok' END AS quality_bucket
+  FROM (SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents)),
+ranked AS (
+  SELECT c.component_id, q.doc_id, q.quality_bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component_id
+           ORDER BY (q.quality_bucket = 'ok') DESC, q.unique_ratio DESC,
+                    q.n_chars DESC, q.doc_id ASC) AS rk
+  FROM comp c JOIN qual q ON c.doc_id = q.doc_id)
+SELECT component_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       MIN(doc_id) AS min_doc_id,
+       MIN(doc_id) FILTER (rk = 1) AS best_doc_id,
+       MIN(quality_bucket) FILTER (rk = 1) AS best_quality,
+       MIN(doc_id) FILTER (rk = 1) <> MIN(doc_id) AS upgraded
+FROM ranked GROUP BY 1 HAVING COUNT(*) > 1
+ORDER BY 1
+"""
+
+
+def docs_length_bucketing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for pad-to-multiple batching (32-token
+    buckets): what fraction of each bucket's compute a non-packing
+    loader burns on pad tokens — the measurement that justifies
+    ``docs_pack_sequences``.  Zero-shuffle per-row bucketing + one
+    tiny rollup; bucket edges integer-exact (add/mod, no float ceil).
+    """
+    return text.padding_waste(src.load_table(spark, sf_dir, "documents"))
+
+
+LENGTH_BUCKETING_SQL = """
+WITH b AS (
+  SELECT n, (n + 31) - ((n + 31) % 32) AS bucket_len
+  FROM (SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS n
+        FROM documents)
+  WHERE n > 0)
+SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(bucket_len - n) AS BIGINT) AS padding_tokens,
+       ROUND(CAST(SUM(bucket_len - n) AS BIGINT)
+             / CAST(bucket_len * COUNT(*) AS DOUBLE), 4) AS waste_ratio
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # r9 — incremental corpus dedup (daily new-batch vs standing corpus)
 # ---------------------------------------------------------------------------
@@ -5575,6 +5680,12 @@ QUERIES = {
     "customer_returns_ranking": customer_returns_ranking_q,
     "part_supplier_diversity": part_supplier_diversity_q,
     "nation_profit_by_year": nation_profit_by_year_q,
+    # (b4) new in r9 wave 4 (pipeline tier): quality-aware canonical
+    # selection per near-dup cluster (max_by over a packed ordering
+    # struct — no window sort) and the pad-to-multiple waste report
+    # that justifies sequence packing:
+    "dedup_best_of_cluster": dedup_best_of_cluster_q,
+    "docs_length_bucketing": docs_length_bucketing_q,
     # (c) rewritten in r9 (rewritten-stays-in-window contract): the
     # two two-phase-rank queries now freeze their range partitioning
     # (frozen_range_pid — r8 ADVICE high/medium), and the greedy stats
@@ -5601,11 +5712,9 @@ QUERIES = {
     "events_interval_session": events_interval_session_q,
     "q1_row_count": q1_row_count,
     "text_pii_scrub": text_pii_scrub_q,
-    "docs_source_stats": docs_source_stats_q,
-    "events_user_features": events_user_features_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 28 r7-green entries that did not fit the r9 window —
+    # FIRST the 30 r7-green entries that did not fit the r9 window —
     # the 12 documented at the r9 freeze (lineitem_revenue_forecast,
     # sales_promo_share + q4-q8, q12, q13, q17, q21, q22) plus the 4
     # displaced when the late-r9 additions (stream_dedup_parity,
@@ -5616,11 +5725,14 @@ QUERIES = {
     # events_gap_stats) plus the 7 displaced by the wave-3 additions
     # (q18_gdpr_erasure, c1_lww_state, dedup_ngram_jaccard,
     # text_fingerprint, q20_drift_severity, q19_retention,
-    # events_key_skew) plus the 5 displaced by the wave-4 additions
+    # events_key_skew) plus the 7 displaced by the wave-4 additions
     # (sales_by_nation_quarter, events_user_features_5min,
-    # q2_checksums, q3_checksum_diff, q11_listing_orders); every one
-    # replayed green by check_oracle this round — THEN the r8-green
-    # block below.
+    # q2_checksums, q3_checksum_diff, q11_listing_orders,
+    # docs_source_stats, events_user_features); every one replayed
+    # green by check_oracle this round — THEN the r8-green block
+    # below.
+    "docs_source_stats": docs_source_stats_q,
+    "events_user_features": events_user_features_q,
     "sales_by_nation_quarter": sales_by_nation_quarter_q,
     "events_user_features_5min": events_user_features_5min_q,
     "q2_checksums": q2_checksums,
@@ -5827,6 +5939,8 @@ ORACLE = {
     "customer_returns_ranking": RETURNS_RANKING_SQL,
     "part_supplier_diversity": SUPPLIER_DIVERSITY_SQL,
     "nation_profit_by_year": NATION_PROFIT_SQL,
+    "dedup_best_of_cluster": BEST_OF_CLUSTER_SQL,
+    "docs_length_bucketing": LENGTH_BUCKETING_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -1324,3 +1324,31 @@ def test_nation_profit_prefix_predicate_pushes_to_part_scan(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_best_of_cluster_max_by_aggregate_no_window_sort(spark):
+    """dedup_best_of_cluster (r9 wave 4): the per-cluster selection is
+    a max_by aggregate over a packed ordering struct — partial-
+    aggregated map-side (one candidate row per partition+component
+    reaches the Exchange), never a window sort over cluster members."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.dedup_best_of_cluster_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_length_bucketing_single_rollup_exchange(spark):
+    """docs_length_bucketing (r9 wave 4): per-row bucketing is
+    shuffle-free; the only Exchange carries ≤(max_len/32) rollup
+    partials, and no Python touches the hot path."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.docs_length_bucketing_q(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -1258,3 +1258,57 @@ def test_cluster_sample_balanced_and_ranked(spark):
     # cell 1: vec 0 has cosine exactly 1.0 (rank 1); vec 1 next
     assert sorted(by_cell[1]) == [(1, 0), (2, 1)]
     assert by_cell[2] == [(1, 9)]
+
+
+def test_best_of_cluster_upgrades_to_quality_choice(spark, tmp_path):
+    """dedup_best_of_cluster (r9 wave 4): when two near-dups are both
+    quality-'ok' with equal vocabulary diversity, the LONGER doc wins
+    even though it has the higher id — ``upgraded`` marks that the
+    quality rule disagreed with min-id canonicality; singletons never
+    appear in the report."""
+    from cass_cdc_pg_spark.registry import dedup_best_of_cluster_q
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon phi"
+    )
+    longer = base + " extra"
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, longer, "en", "s", len(longer)),
+        (2, "totally different unrelated content words zebra yak "
+            "xylophone quark jolt vex wimp dozy fjord glyph nymph "
+            "crwth squib zarf pique jambs vodka fuzzy", "en", "s", 120),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = dedup_best_of_cluster_q(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # doc 2 is a singleton -> excluded
+    r = out[0]
+    assert r.component_id == 0 and r.cluster_size == 2
+    assert r.min_doc_id == 0 and r.best_doc_id == 1
+    assert r.best_quality == "ok" and bool(r.upgraded) is True
+
+
+def test_padding_waste_bucket_edges_exact(spark):
+    """padding_waste (r9 wave 4): bucket edges are integer-exact — a
+    32-token doc lands in bucket 32 (zero pad), 33 tokens in bucket
+    64; the waste ratio divides exact longs."""
+    from cass_cdc_pg_spark.operators.text import padding_waste
+
+    rows = [
+        (1, " ".join(["t"] * 32)),
+        (2, " ".join(["t"] * 33)),
+        (3, " ".join(["t"] * 31)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.bucket_len: (r.n_docs, r.total_tokens, r.padding_tokens, r.waste_ratio)
+        for r in padding_waste(df).collect()
+    }
+    assert got[32] == (2, 63, 1, round(1 / 64, 4))
+    assert got[64] == (1, 33, 31, round(31 / 64, 4))
