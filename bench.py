@@ -684,6 +684,47 @@ def bucketed_join_bench(spark, sf_dir: str, warehouse: str) -> dict:
     }
 
 
+def zorder_bench(spark, sf_dir: str, out_dir: str) -> dict:
+    """Z-order layout evidence (r9 wave 4): write the events fact
+    twice — linearly sorted on ts vs z-ordered on (ts_epoch, user_id)
+    — and report the STRUCTURAL pruning measure (candidate files per
+    footer stats for a user_id band; wall-clock at toy SF is session
+    floor) plus the one-time write costs."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.plans.bucketed import candidate_files, save_zordered
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+    lin = f"{out_dir}/events_linear"
+    zo = f"{out_dir}/events_zordered"
+    t0 = _t.time()
+    (
+        ev.repartitionByRange(16, "ts_epoch")
+        .sortWithinPartitions("ts_epoch")
+        .write.parquet(lin)
+    )
+    t_lin = round(_t.time() - t0, 3)
+    t0 = _t.time()
+    save_zordered(ev, zo, ["ts_epoch", "user_id"], n_files=16)
+    t_zo = round(_t.time() - t0, 3)
+    hi_u = ev.agg(F.max("user_id")).first()[0]
+    lo, hi = hi_u // 4, hi_u // 4 + max(1, hi_u // 16)  # ~6% user band
+    lin_u, lin_n = candidate_files(lin, "user_id", lo, hi)
+    zo_u, zo_n = candidate_files(zo, "user_id", lo, hi)
+    return {
+        "zorder_write_sec": t_zo,
+        "linear_write_sec": t_lin,
+        "zorder_files_user_band": f"{zo_u}/{zo_n}",
+        "linear_files_user_band": f"{lin_u}/{lin_n}",
+    }
+
+
 def ivf_split_bench(spark, sf_dir: str) -> dict:
     """Per-stage breakdown of the ann_ivf_topk build (r5 verdict #3:
     its local wall-clock swung 2× run-to-run; the round-over-round
@@ -908,6 +949,8 @@ def main() -> None:
         bucketed_stats = bucketed_join_bench(spark, sf_dir, wh)
     with tempfile.TemporaryDirectory() as wh:
         cdf_stats = cdf_bench(spark, sf_dir, wh)
+    with tempfile.TemporaryDirectory() as wh:
+        zorder_stats = zorder_bench(spark, sf_dir, wh)
     ivf_split = ivf_split_bench(spark, sf_dir)
     contract = contract_bench(spark, sf_dir)
 
@@ -931,6 +974,7 @@ def main() -> None:
         **http_stats,
         **bucketed_stats,
         **cdf_stats,
+        **zorder_stats,
         **ivf_split,
         **contract,
     }
@@ -957,7 +1001,9 @@ HEADLINE_KEYS = [
     "microbatch_p95_sec", "microbatch_p95_run1_sec",
     "microbatch_p95_run2_sec", "kill_restart_crash_injected",
     "kill_restart_rows_expected", "kill_restart_rows_lost",
-    "kill_restart_rows_duplicated", "http_requests_per_sec",
+    "kill_restart_rows_duplicated",
+    "zorder_files_user_band", "linear_files_user_band",
+    "http_requests_per_sec",
     "http_p95_ms", "http_errors", "contract_floor_sec",
     "contract_q1_spark_sec", "contract_q1_duck_sec",
     "contract_q1_raw_ratio", "contract_q1_adj_ratio",

@@ -137,6 +137,125 @@ def save_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def zorder_value(
+    cols: list[str],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+):
+    """Morton (Z-order) code column: each input column is linearly
+    scaled to ``bits`` bits against the supplied min/max, then the
+    bits are interleaved — points close in ALL dimensions get close
+    z-values, so sorting by z clusters the data in every dimension at
+    once.
+
+    Pure column expression (shift/and/or — whole-stage codegen, no
+    Python): ``bits × len(cols)`` OR terms.  With the default 16 bits
+    and 2-4 columns the code fits a long.  Scaling is clamped, so
+    out-of-range values (data drift after stats were taken) land in
+    the edge cell instead of corrupting the interleave."""
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 63:
+        raise ValueError("z-value must fit a signed long")
+    top = (1 << bits) - 1
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo) or 1.0
+        s = F.floor(
+            (F.col(c).cast("double") - float(lo)) / span * top
+        ).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), s)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(scaled) + j))
+    return z
+
+
+def save_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered write (the OPTIMIZE ZORDER analog): range-
+    partition on the Morton code and sort within partitions, so every
+    output file covers a compact region of the MULTI-dimensional key
+    space — parquet footer min/max stats become tight on EVERY
+    z-column, and a filter on ANY of them skips most files before
+    reading a byte.
+
+    This is the third write-time layout lever: bucketing co-locates a
+    JOIN key, directory partitioning prunes ONE low-cardinality
+    filter column, z-ordering prunes SEVERAL high-cardinality ones at
+    once (at the cost of each being ~sqrt-tight instead of exactly
+    sorted).  At 100 TB: a linear sort on ts leaves a user_id filter
+    reading every file; z-order (ts, user_id) bounds both.  One
+    stats pass + one range shuffle at write time."""
+    stats = df.agg(
+        *[f(c).cast("double").alias(f"{m}_{c}")
+          for c in cols
+          for m, f in (("min", _fmin), ("max", _fmax))]
+    ).first()
+    z = zorder_value(
+        cols,
+        [stats[f"min_{c}"] for c in cols],
+        [stats[f"max_{c}"] for c in cols],
+        bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def candidate_files(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(files a reader must open, total files) for ``col BETWEEN lo
+    AND hi``, from parquet footer min/max stats alone — the
+    deterministic structural measure of how well a layout prunes
+    (wall-clock at toy SF is all session floor).  A file is a
+    candidate iff any row group's [min, max] intersects [lo, hi] —
+    exactly the skipping decision the parquet reader makes."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = cand = 0
+    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        total += 1
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.min is None:
+                cand += 1
+                break
+            if st.min <= hi and st.max >= lo:
+                cand += 1
+                break
+    return cand, total
+
+
+def _fmin(c):
+    from pyspark.sql import functions as F
+
+    return F.min(c)
+
+
+def _fmax(c):
+    from pyspark.sql import functions as F
+
+    return F.max(c)
+
+
 def is_bucketed(spark: SparkSession, table: str) -> bool:
     """True iff the catalog records a bucket spec for *table*."""
     return bucket_spec(spark, table) is not None

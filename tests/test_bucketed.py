@@ -186,3 +186,63 @@ def test_bucket_spec_reads_catalog(spark, bucketed_pair):
     lt, rt = bucketed_pair
     assert bucket_spec(spark, lt) == (8, ("k",))
     assert bucket_spec(spark, rt) == (8, ("k",))
+
+
+def test_zorder_prunes_files_on_both_dims(spark, tmp_path):
+    """save_zordered: with footer stats as the measure (wall-clock at
+    toy SF is session floor), a z-ordered layout must prune files for
+    range predicates on EITHER clustered column, where a linear sort
+    prunes only its own sort column; both layouts return identical
+    rows."""
+    from cass_cdc_pg_spark.plans.bucketed import candidate_files, save_zordered
+
+    df = spark.range(200_000).selectExpr(
+        "id", "id % 1000 AS a", "(id * 7919) % 1000 AS b"
+    )
+    lin = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(lin)
+    )
+    zo = str(tmp_path / "zordered")
+    save_zordered(df, zo, ["a", "b"], n_files=16)
+
+    # linear layout: the b-filter must open every file
+    lin_b, lin_total = candidate_files(lin, "b", 100, 160)
+    assert lin_total == 16 and lin_b == 16, (lin_b, lin_total)
+    # z-order: BOTH dims prune to at most half the files
+    zo_a, zo_total = candidate_files(zo, "a", 100, 160)
+    zo_b, _ = candidate_files(zo, "b", 100, 160)
+    assert zo_total == 16
+    assert zo_a <= 8, zo_a
+    assert zo_b <= 8, zo_b
+    # and the linear layout still prunes its own sort column
+    lin_a, _ = candidate_files(lin, "a", 100, 160)
+    assert lin_a <= 3, lin_a
+
+    # layouts are a physical property only: identical answers
+    for pred in ("b BETWEEN 100 AND 160", "a BETWEEN 100 AND 160"):
+        n_lin = spark.read.parquet(lin).where(pred).count()
+        n_zo = spark.read.parquet(zo).where(pred).count()
+        assert n_lin == n_zo, (pred, n_lin, n_zo)
+
+
+def test_zorder_value_interleaves_and_clamps(spark):
+    """zorder_value: bit interleave is exact on known points, and
+    out-of-range values clamp to the edge cell instead of wrapping."""
+    from pyspark.sql import functions as F
+
+    from cass_cdc_pg_spark.plans.bucketed import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (99, -5)], "x int, y int"
+    )
+    z = zorder_value(["x", "y"], [0, 0], [3, 3], bits=2)
+    got = [r[0] for r in df.select(z).collect()]
+    # 2-bit interleave: x bits land at even positions, y at odd
+    assert got[0] == 0          # (00, 00)
+    assert got[1] == 0b0101     # x=11 -> bits 0 and 2
+    assert got[2] == 0b1010     # y=11 -> bits 1 and 3
+    assert got[3] == 0b1111
+    assert got[4] == 0b0101     # x clamps to 3, y clamps to 0
