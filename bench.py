@@ -117,6 +117,7 @@ PIPELINE = [
     "nation_profit_by_year",
     "dedup_best_of_cluster",
     "docs_length_bucketing",
+    "dedup_minhash_precision",
 ]
 
 
@@ -904,6 +905,9 @@ def main() -> None:
         # r9 wave 4: quality-aware canonical selection reads the
         # shared CC materialization — cold = pairs + fixpoint + agg
         "dedup_best_of_cluster",
+        # r9 wave 4: sketch precision reads the shared pair table —
+        # cold = full pair recompute + exact-Jaccard joins
+        "dedup_minhash_precision",
     ]
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"

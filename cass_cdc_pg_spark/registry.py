@@ -1579,6 +1579,72 @@ SELECT doc_a, doc_b, est_jaccard FROM pairs
 """
 
 
+def dedup_minhash_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality eval: for every MinHash-LSH candidate pair,
+    the estimated Jaccard next to the EXACT shingle-set Jaccard — the
+    acceptance report a pipeline runs before trusting a sketch
+    configuration (num_hashes/bands) at the next data scale.
+
+    Scale shape: the expensive all-corpus work is already done — the
+    pair relation comes from the shared memoized materialization, and
+    exact Jaccard is computed ONLY on candidate pairs (never all
+    pairs): two equi-joins attach each side's distinct-shingle array
+    (the small pair side broadcasts; the corpus-side projection is
+    scanned, not shuffled), then the intersection counts are per-row
+    array ops.  Every comparison is INTEGER-exact: exact_num/exact_den
+    are set cardinalities, and ``underestimated`` clears the division
+    — ``k·den < num·32`` with k the signature-agreement count — so no
+    engine can disagree on a boundary pair."""
+    p = _DEDUP_PAIR_PARAMS
+    pairs = _shared_minhash_pairs(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents")
+    from cass_cdc_pg_spark.operators.text import tokens, zipped_grams
+
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(zipped_grams(tokens(F.col("text")), p["n"])).alias("sh"),
+    )
+    a = pairs.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sa")),
+        "doc_a",
+    )
+    ab = a.join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("_sb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    den = (F.size("_sa") + F.size("_sb")).cast("long") - inter
+    k = F.round(F.col("est_jaccard") * p["num_hashes"]).cast("long")
+    return ab.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        inter.alias("exact_num"),
+        den.alias("exact_den"),
+        (k * den < inter * p["num_hashes"]).alias("underestimated"),
+    )
+
+
+MINHASH_PRECISION_SQL = f"""
+WITH {_minhash_ctes()},
+sets AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS sh
+  FROM toks),
+j AS (
+  SELECT doc_a, doc_b, est_jaccard,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS exact_num,
+         CAST(len(sa.sh) + len(sb.sh)
+              - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS exact_den,
+         CAST(ROUND(est_jaccard * 32) AS BIGINT) AS k
+  FROM pairs JOIN sets sa ON doc_a = sa.doc_id
+             JOIN sets sb ON doc_b = sb.doc_id)
+SELECT doc_a, doc_b, est_jaccard, exact_num, exact_den,
+       k * exact_den < exact_num * 32 AS underestimated
+FROM j
+"""
+
+
 def dedup_cross_source_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplication matrix: for every unordered pair
     of corpus sources, how many near-dup pairs bridge them and how
@@ -5686,6 +5752,7 @@ QUERIES = {
     # that justifies sequence packing:
     "dedup_best_of_cluster": dedup_best_of_cluster_q,
     "docs_length_bucketing": docs_length_bucketing_q,
+    "dedup_minhash_precision": dedup_minhash_precision_q,
     # (c) rewritten in r9 (rewritten-stays-in-window contract): the
     # two two-phase-rank queries now freeze their range partitioning
     # (frozen_range_pid — r8 ADVICE high/medium), and the greedy stats
@@ -5711,10 +5778,9 @@ QUERIES = {
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
     "q1_row_count": q1_row_count,
-    "text_pii_scrub": text_pii_scrub_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 30 r7-green entries that did not fit the r9 window —
+    # FIRST the 31 r7-green entries that did not fit the r9 window —
     # the 12 documented at the r9 freeze (lineitem_revenue_forecast,
     # sales_promo_share + q4-q8, q12, q13, q17, q21, q22) plus the 4
     # displaced when the late-r9 additions (stream_dedup_parity,
@@ -5725,12 +5791,13 @@ QUERIES = {
     # events_gap_stats) plus the 7 displaced by the wave-3 additions
     # (q18_gdpr_erasure, c1_lww_state, dedup_ngram_jaccard,
     # text_fingerprint, q20_drift_severity, q19_retention,
-    # events_key_skew) plus the 7 displaced by the wave-4 additions
+    # events_key_skew) plus the 8 displaced by the wave-4 additions
     # (sales_by_nation_quarter, events_user_features_5min,
     # q2_checksums, q3_checksum_diff, q11_listing_orders,
-    # docs_source_stats, events_user_features); every one replayed
-    # green by check_oracle this round — THEN the r8-green block
-    # below.
+    # docs_source_stats, events_user_features, text_pii_scrub); every
+    # one replayed green by check_oracle this round — THEN the
+    # r8-green block below.
+    "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
     "events_user_features": events_user_features_q,
     "sales_by_nation_quarter": sales_by_nation_quarter_q,
@@ -5941,6 +6008,7 @@ ORACLE = {
     "nation_profit_by_year": NATION_PROFIT_SQL,
     "dedup_best_of_cluster": BEST_OF_CLUSTER_SQL,
     "docs_length_bucketing": LENGTH_BUCKETING_SQL,
+    "dedup_minhash_precision": MINHASH_PRECISION_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

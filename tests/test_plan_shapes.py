@@ -1352,3 +1352,19 @@ def test_length_bucketing_single_rollup_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_minhash_precision_candidates_only_no_extra_exchange(spark):
+    """dedup_minhash_precision (r9 wave 4): exact Jaccard is computed
+    ONLY on the (materialized) candidate pairs — the small pair side
+    broadcasts into both shingle-set joins and no new
+    hashpartitioning Exchange, cartesian, or Python stage appears."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.dedup_minhash_precision_q(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -1312,3 +1312,32 @@ def test_padding_waste_bucket_edges_exact(spark):
     }
     assert got[32] == (2, 63, 1, round(1 / 64, 4))
     assert got[64] == (1, 33, 31, round(31 / 64, 4))
+
+
+def test_minhash_precision_exact_on_identical_docs(spark, tmp_path):
+    """dedup_minhash_precision (r9 wave 4): identical documents must
+    report exact_num == exact_den (Jaccard 1), est 1.0, and never be
+    flagged underestimated; the disjoint third doc contributes no
+    pair."""
+    from cass_cdc_pg_spark.registry import dedup_minhash_precision_q
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, dup, "en", "s", len(dup)),
+        (1, dup, "en", "s", len(dup)),
+        (2, "different words entirely about other things zebra yak",
+         "en", "s", 55),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = dedup_minhash_precision_q(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.exact_num == r.exact_den > 0
+    assert r.est_jaccard == 1.0
+    assert bool(r.underestimated) is False
