@@ -3048,6 +3048,112 @@ def stream_hopping_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def view_incremental_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance as a driver-checked
+    fact (r9 wave 4 — ``IncrementalAggView`` was pytest-only, like
+    the stateful streams before their parity twins): the events
+    fixture replayed as 5 CDC batches against a real ``KeyedTable`` +
+    ``IncrementalAggView`` (count/sum-micros per event_type), with
+    cross-batch UPDATEs injected for every ``event_id % 5 == 0`` key
+    (group moves to 'updated', value +1, later timestamp — the view
+    must RETRACT the old group's contribution) and DELETEs for every
+    ``% 17 == 0`` key (tombstone, even later timestamp — full
+    retraction; ``% 85`` keys get both in ONE batch, so intra-batch
+    LWW must keep only the delete).  The returned rows are
+    ``view.read()`` — the folded delta log, never a recompute.
+
+    Oracle: the closed-form final LWW state aggregated directly from
+    the fixture — a hash match states the delta-maintenance ledger
+    (insert + update-retract + delete-retract across batch and
+    restart boundaries) equals full recomputation.  Same plan-tool
+    caveat as the stream-parity queries: local-relation output, the
+    compute surface is the batch replay, memoized per
+    (session, fixture)."""
+    slot = _stream_parity_slot(spark, sf_dir)
+    if "view" not in slot:
+        import tempfile
+
+        from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+        from cass_cdc_pg_spark.streaming.incremental_view import (
+            IncrementalAggView,
+        )
+
+        base = _ev(spark, sf_dir).select(
+            "event_id",
+            "event_type",
+            "value",
+            F.lit(False).alias("_cdc_deleted"),
+            F.col("ts_us").alias("_cdc_timestamp_micros"),
+            F.concat(F.lit("e"), F.col("event_id")).alias("_last_event_id"),
+            F.lit(None).cast("long").alias("_ttl_expiry_timestamp_us"),
+        )
+        chunk = F.col("event_id") % 4
+        with tempfile.TemporaryDirectory() as tmp:
+            table = KeyedTable(spark, f"{tmp}/t", ["event_id"], num_buckets=8)
+            view = IncrementalAggView(
+                spark, f"{tmp}/v", table, ["event_type"], "value"
+            )
+            for i in range(5):
+                parts = []
+                if i < 4:
+                    parts.append(base.filter(chunk == i))
+                if i > 0:
+                    prev = base.filter(chunk == i - 1)
+                    parts.append(
+                        prev.filter(F.col("event_id") % 5 == 0).select(
+                            "event_id",
+                            F.lit("updated").alias("event_type"),
+                            (F.col("value") + 1.0).alias("value"),
+                            F.lit(False).alias("_cdc_deleted"),
+                            (F.col("_cdc_timestamp_micros") + 1_000_000_000)
+                            .alias("_cdc_timestamp_micros"),
+                            F.concat(F.lit("u"), F.col("event_id"))
+                            .alias("_last_event_id"),
+                            F.lit(None).cast("long")
+                            .alias("_ttl_expiry_timestamp_us"),
+                        )
+                    )
+                    parts.append(
+                        prev.filter(F.col("event_id") % 17 == 0).select(
+                            "event_id",
+                            "event_type",
+                            "value",
+                            F.lit(True).alias("_cdc_deleted"),
+                            (F.col("_cdc_timestamp_micros") + 2_000_000_000)
+                            .alias("_cdc_timestamp_micros"),
+                            F.concat(F.lit("d"), F.col("event_id"))
+                            .alias("_last_event_id"),
+                            F.lit(None).cast("long")
+                            .alias("_ttl_expiry_timestamp_us"),
+                        )
+                    )
+                batch = parts[0]
+                for p in parts[1:]:
+                    batch = batch.unionByName(p)
+                view.apply_batch(batch, batch_id=i)
+                table.merge(batch)
+            slot["view"] = [
+                (r["event_type"], r["n_rows"], r["sum_micros"])
+                for r in view.read().collect()
+            ]
+    return spark.createDataFrame(
+        slot["view"], "event_type string, n_rows long, sum_micros long"
+    ).orderBy("event_type")
+
+
+VIEW_PARITY_SQL = """
+WITH final AS (
+  SELECT CASE WHEN event_id % 5 = 0 THEN 'updated' ELSE event_type END AS grp,
+         CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS v
+  FROM events
+  WHERE event_id % 17 <> 0)
+SELECT grp AS event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+         AS sum_micros
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
 def users_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (first-activity day × active-day
     offset × distinct users) — two text-free shuffles."""
@@ -5753,6 +5859,7 @@ QUERIES = {
     "dedup_best_of_cluster": dedup_best_of_cluster_q,
     "docs_length_bucketing": docs_length_bucketing_q,
     "dedup_minhash_precision": dedup_minhash_precision_q,
+    "view_incremental_parity": view_incremental_parity_q,
     # (c) rewritten in r9 (rewritten-stays-in-window contract): the
     # two two-phase-rank queries now freeze their range partitioning
     # (frozen_range_pid — r8 ADVICE high/medium), and the greedy stats
@@ -5777,10 +5884,9 @@ QUERIES = {
     "events_sessionize": events_sessionize_q,
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
-    "q1_row_count": q1_row_count,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 31 r7-green entries that did not fit the r9 window —
+    # FIRST the 32 r7-green entries that did not fit the r9 window —
     # the 12 documented at the r9 freeze (lineitem_revenue_forecast,
     # sales_promo_share + q4-q8, q12, q13, q17, q21, q22) plus the 4
     # displaced when the late-r9 additions (stream_dedup_parity,
@@ -5791,12 +5897,13 @@ QUERIES = {
     # events_gap_stats) plus the 7 displaced by the wave-3 additions
     # (q18_gdpr_erasure, c1_lww_state, dedup_ngram_jaccard,
     # text_fingerprint, q20_drift_severity, q19_retention,
-    # events_key_skew) plus the 8 displaced by the wave-4 additions
+    # events_key_skew) plus the 9 displaced by the wave-4 additions
     # (sales_by_nation_quarter, events_user_features_5min,
     # q2_checksums, q3_checksum_diff, q11_listing_orders,
-    # docs_source_stats, events_user_features, text_pii_scrub); every
-    # one replayed green by check_oracle this round — THEN the
-    # r8-green block below.
+    # docs_source_stats, events_user_features, text_pii_scrub,
+    # q1_row_count); every one replayed green by check_oracle this
+    # round — THEN the r8-green block below.
+    "q1_row_count": q1_row_count,
     "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
     "events_user_features": events_user_features_q,
@@ -6009,6 +6116,7 @@ ORACLE = {
     "dedup_best_of_cluster": BEST_OF_CLUSTER_SQL,
     "docs_length_bucketing": LENGTH_BUCKETING_SQL,
     "dedup_minhash_precision": MINHASH_PRECISION_SQL,
+    "view_incremental_parity": VIEW_PARITY_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
