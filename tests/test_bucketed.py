@@ -246,3 +246,26 @@ def test_zorder_value_interleaves_and_clamps(spark):
     assert got[2] == 0b1010     # y=11 -> bits 1 and 3
     assert got[3] == 0b1111
     assert got[4] == 0b0101     # x clamps to 3, y clamps to 0
+
+
+def test_zorder_value_matches_reference_interleave_exhaustively(spark):
+    """zorder_value: over the full 64x64 grid (bits=6), the column
+    expression must equal the Python reference bit-interleave for
+    every point — and therefore be a bijection on the grid."""
+    from cass_cdc_pg_spark.plans.bucketed import zorder_value
+
+    def ref(x, y, bits=6):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    top = 63
+    df = spark.range(64 * 64).selectExpr(
+        "CAST(id % 64 AS INT) AS x", "CAST(id DIV 64 AS INT) AS y"
+    )
+    z = zorder_value(["x", "y"], [0, 0], [top, top], bits=6)
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", z.alias("z")).collect()}
+    assert all(got[(x, y)] == ref(x, y) for x in range(64) for y in range(64))
+    assert len(set(got.values())) == 64 * 64
