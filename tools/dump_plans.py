@@ -97,6 +97,17 @@ SELECTED: list[tuple[str, str]] = [
      "profit rollup (r9 wave 4, Q9 family): StringStartsWith pushed "
      "to the part scan; filtered parts broadcast-cut lineitem BEFORE "
      "the orderkey join; DECIMAL-exact profit terms"),
+    ("dedup_best_of_cluster",
+     "quality-aware canonical selection (r9 wave 4): ONE max_by "
+     "aggregate over a packed ordering struct, partial map-side — "
+     "never a window sort over cluster members"),
+    ("docs_length_bucketing",
+     "padding-waste report (r9 wave 4): integer-exact bucket edges, "
+     "zero-shuffle bucketing + one tiny rollup Exchange"),
+    ("dedup_minhash_precision",
+     "sketch-precision eval (r9 wave 4): exact Jaccard ONLY on "
+     "memoized candidate pairs — pair side broadcasts into both "
+     "shingle-set joins, zero new Exchange"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
     ("docs_source_stats",
      "one text scan; shuffles carry hashes/counters only"),
