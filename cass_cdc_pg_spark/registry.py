@@ -1625,6 +1625,8 @@ def dedup_minhash_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NH = _DEDUP_PAIR_PARAMS["num_hashes"]
+
 MINHASH_PRECISION_SQL = f"""
 WITH {_minhash_ctes()},
 sets AS (
@@ -1636,11 +1638,11 @@ j AS (
          CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS exact_num,
          CAST(len(sa.sh) + len(sb.sh)
               - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS exact_den,
-         CAST(ROUND(est_jaccard * 32) AS BIGINT) AS k
+         CAST(ROUND(est_jaccard * {_NH}) AS BIGINT) AS k
   FROM pairs JOIN sets sa ON doc_a = sa.doc_id
              JOIN sets sb ON doc_b = sb.doc_id)
 SELECT doc_a, doc_b, est_jaccard, exact_num, exact_den,
-       k * exact_den < exact_num * 32 AS underestimated
+       k * exact_den < exact_num * {_NH} AS underestimated
 FROM j
 """
 
@@ -1699,13 +1701,13 @@ WITH {_minhash_ctes()},
 lab AS (
   SELECT LEAST(da.source, db.source) AS source_a,
          GREATEST(da.source, db.source) AS source_b,
-         CAST(ROUND(est_jaccard * 32) AS BIGINT) AS k
+         CAST(ROUND(est_jaccard * {_NH}) AS BIGINT) AS k
   FROM pairs
   JOIN documents da ON doc_a = da.doc_id
   JOIN documents db ON doc_b = db.doc_id)
 SELECT source_a, source_b,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(SUM(k) / 32.0 / COUNT(*), 6) AS mean_est_jaccard
+       ROUND(SUM(k) / {_NH}.0 / COUNT(*), 6) AS mean_est_jaccard
 FROM lab GROUP BY 1, 2
 ORDER BY 1, 2
 """
