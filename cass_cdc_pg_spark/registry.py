@@ -163,6 +163,7 @@ def _ord_tgt(spark, sf_dir):
 
 
 def q2_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKSUM validation: canonical per-row SHA-256 over the orders PK + compare columns (identical digest in Spark and DuckDB)."""
     return reconcile.with_checksum(_ord(spark, sf_dir), ORDERS_PK, ORDERS_COMPARE)
 
 
@@ -200,6 +201,7 @@ WHERE t.tgt_checksum IS NULL OR s.src_checksum IS NULL
 
 
 def q4_missing_in_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join diff: target rows whose primary key no longer exists in the source."""
     tgt = _ord_tgt(spark, sf_dir)
     return tgt.join(_ord(spark, sf_dir), on=ORDERS_PK, how="left_anti").select(
         "o_orderkey"
@@ -215,6 +217,7 @@ WHERE NOT EXISTS (
 
 
 def q5_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_RANGE reconciliation: windowed row counts diffed source-vs-target."""
     lo, hi = "1995-01-01", "1995-12-31"
     o = src.load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between(lo, hi)
@@ -245,6 +248,7 @@ WHERE t.tgt_checksum IS NULL OR s.src_checksum IS NULL
 
 
 def q6_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE validation: deterministic PK-hash sample compared row-by-row across replicas."""
     li = _li(spark, sf_dir)
     return reconcile.deterministic_sample(
         li,
@@ -260,6 +264,7 @@ SELECT * FROM lineitem WHERE (l_orderkey*31 + l_linenumber) % 100 < 10
 
 
 def q7_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by primary key — pushed equality predicate, footer/row-group pruning."""
     return src.load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
 
 
@@ -267,6 +272,7 @@ Q7_SQL = "SELECT * FROM customer WHERE c_custkey = 42"
 
 
 def q8_field_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level diff: per-column mismatch report for PK-matched source/target rows."""
     return reconcile.field_diff(
         _ord(spark, sf_dir), _ord_tgt(spark, sf_dir), ORDERS_PK, ORDERS_COMPARE
     )
@@ -294,6 +300,7 @@ SELECT * FROM u WHERE src_val IS DISTINCT FROM tgt_val
 
 
 def q20_drift_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation drift classification: per-order quantity sums diffed source-vs-target and bucketed into severity tiers."""
     sums = lambda df: df.groupBy("l_orderkey").agg(  # noqa: E731
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .cast("double")
@@ -334,6 +341,7 @@ FROM s JOIN t ON s.l_orderkey = t.l_orderkey
 # ---------------------------------------------------------------------------
 
 def q9_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ analytics rollup: counts and latest arrival per error type and table."""
     ev = _ev(spark, sf_dir)
     return (
         ev.select(_errtype_spark().alias("error_type"))
@@ -348,6 +356,7 @@ SELECT {_ERRTYPE_SQL} AS error_type, COUNT(*) AS n FROM events GROUP BY 1
 
 
 def q10_job_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation job statistics rollup: counts and durations per strategy and status."""
     li = _li(spark, sf_dir)
     sum_disc = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
     return li.agg(
@@ -370,6 +379,7 @@ FROM lineitem
 
 
 def q11_listing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered + sorted + paginated orders listing: pushed filters, pruned columns, distributed top-k with offset."""
     o = src.load_table(spark, sf_dir, "orders")
     return listings.listing(
         o,
@@ -389,6 +399,7 @@ LIMIT 100 OFFSET 50
 
 
 def q12_listing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered + sorted + paginated events listing (same pushed-filter top-k shape as Q11)."""
     ev = _ev(spark, sf_dir)
     filtered = listings.listing(
         ev,
@@ -410,6 +421,7 @@ LIMIT 200 OFFSET 20
 
 
 def q13_listing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered + sorted + paginated lineitem listing (same pushed-filter top-k shape as Q11)."""
     li = _li(spark, sf_dir)
     return listings.listing(
         li,
@@ -509,6 +521,7 @@ FROM events GROUP BY 1
 
 
 def t9_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL expiry sweep: rows past _ttl_expiry_timestamp_us become invisible; the oracle pins the survivors."""
     ev = _ev(spark, sf_dir)
     return (
         ev.withColumn("ttl_seconds", _ttl_spark())
@@ -550,6 +563,7 @@ FROM events
 
 
 def q19_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep: only events at or after the cutoff survive; the oracle pins the surviving set exactly."""
     ev = _ev(spark, sf_dir)
     return ev.filter(F.col("ts_us") >= _RETENTION_CUTOFF_US).select(
         "event_id", "ts_us", "user_id", "event_type", "value", "props"
@@ -563,6 +577,7 @@ FROM events WHERE epoch_us(ts) >= {_RETENTION_CUTOFF_US}
 
 
 def q21_dlq_replay_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ bounded replay selection: oldest unresolved rows up to the replay batch limit."""
     ev = _ev(spark, sf_dir)
     return ev.filter(F.col("event_id") % 997 == 17).select(
         "event_id",
@@ -581,6 +596,7 @@ FROM events WHERE event_id % 997 = 17
 
 
 def q22_resolve_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mismatch resolve/status update — the durable keyed-table merge behind the API route, read back as a query."""
     ev = _ev(spark, sf_dir).filter(F.col("event_id") % 997 == 17)
     resolved = F.col("event_id") % 10 < 3
     return ev.select(
@@ -607,6 +623,7 @@ FROM events WHERE event_id % 997 = 17
 # ---------------------------------------------------------------------------
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by canonical text digest — hash group-by on the digest, text never shuffles."""
     return dedup.exact_dup_groups(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -617,6 +634,7 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index with a stop-shingle cap — quadratic only within buckets."""
     return dedup.ngram_jaccard_pairs(
         src.load_table(spark, sf_dir, "documents"), n=2, threshold=0.1
     )
@@ -646,6 +664,7 @@ WHERE ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.1
 
 
 def docs_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: docs bucketed by integer-exact floor(log2(token count))."""
     return text.length_histogram(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -660,6 +679,7 @@ FROM t GROUP BY 1
 
 
 def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (duplicate line/paragraph and top-gram mass fractions) via HOF folds, zero shuffle."""
     return text.repetition_stats(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -687,6 +707,7 @@ _DECONTAM_N = 3
 
 
 def decontam_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing n-grams with the broadcast eval set, with overlap counts."""
     docs = src.load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
@@ -721,6 +742,7 @@ _PACK_SEQ_LEN, _PACK_SHARDS = 512, 8
 
 
 def docs_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concat-and-chunk into fixed-length packs, sharded cumsum, per-doc (pack, offset) provenance."""
     return text.pack_sequences(
         src.load_table(spark, sf_dir, "documents"),
         seq_len=_PACK_SEQ_LEN,
@@ -791,6 +813,7 @@ FROM x
 
 
 def text_token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency rarity score per document (CCNet-style LM quality proxy; integer sums keep the oracle bit-exact)."""
     return text.token_rarity(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -807,6 +830,7 @@ GROUP BY doc_id
 
 
 def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local symmetric int8 quantization with per-vector scale — zero Exchange."""
     return similarity.quantize_int8(
         src.load_table(spark, sf_dir, "embeddings")
     )
@@ -838,6 +862,7 @@ _MIX_WEIGHTS = {"src0": 2.3, "src1": 1.5, "src2": 0.4}
 
 
 def docs_mix_upsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix upsampling plan: per-source repeat factors with deterministic fractional-remainder draws."""
     docs = src.load_table(spark, sf_dir, "documents")
     out = text.mix_upsample(docs, _MIX_WEIGHTS)
     return out.select("doc_id", "source", F.col("copy_n").cast("long").alias("copy_n"))
@@ -865,6 +890,7 @@ _TOKEN_BUDGET = 20_000
 
 
 def docs_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted subset selection: docs in descending quality order until the corpus token budget is hit (frozen two-phase global rank)."""
     return text.token_budget_select(
         src.load_table(spark, sf_dir, "documents"), _TOKEN_BUDGET
     )
@@ -942,6 +968,7 @@ END"""
 
 
 def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over planted emails/phones/SSNs — per-kind redaction counts prove the vectorized regex pipeline ran."""
     docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.withColumn(
         "text",
@@ -979,6 +1006,7 @@ PII_SCRUB_SQL = _pii_scrub_sql()
 
 
 def docs_token_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-count percentiles from a bounded-state mergeable histogram aggregate — no global sort."""
     return text.token_percentiles(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -994,6 +1022,7 @@ FROM t
 
 
 def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts and length stats — single scan, pure column expressions."""
     out = text.token_stats(src.load_table(spark, sf_dir, "documents"))
     return out.select(
         "doc_id",
@@ -1014,6 +1043,7 @@ FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
 
 
 def text_bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer match counts as the cheap BPE token-cost proxy — pure regexp_count, codegen, no shuffle."""
     out = text.bpe_token_count(src.load_table(spark, sf_dir, "documents"))
     return out.select("doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"))
 
@@ -1026,6 +1056,7 @@ FROM documents
 
 
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality heuristics per document: stopword ratio, vocabulary diversity, length bucket."""
     return text.quality_score(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -1044,6 +1075,7 @@ FROM (SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '')
 
 
 def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of each document's sorted distinct token set."""
     return text.fingerprint(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -1056,6 +1088,7 @@ FROM documents
 
 
 def text_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: k-gram rolling-window minima, distinct set digested per document."""
     out = text.winnow_fingerprints(src.load_table(spark, sf_dir, "documents"))
     return out.select("doc_id", F.col("n_fps").cast("long").alias("n_fps"), "fp_digest")
 
@@ -1086,6 +1119,7 @@ FROM m
 
 
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram language identification per document."""
     return text.lang_id(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -1116,6 +1150,7 @@ TEXT_LANG_SQL = _lang_sql()
 
 
 def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k baseline: query block broadcast, corpus scanned but never shuffled, per-partition then global top-k."""
     emb = src.load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -1533,6 +1568,7 @@ def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs: banded signature buckets, estimated Jaccard at or above the threshold."""
     return _shared_minhash_pairs(spark, sf_dir)
 
 
@@ -2130,6 +2166,7 @@ WHERE rank <= 3
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprint (sign-aggregated token hashes, single scan)."""
     return dedup.simhash(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -2157,6 +2194,7 @@ DEDUP_SIMHASH_SQL = f"WITH {_simhash_fp_ctes()}\nSELECT doc_id, simhash FROM fp"
 
 
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs via banded Hamming buckets (first-agreeing-band emission, never all-pairs)."""
     return dedup.simhash_pairs(src.load_table(spark, sf_dir, "documents"))
 
 
@@ -2183,6 +2221,7 @@ DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
 def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k: bucket equi-join candidates, exact cosine re-rank within buckets."""
     emb = src.load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -2305,6 +2344,7 @@ _IVF_DF_CACHE: dict[tuple, DataFrame] = {}
 
 
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: constant-folded nearest-centroid assignment, probed cells only, memoized deterministic centroids."""
     key = (
         spark.sparkContext.applicationId,
         _ivf_fixture_key(sf_dir),
@@ -2390,6 +2430,7 @@ def ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
 
 
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above the cosine threshold via LSH candidate buckets (never all-pairs)."""
     # the synthetic embeddings top out near cos ≈ 0.48 — 0.35 marks
     # the "suspiciously similar" tail without being empty
     return _shared_emb_pairs(spark, sf_dir)
