@@ -108,7 +108,7 @@ PIPELINE = [
     "customer_dormant_balance",
     "docs_heavy_hitters",
     "dedup_cross_source_matrix",
-    # r9 wave-4 additions (pipeline_total grows by these 5 entries —
+    # r9 wave-4 additions (pipeline_total grows by these 8 entries —
     # compare older rounds against the other 67)
     "nation_trade_flows",
     "lineitem_bracket_revenue",

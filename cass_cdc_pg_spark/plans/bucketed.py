@@ -150,10 +150,14 @@ def zorder_value(
     once.
 
     Pure column expression (shift/and/or — whole-stage codegen, no
-    Python): ``bits × len(cols)`` OR terms.  With the default 16 bits
-    and 2-4 columns the code fits a long.  Scaling is clamped, so
+    Python): ``bits × len(cols)`` OR terms.  The code must fit a
+    signed long: at the default 16 bits that is 2-3 columns; 4+
+    columns need ``bits <= 63 // len(cols)``.  Scaling is clamped, so
     out-of-range values (data drift after stats were taken) land in
-    the edge cell instead of corrupting the interleave."""
+    the TOP/BOTTOM edge cell instead of corrupting the interleave;
+    NULLs land in the BOTTOM edge cell (cell 0 on that dimension), so
+    a null-heavy column degrades its own pruning but never widens the
+    other dimensions' top cells."""
     from pyspark.sql import functions as F
 
     if bits * len(cols) > 63:
@@ -161,11 +165,17 @@ def zorder_value(
     top = (1 << bits) - 1
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order column {c!r} has no min/max statistics "
+                "(all-NULL or empty input)"
+            )
         span = float(hi) - float(lo) or 1.0
         s = F.floor(
             (F.col(c).cast("double") - float(lo)) / span * top
         ).cast("long")
-        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), s)))
+        s = F.greatest(F.lit(0), F.least(F.lit(top), s))
+        scaled.append(F.coalesce(s, F.lit(0)))
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, s in enumerate(scaled):
@@ -196,10 +206,12 @@ def save_zordered(
     sorted).  At 100 TB: a linear sort on ts leaves a user_id filter
     reading every file; z-order (ts, user_id) bounds both.  One
     stats pass + one range shuffle at write time."""
+    from pyspark.sql import functions as F
+
     stats = df.agg(
         *[f(c).cast("double").alias(f"{m}_{c}")
           for c in cols
-          for m, f in (("min", _fmin), ("max", _fmax))]
+          for m, f in (("min", F.min), ("max", F.max))]
     ).first()
     z = zorder_value(
         cols,
@@ -242,18 +254,6 @@ def candidate_files(path: str, col: str, lo, hi) -> tuple[int, int]:
                 cand += 1
                 break
     return cand, total
-
-
-def _fmin(c):
-    from pyspark.sql import functions as F
-
-    return F.min(c)
-
-
-def _fmax(c):
-    from pyspark.sql import functions as F
-
-    return F.max(c)
 
 
 def is_bucketed(spark: SparkSession, table: str) -> bool:

@@ -1572,9 +1572,32 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_minhash_pairs(spark, sf_dir)
 
 
-def _minhash_ctes(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+def _shingle_list_sql(n: int) -> str:
+    """DuckDB expression for a doc's distinct n-token shingle list
+    over the ``tk`` token array — ONE definition shared by the pair
+    CTEs and the exact-Jaccard ``sets`` CTE, so the shingle width can
+    never diverge between the sketch and its precision oracle."""
+    return (
+        f"list_distinct(list_transform(range(1, len(tk) - {n - 2}), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' ')))"
+    )
+
+
+def _minhash_ctes(
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    threshold: float | None = None,
+    n: int | None = None,
+) -> str:
     """CTE body computing ``pairs(doc_a, doc_b, est_jaccard)`` —
-    shared by the pair query and the connected-components oracle."""
+    shared by the pair query and the connected-components oracle.
+    Defaults come from ``_DEDUP_PAIR_PARAMS`` (the SAME dict the Spark
+    side reads), so a parameter change moves every oracle with it."""
+    p = _DEDUP_PAIR_PARAMS
+    num_hashes = p["num_hashes"] if num_hashes is None else num_hashes
+    bands = p["bands"] if bands is None else bands
+    threshold = p["threshold"] if threshold is None else threshold
+    n = p["n"] if n is None else n
     coeffs = dedup.minhash_coeffs(num_hashes)
     P = dedup.MINHASH_P
     rpb = num_hashes // bands
@@ -1593,8 +1616,7 @@ def _minhash_ctes(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) 
     return f"""
 toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
               FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(
-         list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))) AS shingle
+sh AS (SELECT doc_id, unnest({_shingle_list_sql(n)}) AS shingle
        FROM toks),
 h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % {P} AS h FROM sh),
 sig AS (SELECT doc_id, {mh_defs} FROM h GROUP BY doc_id),
@@ -1666,8 +1688,7 @@ _NH = _DEDUP_PAIR_PARAMS["num_hashes"]
 MINHASH_PRECISION_SQL = f"""
 WITH {_minhash_ctes()},
 sets AS (
-  SELECT doc_id, list_distinct(list_transform(
-           range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS sh
+  SELECT doc_id, {_shingle_list_sql(_DEDUP_PAIR_PARAMS["n"])} AS sh
   FROM toks),
 j AS (
   SELECT doc_a, doc_b, est_jaccard,

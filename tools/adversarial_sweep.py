@@ -57,6 +57,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     oracles = entrymod.oracle_sql()
     failures = []

@@ -73,6 +73,10 @@ def main() -> int:
     import os
 
     queries = entrymod.queries()
+    unknown = only - set(queries)
+    if unknown:  # a typo must not pass as an empty (vacuously green) run
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # IVF oracle trains on the checked fixture
     oracles = entrymod.oracle_sql()
     failures = []
