@@ -153,6 +153,32 @@ def _replicate_events(spark, sf_dir: str, out: str) -> None:
     big.write.mode("overwrite").parquet(f"{out}/events.parquet")
 
 
+def _replicate_embeddings(spark, sf_dir: str, out: str) -> None:
+    """10x embeddings with shifted vec_ids; component 0 is perturbed
+    per replica so replicas are not bit-identical vectors (the
+    assignment workload keeps real per-row variety)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    parts = []
+    for i in range(REPLICAS):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                F.concat(
+                    F.array((F.element_at("embedding", 1) + F.lit(i * 0.01)).cast("float")),
+                    F.slice("embedding", 2, 100000),
+                ).alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    big = parts[0]
+    for q in parts[1:]:
+        big = big.unionByName(q)
+    big.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
 def _timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -180,6 +206,8 @@ def main() -> None:
         nation_trade_flows_q,
         part_supplier_diversity_q,
         customer_returns_ranking_q,
+        dedup_incremental_pairs_q,
+        ann_ivf_incremental_assign_q,
     )
     from cass_cdc_pg_spark.session import get_spark
 
@@ -211,6 +239,12 @@ def main() -> None:
         "nation_trade_flows": nation_trade_flows_q,
         "part_supplier_diversity": part_supplier_diversity_q,
         "customer_returns_ranking": customer_returns_ranking_q,
+        # r9 wave 4 (incremental tier): the daily-batch ops' whole
+        # claim is O(new batch) work — the carve-out grows 10x with
+        # the corpus, so the ratio should track the BATCH, and the
+        # memo bypass times the real from-scratch band build
+        "dedup_incremental_pairs": dedup_incremental_pairs_q,
+        "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -220,6 +254,7 @@ def main() -> None:
         _replicate_customer(spark, sf_dir, tmp, hi_c)
         _copy_dims(spark, sf_dir, tmp)
         _replicate_events(spark, sf_dir, tmp)
+        _replicate_embeddings(spark, sf_dir, tmp)
         # the 10x dir needs every table the query loaders touch; the
         # remaining tables are only read by loaders we don't call here
         report: dict = {"sf_dir": sf_dir, "replicas": REPLICAS, "queries": {}}
