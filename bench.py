@@ -696,11 +696,15 @@ def zorder_bench(spark, sf_dir: str, out_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from cass_cdc_pg_spark.plans.bucketed import candidate_files, save_zordered
+    from cass_cdc_pg_spark.sources.tables import events_with_micros
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    # the dtype-dispatching loader, NOT a raw read: the driver's events
+    # fixture has switched physical ts types across regenerations
+    # (TIMESTAMP(NANOS)-as-bigint vs TIMESTAMP(MICROS))
+    ev = events_with_micros(spark, sf_dir).select(
         "event_id",
         "user_id",
-        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("ts_us").alias("ts_epoch"),
     )
     lin = f"{out_dir}/events_linear"
     zo = f"{out_dir}/events_zordered"
