@@ -174,8 +174,10 @@ def zorder_value(
         s = F.floor(
             (F.col(c).cast("double") - float(lo)) / span * top
         ).cast("long")
-        s = F.greatest(F.lit(0), F.least(F.lit(top), s))
-        scaled.append(F.coalesce(s, F.lit(0)))
+        # coalesce BEFORE the clamp: least/greatest SKIP nulls, so a
+        # null reaching the clamp would silently become the TOP cell
+        s = F.coalesce(s, F.lit(0))
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), s)))
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, s in enumerate(scaled):

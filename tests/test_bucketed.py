@@ -269,3 +269,23 @@ def test_zorder_value_matches_reference_interleave_exhaustively(spark):
     got = {(r.x, r.y): r.z for r in df.select("x", "y", z.alias("z")).collect()}
     assert all(got[(x, y)] == ref(x, y) for x in range(64) for y in range(64))
     assert len(set(got.values())) == 64 * 64
+
+
+def test_zorder_value_nulls_land_in_bottom_cell(spark):
+    """zorder_value: NULL coordinates map to cell 0 on their
+    dimension (not the TOP cell — least/greatest skip nulls, so the
+    clamp alone would silently co-locate nulls with the largest
+    rows); all-NULL stats raise a ValueError naming the column."""
+    import pytest
+
+    from cass_cdc_pg_spark.plans.bucketed import zorder_value
+
+    df = spark.createDataFrame([(None, 3), (0, None), (None, None)],
+                               "x int, y int")
+    z = zorder_value(["x", "y"], [0, 0], [3, 3], bits=2)
+    got = [r[0] for r in df.select(z).collect()]
+    assert got[0] == 0b1010  # x null -> 0, y=3 -> odd bits
+    assert got[1] == 0       # y null -> 0
+    assert got[2] == 0
+    with pytest.raises(ValueError, match="'x'"):
+        zorder_value(["x"], [None], [None], bits=4)
