@@ -208,6 +208,8 @@ def main() -> None:
         customer_returns_ranking_q,
         dedup_incremental_pairs_q,
         ann_ivf_incremental_assign_q,
+        part_min_cost_supplier_q,
+        sales_rollup_totals_q,
     )
     from cass_cdc_pg_spark.session import get_spark
 
@@ -245,6 +247,10 @@ def main() -> None:
         # memo bypass times the real from-scratch band build
         "dedup_incremental_pairs": dedup_incremental_pairs_q,
         "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
+        # the two largest remaining pipeline walls at sf0.1 — ratio
+        # evidence closes their floor argument like the others'
+        "part_min_cost_supplier": part_min_cost_supplier_q,
+        "sales_rollup_totals": sales_rollup_totals_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
