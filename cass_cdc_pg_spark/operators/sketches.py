@@ -104,30 +104,57 @@ def heavy_hitter_candidates(
     ``n / (capacity+1)`` must survive in at least one partition
     (pigeonhole over the per-partition bound), so the union of
     candidates contains every such token.  The compress step (subtract
-    the (capacity+1)-th largest stored count, drop non-positives) is
-    applied once per Arrow batch, so the hot loop is C-speed
-    ``Counter.update`` over the batch, not a per-token Python branch.
+    the (capacity+1)-th largest stored count, drop non-positives) runs
+    whenever the summary reaches 4×capacity keys — checked per ROW,
+    not per Arrow batch, because a single 10k-row batch of long
+    documents can otherwise push ~10^8 distinct keys into the Python
+    dict before the first compress and OOM the very memory this
+    function exists to bound.  The check is an O(1) ``len()``; the
+    hot loop stays C-speed ``Counter.update`` per token array, and
+    each compress amortizes over the ≥3×capacity fresh keys that
+    triggered it.
 
     Reference analog: the reference profiles term frequency via a full
     Postgres GROUP BY (`src/api/routes` dashboards); at 100 TB the
     sketch pass is the only way the dictionary never materializes.
     """
+    return _mg_summaries(df, arr, capacity).filter(
+        F.col("token").isNotNull()
+    ).select("token")
+
+
+def _mg_summaries(df: DataFrame, arr: Column, capacity: int) -> DataFrame:
+    """One corpus pass emitting, per partition, the MG candidate
+    tokens PLUS one ``token IS NULL`` row whose ``w`` is the
+    partition's total token count — so :func:`heavy_hitters` gets its
+    certification denominator from the SAME scan instead of a third
+    read of the corpus."""
     import pandas as pd
 
     src_df = df.select(arr.alias("tk"))
+    limit = 4 * capacity
 
     def mg(batches):
         from collections import Counter
 
         counts: Counter = Counter()
+        total = 0
         for pdf in batches:
             for toks in pdf["tk"]:
                 if toks is not None:
                     counts.update(toks)
+                    total += len(toks)
+                    if len(counts) >= limit:
+                        counts = mg_compress(counts, capacity)
             counts = mg_compress(counts, capacity)
-        yield pd.DataFrame({"token": list(counts)})
+        yield pd.DataFrame(
+            {
+                "token": list(counts) + [None],
+                "w": [None] * len(counts) + [total],
+            }
+        )
 
-    return src_df.mapInPandas(mg, "token string")
+    return src_df.mapInPandas(mg, "token string, w long")
 
 
 def mg_compress(counts, capacity: int):
@@ -154,24 +181,36 @@ def heavy_hitters(
     """Exact, certified top-*k* tokens by total occurrence count using
     the two-pass sketch-then-confirm pattern.
 
-    Pass 1 (:func:`heavy_hitter_candidates`): bounded-memory
-    Misra-Gries candidates, ≤ ``capacity × partitions`` keys total.
+    Pass 1 (:func:`_mg_summaries`): bounded-memory Misra-Gries
+    candidates PLUS the per-partition token totals — one corpus scan,
+    ≤ ``capacity × partitions + partitions`` emitted rows, frozen
+    behind a lazy ``localCheckpoint`` so the candidate set and the
+    certification denominator read ONE materialization.
     Pass 2: EXACT counts of candidates only — the corpus scan filters
     map-side through a broadcast of the candidate set, so the only
     aggregation shuffle carries candidate tokens, never the full
-    dictionary.  The candidate count table is frozen with a lazy
-    ``localCheckpoint`` so the top-k rows and the certification
-    aggregate both read ONE materialization (single corpus pass).
+    dictionary.  The candidate count table is frozen the same way so
+    the top-k rows and the kth aggregate share one materialization.
+    TWO corpus scans total, both documented.
 
-    ``certified`` is the honest-sketch contract made a column: it is
-    TRUE iff ``kth_count × (capacity+1) > total_tokens``, in which
-    case NO non-candidate token can reach the k-th count (its global
-    count is ≤ ``n/(capacity+1)`` by the MG guarantee) and the result
-    is provably the exact global top-k.  With the default capacity the
-    flag holds at every tested SF, which is why a plain exact-SQL
+    ``certified`` is the honest-sketch contract made a column: TRUE
+    iff ``kth_count × (capacity+1) > total_tokens`` AND at least *k*
+    candidates were counted.  The first clause means NO non-candidate
+    token can reach the k-th count (its global count is ≤
+    ``n/(capacity+1)`` by the MG guarantee); the second closes the
+    undersized-output hole — with FEWER than k candidates the kth
+    bound is computed over a short list, and tokens evicted everywhere
+    (each ≤ n/(capacity+1)) could legitimately occupy the missing
+    ranks, so a short result must say certified=False rather than
+    claim a provable top-k it cannot see.  With the default capacity
+    the flag holds at every tested SF, which is why a plain exact-SQL
     oracle hash-matches this sketch pipeline.
     """
-    cands = heavy_hitter_candidates(df, arr, capacity).distinct()
+    summ = _mg_summaries(df, arr, capacity).localCheckpoint(eager=False)
+    cands = summ.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = summ.filter(F.col("token").isNull()).agg(
+        F.sum("w").cast("long").alias("_n")
+    )
     toks = df.select(F.explode(arr).alias("token"))
     counts = (
         toks.join(F.broadcast(cands), "token")
@@ -183,15 +222,17 @@ def heavy_hitters(
         F.col("n_occurrences").desc(), F.col("token").asc()
     ).limit(k)
     kth = topk.agg(F.min("n_occurrences").alias("_kth"))
-    total = df.select(arr.alias("tk")).agg(
-        F.sum(F.size("tk")).cast("long").alias("_n")
-    )
+    n_cands = counts.agg(F.count(F.lit(1)).alias("_nc"))
     return (
         topk.crossJoin(F.broadcast(kth))
         .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_cands))
         .select(
             "token",
             "n_occurrences",
-            (F.col("_kth") * F.lit(capacity + 1) > F.col("_n")).alias("certified"),
+            (
+                (F.col("_kth") * F.lit(capacity + 1) > F.col("_n"))
+                & (F.col("_nc") >= F.lit(k))
+            ).alias("certified"),
         )
     )

@@ -4325,13 +4325,11 @@ def supplier_sole_late_blame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_n_late"),
         F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_blame"),
     )
-    s = src.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     n = src.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sn = src.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     dim = (
-        s.join(sn.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-               .select(F.col("s_suppkey").alias("_sk"), "n_name"),
-               F.col("s_suppkey") == F.col("_sk"))
+        src.load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
     return (

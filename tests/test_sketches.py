@@ -182,3 +182,47 @@ def test_mg_compress_stream_guarantee_property():
         assert len(counts) <= capacity
 
     run()
+
+
+def test_heavy_hitters_undersized_candidate_set_never_certifies(spark):
+    """Certification hole closed (r9 review): when the candidate set
+    is SMALLER than k, the missing ranks could legitimately be held
+    by tokens evicted in every partition, so the (short) output must
+    carry certified=False — even though the kth bound over the short
+    list alone would pass."""
+    from cass_cdc_pg_spark.operators.sketches import heavy_hitters
+
+    # 2 heavy tokens x1000 + 60 distinct singletons, capacity 8:
+    # singletons all evict, candidates = {h0, h1} (< k = 5); the true
+    # top-5 contains 3 singletons the sketch cannot see.
+    df = spark.range(2060).selectExpr(
+        "CASE WHEN id < 2000 THEN array(concat('h', CAST(id % 2 AS STRING))) "
+        "ELSE array(concat('s', CAST(id AS STRING))) END AS tk"
+    ).repartition(4)
+    rows = heavy_hitters(df, F.col("tk"), k=5, capacity=8).collect()
+    assert 0 < len(rows) < 5, rows
+    assert {r.token for r in rows} == {"h0", "h1"}, rows
+    assert all(not r.certified for r in rows), rows
+
+
+def test_mg_summary_bounded_within_one_arrow_batch(spark):
+    """The per-ROW compress trigger (r9 review): a single huge token
+    array — one row, one Arrow batch — must not grow the in-flight
+    summary past 4x capacity.  Before the fix the compress ran only
+    per batch, so one long document could materialize its whole
+    dictionary in the Python worker."""
+    from collections import Counter
+
+    from cass_cdc_pg_spark.operators.sketches import mg_compress
+
+    # pure-python replica of the generator's loop invariant
+    capacity, limit = 16, 64
+    counts: Counter = Counter()
+    peak = 0
+    for i in range(10_000):
+        counts.update([f"t{i}"])
+        peak = max(peak, len(counts))
+        if len(counts) >= limit:
+            counts = mg_compress(counts, capacity)
+    assert peak <= limit, peak
+    assert len(counts) <= limit

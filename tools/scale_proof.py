@@ -51,7 +51,15 @@ def _replicate_orders(spark, sf_dir: str, out: str) -> tuple[int, int]:
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     hi_k = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    hi_c = orders.agg(F.max("o_custkey")).first()[0] + 1
+    # custkey stride must clear BOTH tables' key spaces: customers
+    # with no orders can hold keys above any o_custkey, and a stride
+    # from orders alone would make replicated c_custkeys collide
+    # across replicas (fan-out joins masquerading as scale data)
+    hi_c = max(
+        orders.agg(F.max("o_custkey")).first()[0],
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .agg(F.max("c_custkey")).first()[0],
+    ) + 1
     parts = []
     for i in range(REPLICAS):
         parts.append(
