@@ -695,8 +695,12 @@ def quality_token_budget_by_source(
     """Per-SOURCE budgeted curation: within each source, admit docs
     that pass the C4-style quality gate (>= 20 tokens, unique-token
     ratio >= 0.3 — the exact ``quality_score`` "ok" bucket) in
-    descending (unique_ratio, then doc_id) order until the per-source
-    running token total exceeds *budget_tokens*.  This is the
+    descending (unique_ratio, then doc_id) order while the per-source
+    running token total stays within *budget_tokens* — STRICT fit: a
+    doc whose admission would cross the budget is cut, unlike the
+    corpus-wide :func:`token_budget_select` where the last doc may
+    cross the line (there the budget is a floor to reach; here it is
+    a per-source cap no domain may exceed).  This is the
     domain-mixture construction step of a training-data pipeline:
     every source contributes its best documents up to an equal token
     budget, so no single domain dominates the mix.

@@ -3040,7 +3040,7 @@ def stream_dedup_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_DEDUP_SQL = """
-SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
+SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, event_type FROM events
 """
 
 

@@ -84,12 +84,18 @@ def kafka_ssl_options(
     prefix: str = "kafka.",
 ) -> dict[str, str]:
     """Structured-Streaming Kafka connector SSL options (reference
-    ``get_kafka_ssl_config`` — its librdkafka ``ssl.*.location`` keys
-    become the connector's JVM-client keys, PEM type so the same
-    files serve both).  Feed into ``.options(**opts)`` next to
-    ``subscribePattern`` (see ``streaming/ingest.py:kafka_stream``);
-    the ``kafka.`` prefix is how the Spark connector forwards
-    pass-through client configs."""
+    ``get_kafka_ssl_config``, re-keyed for the JVM client).  The
+    reference configures librdkafka (``ssl.key.location`` etc.); the
+    Spark connector embeds the JAVA client, whose PEM support (KIP-651)
+    takes the private key INLINE as ``ssl.keystore.key`` plus the cert
+    chain as ``ssl.keystore.certificate.chain`` — a cert-only PEM at
+    ``ssl.keystore.location`` is rejected at startup ("must contain
+    both key and cert") and librdkafka-only keys are ignored with a
+    warning, so the librdkafka spelling silently breaks mTLS.  The
+    key/cert FILES are therefore read here and inlined.  Feed into
+    ``.options(**opts)`` next to ``subscribePattern`` (see
+    ``streaming/ingest.py:kafka_stream``); the ``kafka.`` prefix is
+    how the Spark connector forwards pass-through client configs."""
     opts = {
         f"{prefix}security.protocol": "SSL",
         f"{prefix}ssl.enabled.protocols": "TLSv1.3",
@@ -100,9 +106,12 @@ def kafka_ssl_options(
         opts[f"{prefix}ssl.truststore.location"] = ca_file
     if cert_file:
         opts[f"{prefix}ssl.keystore.type"] = "PEM"
-        opts[f"{prefix}ssl.keystore.location"] = cert_file
+        with open(cert_file) as fh:
+            opts[f"{prefix}ssl.keystore.certificate.chain"] = fh.read()
     if key_file:
-        opts[f"{prefix}ssl.key.location"] = key_file
+        opts[f"{prefix}ssl.keystore.type"] = "PEM"
+        with open(key_file) as fh:
+            opts[f"{prefix}ssl.keystore.key"] = fh.read()
     return opts
 
 
@@ -117,7 +126,13 @@ def jdbc_ssl_properties(
     ``verify-full`` (server identity checked), matching the
     reference's ``check_hostname=True`` posture on its other
     clients; without one, ``require`` (encrypt, trust on first use).
-    Pass as the ``properties`` dict of ``DataFrameWriter.jdbc``."""
+    Pass as the ``properties`` dict of ``DataFrameWriter.jdbc``.
+
+    Key-format caveat (differs from libpq!): pgjdbc reads ``sslkey``
+    as a PKCS-8 **DER** file (``openssl pkcs8 -topk8 -outform DER
+    -nocrypt``), not the PEM that libpq and the rest of this module
+    use — pass the converted ``.pk8`` path here, or the driver fails
+    with "Could not read SSL key file"."""
     props = {
         "ssl": "true",
         "sslmode": "verify-full" if ca_file else "require",
@@ -138,13 +153,21 @@ def secure_server(
     ca_file: str | None = None,
 ) -> None:
     """Upgrade a bound-but-not-yet-started ``socketserver`` server
-    (e.g. ``api.CdcApiServer``) to TLS 1.3: wraps the listening
-    socket so every accepted connection handshakes before the HTTP
-    handler sees it.  Call between construction and ``start()``.
-    With *ca_file* the server also demands client certificates
-    (mutual TLS)."""
+    (e.g. ``api.CdcApiServer``) to TLS 1.3.  Call between
+    construction and ``start()``.  With *ca_file* the server also
+    demands client certificates (mutual TLS).
+
+    ``do_handshake_on_connect=False`` is load-bearing: a threading
+    server accepts on ONE thread and hands the connection to a worker
+    afterwards, so a handshake inside ``accept()`` would let a single
+    client that connects and then sends nothing block the accept loop
+    forever (trivial one-connection DoS).  Deferred, the handshake
+    runs on the worker thread's first read, where a stalled client
+    costs one worker, not the listener."""
     context = create_tls_context(
         cert_file=cert_file, key_file=key_file, ca_file=ca_file,
         server_side=True,
     )
-    server.socket = context.wrap_socket(server.socket, server_side=True)
+    server.socket = context.wrap_socket(
+        server.socket, server_side=True, do_handshake_on_connect=False
+    )

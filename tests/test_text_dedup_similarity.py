@@ -1219,7 +1219,10 @@ def test_quality_token_budget_by_source_gate_order_and_cut(spark):
     first; within a source admission is by unique_ratio DESC then
     doc_id, cut at the running-token budget (strict fit)."""
     uniq = " ".join(f"w{i}" for i in range(20))          # ur = 1.0
-    mostly = "x " * 14 + " ".join(f"y{i}" for i in range(6))  # ur < 0.3
+    # 16 repeats + 4 distinct = 20 tokens, 5 distinct -> ur 0.25 < 0.3
+    # (a 14+6 split gives 0.35 and would pass the gate, leaving the
+    # repetitive branch untested — r9 review)
+    mostly = "x " * 16 + " ".join(f"y{i}" for i in range(4))
     mid = " ".join(f"w{i % 12}" for i in range(20))      # ur = 0.6
     rows = [
         (1, uniq, "s1"),       # ur 1.0, 20 tokens — admitted first

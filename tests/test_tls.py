@@ -35,14 +35,27 @@ def test_client_context_verifies_by_default():
     assert ctx.check_hostname is True
 
 
-def test_kafka_options_pem_shape():
-    opts = tls.kafka_ssl_options("c.pem", "k.pem", "ca.pem")
+def test_kafka_options_pem_shape(tmp_path):
+    """The JVM Kafka client (KIP-651 PEM support) takes the private
+    key INLINE as ssl.keystore.key + the chain as
+    ssl.keystore.certificate.chain — librdkafka's ssl.key.location is
+    ignored by the Java client and a cert-only PEM keystore location
+    is rejected at startup, so the options must carry file CONTENTS
+    for the keystore and a path only for the truststore."""
+    cert = tmp_path / "c.pem"
+    key = tmp_path / "k.pem"
+    cert.write_text("CERT-PEM-BODY")
+    key.write_text("KEY-PEM-BODY")
+    opts = tls.kafka_ssl_options(str(cert), str(key), "ca.pem")
     assert opts["kafka.security.protocol"] == "SSL"
     assert opts["kafka.ssl.enabled.protocols"] == "TLSv1.3"
     assert opts["kafka.ssl.truststore.type"] == "PEM"
     assert opts["kafka.ssl.truststore.location"] == "ca.pem"
-    assert opts["kafka.ssl.keystore.location"] == "c.pem"
-    assert opts["kafka.ssl.key.location"] == "k.pem"
+    assert opts["kafka.ssl.keystore.type"] == "PEM"
+    assert opts["kafka.ssl.keystore.certificate.chain"] == "CERT-PEM-BODY"
+    assert opts["kafka.ssl.keystore.key"] == "KEY-PEM-BODY"
+    assert "kafka.ssl.key.location" not in opts
+    assert "kafka.ssl.keystore.location" not in opts
     # minimal form: no file entries at all
     assert set(tls.kafka_ssl_options()) == {
         "kafka.security.protocol",
