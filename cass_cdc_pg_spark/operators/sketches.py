@@ -143,7 +143,15 @@ def _mg_summaries(df: DataFrame, arr: Column, capacity: int) -> DataFrame:
             for toks in pdf["tk"]:
                 if toks is not None:
                     counts.update(toks)
-                    total += len(toks)
+                    # Drop null ELEMENTS: pass 2's explode drops them,
+                    # so counting them here (a None Counter key + an
+                    # inflated `total`) would make certification
+                    # needlessly conservative relative to the exact
+                    # oracle's denominator.  Popping right after each
+                    # update keeps the hot loop C-speed: the popped
+                    # count is exactly this row's null count because
+                    # compress never runs between update and pop.
+                    total += len(toks) - counts.pop(None, 0)
                     if len(counts) >= limit:
                         counts = mg_compress(counts, capacity)
             counts = mg_compress(counts, capacity)

@@ -4460,8 +4460,9 @@ counts AS (
 topk AS (
   SELECT * FROM counts ORDER BY n_occurrences DESC, token LIMIT 20)
 SELECT token, n_occurrences,
-       (SELECT MIN(n_occurrences) FROM topk) * 4097
-         > (SELECT COUNT(*) FROM toks) AS certified
+       ((SELECT MIN(n_occurrences) FROM topk) * 4097
+          > (SELECT COUNT(*) FROM toks)
+        AND (SELECT COUNT(*) FROM topk) >= 20) AS certified
 FROM topk
 ORDER BY n_occurrences DESC, token
 """

@@ -59,18 +59,22 @@ def create_tls_context(
     purpose = (
         ssl.Purpose.CLIENT_AUTH if server_side else ssl.Purpose.SERVER_AUTH
     )
-    context = ssl.create_default_context(purpose)
+    # cafile goes into create_default_context itself: CPython then loads
+    # ONLY that CA and skips load_default_certs, so a pinned CA is the
+    # sole trust anchor (the reference's bare PROTOCOL_TLS_CLIENT
+    # context has the same property).  Adding it afterwards via
+    # load_verify_locations would MERGE it with the system bundle and
+    # any publicly-issued cert for the hostname would still verify.
+    context = ssl.create_default_context(purpose, cafile=ca_file)
     context.minimum_version = ssl.TLSVersion.TLSv1_3
     context.maximum_version = ssl.TLSVersion.TLSv1_3
     if not server_side:
         if verify_mode == ssl.CERT_NONE:
             context.check_hostname = False
         context.verify_mode = verify_mode
-    if ca_file:
-        context.load_verify_locations(cafile=ca_file)
-        if server_side:
-            # CA on the server side == require client certificates
-            context.verify_mode = ssl.CERT_REQUIRED
+    if ca_file and server_side:
+        # CA on the server side == require client certificates
+        context.verify_mode = ssl.CERT_REQUIRED
     if cert_file and key_file:
         context.load_cert_chain(certfile=cert_file, keyfile=key_file)
     context.set_ciphers(CIPHERS)
@@ -82,6 +86,7 @@ def kafka_ssl_options(
     key_file: str | None = None,
     ca_file: str | None = None,
     prefix: str = "kafka.",
+    keystore_location: str | None = None,
 ) -> dict[str, str]:
     """Structured-Streaming Kafka connector SSL options (reference
     ``get_kafka_ssl_config``, re-keyed for the JVM client).  The
@@ -95,7 +100,24 @@ def kafka_ssl_options(
     key/cert FILES are therefore read here and inlined.  Feed into
     ``.options(**opts)`` next to ``subscribePattern`` (see
     ``streaming/ingest.py:kafka_stream``); the ``kafka.`` prefix is
-    how the Spark connector forwards pass-through client configs."""
+    how the Spark connector forwards pass-through client configs.
+
+    .. warning:: **Redaction.** Because the private key is an inline
+       OPTION VALUE, Spark's default redaction regexes
+       (``spark.redaction.regex`` = ``(?i)secret|password|token|
+       access[.]key``; ``spark.sql.redaction.options.regex`` =
+       ``(?i)url|secret|token|password``) do NOT match the option name
+       ``kafka.ssl.keystore.key``, so the key text can surface in the
+       Spark UI "Environment"/SQL tabs, ``explain()`` output, and
+       event logs.  Deployments MUST extend both configs, e.g.::
+
+           spark.redaction.regex              (?i)secret|password|token|access[.]key|ssl[.]keystore[.]key
+           spark.sql.redaction.options.regex  (?i)url|secret|token|password|ssl[.]keystore[.]key
+
+       (or put a COMBINED key+cert PEM at ``ssl.keystore.location`` —
+       path-only, nothing inline — which Kafka also accepts for
+       ``ssl.keystore.type=PEM``; pass ``keystore_location=`` here to
+       get that shape)."""
     opts = {
         f"{prefix}security.protocol": "SSL",
         f"{prefix}ssl.enabled.protocols": "TLSv1.3",
@@ -104,6 +126,13 @@ def kafka_ssl_options(
     if ca_file:
         opts[f"{prefix}ssl.truststore.type"] = "PEM"
         opts[f"{prefix}ssl.truststore.location"] = ca_file
+    if keystore_location:
+        # Path-only mTLS: a single PEM file holding BOTH the private
+        # key and the cert chain.  Nothing secret enters the option
+        # map, so no redaction-config change is needed.
+        opts[f"{prefix}ssl.keystore.type"] = "PEM"
+        opts[f"{prefix}ssl.keystore.location"] = keystore_location
+        return opts
     if cert_file:
         opts[f"{prefix}ssl.keystore.type"] = "PEM"
         with open(cert_file) as fh:

@@ -143,6 +143,23 @@ def test_heavy_hitters_null_and_empty_arrays_ignored(spark):
     assert all(r.certified for r in rows)
 
 
+def test_mg_summary_skips_null_elements(spark):
+    """Null ELEMENTS inside token arrays are excluded from both the
+    candidate Counter and the certification denominator — pass 2's
+    explode drops them, so counting them in pass 1 would inflate
+    total_tokens and make certification needlessly conservative
+    (r9 ADVICE)."""
+    from cass_cdc_pg_spark.operators.sketches import _mg_summaries
+
+    df = spark.range(50).selectExpr(
+        "array('x', CAST(NULL AS STRING), 'y', CAST(NULL AS STRING)) AS tk"
+    ).coalesce(1)
+    rows = _mg_summaries(df, F.col("tk"), capacity=16).collect()
+    total = [r.w for r in rows if r.token is None]
+    assert total == [100], rows  # 2 live tokens x 50 rows, nulls excluded
+    assert sorted(r.token for r in rows if r.token is not None) == ["x", "y"]
+
+
 def test_mg_compress_stream_guarantee_property():
     """Property (no Spark): for ANY stream and ANY batch split, a
     token whose total count exceeds n/(capacity+1) survives the

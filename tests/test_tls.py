@@ -35,6 +35,20 @@ def test_client_context_verifies_by_default():
     assert ctx.check_hostname is True
 
 
+def test_pinned_ca_is_sole_trust_anchor(certs):
+    """A supplied ca_file REPLACES the system bundle rather than being
+    merged into it — otherwise any publicly-issued cert for the target
+    hostname would still verify and the pin is meaningless (r9 ADVICE;
+    the reference's bare PROTOCOL_TLS_CLIENT context has the same
+    sole-anchor property)."""
+    crt, _ = certs["server"]
+    pinned = tls.create_tls_context(ca_file=crt)
+    assert pinned.cert_store_stats()["x509_ca"] == 1
+    # sanity: without a pin the default bundle loads (many CAs)
+    system = tls.create_tls_context()
+    assert system.cert_store_stats()["x509_ca"] > 1
+
+
 def test_kafka_options_pem_shape(tmp_path):
     """The JVM Kafka client (KIP-651 PEM support) takes the private
     key INLINE as ssl.keystore.key + the chain as
@@ -62,6 +76,12 @@ def test_kafka_options_pem_shape(tmp_path):
         "kafka.ssl.enabled.protocols",
         "kafka.ssl.protocol",
     }
+    # path-only mTLS alternative: combined key+cert PEM by location —
+    # no secret material enters the option map (no redaction caveat)
+    opts2 = tls.kafka_ssl_options(ca_file="ca.pem", keystore_location="kc.pem")
+    assert opts2["kafka.ssl.keystore.location"] == "kc.pem"
+    assert "kafka.ssl.keystore.key" not in opts2
+    assert "kafka.ssl.keystore.certificate.chain" not in opts2
 
 
 def test_jdbc_properties_escalate_with_ca():
