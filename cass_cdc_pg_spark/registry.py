@@ -2000,27 +2000,116 @@ def _inc_split(spark: SparkSession, sf_dir: str):
 #: timings measure the real per-call pipeline).
 _INC_SHARED_CACHE: dict[tuple, dict] = {}
 
+#: on-disk standing-index dirs kept per cache root (LRU by mtime)
+_INC_INDEX_KEEP = 3
+
+
+def _inc_index_dir(key: tuple[str, int]) -> str:
+    """On-disk standing-index location for one documents fixture —
+    same ``.cache`` root and (realpath, mtime_ns) keying as the IVF
+    centroid cache, plus the pair parameters so a parameter change
+    invalidates the index rather than serving stale bands."""
+    import hashlib
+    import os as _os
+
+    p = _DEDUP_PAIR_PARAMS
+    cache_dir = _os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            ".cache",
+        ),
+    )
+    tag = hashlib.sha256(
+        f"{key[0]}|{key[1]}|{p['num_hashes']}|{p['bands']}|{p['n']}|"
+        f"{p['threshold']}".encode()
+    ).hexdigest()[:16]
+    return _os.path.join(cache_dir, f"inc_index_{tag}")
+
+
+def _inc_standing_index(spark: SparkSession, sf_dir: str):
+    """(bands, base_cc) read from the PERSISTED standing index — the
+    two relations a daily dedup pipeline stores alongside the corpus
+    snapshot: the base band table and the base component assignment
+    (r9 verdict #4: recomputing the base fixpoint per admission call
+    charged the daily job a rebuild no deployment pays — the index is
+    durable state, like the IVF centroid cache).  Built from scratch
+    (deterministically — a cache hit is value-identical to a rebuild)
+    when absent; atomic dir rename so a concurrent builder can't
+    serve a half-written index; LRU eviction keeps the newest
+    ``_INC_INDEX_KEEP`` fixture indexes."""
+    import os as _os
+    import shutil as _shutil
+
+    p = _DEDUP_PAIR_PARAMS
+    d = _inc_index_dir(_docs_fixture_key(sf_dir))
+    if not _os.path.isdir(d):
+        _docs, base, _new = _inc_split(spark, sf_dir)
+        tmp = f"{d}.tmp.{_os.getpid()}"
+        # lazy checkpoint: the base_cc build reads the bands too, and
+        # without it the 90%-corpus tokenize/minhash would execute
+        # twice inside the one-time build
+        bands = dedup.banded_signatures(
+            base, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
+        ).localCheckpoint(eager=False)
+        bands.write.mode("overwrite").parquet(f"{tmp}/bands.parquet")
+        dedup.connected_components(
+            dedup.lsh_pairs_from_bands(
+                bands, p["num_hashes"], p["bands"], p["threshold"]
+            )
+        ).write.mode("overwrite").parquet(f"{tmp}/base_cc.parquet")
+        try:
+            _os.rename(tmp, d)
+        except OSError:
+            # lost a concurrent build race; the winner's index is
+            # value-identical (deterministic build)
+            _shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            root = _os.path.dirname(d)
+            idx = sorted(
+                (
+                    e
+                    for e in _os.scandir(root)
+                    if e.name.startswith("inc_index_") and e.is_dir()
+                ),
+                key=lambda e: e.stat().st_mtime,
+            )
+            for e in idx[: -_INC_INDEX_KEEP]:
+                _shutil.rmtree(e.path, ignore_errors=True)
+        except OSError:
+            pass  # eviction is best-effort
+    else:
+        import contextlib
+
+        with contextlib.suppress(OSError):
+            _os.utime(d)  # LRU touch
+    return (
+        spark.read.parquet(f"{d}/bands.parquet"),
+        spark.read.parquet(f"{d}/base_cc.parquet"),
+    )
+
 
 def _inc_base_state(spark: SparkSession, sf_dir: str) -> dict:
     import os as _os
 
-    p = _DEDUP_PAIR_PARAMS
     docs, base, new = _inc_split(spark, sf_dir)
+    bands, base_cc = _inc_standing_index(spark, sf_dir)
+    st = {
+        "docs": docs, "base": base, "new": new,
+        "bands": bands, "base_cc": base_cc,
+    }
     if _os.environ.get("SPARK_GRAFT_NO_DEDUP_MEMO"):
-        bands = dedup.banded_signatures(
-            base, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
-        )
-        return {"docs": docs, "base": base, "new": new, "bands": bands}
+        # no cross-call RAM memo of the merged assignment — but the
+        # DISK index still serves bands/base_cc: cold-process timing
+        # measures the daily job (load index + increment), not a
+        # rebuild of durable state (r9 verdict #4); bench.py times
+        # the one-time index build separately (inc_index_build_sec)
+        return st
     key = (spark.sparkContext.applicationId, _docs_fixture_key(sf_dir))
     hit = _lru_hit(_INC_SHARED_CACHE, key)
     if hit is None:
         _evict_oldest(_INC_SHARED_CACHE)
-        bands = dedup.banded_signatures(
-            base, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
-        ).localCheckpoint(eager=False)
-        hit = _INC_SHARED_CACHE[key] = {
-            "docs": docs, "base": base, "new": new, "bands": bands,
-        }
+        hit = _INC_SHARED_CACHE[key] = st
     return hit
 
 
@@ -2041,18 +2130,14 @@ def _inc_merged(st: dict) -> DataFrame:
     base fixpoint and the condensed-graph merge run once per
     (session, fixture) — both checkpoint-backed by the CC loop."""
     if "merged" not in st:
-        p = _DEDUP_PAIR_PARAMS
-        base_cc = dedup.connected_components(
-            dedup.lsh_pairs_from_bands(
-                st["bands"], p["num_hashes"], p["bands"], p["threshold"]
-            )
-        )
         # freeze the merged assignment: the components query and both
         # admission sub-plans read it several times, and without the
         # checkpoint each read re-runs the remap joins over the full
-        # assignment (r9 review)
+        # assignment (r9 review).  base_cc comes from the PERSISTED
+        # standing index (r10) — the fixpoint over the base corpus is
+        # durable state, never recomputed per call.
         st["merged"] = dedup.incremental_components(
-            base_cc, _inc_pairs(st)
+            st["base_cc"], _inc_pairs(st)
         ).localCheckpoint(eager=False)
     return st["merged"]
 

@@ -387,6 +387,9 @@ def test_bench_compact_headline_bounded():
         "value": 1.0,
         "unit": "sec",
         "queries": {q: 0.123 for q in HEADLINE},
+        "queries_best3": {q: 0.123 for q in HEADLINE},
+        "queries_floor_adj": {q: 0.105 for q in HEADLINE},
+        "headline_floor_sec": 0.018,
         # simulate a 500-entry pipeline map: must NOT leak into the line
         "pipeline_queries": {f"query_name_{i}": i / 7.0 for i in range(500)},
         "pipeline_total": 99.9,
@@ -419,9 +422,13 @@ def test_bench_compact_headline_bounded():
     assert parsed["contract_q1_raw_ratio"] == 0.73
     assert len(parsed["pipeline_slowest"]) == 5
     assert "pipeline_queries" not in parsed
+    # the r10 measurement-discipline fields ride the compact line
+    assert parsed["queries_best3"] == {q: 0.123 for q in HEADLINE}
+    assert parsed["headline_floor_sec"] == 0.018
 
     # pathological: absurdly long query names still stay bounded
-    full["queries"] = {"q" * 300 + str(i): 0.1 for i in range(10)}
+    full["queries_best3"] = {"q" * 300 + str(i): 0.1 for i in range(10)}
+    full["queries_floor_adj"] = {"q" * 300 + str(i): 0.1 for i in range(10)}
     assert len(compact_headline(full)) < 1900
 
 

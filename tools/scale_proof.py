@@ -5,11 +5,24 @@ the data-proportional work that the BASELINE.md posture notes argue
 about.
 
 10x inputs are synthesized from sf0.1 by replicating with id offsets;
-document text gets a deterministic per-replica prefix token so
+document text gets a deterministic per-replica tag on EVERY token so
 replicas are NOT near-duplicates of each other (the workload keeps
 its per-doc dedup character instead of degenerating into a 10-way
-exact-dup stress test), and orders keep their per-customer
+near-dup stress test), and orders keep their per-customer
 distribution with shifted customer ids.
+
+Token-level tagging is load-bearing (r9 verdict watch item): the
+previous single PREFIX token left every 3-token shingle past the
+first two intact, so the 10 replicas of each doc were ~99%%
+Jaccard-similar 10-cliques — the LSH pair graph grew 780x
+(329 -> 256,899 pairs at sf0.1) instead of 10x, and the measured
+dedup_components "scale ratio" (2.49) was really a quadratic-pairs
+stress test, not a data-volume curve.  Tagging every token rewrites
+every shingle, which preserves shingle EQUALITY within a replica
+(both sides of any within-replica match get the same tag) and kills
+it across replicas, so pairs scale exactly 10x — the independent-
+corpus growth the curve claims to measure.  The proof JSON records
+pairs/nodes/fixpoint rounds at both scales so the claim is checkable.
 
 Usage:  python tools/scale_proof.py [sf_dir] [out_json]
 Writes a JSON summary (default scale_proof.json) and prints it.
@@ -33,10 +46,15 @@ def _replicate_docs(spark, sf_dir: str, out: str) -> None:
     n = docs.count()
     parts = []
     for i in range(REPLICAS):
+        # tag EVERY token, not just a prefix: shingle equality survives
+        # within a replica and is impossible across replicas (see module
+        # docstring — a prefix-only tag made replicas 10-cliques)
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
-                F.concat(F.lit(f"r{i} "), F.col("text")).alias("text"),
+                F.regexp_replace(
+                    F.col("text"), r"(\S+)", f"r{i}_$1"
+                ).alias("text"),
                 *[c for c in docs.columns if c not in ("doc_id", "text")],
             )
         )
@@ -283,6 +301,30 @@ def main() -> None:
                 "scale_ratio": round(t10 / t1, 2) if t1 else None,
             }
             print(f"# {name}: 1x={t1}s 10x={t10}s ratio={t10/t1:.2f}")
+        # dedup_components detail: pairs/nodes/fixpoint rounds at both
+        # scales, making the curve's workload checkable (pairs must be
+        # ~10x, rounds must grow at most logarithmically — if pairs
+        # blow up the REPLICATION is broken, not the operator)
+        from cass_cdc_pg_spark.operators import dedup as _dedup
+        from cass_cdc_pg_spark.registry import _DEDUP_PAIR_PARAMS
+        from cass_cdc_pg_spark.sources import tables as _src
+
+        detail = {}
+        for label, d in (("1x", sf_dir), ("10x", tmp)):
+            pairs = _dedup.minhash_lsh_pairs(
+                _src.load_table(spark, d, "documents"), **_DEDUP_PAIR_PARAMS
+            ).localCheckpoint(eager=True)
+            st: dict = {}
+            cc = _dedup.connected_components(
+                pairs.select("doc_a", "doc_b"), stats=st
+            )
+            detail[label] = {
+                "pairs": pairs.count(),
+                "nodes": cc.count(),
+                "fixpoint_rounds": st["rounds"],
+            }
+        report["dedup_components_detail"] = detail
+        print(f"# dedup_components_detail: {detail}")
     with open(out_json, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
