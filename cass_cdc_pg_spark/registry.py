@@ -5954,103 +5954,11 @@ FROM d GROUP BY 1
 
 
 QUERIES = {
-    # ---- r9 head (driver window = first 50 entries) ----
-    # (a) the 5 r6-green tail entries documented in r8 to lead this
-    # window (last driver row: CORRECTNESS_r06.json; replayed green by
-    # the r8 judge AND by tools/check_oracle.py this round):
-    "part_min_cost_supplier": part_min_cost_supplier_q,
-    "sales_returns_by_brand": sales_returns_by_brand_q,
-    "segment_status_revenue": segment_status_revenue_q,
-    "events_daily_active": events_daily_active_q,
-    "lineitem_profile": lineitem_profile_q,
-    # (b) new in r9 (never driver-checked): the incremental-dedup
-    # daily-batch ladder, incremental IVF assignment, document
-    # chunking, and the stateful-stream parity twins:
-    "dedup_incremental_pairs": dedup_incremental_pairs_q,
-    "dedup_incremental_components": dedup_incremental_components_q,
-    "dedup_incremental_admission": dedup_incremental_admission_q,
-    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
-    "docs_chunk_windows": docs_chunk_windows_q,
-    "stream_sessionize_parity": stream_sessionize_parity_q,
-    "stream_funnel_parity": stream_funnel_parity_q,
-    "stream_dedup_parity": stream_dedup_parity_q,
-    "docs_block_dedup": docs_block_dedup_q,
-    "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
-    "embedding_cluster_sample": embedding_cluster_sample_q,
-    # (b2) new in r9 wave 3 (never driver-checked): the TPC-H-class
-    # analytics shapes the catalog lacked (correlated-average
-    # join-back, having-threshold join-back, the Q21 self-join family
-    # rewritten as one shuffle, scalar-subquery + anti-join) and the
-    # Misra-Gries certified heavy-hitter sketch:
-    "lineitem_small_qty_revenue": lineitem_small_qty_revenue_q,
-    "orders_big_basket_customers": orders_big_basket_customers_q,
-    "supplier_sole_late_blame": supplier_sole_late_blame_q,
-    "customer_dormant_balance": customer_dormant_balance_q,
-    "docs_heavy_hitters": docs_heavy_hitters_q,
-    "stream_hopping_parity": stream_hopping_parity_q,
-    "dedup_cross_source_matrix": dedup_cross_source_matrix_q,
-    # (b3) new in r9 wave 4 (never driver-checked): the remaining
-    # TPC-H query families the catalog lacked — two-sided nation dim
-    # (Q7), disjunctive brackets with explicit pushdown hulls (Q19),
-    # filter-heavy rank-then-enrich (Q10), count-distinct cascade over
-    # derived supplier↔part edges (Q16), and the profit rollup with a
-    # prefix-pushed name predicate (Q9):
-    "nation_trade_flows": nation_trade_flows_q,
-    "lineitem_bracket_revenue": lineitem_bracket_revenue_q,
-    "customer_returns_ranking": customer_returns_ranking_q,
-    "part_supplier_diversity": part_supplier_diversity_q,
-    "nation_profit_by_year": nation_profit_by_year_q,
-    # (b4) new in r9 wave 4 (pipeline tier): quality-aware canonical
-    # selection per near-dup cluster (max_by over a packed ordering
-    # struct — no window sort) and the pad-to-multiple waste report
-    # that justifies sequence packing:
-    "dedup_best_of_cluster": dedup_best_of_cluster_q,
-    "docs_length_bucketing": docs_length_bucketing_q,
-    "dedup_minhash_precision": dedup_minhash_precision_q,
-    "view_incremental_parity": view_incremental_parity_q,
-    # (c) rewritten in r9 (rewritten-stays-in-window contract): the
-    # two two-phase-rank queries now freeze their range partitioning
-    # (frozen_range_pid — r8 ADVICE high/medium), and the greedy stats
-    # row became a lazy aggregate over the survivor plan:
-    "customer_value_deciles": customer_value_deciles_q,
-    "docs_token_budget": docs_token_budget_q,
-    "embedding_semdedup_greedy_stats": embedding_semdedup_greedy_stats_q,
-    # (d) the r7-green block (last driver row CORRECTNESS_r07.json):
-    # 35 of 47 fit; the 12 remainder lead r10 (see tail note).
-    "events_funnel": events_funnel_q,
-    "users_retention_cohorts": users_retention_cohorts_q,
-    "docs_ngram_topk": docs_ngram_topk_q,
-    "docs_tfidf_topterms": docs_tfidf_topterms_q,
-    "events_type_transitions": events_type_transitions_q,
-    "sales_rollup_totals": sales_rollup_totals_q,
-    "dedup_components": dedup_components_q,
-    "text_token_rarity": text_token_rarity_q,
-    "schema_evolution": schema_evolution_q,
-    "multimodal_features": multimodal_features_q,
-    "events_throughput_1min": events_throughput_1min_q,
-    "events_hopping_5min_1min": events_hopping_q,
-    "events_sessionize": events_sessionize_q,
-    "events_asof_session": events_asof_session_q,
-    "events_interval_session": events_interval_session_q,
-    # ---- past the 50-cap this round; ALL re-checked every round by
-    # tools/check_oracle.py + pytest.  Rotation bookkeeping for r10:
-    # FIRST the 32 r7-green entries that did not fit the r9 window —
-    # the 12 documented at the r9 freeze (lineitem_revenue_forecast,
-    # sales_promo_share + q4-q8, q12, q13, q17, q21, q22) plus the 4
-    # displaced when the late-r9 additions (stream_dedup_parity,
-    # docs_block_dedup, docs_quality_budget_by_source,
-    # embedding_cluster_sample — new queries take window priority)
-    # entered the head (orders_fulfillment_lag,
-    # docs_dup_rate_by_source, customer_order_recency,
-    # events_gap_stats) plus the 7 displaced by the wave-3 additions
-    # (q18_gdpr_erasure, c1_lww_state, dedup_ngram_jaccard,
-    # text_fingerprint, q20_drift_severity, q19_retention,
-    # events_key_skew) plus the 9 displaced by the wave-4 additions
-    # (sales_by_nation_quarter, events_user_features_5min,
-    # q2_checksums, q3_checksum_diff, q11_listing_orders,
-    # docs_source_stats, events_user_features, text_pii_scrub,
-    # q1_row_count); every one replayed green by check_oracle this
-    # round — THEN the r8-green block below.
+    # ---- r10 head (driver window = first 50 entries) ----
+    # (a) the 32 entries whose last driver row predates r8 (r9 verdict
+    # #1: no registered query's driver evidence may age past two
+    # rounds) — the exact list the r9 tail note documented, every one
+    # replayed green by tools/check_oracle.py at the r10 freeze:
     "q1_row_count": q1_row_count,
     "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
@@ -6083,7 +5991,17 @@ QUERIES = {
     "q17_table_counts": q17_table_counts,
     "q21_dlq_replay_select": q21_dlq_replay_select,
     "q22_resolve_update": q22_resolve_update,
-    # ---- r8-green block (all green in CORRECTNESS_r08.json) ----
+    # (b) rewritten in r10 (rewritten-stays-in-window contract): the
+    # incremental-dedup ladder now reads the PERSISTED standing index
+    # (_inc_standing_index: band table + base component assignment on
+    # disk) instead of recomputing the base fixpoint per call:
+    "dedup_incremental_pairs": dedup_incremental_pairs_q,
+    "dedup_incremental_components": dedup_incremental_components_q,
+    "dedup_incremental_admission": dedup_incremental_admission_q,
+    # (c) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
+    # remaining evidence after the stale-32): first 15 of the r8
+    # block in catalog order.  New r10 queries take window priority
+    # and displace this fill from the bottom.
     "lineitem_discount_bands": lineitem_discount_bands_q,
     "docs_split_stats": docs_split_stats_q,
     "docs_duplicated_spans": docs_duplicated_spans_q,
@@ -6099,6 +6017,12 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences_q,
     "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
+    # ---- past the 50-cap this round; ALL re-checked every round by
+    # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
+    # FIRST the 32 r8-green entries below (last driver row r8), THEN
+    # the 47 r9-green entries (last driver row r9, minus the three
+    # rewritten ladder entries which re-entered the r10 window).
+    # ---- r8-green remainder (32 entries) ----
     "embedding_neardup": embedding_neardup_q,
     "q9_dlq_stats": q9_dlq_stats,
     "q10_job_stats": q10_job_stats,
@@ -6131,6 +6055,54 @@ QUERIES = {
     "embedding_semdedup_keep": embedding_semdedup_keep_q,
     "dedup_cluster_sizes": dedup_cluster_sizes_q,
     "orders_priority_late": orders_priority_late_q,
+    # ---- r9-green block (47 entries, CORRECTNESS_r09.json) ----
+    "part_min_cost_supplier": part_min_cost_supplier_q,
+    "sales_returns_by_brand": sales_returns_by_brand_q,
+    "segment_status_revenue": segment_status_revenue_q,
+    "events_daily_active": events_daily_active_q,
+    "lineitem_profile": lineitem_profile_q,
+    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
+    "docs_chunk_windows": docs_chunk_windows_q,
+    "stream_sessionize_parity": stream_sessionize_parity_q,
+    "stream_funnel_parity": stream_funnel_parity_q,
+    "stream_dedup_parity": stream_dedup_parity_q,
+    "docs_block_dedup": docs_block_dedup_q,
+    "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
+    "embedding_cluster_sample": embedding_cluster_sample_q,
+    "lineitem_small_qty_revenue": lineitem_small_qty_revenue_q,
+    "orders_big_basket_customers": orders_big_basket_customers_q,
+    "supplier_sole_late_blame": supplier_sole_late_blame_q,
+    "customer_dormant_balance": customer_dormant_balance_q,
+    "docs_heavy_hitters": docs_heavy_hitters_q,
+    "stream_hopping_parity": stream_hopping_parity_q,
+    "dedup_cross_source_matrix": dedup_cross_source_matrix_q,
+    "nation_trade_flows": nation_trade_flows_q,
+    "lineitem_bracket_revenue": lineitem_bracket_revenue_q,
+    "customer_returns_ranking": customer_returns_ranking_q,
+    "part_supplier_diversity": part_supplier_diversity_q,
+    "nation_profit_by_year": nation_profit_by_year_q,
+    "dedup_best_of_cluster": dedup_best_of_cluster_q,
+    "docs_length_bucketing": docs_length_bucketing_q,
+    "dedup_minhash_precision": dedup_minhash_precision_q,
+    "view_incremental_parity": view_incremental_parity_q,
+    "customer_value_deciles": customer_value_deciles_q,
+    "docs_token_budget": docs_token_budget_q,
+    "embedding_semdedup_greedy_stats": embedding_semdedup_greedy_stats_q,
+    "events_funnel": events_funnel_q,
+    "users_retention_cohorts": users_retention_cohorts_q,
+    "docs_ngram_topk": docs_ngram_topk_q,
+    "docs_tfidf_topterms": docs_tfidf_topterms_q,
+    "events_type_transitions": events_type_transitions_q,
+    "sales_rollup_totals": sales_rollup_totals_q,
+    "dedup_components": dedup_components_q,
+    "text_token_rarity": text_token_rarity_q,
+    "schema_evolution": schema_evolution_q,
+    "multimodal_features": multimodal_features_q,
+    "events_throughput_1min": events_throughput_1min_q,
+    "events_hopping_5min_1min": events_hopping_q,
+    "events_sessionize": events_sessionize_q,
+    "events_asof_session": events_asof_session_q,
+    "events_interval_session": events_interval_session_q,
 }
 
 ORACLE = {
