@@ -2004,15 +2004,15 @@ _INC_SHARED_CACHE: dict[tuple, dict] = {}
 _INC_INDEX_KEEP = 3
 
 
-def _inc_index_dir(key: tuple[str, int]) -> str:
-    """On-disk standing-index location for one documents fixture —
-    same ``.cache`` root and (realpath, mtime_ns) keying as the IVF
-    centroid cache, plus the pair parameters so a parameter change
-    invalidates the index rather than serving stale bands."""
+def _cache_layout_dir(prefix: str, *parts) -> str:
+    """On-disk location for one persisted per-fixture layout/index —
+    same ``.cache`` root as the IVF centroid cache; ``parts`` (the
+    fixture key plus any build parameters) are hashed into the name
+    so a parameter change invalidates the layout rather than serving
+    a stale one."""
     import hashlib
     import os as _os
 
-    p = _DEDUP_PAIR_PARAMS
     cache_dir = _os.environ.get(
         "SPARK_GRAFT_CACHE_DIR",
         _os.path.join(
@@ -2021,10 +2021,59 @@ def _inc_index_dir(key: tuple[str, int]) -> str:
         ),
     )
     tag = hashlib.sha256(
-        f"{key[0]}|{key[1]}|{p['num_hashes']}|{p['bands']}|{p['n']}|"
-        f"{p['threshold']}".encode()
+        "|".join(str(p) for p in parts).encode()
     ).hexdigest()[:16]
-    return _os.path.join(cache_dir, f"inc_index_{tag}")
+    return _os.path.join(cache_dir, f"{prefix}_{tag}")
+
+
+def _inc_index_dir(key: tuple[str, int]) -> str:
+    """Standing-index dir for one documents fixture (band table +
+    base component assignment), keyed by fixture identity AND the
+    pair parameters."""
+    p = _DEDUP_PAIR_PARAMS
+    return _cache_layout_dir(
+        "inc_index", key[0], key[1],
+        p["num_hashes"], p["bands"], p["n"], p["threshold"],
+    )
+
+
+def _ensure_layout(d: str, prefix: str, build) -> None:
+    """Build-if-absent protocol shared by every persisted per-fixture
+    layout: ``build(tmp)`` writes into a temp dir, an atomic rename
+    publishes it (a concurrent builder losing the race discards its
+    value-identical copy), and an LRU sweep keeps the newest
+    ``_INC_INDEX_KEEP`` dirs per prefix.  A present dir just gets an
+    mtime touch."""
+    import contextlib
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(d):
+        with contextlib.suppress(OSError):
+            _os.utime(d)  # LRU touch
+        return
+    tmp = f"{d}.tmp.{_os.getpid()}"
+    build(tmp)
+    try:
+        _os.rename(tmp, d)
+    except OSError:
+        # lost a concurrent build race; the winner's layout is
+        # value-identical (deterministic build)
+        _shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        root = _os.path.dirname(d)
+        idx = sorted(
+            (
+                e
+                for e in _os.scandir(root)
+                if e.name.startswith(prefix) and e.is_dir()
+            ),
+            key=lambda e: e.stat().st_mtime,
+        )
+        for e in idx[: -_INC_INDEX_KEEP]:
+            _shutil.rmtree(e.path, ignore_errors=True)
+    except OSError:
+        pass  # eviction is best-effort
 
 
 def _inc_standing_index(spark: SparkSession, sf_dir: str):
@@ -2038,14 +2087,11 @@ def _inc_standing_index(spark: SparkSession, sf_dir: str):
     when absent; atomic dir rename so a concurrent builder can't
     serve a half-written index; LRU eviction keeps the newest
     ``_INC_INDEX_KEEP`` fixture indexes."""
-    import os as _os
-    import shutil as _shutil
-
     p = _DEDUP_PAIR_PARAMS
     d = _inc_index_dir(_docs_fixture_key(sf_dir))
-    if not _os.path.isdir(d):
+
+    def _build(tmp: str) -> None:
         _docs, base, _new = _inc_split(spark, sf_dir)
-        tmp = f"{d}.tmp.{_os.getpid()}"
         # lazy checkpoint: the base_cc build reads the bands too, and
         # without it the 90%-corpus tokenize/minhash would execute
         # twice inside the one-time build
@@ -2058,31 +2104,8 @@ def _inc_standing_index(spark: SparkSession, sf_dir: str):
                 bands, p["num_hashes"], p["bands"], p["threshold"]
             )
         ).write.mode("overwrite").parquet(f"{tmp}/base_cc.parquet")
-        try:
-            _os.rename(tmp, d)
-        except OSError:
-            # lost a concurrent build race; the winner's index is
-            # value-identical (deterministic build)
-            _shutil.rmtree(tmp, ignore_errors=True)
-        try:
-            root = _os.path.dirname(d)
-            idx = sorted(
-                (
-                    e
-                    for e in _os.scandir(root)
-                    if e.name.startswith("inc_index_") and e.is_dir()
-                ),
-                key=lambda e: e.stat().st_mtime,
-            )
-            for e in idx[: -_INC_INDEX_KEEP]:
-                _shutil.rmtree(e.path, ignore_errors=True)
-        except OSError:
-            pass  # eviction is best-effort
-    else:
-        import contextlib
 
-        with contextlib.suppress(OSError):
-            _os.utime(d)  # LRU touch
+    _ensure_layout(d, "inc_index_", _build)
     return (
         spark.read.parquet(f"{d}/bands.parquet"),
         spark.read.parquet(f"{d}/base_cc.parquet"),
@@ -2111,6 +2134,92 @@ def _inc_base_state(spark: SparkSession, sf_dir: str) -> dict:
         _evict_oldest(_INC_SHARED_CACHE)
         hit = _INC_SHARED_CACHE[key] = st
     return hit
+
+
+#: z-ordered events layout: file count of the clustered write (each
+#: output file covers a compact (ts, user) region of the key space)
+_ZORDER_FILES = 16
+
+
+def _zorder_events_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the PERSISTED z-ordered copy of events — the clustered
+    layout a 100 TB deployment maintains with OPTIMIZE ZORDER, not a
+    per-query rewrite (r9 verdict #6: ``save_zordered`` was
+    bench-proven but no declared query read a z-ordered layout).
+    Clustered on (ts_epoch, user_id) so a band filter on EITHER
+    dimension skips most files on footer min/max stats alone;
+    ``tests/test_bucketed.py`` pins the skip counts."""
+    from cass_cdc_pg_spark.plans.bucketed import save_zordered
+
+    d = _cache_layout_dir(
+        "zorder_events", *_fixture_key(sf_dir, "events"), _ZORDER_FILES
+    )
+
+    def _build(tmp: str) -> None:
+        ev = _ev(spark, sf_dir).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.col("ts_us").alias("ts_epoch"),
+        )
+        save_zordered(
+            ev, tmp, ["ts_epoch", "user_id"], n_files=_ZORDER_FILES
+        )
+
+    _ensure_layout(d, "zorder_events_", _build)
+    return d
+
+
+def events_zorder_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional band scan over the persisted z-ordered events
+    layout: a ~6% user_id band AND the second time quartile, rolled
+    up per event type.  The band bounds come from a bounded 1-row
+    stats aggregate and are baked into the plan as LITERALS — literal
+    pushdown is the point of the layout: parquet footer min/max on
+    BOTH z-columns skip files before a byte is read (the linear-sort
+    layout prunes only ts; bench measures 8/16 vs 16/16 on the user
+    band).  Reference analog: indexed range scans over the CDC event
+    store (NhaLeTruc/cass-cdc-pg `src/api/routes/events.py` listing
+    filters)."""
+    ev = spark.read.parquet(_zorder_events_layout(spark, sf_dir))
+    b = ev.agg(
+        F.min("ts_epoch").alias("t0"),
+        F.max("ts_epoch").alias("t1"),
+        F.max("user_id").alias("mu"),
+    ).first()
+    u_lo = b.mu // 4
+    u_hi = u_lo + max(1, b.mu // 16)
+    t_lo = b.t0 + (b.t1 - b.t0) // 4
+    t_hi = b.t0 + (b.t1 - b.t0) // 2
+    return (
+        ev.filter(
+            F.col("user_id").between(u_lo, u_hi)
+            & F.col("ts_epoch").between(t_lo, t_hi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+    )
+
+
+ZORDER_SCAN_SQL = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1,
+         MAX(user_id) AS mu
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+FROM events, b
+WHERE user_id BETWEEN mu // 4 AND mu // 4 + GREATEST(1, mu // 16)
+  AND epoch_us(ts) BETWEEN t0 + (t1 - t0) // 4 AND t0 + (t1 - t0) // 2
+GROUP BY 1
+"""
 
 
 def _inc_pairs(st: dict) -> DataFrame:
@@ -5998,8 +6107,12 @@ QUERIES = {
     "dedup_incremental_pairs": dedup_incremental_pairs_q,
     "dedup_incremental_components": dedup_incremental_components_q,
     "dedup_incremental_admission": dedup_incremental_admission_q,
-    # (c) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
-    # remaining evidence after the stale-32): first 15 of the r8
+    # (c) new in r10 (never driver-checked): the z-order clustered
+    # read path (verdict #6 — the layout save_zordered maintains now
+    # has a declared consumer with pinned file-skip counts):
+    "events_zorder_scan": events_zorder_scan_q,
+    # (d) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
+    # remaining evidence after the stale-32): first 14 of the r8
     # block in catalog order.  New r10 queries take window priority
     # and displace this fill from the bottom.
     "lineitem_discount_bands": lineitem_discount_bands_q,
@@ -6016,13 +6129,15 @@ QUERIES = {
     "docs_mix_upsample": docs_mix_upsample_q,
     "docs_pack_sequences": docs_pack_sequences_q,
     "ann_cosine_topk": ann_cosine_topk_q,
-    "similarity_lsh_topk": similarity_lsh_topk_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
-    # FIRST the 32 r8-green entries below (last driver row r8), THEN
-    # the 47 r9-green entries (last driver row r9, minus the three
-    # rewritten ladder entries which re-entered the r10 window).
-    # ---- r8-green remainder (32 entries) ----
+    # FIRST similarity_lsh_topk (displaced from the r10 fill by the
+    # new events_zorder_scan) and the 32 r8-green entries below (last
+    # driver row r8), THEN the 47 r9-green entries (last driver row
+    # r9, minus the three rewritten ladder entries which re-entered
+    # the r10 window).
+    # ---- r8-green remainder (33 entries) ----
+    "similarity_lsh_topk": similarity_lsh_topk_q,
     "embedding_neardup": embedding_neardup_q,
     "q9_dlq_stats": q9_dlq_stats,
     "q10_job_stats": q10_job_stats,
@@ -6161,6 +6276,7 @@ ORACLE = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "similarity_lsh_topk": LSH_TOPK_SQL,
+    "events_zorder_scan": ZORDER_SCAN_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,

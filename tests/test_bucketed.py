@@ -289,3 +289,69 @@ def test_zorder_value_nulls_land_in_bottom_cell(spark):
     assert got[2] == 0
     with pytest.raises(ValueError, match="'x'"):
         zorder_value(["x"], [None], [None], bits=4)
+
+
+def test_zorder_events_layout_prunes_declared_query_bands(spark, tmp_path, monkeypatch):
+    """The DECLARED z-order read path (registry.events_zorder_scan):
+    the persisted layout must prune files on BOTH band dimensions the
+    query filters on — the structural pin behind the driver's
+    value-level oracle check (r9 verdict #6)."""
+    from cass_cdc_pg_spark import registry
+    from cass_cdc_pg_spark.plans.bucketed import candidate_files
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    d = registry._zorder_events_layout(spark, sf)
+
+    ev = spark.read.parquet(d)
+    b = ev.agg(
+        F.min("ts_epoch").alias("t0"),
+        F.max("ts_epoch").alias("t1"),
+        F.max("user_id").alias("mu"),
+    ).first()
+    u_lo = b.mu // 4
+    u_hi = u_lo + max(1, b.mu // 16)
+    t_lo = b.t0 + (b.t1 - b.t0) // 4
+    t_hi = b.t0 + (b.t1 - b.t0) // 2
+
+    u_cand, total = candidate_files(d, "user_id", u_lo, u_hi)
+    t_cand, _ = candidate_files(d, "ts_epoch", t_lo, t_hi)
+    assert total == registry._ZORDER_FILES, total
+    # the ~6% user band must skip at least half the files, the time
+    # quartile at least a third — conservative floors of the measured
+    # 8/16 so fixture regeneration noise can't flake the pin
+    assert u_cand <= total // 2, (u_cand, total)
+    assert t_cand <= (2 * total) // 3, (t_cand, total)
+
+    # the declared query runs over the same layout and stays
+    # file-skip-eligible: its scan pushes BOTH band predicates down
+    # (raise the metadata print cap — the default 100 chars truncates
+    # the PushedFilters list mid-entry)
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = registry.events_zorder_scan_q(
+            spark, sf
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PushedFilters:" in plan
+    for col in ("user_id", "ts_epoch"):
+        assert f"GreaterThanOrEqual({col}" in plan, col
+        assert f"LessThanOrEqual({col}" in plan, col
+
+
+def test_zorder_events_layout_is_reused_not_rebuilt(spark, tmp_path, monkeypatch):
+    """Second call serves the persisted dir (mtime-touched, same
+    path) — the layout is durable state like the IVF centroid cache,
+    not a per-query rewrite."""
+    import os
+
+    from cass_cdc_pg_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    d1 = registry._zorder_events_layout(spark, sf)
+    ino1 = os.stat(d1).st_ino
+    d2 = registry._zorder_events_layout(spark, sf)
+    assert d1 == d2 and os.stat(d2).st_ino == ino1
