@@ -1416,6 +1416,90 @@ FROM documents d LEFT JOIN hist h ON h.doc_id = d.doc_id
 """
 
 
+def multimodal_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (r9 verdict #5): genuine binary PPM (P6)
+    images are synthesized per document (deterministic pixel function
+    of doc_id — the encoder writes a real header + raster) and decoded
+    by the pure-Python PPM parser through the SAME Arrow-batched
+    ``extract_features`` pipeline the injected-codec path uses.  The
+    oracle recomputes width/height/per-channel byte sums analytically
+    from the pixel function, so a parser bug (header grammar, raster
+    offset, channel order) is a hash mismatch, not a silent pass.
+    Formats beyond the pure-Python tier (png/jpeg/mp4) still raise
+    through the documented seam."""
+    from cass_cdc_pg_spark.operators import multimodal
+
+    ids = src.load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                raster = bytes(
+                    (did * 31 + i * 7) % 256 for i in range(3 * w * h)
+                )
+                rows.append((did, multimodal.encode_ppm(w, h, raster)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("ppm").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length("payload").cast("long").alias("size_bytes"),
+        ).alias("meta"),
+    )
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.media_decoder
+    )
+    names = ["width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"]
+    return feats.select(
+        "media_id",
+        *[
+            F.col("feature")[i].cast("double").alias(n)
+            for i, n in enumerate(names)
+        ],
+        "decode_ok",
+        F.col("error").cast("string").alias("error"),
+    )
+
+
+MULTIMODAL_REAL_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS i FROM dims),
+s AS (
+  SELECT doc_id, w, h,
+         SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i * 7) % 256
+                  ELSE 0 END) AS sum_r,
+         SUM(CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i * 7) % 256
+                  ELSE 0 END) AS sum_g,
+         SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i * 7) % 256
+                  ELSE 0 END) AS sum_b
+  FROM px GROUP BY 1, 2, 3)
+SELECT doc_id AS media_id,
+       CAST(w AS DOUBLE) AS width,
+       CAST(h AS DOUBLE) AS height,
+       CAST(w * h AS DOUBLE) AS n_pixels,
+       CAST(sum_r AS DOUBLE) AS sum_r,
+       CAST(sum_g AS DOUBLE) AS sum_g,
+       CAST(sum_b AS DOUBLE) AS sum_b,
+       TRUE AS decode_ok,
+       CAST(NULL AS VARCHAR) AS error
+FROM s
+"""
+
+
 def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution detection (S8 + schema service): diff the
     *introspected* orders schema (v1) against a simulated v2 ALTER set
@@ -6109,10 +6193,13 @@ QUERIES = {
     "dedup_incremental_admission": dedup_incremental_admission_q,
     # (c) new in r10 (never driver-checked): the z-order clustered
     # read path (verdict #6 — the layout save_zordered maintains now
-    # has a declared consumer with pinned file-skip counts):
+    # has a declared consumer with pinned file-skip counts) and the
+    # real-codec decode (verdict #5 — genuine PPM bytes through the
+    # extract_features pipeline, oracle recomputes analytically):
     "events_zorder_scan": events_zorder_scan_q,
+    "multimodal_real_decode": multimodal_real_decode_q,
     # (d) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
-    # remaining evidence after the stale-32): first 14 of the r8
+    # remaining evidence after the stale-32): first 13 of the r8
     # block in catalog order.  New r10 queries take window priority
     # and displace this fill from the bottom.
     "lineitem_discount_bands": lineitem_discount_bands_q,
@@ -6128,15 +6215,15 @@ QUERIES = {
     "docs_token_percentiles": docs_token_percentiles_q,
     "docs_mix_upsample": docs_mix_upsample_q,
     "docs_pack_sequences": docs_pack_sequences_q,
-    "ann_cosine_topk": ann_cosine_topk_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
-    # FIRST similarity_lsh_topk (displaced from the r10 fill by the
-    # new events_zorder_scan) and the 32 r8-green entries below (last
-    # driver row r8), THEN the 47 r9-green entries (last driver row
-    # r9, minus the three rewritten ladder entries which re-entered
-    # the r10 window).
-    # ---- r8-green remainder (33 entries) ----
+    # FIRST ann_cosine_topk + similarity_lsh_topk (displaced from the
+    # r10 fill by the new events_zorder_scan + multimodal_real_decode)
+    # and the 32 r8-green entries below (last driver row r8), THEN
+    # the 47 r9-green entries (last driver row r9, minus the three
+    # rewritten ladder entries which re-entered the r10 window).
+    # ---- r8-green remainder (34 entries) ----
+    "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
     "embedding_neardup": embedding_neardup_q,
     "q9_dlq_stats": q9_dlq_stats,
@@ -6279,6 +6366,7 @@ ORACLE = {
     "events_zorder_scan": ZORDER_SCAN_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "multimodal_features": MULTIMODAL_SQL,
+    "multimodal_real_decode": MULTIMODAL_REAL_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,
     "events_hopping_5min_1min": HOPPING_SQL,
     "events_sessionize": SESSIONIZE_SQL,

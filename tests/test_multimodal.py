@@ -84,3 +84,121 @@ def test_resize_media_routes_errors_and_default_stub(media):
     assert all("no resizer" in r["error"] for r in rows)
     stub = multimodal.resize_media(media, 4, 4).collect()  # default raises
     assert all(not r["resize_ok"] for r in stub)
+
+
+# ---------------------------------------------------------------------------
+# Real pure-Python codecs (r9 verdict #5): genuine bytes, bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_roundtrip_bit_exact():
+    raster = bytes(range(3 * 4 * 2))  # 4x2 RGB, distinct byte per cell
+    ppm = multimodal.encode_ppm(4, 2, raster)
+    assert ppm.startswith(b"P6\n4 2\n255\n")
+    w, h, back = multimodal.decode_ppm(ppm)
+    assert (w, h) == (4, 2) and back == raster
+
+
+def test_ppm_parser_handles_comments_and_rejects_garbage():
+    raster = bytes(3 * 2 * 2)
+    with_comment = b"P6\n# a comment line\n2 2\n# another\n255\n" + raster
+    assert multimodal.decode_ppm(with_comment) == (2, 2, raster)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a P6"):
+        multimodal.decode_ppm(b"P5\n2 2\n255\n" + raster)
+    with _pytest.raises(ValueError, match="truncated ppm raster"):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n" + raster[:-1])
+    with _pytest.raises(ValueError, match="unsupported maxval"):
+        multimodal.decode_ppm(b"P6\n2 2\n65535\n" + raster * 2)
+
+
+def test_ppm_features_exact():
+    # 2x1: pixels (10,20,30) and (40,50,60)
+    ppm = multimodal.encode_ppm(2, 1, bytes([10, 20, 30, 40, 50, 60]))
+    assert multimodal.ppm_features(ppm) == [2.0, 1.0, 2.0, 50.0, 70.0, 90.0]
+
+
+def test_ppm_resize_identity_and_downsample():
+    raster = bytes((i * 37) % 256 for i in range(3 * 6 * 4))
+    ppm = multimodal.encode_ppm(6, 4, raster)
+    # identity: resizing to source dims returns the exact same bytes
+    assert multimodal.ppm_resize(ppm, "ppm", 6, 4) == ppm
+    # 2x downsample: each target pixel is the nearest-neighbour source
+    # pixel at (x*6//3, y*4//2)
+    small = multimodal.ppm_resize(ppm, "ppm", 3, 2)
+    w, h, out = multimodal.decode_ppm(small)
+    assert (w, h) == (3, 2)
+    for y in range(2):
+        for x in range(3):
+            si = 3 * ((y * 2) * 6 + x * 2)
+            assert out[3 * (y * 3 + x) : 3 * (y * 3 + x) + 3] == raster[si : si + 3]
+
+
+def test_wav_roundtrip_features_exact():
+    samples = [0, 1000, -1000, 32767, -32768, 7]  # 2ch -> 3 frames
+    wav = multimodal.encode_wav(8000, 2, samples)
+    feats = multimodal.wav_features(wav)
+    assert feats == [
+        2.0, 8000.0, 3.0,
+        float(sum(samples)),
+        float(sum(abs(s) for s in samples)),
+    ]
+
+
+def test_wav_parser_walks_chunk_list():
+    import struct
+
+    samples = [5, -5]
+    wav = multimodal.encode_wav(16000, 1, samples)
+    # splice an unknown odd-sized chunk between fmt and data: a real
+    # RIFF reader must skip it (word-aligned) and still find data
+    fmt_end = wav.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = wav[:fmt_end] + junk + wav[fmt_end:]
+    assert multimodal.wav_features(spliced) == multimodal.wav_features(wav)
+
+
+def test_media_decoder_dispatch_and_seam(media):
+    ppm = multimodal.encode_ppm(1, 1, bytes([9, 9, 9]))
+    assert multimodal.media_decoder(ppm, "ppm")[0] == 1.0
+    wav = multimodal.encode_wav(8000, 1, [1])
+    assert multimodal.media_decoder(wav, "wav")[0] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.media_decoder(b"\x89PNG", "png")
+
+
+def test_extract_features_decodes_real_ppm_bytes(spark):
+    """The full mapInPandas pipeline over REAL media bytes: encode
+    genuine P6 payloads, decode with the real parser, and mix in one
+    unparseable format to prove the seam still error-routes."""
+    rows = [
+        (1, multimodal.encode_ppm(2, 1, bytes([10, 20, 30, 40, 50, 60])), "ppm"),
+        (2, multimodal.encode_wav(8000, 1, [100, -100, 50]), "wav"),
+        (3, b"\x89PNG....", "png"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, fmt string"
+    ).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("fmt").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length("payload").cast("long").alias("size_bytes"),
+        ).alias("meta"),
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.media_decoder
+        ).collect()
+    }
+    assert out[1]["decode_ok"] and out[1]["feature"] == [2.0, 1.0, 2.0, 50.0, 70.0, 90.0]
+    assert out[2]["decode_ok"] and out[2]["feature"][:3] == [1.0, 8000.0, 3.0]
+    assert not out[3]["decode_ok"] and "media decoding requires" in out[3]["error"]
