@@ -793,3 +793,277 @@ def _knn_within_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", group_col, "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory/IO lever for 100 TB embedding
+# search: each dim-D float32 vector (4·D bytes) compresses to m code
+# bytes (one nearest-sub-centroid id per subspace), and top-k runs as
+# asymmetric distance computation (ADC) over the CODES — the full
+# vectors are never read at query time.  At dim=64, m=8 that is 32×
+# less data scanned per query than the exact path; PQ composes with
+# IVF (encode only the probed cells) exactly like FAISS's IVFPQ.
+# Training is driver-side over a bounded sample (same posture as
+# train_ivf_centroids); encode is a constant-folded JVM projection;
+# ADC ships only (id, codes) across the Arrow boundary.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    embeddings_path: str, m: int = 8, ksub: int = 16, iters: int = 4
+) -> list[list[list[float]]]:
+    """PQ build phase: per subspace j, k-means (squared L2) over the
+    j-th vector slice — fully deterministic (init = first *ksub*
+    subvectors in vec_id order, fixed Lloyd iteration count, float64
+    throughout, ties → lowest code) so the Spark encode expression and
+    the DuckDB oracle share the exact same centroid literals.
+
+    Driver-side over one parquet file via pyarrow, never a Spark job —
+    at 100 TB you train on a sample exactly like this and only the
+    encode pass is distributed."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    order = np.argsort(tbl["vec_id"].to_numpy(), kind="stable")
+    x = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties → lowest code
+            for c in range(ksub):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in cent])
+    return books
+
+
+def _pq_dist_exprs(vec_col: str, codebooks: list[list[list[float]]]) -> list[str]:
+    """Per-subspace SQL expression: array of squared-L2 distances from
+    the row's j-th vector slice to each of that subspace's *ksub*
+    centroid literals.  One SQL string per subspace (single driver
+    parse — same Py4J-storm avoidance as ``_cell_scores``); the fold
+    is the left-to-right ``aggregate(zip_with(...))`` sum, the shared
+    bit-identity discipline of this module."""
+
+    def _dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def _fold(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    sub = len(codebooks[0][0])
+    exprs = []
+    for j, book in enumerate(codebooks):
+        sl = f"slice({vec_col}, {j * sub + 1}, {sub})"
+        ds = ", ".join(
+            _fold(sl, f"array({', '.join(_dlit(float(x)) for x in c)})")
+            for c in book
+        )
+        exprs.append(f"array({ds})")
+    return exprs
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int>, one nearest
+    sub-centroid per subspace, argmin ties → lowest code).
+
+    Pure constant-folded projection — whole-stage codegen, no shuffle,
+    no Python: the pass a daily embedding batch runs against standing
+    codebooks, emitting m small ints per row (the 32× compression)."""
+    exprs = _pq_dist_exprs(f"`{vec_col}`", codebooks)
+    codes = ", ".join(
+        f"CAST(array_position({e}, array_min({e})) - 1 AS INT)" for e in exprs
+    )
+    return vectors.select(
+        F.col(id_col), F.expr(f"array({codes})").alias("codes")
+    )
+
+
+def _pq_query_tables(np, queries_rows, codebooks):
+    """(qids, qtab[q][j][c]) — per-query ADC lookup tables in float64,
+    accumulated ONE DIMENSION AT A TIME (``acc += (q_d - c_d)**2``) so
+    every entry is bit-identical to the JVM/DuckDB left-to-right fold
+    over the same centroid literals."""
+    qids = [r[0] for r in queries_rows]
+    qm = np.array([list(r[1]) for r in queries_rows], dtype=np.float64)
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    cent = np.array(codebooks, dtype=np.float64)  # m x ksub x sub
+    qtab = np.zeros((len(qids), m, ksub))
+    for j in range(m):
+        qs = qm[:, j * sub : (j + 1) * sub]  # Q x sub
+        for d in range(sub):
+            diff = qs[:, d, None] - cent[None, j, :, d]
+            qtab[:, j, :] += diff * diff
+    return qids, qtab
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k (squared-L2 metric, smaller = closer):
+    corpus rows are their codes; each query's distance to a row is the
+    left-to-right sum over subspaces of its precomputed lookup-table
+    entry for that row's code.
+
+    Scale shape: encode is a codegen projection, the Arrow kernel
+    receives ONLY (id, codes) — m ints per row, never the vectors —
+    and per-batch pruning keeps the downstream top-k shuffle at
+    O(k·Q·batches).  Exactness of the prune: 6-dp rounding moves a
+    distance by at most 5e-7, so a row with unrounded dist > (k-th
+    best unrounded) + 1e-6 rounds strictly above the k-th best's
+    rounded value and can never displace it.  Output: query_id,
+    neighbor_id, rank, dist (6 dp; ties → neighbor_id asc)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    qids, qtab = _pq_query_tables(np, q_rows, codebooks)
+    qid_arr = np.array(qids)
+    m = len(codebooks)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    codes_df = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cm = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            acc = np.zeros((len(ids), len(qids)))
+            for j in range(m):  # left-to-right over subspaces
+                acc += qtab[:, j, :][:, cm[:, j]].T
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                col = acc[:, qi]
+                cand = col.copy()
+                cand[ids == qid_arr[qi]] = np.inf  # self never holds a slot
+                kth = np.partition(cand, min(k, len(cand)) - 1)[
+                    min(k, len(cand)) - 1
+                ]
+                keep = col <= kth + 1e-6
+                out_q.append(np.full(int(keep.sum()), qid_arr[qi]))
+                out_n.append(ids[keep])
+                out_s.append(col[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dist": np.concatenate(out_s),
+                }
+            )
+
+    scored = (
+        codes_df.mapInPandas(
+            score,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, dist double",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(F.col("dist"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by squared L2 (the metric PQ approximates — its
+    recall baseline, as ``cosine_topk`` is for IVF/LSH).  Same Arrow
+    kernel discipline as ``_scored_arrow``: per-dimension accumulation
+    matches the left-to-right fold bit-for-bit, the query matrix ships
+    in the closure (corpus never shuffles), per-batch keep-min pruning
+    bounds the top-k shuffle (same 1e-6 guard band as ``pq_topk``)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    qids = [r[0] for r in q_rows]
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qid_arr = np.array(qids)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cm = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros((len(ids), len(qids)))
+            for d in range(cm.shape[1]):  # left-to-right over dims
+                diff = cm[:, d, None] - qm[None, :, d]
+                acc += diff * diff
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                col = acc[:, qi]
+                cand = col.copy()
+                cand[ids == qid_arr[qi]] = np.inf
+                kth = np.partition(cand, min(k, len(cand)) - 1)[
+                    min(k, len(cand)) - 1
+                ]
+                keep = col <= kth + 1e-6
+                out_q.append(np.full(int(keep.sum()), qid_arr[qi]))
+                out_n.append(ids[keep])
+                out_s.append(col[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dist": np.concatenate(out_s),
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(
+            score,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, dist double",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(F.col("dist"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )

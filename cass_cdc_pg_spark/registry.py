@@ -2285,7 +2285,12 @@ def events_zorder_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.count_distinct("user_id").cast("long").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+            # exact decimal accumulation, double only at the very end
+            # (DECIMAL output types drift through the driver's pandas
+            # canonicalizer — tests/test_oracle_dtypes.py)
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
 
@@ -2298,7 +2303,7 @@ WITH b AS (
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM events, b
 WHERE user_id BETWEEN mu // 4 AND mu // 4 + GREATEST(1, mu // 16)
   AND epoch_us(ts) BETWEEN t0 + (t1 - t0) // 4 AND t0 + (t1 - t0) // 2
@@ -3838,6 +3843,291 @@ FROM (SELECT DISTINCT query_id FROM exact) q
 LEFT JOIN hits h ON q.query_id = h.query_id
 """
     return _IVF_RECALL_SQL_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) tier — 32× compressed ANN (see
+# operators/similarity.py PQ section).  Same determinism discipline as
+# IVF: driver-trained codebooks are literals shared with the generated
+# DuckDB oracle; encode argmin and the ADC fold are bit-identical
+# left-to-right float64 sequences in all three computations (JVM
+# expression, Arrow kernel, list_reduce).
+# ---------------------------------------------------------------------------
+
+# m=16 (4-dim subspaces), ksub=16: measured recall@5 at sf0.001 is
+# 0.46 vs 0.18 at m=8 for the SAME 1024-literal encode-expression
+# budget; codes are 16 small ints (16x vs float32 vectors)
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_K = 16, 16, 4, 5
+
+#: (embeddings fixture key) → trained codebooks (RAM memo over the
+#: same keying as the on-disk JSON, like _IVF_CENTROID_CACHE)
+_PQ_CODEBOOK_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _pq_codebooks(sf_dir: str) -> list[list[list[float]]]:
+    import json as _json
+    import os as _os
+
+    key = _ivf_fixture_key(sf_dir)
+    if key not in _PQ_CODEBOOK_CACHE:
+        path = (
+            _cache_layout_dir(
+                "pq_codebooks", key[0], key[1], _PQ_M, _PQ_KSUB, _PQ_ITERS
+            )
+            + ".json"
+        )
+        if _os.path.exists(path):
+            with open(path) as f:
+                _PQ_CODEBOOK_CACHE[key] = _json.load(f)
+        else:
+            books = similarity.train_pq_codebooks(
+                key[0], m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS
+            )
+            _PQ_CODEBOOK_CACHE[key] = books
+            try:
+                _os.makedirs(_os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp.{_os.getpid()}"
+                with open(tmp, "w") as f:
+                    _json.dump(books, f)
+                _os.replace(tmp, path)
+            except OSError:
+                pass  # cache is best-effort; training already succeeded
+    return _PQ_CODEBOOK_CACHE[key]
+
+
+#: (applicationId, fixture key, params) → built DataFrame — the same
+#: prepared-statement memo as _IVF_DF_CACHE (the 128-subcentroid
+#: encode expression costs analysis time on every rebuild).
+_PQ_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k: codegen encode to 8 code bytes/vector, Arrow kernel scans codes only (never vectors)."""
+    key = (
+        spark.sparkContext.applicationId,
+        _ivf_fixture_key(sf_dir),
+        "pq_topk", _PQ_M, _PQ_KSUB, _PQ_K,
+    )
+    if key not in _PQ_DF_CACHE:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        _PQ_DF_CACHE[key] = similarity.pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            _pq_codebooks(sf_dir),
+            k=_PQ_K,
+        )
+    return _PQ_DF_CACHE[key]
+
+
+def embedding_pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encode pass as its own declared result: one row per
+    (vector, subspace) with the assigned code — the compressed
+    representation a deployment PERSISTS (the daily batch output),
+    checked code-by-code against the oracle's argmin recomputation.
+    Exploded to scalar columns because list cells are canonicalizer-
+    unsafe in the driver's pandas compare (tests/test_oracle_dtypes)."""
+    key = (
+        spark.sparkContext.applicationId,
+        _ivf_fixture_key(sf_dir),
+        "pq_codes", _PQ_M, _PQ_KSUB,
+    )
+    if key not in _PQ_DF_CACHE:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        codes = similarity.pq_encode(emb, _pq_codebooks(sf_dir))
+        _PQ_DF_CACHE[key] = codes.select(
+            "vec_id", F.posexplode("codes").alias("subspace", "code")
+        ).select(
+            "vec_id",
+            (F.col("subspace") + 1).cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+        )
+    return _PQ_DF_CACHE[key]
+
+
+def ann_l2_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-k — the recall baseline for the PQ tier (as cosine is for IVF/LSH); Arrow kernel, keep-min pruned."""
+    key = (
+        spark.sparkContext.applicationId,
+        _ivf_fixture_key(sf_dir),
+        "l2_topk", _PQ_K,
+    )
+    if key not in _PQ_DF_CACHE:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        _PQ_DF_CACHE[key] = similarity.l2_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=_PQ_K
+        )
+    return _PQ_DF_CACHE[key]
+
+
+def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ-ADC against the exact squared-L2 baseline, per
+    query — the compression-quality gauge a deployment tunes m/ksub
+    against (same join shape as ``ann_ivf_recall``)."""
+    exact = ann_l2_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_pq_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_K))).alias(
+            "recall_at_5"
+        ),
+    )
+
+
+_L2DIST_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+ANN_L2_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_L2DIST_SQL.format(a='qv', b='cv')}, 6) AS dist
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, rank, dist
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {_PQ_K}
+"""
+
+
+def _pq_sql(codebooks: list[list[list[float]]], k: int) -> str:
+    """Oracle twin of ``similarity.pq_topk``: same codebook literals,
+    same argmin encode (ties → lowest code), same ordered left fold
+    over subspaces (``list(d ORDER BY j)`` + ``list_reduce``), same
+    tie rules — distances are bit-identical across engines."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    cb_rows = ", ".join(
+        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
+        for j, book in enumerate(codebooks)
+        for c, ctr in enumerate(book)
+    )
+    l2 = _L2DIST_SQL.format(a="sv", b="ctr")
+    return f"""
+WITH cb(j, c, ctr) AS (VALUES {cb_rows}),
+sub AS (
+  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
+  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
+dist AS (
+  SELECT vec_id, j, c, {l2} AS d
+  FROM sub JOIN cb USING (j)),
+codes AS (
+  SELECT vec_id, j, c
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, c ASC) AS rn
+        FROM dist)
+  WHERE rn = 1),
+qd AS (SELECT vec_id AS query_id, j, c, d FROM dist WHERE vec_id < 10),
+pair AS (
+  SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         ROUND(list_reduce(list(qd.d ORDER BY qd.j), (a, b) -> a + b), 6)
+             AS dist
+  FROM codes JOIN qd ON qd.j = codes.j AND qd.c = codes.c
+  WHERE codes.vec_id <> qd.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rank, dist
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM pair)
+WHERE rank <= {k}
+"""
+
+
+def _pq_codes_sql(codebooks: list[list[list[float]]]) -> str:
+    """Oracle twin of the exploded ``pq_encode`` output: same argmin
+    over the same literal distances, one row per (vector, subspace)."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    cb_rows = ", ".join(
+        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
+        for j, book in enumerate(codebooks)
+        for c, ctr in enumerate(book)
+    )
+    l2 = _L2DIST_SQL.format(a="sv", b="ctr")
+    return f"""
+WITH cb(j, c, ctr) AS (VALUES {cb_rows}),
+sub AS (
+  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
+  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
+dist AS (
+  SELECT vec_id, j, c, {l2} AS d
+  FROM sub JOIN cb USING (j))
+SELECT vec_id, CAST(j AS INT) AS subspace, CAST(c AS INT) AS code
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                   ORDER BY d ASC, c ASC) AS rn
+      FROM dist)
+WHERE rn = 1
+"""
+
+
+_PQ_CODES_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def pq_codes_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _PQ_CODES_SQL_CACHE:
+        try:
+            _PQ_CODES_SQL_CACHE[key] = _pq_codes_sql(_pq_codebooks(sf_dir))
+        except OSError:
+            return None
+    return _PQ_CODES_SQL_CACHE[key]
+
+
+_PQ_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def pq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """The PQ oracle for *sf_dir*, trained lazily on the same
+    embeddings fixture; None if the fixture is absent."""
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _PQ_SQL_CACHE:
+        try:
+            _PQ_SQL_CACHE[key] = _pq_sql(_pq_codebooks(sf_dir), _PQ_K)
+        except OSError:
+            return None
+    return _PQ_SQL_CACHE[key]
+
+
+_PQ_RECALL_SQL_CACHE: dict[str, str] = {}
+
+
+def pq_recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Composed oracle: exact-L2 and PQ SQL texts as derived tables,
+    intersected per query (the ``ivf_recall`` pattern)."""
+    pq = pq_oracle_sql(sf_dir)
+    if pq is None:
+        return None
+    if pq not in _PQ_RECALL_SQL_CACHE:
+        _PQ_RECALL_SQL_CACHE[pq] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ANN_L2_SQL}) e),
+approx AS (SELECT query_id, neighbor_id FROM ({pq}) a),
+hits AS (
+  SELECT exact.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) / {float(_PQ_K)} AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+    return _PQ_RECALL_SQL_CACHE[pq]
 
 
 def events_anomaly_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6198,8 +6488,15 @@ QUERIES = {
     # extract_features pipeline, oracle recomputes analytically):
     "events_zorder_scan": events_zorder_scan_q,
     "multimodal_real_decode": multimodal_real_decode_q,
+    # (c2) new in r10: the product-quantization ANN tier (32×
+    # compressed codes + ADC over codes only) with its exact-L2
+    # baseline and the pinned recall gauge:
+    "ann_l2_topk": ann_l2_topk_q,
+    "ann_pq_topk": ann_pq_topk_q,
+    "ann_pq_recall": ann_pq_recall_q,
+    "embedding_pq_codes": embedding_pq_codes_q,
     # (d) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
-    # remaining evidence after the stale-32): first 13 of the r8
+    # remaining evidence after the stale-32): first 9 of the r8
     # block in catalog order.  New r10 queries take window priority
     # and displace this fill from the bottom.
     "lineitem_discount_bands": lineitem_discount_bands_q,
@@ -6211,18 +6508,20 @@ QUERIES = {
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    # ---- past the 50-cap this round; ALL re-checked every round by
+    # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
+    # FIRST the six entries displaced from the r10 fill by the six
+    # new r10 queries (decontam_ngram_overlap, docs_token_percentiles,
+    # docs_mix_upsample, docs_pack_sequences, ann_cosine_topk,
+    # similarity_lsh_topk) and the 32 r8-green entries below (last
+    # driver row r8), THEN the 47 r9-green entries (last driver row
+    # r9, minus the three rewritten ladder entries which re-entered
+    # the r10 window).
+    # ---- r8-green remainder (38 entries) ----
     "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "docs_token_percentiles": docs_token_percentiles_q,
     "docs_mix_upsample": docs_mix_upsample_q,
     "docs_pack_sequences": docs_pack_sequences_q,
-    # ---- past the 50-cap this round; ALL re-checked every round by
-    # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
-    # FIRST ann_cosine_topk + similarity_lsh_topk (displaced from the
-    # r10 fill by the new events_zorder_scan + multimodal_real_decode)
-    # and the 32 r8-green entries below (last driver row r8), THEN
-    # the 47 r9-green entries (last driver row r9, minus the three
-    # rewritten ladder entries which re-entered the r10 window).
-    # ---- r8-green remainder (34 entries) ----
     "ann_cosine_topk": ann_cosine_topk_q,
     "similarity_lsh_topk": similarity_lsh_topk_q,
     "embedding_neardup": embedding_neardup_q,
@@ -6367,6 +6666,7 @@ ORACLE = {
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_real_decode": MULTIMODAL_REAL_SQL,
+    "ann_l2_topk": ANN_L2_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,
     "events_hopping_5min_1min": HOPPING_SQL,
     "events_sessionize": SESSIONIZE_SQL,
@@ -6463,4 +6763,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     cs2 = cluster_sample_oracle_sql(sf_dir)
     if cs2 is not None:
         out["embedding_cluster_sample"] = cs2
+    pq = pq_oracle_sql(sf_dir)
+    if pq is not None:
+        out["ann_pq_topk"] = pq
+    pr = pq_recall_oracle_sql(sf_dir)
+    if pr is not None:
+        out["ann_pq_recall"] = pr
+    pc = pq_codes_oracle_sql(sf_dir)
+    if pc is not None:
+        out["embedding_pq_codes"] = pc
     return out

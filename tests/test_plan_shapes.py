@@ -1368,3 +1368,64 @@ def test_minhash_precision_candidates_only_no_extra_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_pq_encode_is_pure_projection(spark):
+    """PQ encode (r10): nearest-sub-centroid assignment is a constant-
+    folded projection — zero Exchange, zero Python stage.  This is the
+    pass a 100 TB daily embedding batch runs; a shuffle or Python hop
+    here multiplies its cost by the corpus size."""
+    from cass_cdc_pg_spark import registry
+    from cass_cdc_pg_spark.operators import similarity
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings")
+    plan = _plan(similarity.pq_encode(emb, registry._pq_codebooks(sf)))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+
+def test_pq_topk_ships_codes_not_vectors(spark):
+    """ann_pq_topk (r10): the Arrow kernel's input schema is
+    (vec_id, codes) — the 16 code bytes, never the float vectors —
+    and pruned candidates reach exactly one ranking Exchange.  The
+    codes-only Python boundary IS the PQ scale story (16x less Arrow
+    transfer than the exact path)."""
+    from cass_cdc_pg_spark import registry
+
+    from cass_cdc_pg_spark.operators import similarity
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    df = registry.ann_pq_topk_q(spark, sf)
+    plan = _plan(df)
+    # the kernel's input is the encode projection's (vec_id, codes)
+    # pair — same output schema as pq_encode, which the pure-
+    # projection pin above certifies is computed without Python or
+    # shuffle; here we pin the composition: one MapInPandas, fed
+    # directly by in-stage projections from the parquet scan (no
+    # Exchange at or below it), and exactly one ranking Exchange.
+    assert plan.count("MapInPandas") == 1, plan
+    emb = src.load_table(spark, sf, "embeddings")
+    enc_cols = similarity.pq_encode(emb, registry._pq_codebooks(sf)).columns
+    assert enc_cols == ["vec_id", "codes"]
+    kernel_and_below = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in kernel_and_below, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_scan_single_rollup_exchange(spark, tmp_path, monkeypatch):
+    """events_zorder_scan (r10): after the literal band filters prune
+    at the scan, the only movement is the per-type rollup Exchange
+    (count-distinct expands it to two at most)."""
+    from cass_cdc_pg_spark import registry
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path))
+    plan = _plan(
+        registry.events_zorder_scan_q(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "PushedFilters: []" not in plan, plan

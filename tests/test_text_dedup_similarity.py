@@ -1344,3 +1344,142 @@ def test_minhash_precision_exact_on_identical_docs(spark, tmp_path):
     assert r.exact_num == r.exact_den > 0
     assert r.est_jaccard == 1.0
     assert bool(r.underestimated) is False
+
+
+# ---------------------------------------------------------------------------
+# Product quantization tier
+# ---------------------------------------------------------------------------
+
+
+def test_train_pq_codebooks_deterministic_and_shaped(spark):
+    from cass_cdc_pg_spark.sources import tables as src
+
+    path = src.table_path("/root/testdata/sf0.001", "embeddings")
+    b1 = similarity.train_pq_codebooks(path, m=8, ksub=16)
+    b2 = similarity.train_pq_codebooks(path, m=8, ksub=16)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(book) == 16 for book in b1)
+    assert all(len(c) == 8 for book in b1 for c in book)
+
+
+def test_pq_encode_codes_in_range_and_centroid_exact(spark):
+    """Codes are valid indices, and a vector assembled FROM sub-
+    centroids encodes to exactly those codes (zero quantization
+    error beats every other centroid)."""
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings")
+    books = similarity.train_pq_codebooks(src.table_path(sf, "embeddings"))
+    codes = similarity.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+    picked = [3, 0, 15, 7, 9, 1, 12, 5]
+    vec = [v for j, c in enumerate(picked) for v in books[j][c]]
+    df = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<float>"
+    )
+    # float32 storage rounds the float64 centroids, so the assembled
+    # vector is NEAR each picked centroid, not exactly on it — still
+    # decisively nearest (codebook cells are far apart vs 1-ulp noise)
+    out = similarity.pq_encode(df, books).collect()[0]["codes"]
+    assert list(out) == picked
+
+
+def test_pq_topk_matches_driver_side_adc_recompute(spark):
+    """The distributed ADC pipeline (codegen encode + Arrow kernel +
+    pruned window top-k) must equal a straight driver-side recompute
+    of the same math over the same fixture — catches pruning bugs,
+    code/table misalignment, and tie-rule drift."""
+    import numpy as np
+
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = similarity.train_pq_codebooks(src.table_path(sf, "embeddings"))
+
+    got = sorted(
+        tuple(r) for r in similarity.pq_topk(emb, q, books, k=5).collect()
+    )
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    cent = np.array(books, dtype=np.float64)  # m x ksub x sub
+    m, ksub, sub = cent.shape
+    # encode: per subspace argmin of the same left-to-right fold
+    codes = np.zeros((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        d = np.zeros((len(ids), ksub))
+        for dd in range(sub):
+            diff = x[:, j * sub + dd, None] - cent[None, j, :, dd]
+            d += diff * diff
+        codes[:, j] = np.argmin(d, axis=1)
+    qmask = ids < 10
+    qtab = np.zeros((int(qmask.sum()), m, ksub))
+    for j in range(m):
+        for dd in range(sub):
+            diff = x[qmask, j * sub + dd, None] - cent[None, j, :, dd]
+            qtab[:, j, :] += diff * diff
+    expected = []
+    for qi, qid in enumerate(ids[qmask]):
+        dist = np.zeros(len(ids))
+        for j in range(m):
+            dist += qtab[qi, j, codes[:, j]]
+        cand = [
+            (round(float(d), 6), int(n))
+            for d, n in zip(dist, ids)
+            if n != qid
+        ]
+        cand.sort()
+        for rank, (d, n) in enumerate(cand[:5], 1):
+            expected.append((int(qid), n, rank, d))
+    assert got == sorted(expected)
+
+
+def test_l2_topk_and_pq_recall_floor(spark):
+    """Exact-L2 kernel equals a numpy recompute; PQ recall@5 against
+    it stays above the measured floor (conservative: leaves headroom
+    for fixture regeneration, not design slack)."""
+    import numpy as np
+
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in similarity.l2_topk(emb, q, k=5).collect()
+    }
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    for qid in range(10):
+        d = ((x - x[ids == qid]) ** 2).sum(axis=1)
+        order = sorted(
+            (round(float(dd), 6), int(n))
+            for dd, n in zip(d, ids)
+            if n != qid
+        )
+        for rank, (_, n) in enumerate(order[:5], 1):
+            assert got[(qid, n)] == rank
+
+    # the registry's production params (m=16: 4-dim subspaces):
+    # measured recall 0.46 on this fixture — 0.35 leaves regeneration
+    # headroom, not design slack
+    books = similarity.train_pq_codebooks(
+        src.table_path(sf, "embeddings"), m=16, ksub=16
+    )
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(emb, q, books, k=5).collect()
+    }
+    exact = set(got)
+    assert len(exact & approx) / len(exact) >= 0.35

@@ -108,6 +108,18 @@ SELECTED: list[tuple[str, str]] = [
      "sketch-precision eval (r9 wave 4): exact Jaccard ONLY on "
      "memoized candidate pairs — pair side broadcasts into both "
      "shingle-set joins, zero new Exchange"),
+    ("events_zorder_scan",
+     "z-order clustered read (r10): BOTH band predicates pushed to "
+     "the layout scan as literals (footer min/max file skipping on "
+     "either z-column); one rollup Exchange"),
+    ("ann_pq_topk",
+     "PQ-ADC top-k (r10): constant-folded encode projection (no "
+     "Exchange, no Python), Arrow kernel reads (id, codes) only — "
+     "vectors never cross the Python boundary; keep-min pruned "
+     "candidates reach the ranking shuffle"),
+    ("multimodal_real_decode",
+     "real PPM decode (r10): two chained MapInPandas (encode, "
+     "decode), ZERO Exchange — per-row media pipeline"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
     ("docs_source_stats",
      "one text scan; shuffles carry hashes/counters only"),
