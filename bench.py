@@ -118,6 +118,14 @@ PIPELINE = [
     "dedup_best_of_cluster",
     "docs_length_bucketing",
     "dedup_minhash_precision",
+    # r10: z-order clustered read, real-codec decode, and the PQ tier
+    "events_zorder_scan",
+    "multimodal_real_decode",
+    "ann_l2_topk",
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "embedding_pq_codes",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -850,9 +850,17 @@ def _pq_dist_exprs(vec_col: str, codebooks: list[list[list[float]]]) -> list[str
     """Per-subspace SQL expression: array of squared-L2 distances from
     the row's j-th vector slice to each of that subspace's *ksub*
     centroid literals.  One SQL string per subspace (single driver
-    parse — same Py4J-storm avoidance as ``_cell_scores``); the fold
-    is the left-to-right ``aggregate(zip_with(...))`` sum, the shared
-    bit-identity discipline of this module."""
+    parse — same Py4J-storm avoidance as ``_cell_scores``).
+
+    The fold is the left-to-right ``aggregate(zip_with(...))`` sum,
+    the shared bit-identity discipline of this module.  (Measured
+    dead end, r10: expanding the fold to explicit ``(e[i]-c)*(e[i]-c)
+    + …`` arithmetic to reach whole-stage codegen blows janino's
+    64 KB method limit at m·ksub·sub = 1024 terms — codegen FAILS and
+    the stage runs fully interpreted, 4× slower than the HOF path.
+    The fast path for bulk encode is the Arrow kernel in
+    ``pq_encode``; this expression is its JVM cross-check and the
+    query-time path for ``ivfpq_topk``.)"""
 
     def _dlit(x: float) -> str:
         return f"CAST('{x!r}' AS DOUBLE)"
@@ -882,19 +890,59 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
-    """Encode vectors to PQ codes: (id, codes array<int>, one nearest
-    sub-centroid per subspace, argmin ties → lowest code).
+    """Encode vectors to PQ codes: (id, codes array<int>), one nearest
+    sub-centroid per subspace, argmin ties → lowest code.  This is the
+    pass a daily embedding batch runs against standing codebooks,
+    emitting m small ints per row (the 16× compression a deployment
+    PERSISTS; queries then read codes, never vectors).
 
-    Pure constant-folded projection — whole-stage codegen, no shuffle,
-    no Python: the pass a daily embedding batch runs against standing
-    codebooks, emitting m small ints per row (the 32× compression)."""
-    exprs = _pq_dist_exprs(f"`{vec_col}`", codebooks)
-    codes = ", ".join(
-        f"CAST(array_position({e}, array_min({e})) - 1 AS INT)" for e in exprs
-    )
-    return vectors.select(
-        F.col(id_col), F.expr(f"array({codes})").alias("codes")
+    *kernel*: ``"arrow"`` (default) computes distances in a vectorized
+    numpy kernel — Spark interprets higher-order-function lambdas
+    per element, so the expression path is ~4× slower on bulk encode;
+    bit-identical results (per-dimension accumulation, the module's
+    fold discipline; ``np.argmin`` ties → lowest code like
+    ``array_position``-of-min).  ``"jvm"`` keeps the constant-folded
+    expression (no Python workers) as the cross-check path and the
+    in-plan variant ``ivfpq_topk`` composes with."""
+    if kernel == "jvm":
+        exprs = _pq_dist_exprs(f"`{vec_col}`", codebooks)
+        codes = ", ".join(
+            f"CAST(array_position({e}, array_min({e})) - 1 AS INT)"
+            for e in exprs
+        )
+        return vectors.select(
+            F.col(id_col), F.expr(f"array({codes})").alias("codes")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    cent = np.array(codebooks, dtype=np.float64)  # m x ksub x sub
+    m, ksub, sub = cent.shape
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.zeros((len(x), m), dtype=np.int32)
+            for j in range(m):
+                d = np.zeros((len(x), ksub))
+                for dd in range(sub):  # per-dim accumulation = fold
+                    diff = x[:, j * sub + dd, None] - cent[None, j, :, dd]
+                    d += diff * diff
+                codes[:, j] = np.argmin(d, axis=1)  # ties → lowest code
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes.tolist())}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} {id_type}, codes array<int>"
     )
 
 
@@ -1058,6 +1106,104 @@ def l2_topk(
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(F.col("dist"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF×PQ index relation (the FAISS ``IVFPQ`` layout):
+    (neighbor_id, cell, codes) — each row's IVF cell (inverted-file
+    pruning key) and PQ codes (compressed ranking payload).  This is
+    the artifact a deployment PERSISTS, partitioned by cell, once per
+    corpus snapshot; queries read it instead of the vectors.  Pure
+    constant-folded projection (build cost is one pass, paid once)."""
+    scores = _cell_scores(f"`{vec_col}`", centroids)
+    enc = _pq_dist_exprs(f"`{vec_col}`", codebooks)
+    codes = ", ".join(
+        f"CAST(array_position({e}, array_min({e})) - 1 AS INT)" for e in enc
+    )
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array_position(scores, F.array_max(scores)).alias("cell"),
+        F.expr(f"array({codes})").alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    spark,
+    queries_rows: list,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF×PQ probe over a prebuilt :func:`ivfpq_index` relation —
+    the production ANN query shape at 100 TB: a query probes its
+    *nprobe* best cells and ranks ONLY those candidates by ADC over
+    the stored codes; vectors are never read at query time.
+
+    Entirely JVM: the query side is a tiny literal relation carrying
+    each query's precomputed ADC lookup table (``qtab``), the cell
+    join is a broadcast hash join (reading nprobe/ncentroids of a
+    cell-partitioned index), and the distance is a left-to-right
+    ``aggregate(zip_with(codes, qtab, ...))`` of m table lookups —
+    no Python stage anywhere.
+
+    *queries_rows* is the collected (id, vector) list (small by
+    contract); probe cells and qtab are computed driver-side with the
+    module's per-dimension float64 accumulation, bit-identical to the
+    JVM and DuckDB folds over the same literals."""
+    import numpy as np
+
+    cent = np.array(centroids, dtype=np.float64)  # nc x dim
+    qids, qtab = _pq_query_tables(np, queries_rows, codebooks)
+    qm = np.array([list(r[1]) for r in queries_rows], dtype=np.float64)
+    # probe cells: cosine to each centroid with seq-dot accumulation
+    qdot = np.zeros((len(qids), len(cent)))
+    for d in range(qm.shape[1]):
+        qdot += np.outer(qm[:, d], cent[:, d])
+    qn = np.sqrt(_np_seq_dot(np, qm, qm))
+    cn = np.sqrt(_np_seq_dot(np, cent, cent))
+    qcos = qdot / np.outer(qn, cn)
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        # ties → lowest cell: sort on (-cos, cell)
+        order = sorted(range(len(cent)), key=lambda c: (-qcos[qi, c], c))
+        for cell in order[:nprobe]:
+            probe_rows.append(
+                (qid, cell + 1, [[float(v) for v in row] for row in qtab[qi]])
+            )
+    q_df = spark.createDataFrame(
+        probe_rows,
+        "query_id long, cell long, qtab array<array<double>>",
+    )
+
+    adc = (
+        "aggregate(zip_with(codes, qtab, (c, t) -> element_at(t, c + 1)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = (
+        index.join(F.broadcast(q_df), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(adc), 6).alias("dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()

@@ -3980,6 +3980,158 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_NPROBE = 2
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF×PQ index relation (neighbor_id, cell, codes)
+    for one embeddings fixture — built once per snapshot under the
+    shared ``.cache`` layout protocol (atomic rename, parameter-keyed
+    invalidation, LRU), written PARTITIONED BY cell so a probe's
+    broadcast join reads nprobe/ncentroids of the files.  Same durable
+    -state posture as the dedup standing index and the z-order layout:
+    queries pay the probe, never the build."""
+    key = _ivf_fixture_key(sf_dir)
+    d = _cache_layout_dir(
+        "ivfpq_index", key[0], key[1], _IVF_NC, _PQ_M, _PQ_KSUB
+    )
+
+    def _build(tmp: str) -> None:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        similarity.ivfpq_index(
+            emb, _ivf_centroids(sf_dir), _pq_codebooks(sf_dir)
+        ).write.partitionBy("cell").mode("overwrite").parquet(tmp)
+
+    _ensure_layout(d, "ivfpq_index_", _build)
+    return spark.read.parquet(d)
+
+
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed index (FAISS IVFPQ shape): inverted-file cell
+    pruning + ADC ranking over 16-byte codes from the PERSISTED index
+    relation — zero Python and zero vector reads at query time; the
+    probe side is a tiny literal relation carrying each query's ADC
+    table, and the join is broadcast hash on cell."""
+    key = (
+        spark.sparkContext.applicationId,
+        _ivf_fixture_key(sf_dir),
+        "ivfpq", _IVF_NC, _PQ_M, _PQ_KSUB, _IVFPQ_NPROBE, _PQ_K,
+    )
+    if key not in _PQ_DF_CACHE:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        q_rows = (
+            emb.filter(F.col("vec_id") < 10)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()  # query side is small by contract
+        )
+        _PQ_DF_CACHE[key] = similarity.ivfpq_topk(
+            _ivfpq_index(spark, sf_dir),
+            spark,
+            q_rows,
+            _ivf_centroids(sf_dir),
+            _pq_codebooks(sf_dir),
+            k=_PQ_K,
+            nprobe=_IVFPQ_NPROBE,
+        )
+    return _PQ_DF_CACHE[key]
+
+
+def _ivfpq_sql(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    k: int,
+) -> str:
+    """Oracle twin of ``similarity.ivfpq_topk``: IVF cell assignment
+    and probes from the centroid literals (``_ivf_sql`` math), PQ
+    codes and per-query distances from the codebook literals
+    (``_pq_sql`` math), ADC as the same ordered left fold."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    cent_rows = ", ".join(
+        f"({i + 1}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(centroids)
+    )
+    cb_rows = ", ".join(
+        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
+        for j, book in enumerate(codebooks)
+        for c, ctr in enumerate(book)
+    )
+    cos_cent = _cos_sql("vec", "ctr")
+    l2 = _L2DIST_SQL.format(a="sv", b="sctr")
+    return f"""
+WITH cent(cell, ctr) AS (VALUES {cent_rows}),
+cb(j, c, sctr) AS (VALUES {cb_rows}),
+cscore AS (
+  SELECT e.vec_id, e.embedding AS vec, cent.cell, {cos_cent} AS s
+  FROM embeddings e CROSS JOIN cent),
+cassign AS (
+  SELECT vec_id AS neighbor_id, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore WHERE vec_id < 10)
+  WHERE rn <= {nprobe}),
+sub AS (
+  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
+  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
+pdist AS (
+  SELECT vec_id, j, c, {l2} AS d
+  FROM sub JOIN cb USING (j)),
+codes AS (
+  SELECT vec_id, j, c
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, c ASC) AS rn
+        FROM pdist)
+  WHERE rn = 1),
+qd AS (SELECT vec_id AS query_id, j, c, d FROM pdist WHERE vec_id < 10),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN cassign a USING (cell)
+  WHERE a.neighbor_id <> p.query_id),
+pair AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_reduce(list(qd.d ORDER BY qd.j), (a, b) -> a + b), 6)
+             AS dist
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.neighbor_id
+  JOIN qd ON qd.query_id = cand.query_id
+         AND qd.j = codes.j AND qd.c = codes.c
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rank, dist
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM pair)
+WHERE rank <= {k}
+"""
+
+
+_IVFPQ_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def ivfpq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _IVFPQ_SQL_CACHE:
+        try:
+            _IVFPQ_SQL_CACHE[key] = _ivfpq_sql(
+                _ivf_centroids(sf_dir),
+                _pq_codebooks(sf_dir),
+                _IVFPQ_NPROBE,
+                _PQ_K,
+            )
+        except OSError:
+            return None
+    return _IVFPQ_SQL_CACHE[key]
+
+
 _L2DIST_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
@@ -6495,8 +6647,9 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk_q,
     "ann_pq_recall": ann_pq_recall_q,
     "embedding_pq_codes": embedding_pq_codes_q,
+    "ann_ivfpq_topk": ann_ivfpq_topk_q,
     # (d) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
-    # remaining evidence after the stale-32): first 9 of the r8
+    # remaining evidence after the stale-32): first 8 of the r8
     # block in catalog order.  New r10 queries take window priority
     # and displace this fill from the bottom.
     "lineitem_discount_bands": lineitem_discount_bands_q,
@@ -6507,17 +6660,18 @@ QUERIES = {
     "events_stratified_sample": events_stratified_sample_q,
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
-    # FIRST the six entries displaced from the r10 fill by the six
-    # new r10 queries (decontam_ngram_overlap, docs_token_percentiles,
+    # FIRST the seven entries displaced from the r10 fill by the
+    # seven new r10 queries (dedup_simhash_pairs,
+    # decontam_ngram_overlap, docs_token_percentiles,
     # docs_mix_upsample, docs_pack_sequences, ann_cosine_topk,
     # similarity_lsh_topk) and the 32 r8-green entries below (last
     # driver row r8), THEN the 47 r9-green entries (last driver row
     # r9, minus the three rewritten ladder entries which re-entered
     # the r10 window).
-    # ---- r8-green remainder (38 entries) ----
+    # ---- r8-green remainder (39 entries) ----
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "docs_token_percentiles": docs_token_percentiles_q,
     "docs_mix_upsample": docs_mix_upsample_q,
@@ -6772,4 +6926,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     pc = pq_codes_oracle_sql(sf_dir)
     if pc is not None:
         out["embedding_pq_codes"] = pc
+    ipq = ivfpq_oracle_sql(sf_dir)
+    if ipq is not None:
+        out["ann_ivfpq_topk"] = ipq
     return out

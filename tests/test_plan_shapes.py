@@ -1370,20 +1370,25 @@ def test_minhash_precision_candidates_only_no_extra_exchange(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_pq_encode_is_pure_projection(spark):
-    """PQ encode (r10): nearest-sub-centroid assignment is a constant-
-    folded projection — zero Exchange, zero Python stage.  This is the
-    pass a 100 TB daily embedding batch runs; a shuffle or Python hop
-    here multiplies its cost by the corpus size."""
+def test_pq_encode_shuffle_free_both_kernels(spark):
+    """PQ encode (r10): the daily bulk pass must never shuffle.  The
+    default Arrow kernel is ONE MapInPandas straight off the scan; the
+    JVM cross-check kernel is a pure constant-folded projection (zero
+    Python stages).  Either shape multiplied by a shuffle is the
+    100 TB failure mode."""
     from cass_cdc_pg_spark import registry
     from cass_cdc_pg_spark.operators import similarity
     from cass_cdc_pg_spark.sources import tables as src
 
     sf = "/root/testdata/sf0.001"
     emb = src.load_table(spark, sf, "embeddings")
-    plan = _plan(similarity.pq_encode(emb, registry._pq_codebooks(sf)))
-    assert "Exchange" not in plan, plan
-    assert "Python" not in plan and "Pandas" not in plan, plan
+    books = registry._pq_codebooks(sf)
+    arrow = _plan(similarity.pq_encode(emb, books))
+    assert "Exchange" not in arrow, arrow
+    assert arrow.count("MapInPandas") == 1, arrow
+    jvm = _plan(similarity.pq_encode(emb, books, kernel="jvm"))
+    assert "Exchange" not in jvm, jvm
+    assert "Python" not in jvm and "Pandas" not in jvm, jvm
 
 
 def test_pq_topk_ships_codes_not_vectors(spark):
@@ -1400,13 +1405,11 @@ def test_pq_topk_ships_codes_not_vectors(spark):
     sf = "/root/testdata/sf0.001"
     df = registry.ann_pq_topk_q(spark, sf)
     plan = _plan(df)
-    # the kernel's input is the encode projection's (vec_id, codes)
-    # pair — same output schema as pq_encode, which the pure-
-    # projection pin above certifies is computed without Python or
-    # shuffle; here we pin the composition: one MapInPandas, fed
-    # directly by in-stage projections from the parquet scan (no
-    # Exchange at or below it), and exactly one ranking Exchange.
-    assert plan.count("MapInPandas") == 1, plan
+    # composition pin: encode kernel + ADC kernel chained in ONE stage
+    # (no Exchange at or below them — the ADC kernel's Arrow input is
+    # the encode output (vec_id, codes), never the float vectors), and
+    # exactly one ranking Exchange above.
+    assert plan.count("MapInPandas") == 2, plan
     emb = src.load_table(spark, sf, "embeddings")
     enc_cols = similarity.pq_encode(emb, registry._pq_codebooks(sf)).columns
     assert enc_cols == ["vec_id", "codes"]
@@ -1429,3 +1432,17 @@ def test_zorder_scan_single_rollup_exchange(spark, tmp_path, monkeypatch):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BatchEvalPython" not in plan, plan
     assert "PushedFilters: []" not in plan, plan
+
+
+def test_ivfpq_topk_jvm_only_broadcast_cell_join(spark):
+    """ann_ivfpq_topk (r10): the composed index stays entirely JVM —
+    no Python stage at query time; candidates come from a broadcast
+    hash join on cell (the inverted-file prune), and only the ranking
+    window shuffles."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.ann_ivfpq_topk_q(spark, "/root/testdata/sf0.001"))
+    assert "Pandas" not in plan and "Python" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan

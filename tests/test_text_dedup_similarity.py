@@ -1483,3 +1483,20 @@ def test_l2_topk_and_pq_recall_floor(spark):
     }
     exact = set(got)
     assert len(exact & approx) / len(exact) >= 0.35
+
+
+def test_pq_encode_kernels_bit_identical(spark):
+    """Arrow-kernel encode == JVM-expression encode, code for code —
+    the same cross-check contract cosine_topk's two kernels carry."""
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings")
+    books = similarity.train_pq_codebooks(
+        src.table_path(sf, "embeddings"), m=16, ksub=16
+    )
+    a = {r["vec_id"]: list(r["codes"])
+         for r in similarity.pq_encode(emb, books).collect()}
+    j = {r["vec_id"]: list(r["codes"])
+         for r in similarity.pq_encode(emb, books, kernel="jvm").collect()}
+    assert a == j

@@ -117,6 +117,10 @@ SELECTED: list[tuple[str, str]] = [
      "Exchange, no Python), Arrow kernel reads (id, codes) only — "
      "vectors never cross the Python boundary; keep-min pruned "
      "candidates reach the ranking shuffle"),
+    ("ann_ivfpq_topk",
+     "IVFxPQ composed index (r10): cell + codes constant-folded, "
+     "probe side a tiny literal relation with per-query ADC tables, "
+     "broadcast hash join on cell, ADC a JVM fold — ZERO Python"),
     ("multimodal_real_decode",
      "real PPM decode (r10): two chained MapInPandas (encode, "
      "decode), ZERO Exchange — per-row media pipeline"),

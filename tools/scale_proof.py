@@ -221,6 +221,11 @@ def main() -> None:
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
 
     from cass_cdc_pg_spark.registry import (
+        ann_ivfpq_topk_q,
+        ann_pq_topk_q,
+        embedding_pq_codes_q,
+        events_zorder_scan_q,
+        multimodal_real_decode_q,
         customer_value_deciles_q,
         dedup_cluster_sizes_q,
         docs_duplicated_spans_q,
@@ -277,6 +282,18 @@ def main() -> None:
         # evidence closes their floor argument like the others'
         "part_min_cost_supplier": part_min_cost_supplier_q,
         "sales_rollup_totals": sales_rollup_totals_q,
+        # r10: the PQ tier (bulk Arrow encode over 10x vectors, ADC
+        # scan over 10x codes, probe over the 10x persisted IVFPQ
+        # index — codebooks/centroids/index are trained+built on the
+        # 10x fixture in the warmup call, so the timed ratio is the
+        # standing-index daily shape), the z-order band scan over 10x
+        # events (layout likewise built in warmup), and the real-codec
+        # decode (two Python hops, linear by construction)
+        "embedding_pq_codes": embedding_pq_codes_q,
+        "ann_pq_topk": ann_pq_topk_q,
+        "ann_ivfpq_topk": ann_ivfpq_topk_q,
+        "events_zorder_scan": events_zorder_scan_q,
+        "multimodal_real_decode": multimodal_real_decode_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
