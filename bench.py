@@ -126,6 +126,8 @@ PIPELINE = [
     "ann_pq_recall",
     "embedding_pq_codes",
     "ann_ivfpq_topk",
+    "nation_market_share",
+    "customer_order_distribution",
 ]
 
 

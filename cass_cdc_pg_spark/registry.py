@@ -5264,6 +5264,146 @@ ORDER BY 1, 2, 3
 """
 
 
+def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 family): within the STANDARD
+    part-type slice, the fraction of each (customer region, order
+    year)'s revenue supplied by NATION_7 — the two-level share shape.
+
+    Scale shape: the share is computed INSIDE one aggregate
+    (conditional DECIMAL sum / total DECIMAL sum per group) — never a
+    second pass, self-join, or window over the fact.  The p_type
+    filter pushes to the part scan and the filtered part list
+    BROADCASTS to cut lineitem before the orderkey join; supplier and
+    nation⋈region collapse to broadcast maps; the only data Exchanges
+    are the two unavoidable fact shuffles (orderkey, custkey) plus a
+    ≤regions×years rollup.  Reference analog: drift-ratio style
+    share-of-total reporting (`src/services/reconciliation.py`)."""
+    p = (
+        src.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = src.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    c = src.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = src.load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = src.load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    sdim = (
+        src.load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cdim = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_nationkey").alias("_cnk"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cdim), F.col("c_nationkey") == F.col("_cnk"))
+        .groupBy("region", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(rev).alias("_total"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)
+            ).alias("_target"),
+        )
+        .select(
+            "region",
+            "yr",
+            "n_items",
+            F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
+            F.round(
+                F.col("_target").cast("double") / F.col("_total").cast("double"),
+                6,
+            ).alias("nation7_share"),
+        )
+    )
+
+
+MARKET_SHARE_SQL = """
+SELECT r_name AS region,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+                           THEN CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS nation7_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+WHERE p_type = 'STANDARD'
+GROUP BY 1, 2
+"""
+
+
+def customer_order_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution (TPC-H Q13 family): histogram of
+    customers by their number of non-urgent orders, INCLUDING the
+    zero-order bucket — the outer-join-then-double-aggregate shape.
+
+    Scale shape: orders aggregate per custkey FIRST (partial counts
+    combine map-side, one (custkey, count) shuffle), the customer
+    side LEFT-joins on custkey so missing customers survive as count
+    0, and the final histogram rollup carries O(distinct counts)
+    rows.  No window, no distinct over raw orders."""
+    per = (
+        src.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    c = src.load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+ORDER_DISTRIBUTION_SQL = """
+WITH per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+SELECT CAST(COALESCE(per.cnt, 0) AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN per ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
 def lineitem_bracket_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive-bracket promotion revenue (TPC-H Q19 family): three
     OR'ed (brand, size-range, quantity-range) brackets, reported per
@@ -6648,8 +6788,14 @@ QUERIES = {
     "ann_pq_recall": ann_pq_recall_q,
     "embedding_pq_codes": embedding_pq_codes_q,
     "ann_ivfpq_topk": ann_ivfpq_topk_q,
+    # (c3) new in r10: the two TPC-H query families the catalog still
+    # lacked — Q8 two-level market share (conditional-sum share inside
+    # ONE aggregate) and Q13 order-count distribution (outer join +
+    # double aggregate with a zero bucket):
+    "nation_market_share": nation_market_share_q,
+    "customer_order_distribution": customer_order_distribution_q,
     # (d) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
-    # remaining evidence after the stale-32): first 8 of the r8
+    # remaining evidence after the stale-32): first 6 of the r8
     # block in catalog order.  New r10 queries take window priority
     # and displace this fill from the bottom.
     "lineitem_discount_bands": lineitem_discount_bands_q,
@@ -6658,19 +6804,19 @@ QUERIES = {
     "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
     "corpus_clean_keep": corpus_clean_keep_q,
     "events_stratified_sample": events_stratified_sample_q,
-    "events_top3_per_user": events_top3_per_user_q,
-    "dedup_simhash": dedup_simhash_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
-    # FIRST the seven entries displaced from the r10 fill by the
-    # seven new r10 queries (dedup_simhash_pairs,
-    # decontam_ngram_overlap, docs_token_percentiles,
-    # docs_mix_upsample, docs_pack_sequences, ann_cosine_topk,
-    # similarity_lsh_topk) and the 32 r8-green entries below (last
-    # driver row r8), THEN the 47 r9-green entries (last driver row
-    # r9, minus the three rewritten ladder entries which re-entered
-    # the r10 window).
-    # ---- r8-green remainder (39 entries) ----
+    # FIRST the nine entries displaced from the r10 fill by the nine
+    # new r10 queries (events_top3_per_user, dedup_simhash,
+    # dedup_simhash_pairs, decontam_ngram_overlap,
+    # docs_token_percentiles, docs_mix_upsample, docs_pack_sequences,
+    # ann_cosine_topk, similarity_lsh_topk) and the 32 r8-green
+    # entries below (last driver row r8), THEN the 47 r9-green
+    # entries (last driver row r9, minus the three rewritten ladder
+    # entries which re-entered the r10 window).
+    # ---- r8-green remainder (41 entries) ----
+    "events_top3_per_user": events_top3_per_user_q,
+    "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "docs_token_percentiles": docs_token_percentiles_q,
@@ -6821,6 +6967,8 @@ ORACLE = {
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_real_decode": MULTIMODAL_REAL_SQL,
     "ann_l2_topk": ANN_L2_SQL,
+    "nation_market_share": MARKET_SHARE_SQL,
+    "customer_order_distribution": ORDER_DISTRIBUTION_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,
     "events_hopping_5min_1min": HOPPING_SQL,
     "events_sessionize": SESSIONIZE_SQL,

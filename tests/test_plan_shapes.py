@@ -1446,3 +1446,33 @@ def test_ivfpq_topk_jvm_only_broadcast_cell_join(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_market_share_single_aggregate_no_window(spark):
+    """nation_market_share (r10, Q8 family): the share is a
+    conditional sum INSIDE the one rollup aggregate — no window, no
+    self-join, no second fact pass; part/supplier/nation/region all
+    broadcast."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.nation_market_share_q(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # fact shuffles (orderkey, custkey) + rollup at most; AQE may
+    # broadcast the small sides away at toy SF
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_order_distribution_partial_counts_before_join(spark):
+    """customer_order_distribution (r10, Q13 family): orders collapse
+    to (custkey, count) partials BEFORE the customer join (map-side
+    partial_count visible), and no window appears."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.customer_order_distribution_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

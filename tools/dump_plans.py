@@ -121,6 +121,14 @@ SELECTED: list[tuple[str, str]] = [
      "IVFxPQ composed index (r10): cell + codes constant-folded, "
      "probe side a tiny literal relation with per-query ADC tables, "
      "broadcast hash join on cell, ADC a JVM fold — ZERO Python"),
+    ("nation_market_share",
+     "two-level share (r10, Q8 family): conditional-sum share inside "
+     "ONE aggregate — no second pass, no window; part filter pushed "
+     "and broadcast-cut before the fact shuffles"),
+    ("customer_order_distribution",
+     "order-count histogram (r10, Q13 family): per-custkey partial "
+     "counts BEFORE the join, LEFT join keeps the zero bucket, "
+     "rollup carries O(distinct counts)"),
     ("multimodal_real_decode",
      "real PPM decode (r10): two chained MapInPandas (encode, "
      "decode), ZERO Exchange — per-row media pipeline"),
