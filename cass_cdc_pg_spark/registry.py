@@ -3063,7 +3063,14 @@ def _event_chunks(
         chunks[c].append(
             _json.dumps(
                 {
-                    k: (v if isinstance(v, str) else int(v))
+                    # floats keep json's shortest round-trip repr (the
+                    # stream-side double is bit-equal to the parquet
+                    # value); everything else is an integer column
+                    k: (
+                        v
+                        if isinstance(v, str)
+                        else float(v) if isinstance(v, float) else int(v)
+                    )
                     for k, v in rec.items()
                 }
             )
@@ -3189,6 +3196,69 @@ def stream_sessionize_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, session_start_us long, session_end_us long, "
         "n_events long",
     )
+
+
+def stream_enrich_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment parity — the canonical
+    Structured Streaming enrichment shape the parity set lacked: each
+    microbatch of the events stream broadcast-joins the static nation
+    dim (re-resolved per batch, as Spark contracts for stream-static
+    joins) and the enriched rows are folded across 4 time-ordered
+    microbatches, each separated by a REAL stop/restart boundary
+    (`_replay_chunks`: one availableNow pass per chunk against one
+    checkpoint).
+
+    Oracle: the same join + per-nation rollup as plain batch SQL — a
+    hash match states that the streamed union of per-batch join
+    results IS the batch join, with the value sums exact (decimal
+    accumulation; the JSON chunk writer round-trips doubles
+    bit-exactly).  Same plan-tool caveat as the other parity twins:
+    the returned relation is the collected stream output by
+    construction."""
+    slot = _stream_parity_slot(spark, sf_dir)
+    if "enrich" not in slot:
+        chunks, _users, _mx = _event_chunks(
+            spark, sf_dir, ["user_id", "ts_us", "value"]
+        )
+        n = src.load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        rows: list[tuple] = []
+
+        def fn(bdf, _bid):
+            joined = (
+                bdf.withColumn("nk", F.col("user_id") % F.lit(25))
+                .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+                .select("n_name", "value")
+            )
+            rows.extend((r["n_name"], r["value"]) for r in joined.collect())
+
+        _replay_chunks(
+            spark,
+            chunks,
+            "user_id long, ts_us long, value double",
+            lambda s: s.writeStream.foreachBatch(fn).outputMode("append"),
+        )
+        slot["enrich"] = rows
+    return (
+        spark.createDataFrame(slot["enrich"], "n_name string, value double")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+STREAM_ENRICH_SQL = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+GROUP BY 1
+"""
 
 
 def stream_funnel_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6794,8 +6864,11 @@ QUERIES = {
     # double aggregate with a zero bucket):
     "nation_market_share": nation_market_share_q,
     "customer_order_distribution": customer_order_distribution_q,
+    # (c4) new in r10: the fifth stream-parity twin — stream-static
+    # dimension enrichment across real restart boundaries:
+    "stream_enrich_parity": stream_enrich_parity_q,
     # (d) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
-    # remaining evidence after the stale-32): first 6 of the r8
+    # remaining evidence after the stale-32): first 5 of the r8
     # block in catalog order.  New r10 queries take window priority
     # and displace this fill from the bottom.
     "lineitem_discount_bands": lineitem_discount_bands_q,
@@ -6803,18 +6876,18 @@ QUERIES = {
     "docs_duplicated_spans": docs_duplicated_spans_q,
     "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
     "corpus_clean_keep": corpus_clean_keep_q,
-    "events_stratified_sample": events_stratified_sample_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
-    # FIRST the nine entries displaced from the r10 fill by the nine
-    # new r10 queries (events_top3_per_user, dedup_simhash,
-    # dedup_simhash_pairs, decontam_ngram_overlap,
+    # FIRST the ten entries displaced from the r10 fill by the ten
+    # new r10 queries (events_stratified_sample, events_top3_per_user,
+    # dedup_simhash, dedup_simhash_pairs, decontam_ngram_overlap,
     # docs_token_percentiles, docs_mix_upsample, docs_pack_sequences,
     # ann_cosine_topk, similarity_lsh_topk) and the 32 r8-green
     # entries below (last driver row r8), THEN the 47 r9-green
     # entries (last driver row r9, minus the three rewritten ladder
     # entries which re-entered the r10 window).
-    # ---- r8-green remainder (41 entries) ----
+    # ---- r8-green remainder (42 entries) ----
+    "events_stratified_sample": events_stratified_sample_q,
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
@@ -6969,6 +7042,7 @@ ORACLE = {
     "ann_l2_topk": ANN_L2_SQL,
     "nation_market_share": MARKET_SHARE_SQL,
     "customer_order_distribution": ORDER_DISTRIBUTION_SQL,
+    "stream_enrich_parity": STREAM_ENRICH_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,
     "events_hopping_5min_1min": HOPPING_SQL,
     "events_sessionize": SESSIONIZE_SQL,

@@ -202,3 +202,59 @@ def test_extract_features_decodes_real_ppm_bytes(spark):
     assert out[1]["decode_ok"] and out[1]["feature"] == [2.0, 1.0, 2.0, 50.0, 70.0, 90.0]
     assert out[2]["decode_ok"] and out[2]["feature"][:3] == [1.0, 8000.0, 3.0]
     assert not out[3]["decode_ok"] and "media decoding requires" in out[3]["error"]
+
+
+# -- property tests: codecs must round-trip arbitrary payloads --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+def test_ppm_roundtrip_property(w, h, data):
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+            )
+        )
+    )
+    ppm = multimodal.encode_ppm(w, h, raster)
+    assert multimodal.decode_ppm(ppm) == (w, h, raster)
+    # identity resize returns the exact encoded bytes
+    assert multimodal.ppm_resize(ppm, "ppm", w, h) == ppm
+    # features recompute exactly from the raster
+    feats = multimodal.ppm_features(ppm)
+    sums = [0, 0, 0]
+    for i, b in enumerate(raster):
+        sums[i % 3] += b
+    assert feats == [float(w), float(h), float(w * h)] + [float(s) for s in sums]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(min_value=1, max_value=2),
+    frames=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=64,
+    ),
+)
+def test_wav_roundtrip_property(rate, channels, frames):
+    # interleave: sample count must be a frame multiple
+    samples = frames * channels
+    wav = multimodal.encode_wav(rate, channels, samples)
+    feats = multimodal.wav_features(wav)
+    assert feats == [
+        float(channels),
+        float(rate),
+        float(len(samples) // channels),
+        float(sum(samples)),
+        float(sum(abs(s) for s in samples)),
+    ]
