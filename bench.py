@@ -128,6 +128,8 @@ PIPELINE = [
     "ann_ivfpq_topk",
     "nation_market_share",
     "customer_order_distribution",
+    "ann_ivfpq_recall",
+    "docs_weighted_sample",
 ]
 
 

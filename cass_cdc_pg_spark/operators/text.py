@@ -1280,3 +1280,57 @@ def source_token_quantiles(documents: DataFrame) -> DataFrame:
         _q(0.5).alias("p50_tokens"),
         _q(0.75).alias("p75_tokens"),
     )
+
+
+def weighted_sample_by_group(
+    documents: DataFrame,
+    k: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample: keep the *k* highest-priority
+    docs per group, where priority = u(doc) / weight(doc) (smaller
+    wins) with u a deterministic uniform from the id and weight the
+    doc's token count — the "sample N docs per source, proportional
+    to length/quality" curation step every corpus mix runs.
+
+    Determinism contract (the whole point): u is an integer LCG on
+    the id (prime modulus 104729, the ``docs_split_stats`` precedent)
+    and the priority is two correctly-rounded float64 divisions, so
+    Spark, the DuckDB oracle, and any re-run pick the SAME sample.
+    The textbook A-ES scheme orders by u^(1/w); ``pow`` is not
+    correctly rounded cross-engine, while ``u / w`` is, and keeps the
+    same monotonicity in w (heavier docs win ties against lighter
+    ones at equal u).  In production, swap the LCG for a salted
+    xxhash of the id — the plan is identical.
+
+    Scale shape: weight is a per-row expression (no shuffle), the
+    per-group top-k compiles to a PARTIAL WindowGroupLimit below one
+    hash Exchange — no task scans a full group."""
+    from pyspark.sql import Window
+
+    u_int = (F.col(id_col) * F.lit(48271) + F.lit(11)) % F.lit(104729)
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    pri = (
+        (u_int + F.lit(1)).cast("double") / F.lit(104730.0)
+    ) / F.greatest(n_tok, F.lit(1)).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    )
+    return (
+        documents.select(
+            group_col,
+            id_col,
+            n_tok.alias("n_tokens"),
+            pri.alias("priority"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            F.round(F.col("priority"), 9).alias("priority"),
+            "rank",
+        )
+    )

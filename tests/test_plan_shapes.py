@@ -1476,3 +1476,16 @@ def test_order_distribution_partial_counts_before_join(spark):
     assert "partial_count" in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_weighted_sample_partial_group_limit(spark):
+    """docs_weighted_sample (r10): the per-group top-k must compile to
+    a PARTIAL WindowGroupLimit below the single hash Exchange (no task
+    scans a full source), with the weight a per-row expression — no
+    Python, no extra shuffle."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.docs_weighted_sample_q(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan

@@ -1500,3 +1500,29 @@ def test_pq_encode_kernels_bit_identical(spark):
     j = {r["vec_id"]: list(r["codes"])
          for r in similarity.pq_encode(emb, books, kernel="jvm").collect()}
     assert a == j
+
+
+def test_weighted_sample_deterministic_bounded_and_weighted(spark):
+    """weighted_sample_by_group: (a) two runs pick the identical
+    sample; (b) at most k rows per group; (c) the scheme is actually
+    weight-sensitive — heavier docs are over-represented vs a uniform
+    sample (the kept set's mean token count exceeds the corpus
+    mean)."""
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    docs = src.load_table(spark, sf, "documents")
+    a = sorted(map(tuple, text.weighted_sample_by_group(docs, k=5).collect()))
+    b = sorted(map(tuple, text.weighted_sample_by_group(docs, k=5).collect()))
+    assert a == b and a
+    from collections import Counter
+
+    per_group = Counter(r[0] for r in a)
+    assert all(v <= 5 for v in per_group.values())
+    kept_mean = sum(r[2] for r in a) / len(a)
+    corpus_mean = (
+        docs.selectExpr(
+            "avg(size(filter(split(text, ' '), t -> t != ''))) AS m"
+        ).first()["m"]
+    )
+    assert kept_mean > corpus_mean, (kept_mean, corpus_mean)

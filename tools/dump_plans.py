@@ -129,6 +129,9 @@ SELECTED: list[tuple[str, str]] = [
      "order-count histogram (r10, Q13 family): per-custkey partial "
      "counts BEFORE the join, LEFT join keeps the zero bucket, "
      "rollup carries O(distinct counts)"),
+    ("docs_weighted_sample",
+     "deterministic weighted sample (r10): per-row LCG/weight "
+     "priority, partial WindowGroupLimit below ONE Exchange"),
     ("multimodal_real_decode",
      "real PPM decode (r10): two chained MapInPandas (encode, "
      "decode), ZERO Exchange — per-row media pipeline"),
