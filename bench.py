@@ -130,6 +130,7 @@ PIPELINE = [
     "customer_order_distribution",
     "ann_ivfpq_recall",
     "docs_weighted_sample",
+    "docs_fuzzy_pairs",
 ]
 
 

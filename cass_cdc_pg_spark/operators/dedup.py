@@ -807,3 +807,82 @@ def incremental_admission(
             ).alias("admit"),
         )
     )
+
+
+def edit_distance_pairs(
+    documents: DataFrame,
+    prefix_chars: int = 48,
+    max_dist: int = 6,
+    max_block: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Approximate-string similarity join (the fuzzy-join tier the
+    LSH family doesn't cover): pairs of documents whose *prefix_chars*
+    head is within Levenshtein distance *max_dist* — the
+    title/headline near-match shape (typo'd duplicates, trailing-date
+    variants) that token-set measures miss because one edit changes a
+    whole token.
+
+    Blocking, not all-pairs: candidates must share their FIRST TOKEN
+    and sit in the same or adjacent length band (band width
+    ``max_dist + 1``, so any pair within distance necessarily lands
+    ≤1 band apart — lengths can differ by at most max_dist).  The
+    left side explodes to its three neighbouring bands and the right
+    side keeps one, so each unordered pair joins on EXACTLY one
+    (token, band) key and the ``id_a < id_b`` filter needs no
+    distinct.  Verification is the built-in ``levenshtein`` (same DP
+    metric in DuckDB, integer-exact cross-engine).
+
+    ``max_block`` guards the within-block quadratic exactly like the
+    stop-shingle cap in the MinHash tier: blocks larger than the cap
+    (a degenerate blocking key — every title starting 'the') are
+    dropped from BOTH sides via a broadcast anti-join, bounding any
+    task at max_block² comparisons.  At 100 TB the blocking key is
+    the lever: add a second token or a source column to the key
+    rather than raising the cap."""
+    band_w = max_dist + 1
+    base = documents.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("_prefix"),
+        F.split(F.col(text_col), " ").getItem(0).alias("_tok"),
+    ).filter(F.length("_tok") > 0)
+    base = base.withColumn(
+        "_band", (F.length("_prefix") / F.lit(band_w)).cast("int")
+    )
+    big = (
+        base.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_block)
+        .select("_tok")
+    )
+    base = base.join(F.broadcast(big), "_tok", "left_anti")
+    left = base.select(
+        F.col("_id").alias("_ida"),
+        F.col("_prefix").alias("_pa"),
+        "_tok",
+        F.explode(
+            F.array(
+                F.col("_band") - F.lit(1),
+                F.col("_band"),
+                F.col("_band") + F.lit(1),
+            )
+        ).alias("_jb"),
+    )
+    right = base.select(
+        F.col("_id").alias("_idb"),
+        F.col("_prefix").alias("_pb"),
+        "_tok",
+        F.col("_band").alias("_jb"),
+    )
+    return (
+        left.join(right, ["_tok", "_jb"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("dist", F.levenshtein(F.col("_pa"), F.col("_pb")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -6795,6 +6795,41 @@ WHERE rn <= 20
 """
 
 
+def docs_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) similarity join over document prefixes —
+    the typo'd-title near-match tier (see
+    ``dedup.edit_distance_pairs``: first-token + length-band blocking,
+    exactly-once pair join, built-in ``levenshtein`` verify, oversized
+    blocks dropped via the stop-shingle-style cap)."""
+    return dedup.edit_distance_pairs(
+        src.load_table(spark, sf_dir, "documents"),
+        prefix_chars=48,
+        max_dist=6,
+    )
+
+
+FUZZY_PAIRS_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, substr(text, 1, 48) AS prefix,
+         string_split(text, ' ')[1] AS tok
+  FROM documents),
+b AS (
+  SELECT id, prefix, tok,
+         CAST(floor(len(prefix) / 7) AS INT) AS band
+  FROM base WHERE len(tok) > 0),
+big AS (SELECT tok FROM b GROUP BY tok HAVING COUNT(*) > 10000),
+ok_b AS (SELECT * FROM b ANTI JOIN big USING (tok)),
+lft AS (
+  SELECT id AS ida, prefix AS pa, tok, unnest([band - 1, band, band + 1]) AS jb
+  FROM ok_b),
+rgt AS (SELECT id AS idb, prefix AS pb, tok, band AS jb FROM ok_b)
+SELECT ida AS doc_a, idb AS doc_b,
+       CAST(levenshtein(pa, pb) AS INT) AS dist
+FROM lft JOIN rgt USING (tok, jb)
+WHERE ida < idb AND levenshtein(pa, pb) <= 6
+"""
+
+
 def docs_duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated token-span profile per source — the exact-substring
     dedup tier (see ``text.duplicated_span_stats``): which feeds carry
@@ -6952,26 +6987,27 @@ QUERIES = {
     # deterministic weighted corpus sample:
     "ann_ivfpq_recall": ann_ivfpq_recall_q,
     "docs_weighted_sample": docs_weighted_sample_q,
+    "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
     # (d) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
-    # remaining evidence after the stale-32): first 3 of the r8
+    # remaining evidence after the stale-32): first 2 of the r8
     # block in catalog order.  New r10 queries take window priority
     # and displace this fill from the bottom.
     "lineitem_discount_bands": lineitem_discount_bands_q,
     "docs_split_stats": docs_split_stats_q,
-    "docs_duplicated_spans": docs_duplicated_spans_q,
     # ---- past the 50-cap this round; ALL re-checked every round by
     # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
-    # FIRST the twelve entries displaced from the r10 fill by the
-    # twelve new r10 queries (embedding_semdedup_greedy,
-    # corpus_clean_keep, events_stratified_sample,
-    # events_top3_per_user, dedup_simhash, dedup_simhash_pairs,
-    # decontam_ngram_overlap, docs_token_percentiles,
-    # docs_mix_upsample, docs_pack_sequences, ann_cosine_topk,
-    # similarity_lsh_topk) and the 32 r8-green entries below (last
-    # driver row r8), THEN the 47 r9-green entries (last driver row
-    # r9, minus the three rewritten ladder entries which re-entered
-    # the r10 window).
-    # ---- r8-green remainder (44 entries) ----
+    # FIRST the thirteen entries displaced from the r10 fill by the
+    # thirteen new r10 queries (docs_duplicated_spans,
+    # embedding_semdedup_greedy, corpus_clean_keep,
+    # events_stratified_sample, events_top3_per_user, dedup_simhash,
+    # dedup_simhash_pairs, decontam_ngram_overlap,
+    # docs_token_percentiles, docs_mix_upsample, docs_pack_sequences,
+    # ann_cosine_topk, similarity_lsh_topk) and the 32 r8-green
+    # entries below (last driver row r8), THEN the 47 r9-green
+    # entries (last driver row r9, minus the three rewritten ladder
+    # entries which re-entered the r10 window).
+    # ---- r8-green remainder (45 entries) ----
+    "docs_duplicated_spans": docs_duplicated_spans_q,
     "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
     "corpus_clean_keep": corpus_clean_keep_q,
     "events_stratified_sample": events_stratified_sample_q,
@@ -7131,6 +7167,7 @@ ORACLE = {
     "customer_order_distribution": ORDER_DISTRIBUTION_SQL,
     "stream_enrich_parity": STREAM_ENRICH_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "docs_fuzzy_pairs": FUZZY_PAIRS_SQL,
     "events_throughput_1min": THROUGHPUT_SQL,
     "events_hopping_5min_1min": HOPPING_SQL,
     "events_sessionize": SESSIONIZE_SQL,

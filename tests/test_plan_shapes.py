@@ -1489,3 +1489,17 @@ def test_weighted_sample_partial_group_limit(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
     assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+
+
+def test_fuzzy_pairs_blocked_join_no_cartesian(spark):
+    """docs_fuzzy_pairs (r10): the fuzzy join is an equi-join on the
+    (token, band) blocking key with a broadcast anti-join cap — never
+    a cartesian, never Python; levenshtein evaluates post-join inside
+    codegen."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.docs_fuzzy_pairs_q(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
+    assert "Pandas" not in plan and "BatchEvalPython" not in plan, plan

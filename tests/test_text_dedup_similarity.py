@@ -1526,3 +1526,48 @@ def test_weighted_sample_deterministic_bounded_and_weighted(spark):
         ).first()["m"]
     )
     assert kept_mean > corpus_mean, (kept_mean, corpus_mean)
+
+
+def test_edit_distance_pairs_known_and_exactly_once(spark):
+    """edit_distance_pairs: finds the typo'd near-match, emits each
+    unordered pair EXACTLY once (the three-band explode joins each
+    pair on one key — no distinct needed), respects the threshold,
+    and the oversized-block cap drops a degenerate blocking key from
+    both sides."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delts"),       # dist 1 to doc 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "omega completely different text here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, dedup.edit_distance_pairs(docs, prefix_chars=24, max_dist=3).collect())
+    )
+    # docs 1-3 share the first token; doc 1's full text is its 22-char
+    # prefix and doc 3's 24-char prefix appends " e" -> dist 2; doc 2
+    # is 1 edit away from doc 1
+    assert (1, 2, 1) in got
+    assert (1, 3, 2) in got
+    assert all(a < b for a, b, _ in got)
+    assert len(got) == len(set((a, b) for a, b, _ in got))  # exactly once
+    assert not [p for p in got if p[2] > 3]
+
+    # cap: with max_block=2 the 3-doc 'alpha' block is dropped entirely
+    capped = dedup.edit_distance_pairs(
+        docs, prefix_chars=24, max_dist=3, max_block=2
+    ).collect()
+    assert capped == []
+
+
+def test_edit_distance_pairs_cross_band_neighbors_found(spark):
+    """A pair whose prefix lengths straddle a band boundary must still
+    match (the adjacent-band explode exists for exactly this)."""
+    # band width = max_dist+1 = 3: lengths 11 and 13 land in bands 3
+    # and 4, distance 2 <= max_dist
+    rows = [(1, "aa bbbbbbbb"), (2, "aa bbbbbbbbbb")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in dedup.edit_distance_pairs(
+        docs, prefix_chars=20, max_dist=2
+    ).collect()]
+    assert got == [(1, 2, 2)]

@@ -132,6 +132,11 @@ SELECTED: list[tuple[str, str]] = [
     ("docs_weighted_sample",
      "deterministic weighted sample (r10): per-row LCG/weight "
      "priority, partial WindowGroupLimit below ONE Exchange"),
+    ("docs_fuzzy_pairs",
+     "edit-distance similarity join (r10): (first-token, length-band) "
+     "equi-join blocking with a 3-band explode so each pair joins "
+     "once; broadcast anti-join cap on degenerate blocks; codegen "
+     "levenshtein verify — no cartesian, no Python"),
     ("multimodal_real_decode",
      "real PPM decode (r10): two chained MapInPandas (encode, "
      "decode), ZERO Exchange — per-row media pipeline"),

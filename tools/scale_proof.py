@@ -223,6 +223,8 @@ def main() -> None:
     from cass_cdc_pg_spark.registry import (
         ann_ivfpq_topk_q,
         ann_pq_topk_q,
+        docs_fuzzy_pairs_q,
+        docs_weighted_sample_q,
         embedding_pq_codes_q,
         events_zorder_scan_q,
         multimodal_real_decode_q,
@@ -294,6 +296,13 @@ def main() -> None:
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
         "events_zorder_scan": events_zorder_scan_q,
         "multimodal_real_decode": multimodal_real_decode_q,
+        # r10 late: the blocked fuzzy join (pair volume tracks the
+        # per-replica block sizes — replicas never cross-match because
+        # every token carries the replica tag, so blocks AND pairs
+        # scale ~10x) and the weighted sample (top-k per group:
+        # output constant, scan linear)
+        "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
+        "docs_weighted_sample": docs_weighted_sample_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
