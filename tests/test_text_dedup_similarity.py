@@ -1571,3 +1571,43 @@ def test_edit_distance_pairs_cross_band_neighbors_found(spark):
         docs, prefix_chars=20, max_dist=2
     ).collect()]
     assert got == [(1, 2, 2)]
+
+
+def test_ivfpq_full_probe_equals_full_scan_adc(spark):
+    """IVFPQ exactness pin (the IVF full-probe test's PQ analog):
+    probing ALL cells makes the candidate set the whole corpus, so
+    the composed index must equal full-scan ADC (pq_topk) row for
+    row — any divergence is a probe/assignment bug, since the ADC
+    math is shared."""
+    from cass_cdc_pg_spark import registry
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings")
+    books = registry._pq_codebooks(sf)
+    cent = registry._ivf_centroids(sf)
+    q_rows = (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    full_probe = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_topk(
+            similarity.ivfpq_index(emb, cent, books),
+            spark,
+            q_rows,
+            cent,
+            books,
+            k=5,
+            nprobe=len(cent),
+        ).collect()
+    )
+    full_scan = sorted(
+        tuple(r)
+        for r in similarity.pq_topk(
+            emb, emb.filter(F.col("vec_id") < 10), books, k=5
+        ).collect()
+    )
+    assert full_probe == full_scan
