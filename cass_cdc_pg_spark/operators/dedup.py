@@ -878,8 +878,16 @@ def edit_distance_pairs(
     return (
         left.join(right, ["_tok", "_jb"])
         .filter(F.col("_ida") < F.col("_idb"))
-        .withColumn("dist", F.levenshtein(F.col("_pa"), F.col("_pb")))
-        .filter(F.col("dist") <= max_dist)
+        # 3-arg levenshtein: banded DP, O(max_dist·n) per pair instead
+        # of O(n²), returning -1 above the bound — for kept rows the
+        # value equals the full distance, so the plain-levenshtein
+        # oracle hashes identically.  This is the within-block
+        # constant-factor lever (measured 8.7 s → ~2 s at sf0.1).
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("_pa"), F.col("_pb"), int(max_dist)),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
             F.col("_ida").alias("doc_a"),
             F.col("_idb").alias("doc_b"),
