@@ -9,6 +9,9 @@ from collections import Counter
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from cass_cdc_pg_spark.operators import dedup as dedup_mod
+from cass_cdc_pg_spark.operators import text as text_ops
+
 _tok = st.text(alphabet="abc", min_size=1, max_size=2)
 _doc = st.lists(_tok, min_size=0, max_size=20).map(" ".join)
 
@@ -174,3 +177,90 @@ def test_zipped_grams_equals_per_position_formulation(spark):
         ).collect()
         for r in rows:
             assert list(r["fast"]) == list(r["slow"]), (n, r["doc_id"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_edit_distance_pairs_equals_blocked_brute_force(spark, data):
+    """edit_distance_pairs == a driver-side brute force of the SAME
+    blocking contract (shared first token, lengths within max_dist,
+    levenshtein <= max_dist) on arbitrary corpora — pins the band
+    explode, the exactly-once join, and the threshold levenshtein
+    against a trivially-auditable model."""
+    words = st.sampled_from(["alpha", "beta", "gamma", "del", "epsilonn"])
+    docs = data.draw(
+        st.lists(
+            st.lists(words, min_size=1, max_size=6).map(" ".join),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    rows = [(i, t) for i, t in enumerate(docs)]
+    max_dist, prefix = 3, 16
+    got = sorted(
+        tuple(r)
+        for r in dedup_mod.edit_distance_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            prefix_chars=prefix,
+            max_dist=max_dist,
+        ).collect()
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expected = []
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            pa, pb = ta[:prefix], tb[:prefix]
+            if ta.split(" ")[0] != tb.split(" ")[0]:
+                continue
+            if abs(len(pa) - len(pb)) > max_dist:
+                continue
+            d = lev(pa, pb)
+            if d <= max_dist:
+                expected.append((i, j, d))
+    assert got == sorted(expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=3, max_value=30),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_weighted_sample_equals_priority_model(spark, n, k):
+    """weighted_sample_by_group == the closed-form priority model on
+    arbitrary corpora: sort by (LCG-uniform / token-count, id) per
+    group and take k."""
+    rows = [
+        (i, "s" + str(i % 3), "w " * (1 + (i * 7) % 9))
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        (r["source"], r["doc_id"], r["rank"])
+        for r in text_ops.weighted_sample_by_group(docs, k=k).collect()
+    )
+    model = []
+    for i, src_name, t in rows:
+        ntok = len([w for w in t.split(" ") if w])
+        u = ((i * 48271 + 11) % 104729 + 1) / 104730.0
+        model.append((src_name, u / max(ntok, 1), i))
+    expected = []
+    from itertools import groupby
+
+    for g, grp in groupby(sorted(model), key=lambda x: x[0]):
+        members = sorted(grp, key=lambda x: (x[1], x[2]))
+        for rank, (_, _, i) in enumerate(members[:k], 1):
+            expected.append((g, i, rank))
+    assert got == sorted(expected)
