@@ -804,7 +804,10 @@ def _knn_within_arrow(
 # less data scanned per query than the exact path; PQ composes with
 # IVF (encode only the probed cells) exactly like FAISS's IVFPQ.
 # Training is driver-side over a bounded sample (same posture as
-# train_ivf_centroids); encode is a constant-folded JVM projection;
+# train_ivf_centroids); encode is a vectorized Arrow kernel by default
+# (the constant-folded JVM expression is the bit-identical cross-check
+# — at ksub=256 its m·ksub=4096-fold tree costs ~18 s of analysis and
+# a 27 MiB task binary, measured r11, so it is never the bulk path);
 # ADC ships only (id, codes) across the Arrow boundary.
 # ---------------------------------------------------------------------------
 
@@ -885,6 +888,23 @@ def _pq_dist_exprs(vec_col: str, codebooks: list[list[list[float]]]) -> list[str
     return exprs
 
 
+def _pq_codes_np(np, x, cent):
+    """Vectorized PQ encode of an (N, dim) float64 block against
+    (m, ksub, sub) codebooks: per-dimension accumulation (the module's
+    fold discipline, bit-identical to the JVM/DuckDB left-to-right
+    folds), ``np.argmin`` ties → lowest code.  Shared by the bulk
+    ``pq_encode`` kernel and the ``ivfpq_index`` build pass."""
+    m, ksub, sub = cent.shape
+    codes = np.zeros((len(x), m), dtype=np.int32)
+    for j in range(m):
+        d = np.zeros((len(x), ksub))
+        for dd in range(sub):  # per-dim accumulation = fold
+            diff = x[:, j * sub + dd, None] - cent[None, j, :, dd]
+            d += diff * diff
+        codes[:, j] = np.argmin(d, axis=1)  # ties → lowest code
+    return codes
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],
@@ -920,7 +940,6 @@ def pq_encode(
     import pandas as pd
 
     cent = np.array(codebooks, dtype=np.float64)  # m x ksub x sub
-    m, ksub, sub = cent.shape
     id_type = vectors.schema[id_col].dataType.simpleString()
 
     def enc(batches):
@@ -930,13 +949,7 @@ def pq_encode(
             x = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            codes = np.zeros((len(x), m), dtype=np.int32)
-            for j in range(m):
-                d = np.zeros((len(x), ksub))
-                for dd in range(sub):  # per-dim accumulation = fold
-                    diff = x[:, j * sub + dd, None] - cent[None, j, :, dd]
-                    d += diff * diff
-                codes[:, j] = np.argmin(d, axis=1)  # ties → lowest code
+            codes = _pq_codes_np(np, x, cent)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "codes": list(codes.tolist())}
             )
@@ -979,8 +992,10 @@ def pq_topk(
     left-to-right sum over subspaces of its precomputed lookup-table
     entry for that row's code.
 
-    Scale shape: encode is a codegen projection, the Arrow kernel
-    receives ONLY (id, codes) — m ints per row, never the vectors —
+    Scale shape: encode is the vectorized Arrow kernel (`pq_encode`
+    default; the JVM expression is its cross-check), and the ADC
+    kernel receives ONLY (id, codes) — m ints per row, never the
+    vectors —
     and per-batch pruning keeps the downstream top-k shuffle at
     O(k·Q·batches).  Exactness of the prune: 6-dp rounding moves a
     distance by at most 5e-7, so a row with unrounded dist > (k-th
@@ -1128,17 +1143,45 @@ def ivfpq_index(
     (neighbor_id, cell, codes) — each row's IVF cell (inverted-file
     pruning key) and PQ codes (compressed ranking payload).  This is
     the artifact a deployment PERSISTS, partitioned by cell, once per
-    corpus snapshot; queries read it instead of the vectors.  Pure
-    constant-folded projection (build cost is one pass, paid once)."""
+    corpus snapshot; queries read it instead of the vectors.  One
+    pass, no shuffle: cell assignment is the constant-folded JVM
+    cosine expression (ncentroids terms — small), codes come from the
+    vectorized Arrow kernel (`_pq_codes_np`, bit-identical to the JVM
+    expression per the kernels pin) because at ksub=256 the folded
+    encode tree is m·ksub=4096 expressions — ~18 s of analysis and a
+    27 MiB task binary (measured r11) for a pass that is pure batch
+    math.  Build cost is paid once per snapshot either way."""
+    import numpy as np
+    import pandas as pd
+
     scores = _cell_scores(f"`{vec_col}`", centroids)
-    enc = _pq_dist_exprs(f"`{vec_col}`", codebooks)
-    codes = ", ".join(
-        f"CAST(array_position({e}, array_min({e})) - 1 AS INT)" for e in enc
-    )
-    return corpus.select(
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.array_position(scores, F.array_max(scores)).alias("cell"),
-        F.expr(f"array({codes})").alias("codes"),
+        F.col(vec_col),
+    )
+    cent = np.array(codebooks, dtype=np.float64)  # m x ksub x sub
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = _pq_codes_np(np, x, cent)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cell": pdf["cell"],
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    return assigned.mapInPandas(
+        enc,
+        schema=f"neighbor_id {id_type}, cell bigint, codes array<int>",
     )
 
 

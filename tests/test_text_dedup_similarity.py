@@ -1471,18 +1471,20 @@ def test_l2_topk_and_pq_recall_floor(spark):
         for rank, (_, n) in enumerate(order[:5], 1):
             assert got[(qid, n)] == rank
 
-    # the registry's production params (m=16: 4-dim subspaces):
-    # measured recall 0.46 on this fixture — 0.35 leaves regeneration
-    # headroom, not design slack
+    # the registry's production params (m=16, ksub=256 — one byte per
+    # subspace, the FAISS default resolution): measured recall 0.80 on
+    # this fixture (vs 0.28 at the r10 ksub=16 tier) — 0.6 is the r10
+    # verdict's floor and leaves regeneration headroom, not design
+    # slack
     books = similarity.train_pq_codebooks(
-        src.table_path(sf, "embeddings"), m=16, ksub=16
+        src.table_path(sf, "embeddings"), m=16, ksub=256
     )
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in similarity.pq_topk(emb, q, books, k=5).collect()
     }
     exact = set(got)
-    assert len(exact & approx) / len(exact) >= 0.35
+    assert len(exact & approx) / len(exact) >= 0.6
 
 
 def test_pq_encode_kernels_bit_identical(spark):
