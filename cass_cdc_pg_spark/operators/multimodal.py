@@ -248,12 +248,15 @@ def extract_features(
     id_col: str = "media_id",
     payload_col: str = "payload",
     batch_size_hint: int = 64,
+    keep_fmt: bool = False,
 ) -> DataFrame:
     """Decode + featurize via ``mapInPandas`` (Arrow batches).
 
     Errors never fail the job: each row carries ``decode_ok``/``error``
     so the DLQ split downstream can route failures (S5 pattern).
-    """
+    ``keep_fmt=True`` carries the format through to the output (an
+    ``fmt`` column after ``media_id``) — the key a mixed-media corpus
+    needs when one id owns several payloads (image + audio clip)."""
     import pandas as pd
 
     fmt_col = "meta" in media.columns
@@ -263,6 +266,14 @@ def extract_features(
         F.col(payload_col).alias("payload"),
         (F.col("meta.format") if fmt_col else F.lit("bin")).alias("fmt"),
     )
+    schema = (
+        T.StructType(
+            [FEATURE_SCHEMA[0], T.StructField("fmt", T.StringType())]
+            + list(FEATURE_SCHEMA)[1:]
+        )
+        if keep_fmt
+        else FEATURE_SCHEMA
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -270,14 +281,13 @@ def extract_features(
             for mid, payload, fmt in zip(pdf["media_id"], pdf["payload"], pdf["fmt"]):
                 try:
                     feat = decoder(bytes(payload) if payload is not None else b"", fmt)
-                    out.append((mid, feat, True, None))
+                    row = (mid, feat, True, None)
                 except Exception as e:  # noqa: BLE001 — route, don't fail
-                    out.append((mid, None, False, str(e)[:200]))
-            yield pd.DataFrame(
-                out, columns=["media_id", "feature", "decode_ok", "error"]
-            )
+                    row = (mid, None, False, str(e)[:200])
+                out.append((row[0], fmt, *row[1:]) if keep_fmt else row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
-    return narrow.mapInPandas(run, FEATURE_SCHEMA)
+    return narrow.mapInPandas(run, schema)
 
 
 RESIZED_SCHEMA = T.StructType(

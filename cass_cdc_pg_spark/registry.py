@@ -1417,16 +1417,22 @@ FROM documents d LEFT JOIN hist h ON h.doc_id = d.doc_id
 
 
 def multimodal_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode (r9 verdict #5): genuine binary PPM (P6)
-    images are synthesized per document (deterministic pixel function
-    of doc_id — the encoder writes a real header + raster) and decoded
-    by the pure-Python PPM parser through the SAME Arrow-batched
-    ``extract_features`` pipeline the injected-codec path uses.  The
-    oracle recomputes width/height/per-channel byte sums analytically
-    from the pixel function, so a parser bug (header grammar, raster
-    offset, channel order) is a hash mismatch, not a silent pass.
-    Formats beyond the pure-Python tier (png/jpeg/mp4) still raise
-    through the documented seam."""
+    """REAL media decode, both pure-Python codecs (r9 verdict #5 +
+    r10 verdict #6): each document synthesizes a genuine binary PPM
+    (P6) image AND a genuine RIFF/WAVE 16-bit PCM clip (deterministic
+    pixel/sample functions of doc_id — the encoders write real
+    headers, rasters, and chunk lists), plus an unsupported ``png``
+    payload for every tenth doc that exercises the error-routing seam
+    INSIDE the driver-checked result (decode_ok=false + the seam's
+    message, the S5 DLQ pattern).  All rows flow through the SAME
+    Arrow-batched ``extract_features`` pipeline with the dispatching
+    ``media_decoder``.  The oracle recomputes every feature
+    analytically from the generator functions, so a parser bug in
+    either codec (header grammar, raster offset, channel order, RIFF
+    chunk walk, sample sign) is a hash mismatch, not a silent pass.
+    Feature columns are format-generic: ppm → (width, height,
+    n_pixels, sum_r, sum_g, sum_b); wav → (channels, sample_rate,
+    n_frames, sum, sum_abs, NULL)."""
     from cass_cdc_pg_spark.operators import multimodal
 
     ids = src.load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1442,15 +1448,33 @@ def multimodal_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raster = bytes(
                     (did * 31 + i * 7) % 256 for i in range(3 * w * h)
                 )
-                rows.append((did, multimodal.encode_ppm(w, h, raster)))
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+                rows.append((did, "ppm", multimodal.encode_ppm(w, h, raster)))
+                ch = 1 + did % 2
+                rate = 8000 + 4000 * (did % 3)
+                frames = 16 + did % 9
+                samples = [
+                    ((did * 131 + i * 17) % 4096) - 2048
+                    for i in range(ch * frames)
+                ]
+                rows.append(
+                    (did, "wav", multimodal.encode_wav(rate, ch, samples))
+                )
+                if did % 10 == 0:
+                    rows.append(
+                        (did, "png", b"\x89PNG\r\n\x1a\n" + bytes(8))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "format", "payload"])
 
-    media = ids.mapInPandas(gen, "media_id long, payload binary").select(
+    media = ids.mapInPandas(
+        gen, "media_id long, format string, payload binary"
+    ).select(
         "media_id",
         "payload",
         F.struct(
-            F.lit("image").alias("media_type"),
-            F.lit("ppm").alias("format"),
+            F.when(F.col("format") == "wav", F.lit("audio"))
+            .otherwise(F.lit("image"))
+            .alias("media_type"),
+            F.col("format").alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
@@ -1458,21 +1482,30 @@ def multimodal_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     feats = multimodal.extract_features(
-        media, decoder=multimodal.media_decoder
+        media, decoder=multimodal.media_decoder, keep_fmt=True
     )
-    names = ["width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"]
     return feats.select(
         "media_id",
+        F.col("fmt").alias("format"),
+        # F.get, not [i]: wav rows carry 5 features, f6 must be NULL
+        # (ANSI mode errors on out-of-range [i])
         *[
-            F.col("feature")[i].cast("double").alias(n)
-            for i, n in enumerate(names)
+            F.get("feature", i).cast("double").alias(f"f{i + 1}")
+            for i in range(6)
         ],
         "decode_ok",
         F.col("error").cast("string").alias("error"),
     )
 
 
-MULTIMODAL_REAL_SQL = """
+#: the documented seam's message, verbatim (multimodal.default_decoder)
+#: — the oracle pins the error text the DLQ route carries.
+_MM_SEAM_ERROR = (
+    "media decoding requires an image/audio library not present in "
+    "this environment; inject a decoder via extract_features(decoder=…)"
+)
+
+MULTIMODAL_REAL_SQL = f"""
 WITH dims AS (
   SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
   FROM documents),
@@ -1486,17 +1519,43 @@ s AS (
                   ELSE 0 END) AS sum_g,
          SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i * 7) % 256
                   ELSE 0 END) AS sum_b
-  FROM px GROUP BY 1, 2, 3)
-SELECT doc_id AS media_id,
-       CAST(w AS DOUBLE) AS width,
-       CAST(h AS DOUBLE) AS height,
-       CAST(w * h AS DOUBLE) AS n_pixels,
-       CAST(sum_r AS DOUBLE) AS sum_r,
-       CAST(sum_g AS DOUBLE) AS sum_g,
-       CAST(sum_b AS DOUBLE) AS sum_b,
+  FROM px GROUP BY 1, 2, 3),
+wdims AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch,
+         8000 + 4000 * (doc_id % 3) AS rate,
+         16 + doc_id % 9 AS frames
+  FROM documents),
+ws AS (
+  SELECT doc_id, ch, rate, frames, unnest(range(0, ch * frames)) AS i
+  FROM wdims),
+wav AS (
+  SELECT doc_id, ch, rate, frames,
+         SUM(((doc_id * 131 + i * 17) % 4096) - 2048) AS ssum,
+         SUM(ABS(((doc_id * 131 + i * 17) % 4096) - 2048)) AS sabs
+  FROM ws GROUP BY 1, 2, 3, 4)
+SELECT doc_id AS media_id, 'ppm' AS format,
+       CAST(w AS DOUBLE) AS f1,
+       CAST(h AS DOUBLE) AS f2,
+       CAST(w * h AS DOUBLE) AS f3,
+       CAST(sum_r AS DOUBLE) AS f4,
+       CAST(sum_g AS DOUBLE) AS f5,
+       CAST(sum_b AS DOUBLE) AS f6,
        TRUE AS decode_ok,
        CAST(NULL AS VARCHAR) AS error
 FROM s
+UNION ALL
+SELECT doc_id, 'wav',
+       CAST(ch AS DOUBLE), CAST(rate AS DOUBLE), CAST(frames AS DOUBLE),
+       CAST(ssum AS DOUBLE), CAST(sabs AS DOUBLE),
+       CAST(NULL AS DOUBLE),
+       TRUE, CAST(NULL AS VARCHAR)
+FROM wav
+UNION ALL
+SELECT doc_id, 'png',
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       FALSE, '{_MM_SEAM_ERROR}'
+FROM documents WHERE doc_id % 10 = 0
 """
 
 
