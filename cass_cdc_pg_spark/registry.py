@@ -18,7 +18,7 @@ order-pinned cosine fold, so scores are bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -6992,7 +6992,346 @@ FROM d GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# r11 new queries
+# ---------------------------------------------------------------------------
+
+
+def sales_promo_bundles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive bundle pricing (TPC-H Q19 family): revenue from
+    three OR'd (brand, size-range, quantity-range) bundles, computed
+    in one lineitem⋈part pass — the canonical OR-of-ANDs predicate
+    whose part-side conjuncts must still prune.
+
+    Scale shape: the part-only disjunction (brand ∈ {1,2,3} ∨-chains
+    with size ranges) pushes to the part SCAN, the surviving part
+    rows BROADCAST, and the residual mixed predicate (quantity ×
+    brand) evaluates on the join output — one fact pass, zero
+    shuffles before the single-row aggregate.  Revenue is DECIMAL
+    accumulation (the module's exact-sum discipline); per-bundle
+    splits come from conditional sums INSIDE the one aggregate (the
+    Q8-family pattern), so the disjunction is audited bundle by
+    bundle."""
+    li = _li(spark, sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = (
+        src.load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .filter(
+            ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+            | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+            | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(25, 50))
+        )
+    )
+    b1 = (F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 20)
+    b2 = (F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 30)
+    b3 = (F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 50)
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(rev).cast("decimal(18,6)").alias("revenue"),
+            F.sum(F.when(b1, rev).otherwise(zero))
+            .cast("decimal(18,6)")
+            .alias("rev_bundle1"),
+            F.sum(F.when(b2, rev).otherwise(zero))
+            .cast("decimal(18,6)")
+            .alias("rev_bundle2"),
+            F.sum(F.when(b3, rev).otherwise(zero))
+            .cast("decimal(18,6)")
+            .alias("rev_bundle3"),
+        )
+    )
+
+
+PROMO_BUNDLES_SQL = """
+WITH j AS (
+  SELECT p.p_brand, l.l_quantity,
+         CAST(l.l_extendedprice * (1.0 - l.l_discount)
+              AS DECIMAL(18,6)) AS rev,
+         (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 20) AS b1,
+         (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 30) AS b2,
+         (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 50) AS b3
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15)
+     OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30)
+     OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 25 AND 50))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(rev) AS DECIMAL(18,6)) AS revenue,
+       CAST(SUM(CASE WHEN b1 THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
+            AS DECIMAL(18,6)) AS rev_bundle1,
+       CAST(SUM(CASE WHEN b2 THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
+            AS DECIMAL(18,6)) AS rev_bundle2,
+       CAST(SUM(CASE WHEN b3 THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
+            AS DECIMAL(18,6)) AS rev_bundle3
+FROM j
+WHERE b1 OR b2 OR b3
+"""
+
+
+def lineitem_part_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 20 part pairs most often bought
+    in the same order (pair key ordered p1 < p2, ties → lowest pair).
+
+    Scale shape: per-order part sets are deduped FIRST (one shuffle on
+    (orderkey, partkey)), then the self-join co-partitions on
+    l_orderkey — pair fan-out is bounded by per-order line count (≤7
+    in TPC-H), never corpus-quadratic; the global top-20 is
+    TakeOrdered (per-partition heads + driver merge), NOT a
+    single-partition window."""
+    li = (
+        _li(spark, sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(20)
+    )
+
+
+COPURCHASE_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM lp a JOIN lp b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, p1 ASC, p2 ASC
+LIMIT 20
+"""
+
+
+_VOCAB_K = 500
+
+
+def docs_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate per source: build the corpus
+    top-``_VOCAB_K`` token vocabulary (count desc, token asc — fully
+    deterministic), then measure what fraction of each source's token
+    OCCURRENCES fall outside it — the gauge an LLM-data pipeline runs
+    before committing to a tokenizer/vocab freeze.
+
+    Scale shape: token counts are one hash aggregate; the top-K is
+    TakeOrdered (no global window); the vocabulary (K rows) BROADCASTS
+    back against the token stream, so the coverage pass adds zero
+    shuffles beyond the per-source rollup.  In production the vocab
+    side comes from a sample; the two token-stream passes here share
+    the same scan shape."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0)))
+            .cast("long")
+            .alias("n_in_vocab"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_in_vocab",
+            F.round(
+                F.lit(1.0) - F.col("n_in_vocab") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS freq FROM toks GROUP BY 1) t
+  ORDER BY freq DESC, tok ASC LIMIT {_VOCAB_K}),
+cov AS (
+  SELECT t.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_vocab
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+  GROUP BY 1)
+SELECT source, n_tokens, n_in_vocab,
+       ROUND(1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           AS oov_rate
+FROM cov
+"""
+
+
+def events_robust_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) daily outlier gauge per (event_type, day):
+    exact median and exact median-absolute-deviation via explicit
+    rank selection — each engine picks the SAME one or two stored
+    doubles per group and does one add + one halving, so the
+    statistics are bit-identical by construction (no percentile UDAF
+    interpolation formulas to reconcile across engines).  Outliers
+    are |value − median| > 3·MAD.
+
+    Scale shape: every Exchange in the plan keys on the SAME
+    (event_type, day_no) — the relation is never re-keyed — and the
+    rank-window subtree referenced by both the median pick and the
+    deviation pass is physically shared at runtime (AQE plans a
+    ReusedExchange for the duplicate, so the events scan shuffles
+    once); the only other fact movement is the MAD re-sort of the
+    deviations on the same key.  Pinned by
+    ``test_robust_outliers_one_key_reused_shuffle``.  The group key
+    is high-cardinality (types × days), so per-group sorts
+    parallelize.  The 3σ twin is ``events_anomaly_stats``; this is
+    the heavy-tail-safe variant a monitoring pipeline runs next to
+    it."""
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("ts_us DIV 86400000000").alias("day_no"),
+        "value",
+    )
+    grp = ["event_type", "day_no"]
+    wrk = Window.partitionBy(*grp).orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy(*grp)
+    ranked = ev.withColumn("rn", F.row_number().over(wrk)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+        )
+        .groupBy(*grp)
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("median"))
+    )
+    dev = (
+        ranked.select("event_id", *grp, "value")
+        .join(med, grp)
+        .select(
+            "event_id",
+            *grp,
+            "value",
+            F.abs(F.col("value") - F.col("median")).alias("dev"),
+            "median",
+        )
+    )
+    wdk = Window.partitionBy(*grp).orderBy(
+        F.col("dev").asc(), F.col("event_id").asc()
+    )
+    dranked = dev.withColumn("rn", F.row_number().over(wdk)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mad = (
+        dranked.filter(
+            (F.col("rn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+        )
+        .groupBy(*grp)
+        .agg((F.sum("dev") / F.count(F.lit(1))).alias("mad"))
+    )
+    return (
+        dev.join(mad, grp)
+        .groupBy(*grp)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("median").alias("median"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "day_no",
+            "n_events",
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_events"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) // 86400000000 AS day_no, value
+  FROM events),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day_no
+                               ORDER BY value ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, day_no) AS n
+  FROM e),
+med AS (
+  SELECT event_type, day_no, SUM(value) / COUNT(*) AS median
+  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY 1, 2),
+d AS (
+  SELECT e.event_id, e.event_type, e.day_no, e.value,
+         ABS(e.value - m.median) AS dev, m.median
+  FROM e JOIN med m USING (event_type, day_no)),
+dr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day_no
+                               ORDER BY dev ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, day_no) AS n
+  FROM d),
+mad AS (
+  SELECT event_type, day_no, SUM(dev) / COUNT(*) AS mad
+  FROM dr WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY 1, 2)
+SELECT d.event_type, d.day_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MIN(d.median), 6) AS median,
+       ROUND(MIN(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       ROUND(CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS outlier_frac
+FROM d JOIN mad USING (event_type, day_no)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    # ---- r11 head: new queries first (take window slots by
+    # displacement, never by eviction of stale entries) ----
+    "sales_promo_bundles": sales_promo_bundles_q,
+    "lineitem_part_copurchase": lineitem_part_copurchase_q,
+    "docs_vocab_coverage": docs_vocab_coverage_q,
+    "events_robust_outliers": events_robust_outliers_q,
     # ---- r10 head (driver window = first 50 entries) ----
     # (a) the 32 entries whose last driver row predates r8 (r9 verdict
     # #1: no registered query's driver evidence may age past two
@@ -7181,6 +7520,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sales_promo_bundles": PROMO_BUNDLES_SQL,
+    "lineitem_part_copurchase": COPURCHASE_SQL,
+    "docs_vocab_coverage": VOCAB_COVERAGE_SQL,
+    "events_robust_outliers": ROBUST_OUTLIERS_SQL,
     "q1_row_count": Q1_SQL,
     "q2_checksums": Q2_SQL,
     "q3_checksum_diff": Q3_SQL,

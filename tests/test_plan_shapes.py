@@ -1503,3 +1503,68 @@ def test_fuzzy_pairs_blocked_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "levenshtein" in plan, plan
     assert "Pandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_promo_bundles_disjunction_pushes_to_both_scans(spark):
+    """sales_promo_bundles (r11, Q19 family): the OR-of-ANDs must
+    reach BOTH parquet scans — the part-side (brand, size) disjunction
+    verbatim, and the derived quantity-range disjunction Catalyst
+    extracts for the lineitem side — with the filtered part relation
+    broadcast.  A Q19 that filters post-join reads the whole fact."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.sales_promo_bundles_q(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln and "Or(" in ln for ln in pushed), plan
+    assert any("l_quantity" in ln and "Or(" in ln for ln in pushed), plan
+
+
+def test_copurchase_coparitioned_self_join_takeordered(spark):
+    """lineitem_part_copurchase (r11): the pair join is an equi-join
+    on l_orderkey (co-partitioned self-join of the deduped per-order
+    part sets — the p1 < p2 predicate is a post-join filter, never a
+    cartesian), and the global top-20 is TakeOrderedAndProject, not a
+    single-partition window."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.lineitem_part_copurchase_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_vocab_coverage_broadcast_vocab_takeordered(spark):
+    """docs_vocab_coverage (r11): the top-K vocabulary is a
+    TakeOrdered (never a global-sort window) and rejoins the token
+    stream as a BROADCAST — the coverage pass adds no shuffle beyond
+    the per-source rollup."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.docs_vocab_coverage_q(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_robust_outliers_one_key_reused_shuffle(spark):
+    """events_robust_outliers (r11): every hash Exchange keys on the
+    one (event_type, day_no) group key — the relation is never
+    re-keyed — and executing the plan makes AQE physically share the
+    duplicated rank-window subtree (ReusedExchange), so the events
+    scan shuffles once."""
+    from cass_cdc_pg_spark import registry
+
+    df = registry.events_robust_outliers_q(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "event_type" in ln and "day_no" in ln, ln
+    df.collect()
+    final = _plan(df)
+    assert "ReusedExchange" in final, final
