@@ -7326,104 +7326,31 @@ GROUP BY 1, 2
 
 
 QUERIES = {
-    # ---- r11 head: new queries first (take window slots by
-    # displacement, never by eviction of stale entries) ----
+    # ================= r11 driver window (first 50) =================
+    # Composition (r10 verdict #2 discipline): new queries FIRST (they
+    # take slots by displacement), then entries REWRITTEN this round
+    # (rewritten-stays-in-window contract), then the stale backlog
+    # oldest-evidence-first (the 45 r8-green entries; 40 fit).
+    # ---- (a) new in r11 (never driver-checked) ----
     "sales_promo_bundles": sales_promo_bundles_q,
     "lineitem_part_copurchase": lineitem_part_copurchase_q,
     "docs_vocab_coverage": docs_vocab_coverage_q,
     "events_robust_outliers": events_robust_outliers_q,
-    # ---- r10 head (driver window = first 50 entries) ----
-    # (a) the 32 entries whose last driver row predates r8 (r9 verdict
-    # #1: no registered query's driver evidence may age past two
-    # rounds) — the exact list the r9 tail note documented, every one
-    # replayed green by tools/check_oracle.py at the r10 freeze:
-    "q1_row_count": q1_row_count,
-    "text_pii_scrub": text_pii_scrub_q,
-    "docs_source_stats": docs_source_stats_q,
-    "events_user_features": events_user_features_q,
-    "sales_by_nation_quarter": sales_by_nation_quarter_q,
-    "events_user_features_5min": events_user_features_5min_q,
-    "q2_checksums": q2_checksums,
-    "q3_checksum_diff": q3_checksum_diff,
-    "q11_listing_orders": q11_listing_orders,
-    "q18_gdpr_erasure": q18_gdpr_erasure,
-    "c1_lww_state": c1_lww_state,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "text_fingerprint": text_fingerprint_q,
-    "q20_drift_severity": q20_drift_severity,
-    "q19_retention": q19_retention,
-    "events_key_skew": events_key_skew_q,
-    "orders_fulfillment_lag": orders_fulfillment_lag_q,
-    "docs_dup_rate_by_source": docs_dup_rate_by_source_q,
-    "customer_order_recency": customer_order_recency_q,
-    "events_gap_stats": events_gap_stats_q,
-    "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
-    "sales_promo_share": sales_promo_share_q,
-    "q4_missing_in_source": q4_missing_in_source,
-    "q5_range_diff": q5_range_diff,
-    "q6_sample": q6_sample,
-    "q7_point_lookup": q7_point_lookup,
-    "q8_field_diff": q8_field_diff,
-    "q12_listing_events": q12_listing_events,
-    "q13_listing_lineitem": q13_listing_lineitem,
-    "q17_table_counts": q17_table_counts,
-    "q21_dlq_replay_select": q21_dlq_replay_select,
-    "q22_resolve_update": q22_resolve_update,
-    # (b) rewritten in r10 (rewritten-stays-in-window contract): the
-    # incremental-dedup ladder now reads the PERSISTED standing index
-    # (_inc_standing_index: band table + base component assignment on
-    # disk) instead of recomputing the base fixpoint per call:
-    "dedup_incremental_pairs": dedup_incremental_pairs_q,
-    "dedup_incremental_components": dedup_incremental_components_q,
-    "dedup_incremental_admission": dedup_incremental_admission_q,
-    # (c) new in r10 (never driver-checked): the z-order clustered
-    # read path (verdict #6 — the layout save_zordered maintains now
-    # has a declared consumer with pinned file-skip counts) and the
-    # real-codec decode (verdict #5 — genuine PPM bytes through the
-    # extract_features pipeline, oracle recomputes analytically):
-    "events_zorder_scan": events_zorder_scan_q,
-    "multimodal_real_decode": multimodal_real_decode_q,
-    # (c2) new in r10: the product-quantization ANN tier (32×
-    # compressed codes + ADC over codes only) with its exact-L2
-    # baseline and the pinned recall gauge:
-    "ann_l2_topk": ann_l2_topk_q,
+    # ---- (b) rewritten in r11: the PQ tier retrained at ksub=256
+    # (8-bit sub-quantizers, recall@5 0.28->0.80; nprobe 2->3) — new
+    # codebook literals mean new oracles, so the r10 driver rows no
+    # longer witness this code; and the real-decode query now covers
+    # BOTH pure-Python codecs (WAV folded in, r10 verdict #6) plus the
+    # error-routed png seam ----
     "ann_pq_topk": ann_pq_topk_q,
     "ann_pq_recall": ann_pq_recall_q,
     "embedding_pq_codes": embedding_pq_codes_q,
     "ann_ivfpq_topk": ann_ivfpq_topk_q,
-    # (c3) new in r10: the two TPC-H query families the catalog still
-    # lacked — Q8 two-level market share (conditional-sum share inside
-    # ONE aggregate) and Q13 order-count distribution (outer join +
-    # double aggregate with a zero bucket):
-    "nation_market_share": nation_market_share_q,
-    "customer_order_distribution": customer_order_distribution_q,
-    # (c4) new in r10: the fifth stream-parity twin — stream-static
-    # dimension enrichment across real restart boundaries:
-    "stream_enrich_parity": stream_enrich_parity_q,
-    # (c5) new in r10: the composed-index recall gauge and the
-    # deterministic weighted corpus sample:
     "ann_ivfpq_recall": ann_ivfpq_recall_q,
-    "docs_weighted_sample": docs_weighted_sample_q,
-    "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
-    # (d) r8-green fill (last driver row CORRECTNESS_r08.json; oldest
-    # remaining evidence after the stale-32): first 2 of the r8
-    # block in catalog order.  New r10 queries take window priority
-    # and displace this fill from the bottom.
-    "lineitem_discount_bands": lineitem_discount_bands_q,
-    "docs_split_stats": docs_split_stats_q,
-    # ---- past the 50-cap this round; ALL re-checked every round by
-    # tools/check_oracle.py + pytest.  Rotation bookkeeping for r11:
-    # FIRST the thirteen entries displaced from the r10 fill by the
-    # thirteen new r10 queries (docs_duplicated_spans,
-    # embedding_semdedup_greedy, corpus_clean_keep,
-    # events_stratified_sample, events_top3_per_user, dedup_simhash,
-    # dedup_simhash_pairs, decontam_ngram_overlap,
-    # docs_token_percentiles, docs_mix_upsample, docs_pack_sequences,
-    # ann_cosine_topk, similarity_lsh_topk) and the 32 r8-green
-    # entries below (last driver row r8), THEN the 47 r9-green
-    # entries (last driver row r9, minus the three rewritten ladder
-    # entries which re-entered the r10 window).
-    # ---- r8-green remainder (45 entries) ----
+    "multimodal_real_decode": multimodal_real_decode_q,
+    # ---- (c) r8-green backlog, oldest driver evidence (40 of 45 in
+    # catalog order; the 5-entry remainder is documented below as the
+    # first r12 leads) ----
     "docs_duplicated_spans": docs_duplicated_spans_q,
     "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
     "corpus_clean_keep": corpus_clean_keep_q,
@@ -7464,6 +7391,13 @@ QUERIES = {
     "events_props_stats": events_props_stats_q,
     "events_cube_counts": events_cube_counts_q,
     "events_type_pivot": events_type_pivot_q,
+    # ================ past the 50-cap this round ================
+    # ALL re-verified every round by tools/check_oracle.py + pytest.
+    # Rotation bookkeeping for r12, oldest evidence first:
+    # (1) the r8-green remainder (5 entries, last driver row r8 — the
+    #     only entries whose evidence is older than r9), (2) the 47
+    #     r9-green entries, (3) the 44 r10-green entries below them.
+    # ---- r8-green remainder (5 entries — FIRST r12 leads) ----
     "sales_top_suppliers": sales_top_suppliers_q,
     "sales_region_share": sales_region_share_q,
     "embedding_semdedup_keep": embedding_semdedup_keep_q,
@@ -7517,6 +7451,52 @@ QUERIES = {
     "events_sessionize": events_sessionize_q,
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
+    # ---- r10-green block (44 entries, CORRECTNESS_r10.json; the
+    # r10 window minus the six entries rewritten in r11 above) ----
+    "q1_row_count": q1_row_count,
+    "text_pii_scrub": text_pii_scrub_q,
+    "docs_source_stats": docs_source_stats_q,
+    "events_user_features": events_user_features_q,
+    "sales_by_nation_quarter": sales_by_nation_quarter_q,
+    "events_user_features_5min": events_user_features_5min_q,
+    "q2_checksums": q2_checksums,
+    "q3_checksum_diff": q3_checksum_diff,
+    "q11_listing_orders": q11_listing_orders,
+    "q18_gdpr_erasure": q18_gdpr_erasure,
+    "c1_lww_state": c1_lww_state,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "text_fingerprint": text_fingerprint_q,
+    "q20_drift_severity": q20_drift_severity,
+    "q19_retention": q19_retention,
+    "events_key_skew": events_key_skew_q,
+    "orders_fulfillment_lag": orders_fulfillment_lag_q,
+    "docs_dup_rate_by_source": docs_dup_rate_by_source_q,
+    "customer_order_recency": customer_order_recency_q,
+    "events_gap_stats": events_gap_stats_q,
+    "lineitem_revenue_forecast": lineitem_revenue_forecast_q,
+    "sales_promo_share": sales_promo_share_q,
+    "q4_missing_in_source": q4_missing_in_source,
+    "q5_range_diff": q5_range_diff,
+    "q6_sample": q6_sample,
+    "q7_point_lookup": q7_point_lookup,
+    "q8_field_diff": q8_field_diff,
+    "q12_listing_events": q12_listing_events,
+    "q13_listing_lineitem": q13_listing_lineitem,
+    "q17_table_counts": q17_table_counts,
+    "q21_dlq_replay_select": q21_dlq_replay_select,
+    "q22_resolve_update": q22_resolve_update,
+    "dedup_incremental_pairs": dedup_incremental_pairs_q,
+    "dedup_incremental_components": dedup_incremental_components_q,
+    "dedup_incremental_admission": dedup_incremental_admission_q,
+    "events_zorder_scan": events_zorder_scan_q,
+    "ann_l2_topk": ann_l2_topk_q,
+    "nation_market_share": nation_market_share_q,
+    "customer_order_distribution": customer_order_distribution_q,
+    "stream_enrich_parity": stream_enrich_parity_q,
+    "docs_weighted_sample": docs_weighted_sample_q,
+    "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
+    "lineitem_discount_bands": lineitem_discount_bands_q,
+    "docs_split_stats": docs_split_stats_q,
 }
 
 ORACLE = {
