@@ -992,8 +992,15 @@ def main() -> None:
     # should measure the steady state, not JIT.
     with tempfile.TemporaryDirectory() as wh:
         ingest_bench(spark, sf_dir, wh)
-    with tempfile.TemporaryDirectory() as wh:
-        eps = ingest_bench(spark, sf_dir, wh)
+    # best-of-3 (r10 verdict #3): ingest was the last single-shot
+    # metric — r9→r10 swung −27% on zero ingest-path commits, the same
+    # measurement noise the headline had before ITS best-of-3.  Keep
+    # every run's value so the record shows the spread.
+    eps_runs = []
+    for _ in range(3):
+        with tempfile.TemporaryDirectory() as wh:
+            eps_runs.append(ingest_bench(spark, sf_dir, wh))
+    eps = max(eps_runs)
     with tempfile.TemporaryDirectory() as wh:
         eps_256 = ingest_bench(spark, sf_dir, wh, num_buckets=256)
     with tempfile.TemporaryDirectory() as tmp:
@@ -1017,11 +1024,11 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        # explicit best-of-3 contract fields (r9 verdict #3): queries
-        # IS best-of-3 now; these names make the measurement discipline
-        # part of the record so a future format change can't silently
-        # revert to single-shot
+        # explicit best-of-3 contract fields (r9 verdict #3): the name
+        # makes the measurement discipline part of the record so a
+        # future format change can't silently revert to single-shot
+        # (the legacy duplicate "queries" alias was dropped per r10
+        # advice — the map is carried once)
         "queries_best3": timings,
         "queries_floor_adj": floor_adj,
         "headline_floor_sec": headline_floor,
@@ -1032,7 +1039,10 @@ def main() -> None:
         **cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm": True,
-        "ingest_events_per_sec": round(eps, 1),
+        "ingest_events_per_sec": round(eps, 1),  # best of the 3 below
+        "ingest_eps_run1": round(eps_runs[0], 1),
+        "ingest_eps_run2": round(eps_runs[1], 1),
+        "ingest_eps_run3": round(eps_runs[2], 1),
         "ingest_events_per_sec_256_buckets": round(eps_256, 1),
         **stream_stats,
         **lsm_stats,
@@ -1063,6 +1073,7 @@ HEADLINE_KEYS = [
     "headline_floor_sec", "pipeline_total",
     "pipeline_total_cold", "sf",
     "warm", "ingest_events_per_sec",
+    "ingest_eps_run1", "ingest_eps_run2", "ingest_eps_run3",
     "ingest_events_per_sec_256_buckets", "microbatch_p50_sec",
     "microbatch_p95_sec", "microbatch_p95_run1_sec",
     "microbatch_p95_run2_sec", "kill_restart_crash_injected",

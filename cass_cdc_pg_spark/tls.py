@@ -126,6 +126,13 @@ def kafka_ssl_options(
     if ca_file:
         opts[f"{prefix}ssl.truststore.type"] = "PEM"
         opts[f"{prefix}ssl.truststore.location"] = ca_file
+    if keystore_location and (cert_file or key_file):
+        # Two mTLS identities supplied at once: silently preferring one
+        # could ship the wrong client identity (r10 advice).
+        raise ValueError(
+            "pass either keystore_location (combined PEM path) or "
+            "cert_file/key_file (inline PEM), not both"
+        )
     if keystore_location:
         # Path-only mTLS: a single PEM file holding BOTH the private
         # key and the cert chain.  Nothing secret enters the option

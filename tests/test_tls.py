@@ -190,3 +190,19 @@ def test_mutual_tls_requires_client_cert(mtls_server, certs):
     authed.check_hostname = False
     status, _ = _https_get(base + "/health", authed)
     assert status == 200
+
+
+def test_kafka_ssl_rejects_conflicting_mtls_identities(tmp_path):
+    """keystore_location and cert_file/key_file are alternative mTLS
+    identities — supplying both must raise, not silently prefer one
+    (a misconfigured client identity would otherwise pass unnoticed)."""
+    import pytest
+
+    from cass_cdc_pg_spark.tls import kafka_ssl_options
+
+    pem = tmp_path / "id.pem"
+    pem.write_text("dummy")
+    with pytest.raises(ValueError, match="not both"):
+        kafka_ssl_options(keystore_location=str(pem), cert_file=str(pem))
+    with pytest.raises(ValueError, match="not both"):
+        kafka_ssl_options(keystore_location=str(pem), key_file=str(pem))
