@@ -138,8 +138,26 @@ SELECTED: list[tuple[str, str]] = [
      "once; broadcast anti-join cap on degenerate blocks; codegen "
      "levenshtein verify — no cartesian, no Python"),
     ("multimodal_real_decode",
-     "real PPM decode (r10): two chained MapInPandas (encode, "
-     "decode), ZERO Exchange — per-row media pipeline"),
+     "real PPM + WAV decode (r10/r11): two chained MapInPandas "
+     "(encode, decode), ZERO Exchange — per-row media pipeline with "
+     "the png error route inside the same plan"),
+    ("sales_promo_bundles",
+     "disjunctive bundles (r11, Q19 family): OR-of-ANDs pushed to "
+     "BOTH scans (part verbatim, derived quantity hulls on "
+     "lineitem); filtered part broadcast; per-bundle conditional "
+     "DECIMAL sums inside ONE aggregate"),
+    ("lineitem_part_copurchase",
+     "market-basket pairs (r11): dedup-first, co-partitioned "
+     "self-join on l_orderkey (pair fan-out bounded by basket "
+     "size), global top-20 as TakeOrderedAndProject"),
+    ("docs_vocab_coverage",
+     "top-K vocabulary via TakeOrdered, broadcast back over the "
+     "token stream; no global window, one per-source rollup "
+     "Exchange"),
+    ("events_robust_outliers",
+     "exact median/MAD by explicit rank selection (r11): every "
+     "Exchange keys on (event_type, day_no); AQE reuses the "
+     "duplicated rank-window subtree at runtime"),
     ("docs_pack_sequences", "exactly one Exchange, on the shard key"),
     ("docs_source_stats",
      "one text scan; shuffles carry hashes/counters only"),

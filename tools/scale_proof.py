@@ -39,13 +39,14 @@ sys.path.insert(0, ".")
 REPLICAS = 10
 
 
-def _replicate_docs(spark, sf_dir: str, out: str) -> None:
+def _replicate_docs(spark, sf_dir: str, out: str, replicas: int = None) -> None:
     from pyspark.sql import functions as F
 
+    replicas = REPLICAS if replicas is None else replicas
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
     parts = []
-    for i in range(REPLICAS):
+    for i in range(replicas):
         # tag EVERY token, not just a prefix: shingle equality survives
         # within a replica and is impossible across replicas (see module
         # docstring — a prefix-only tag made replicas 10-cliques)
@@ -351,6 +352,123 @@ def main() -> None:
             }
         report["dedup_components_detail"] = detail
         print(f"# dedup_components_detail: {detail}")
+
+        # ---- drill-downs for the two ratios nearest the ≤2 line
+        # (r10 verdict #4, the dedup_components precedent): commit the
+        # WORKLOAD counters at both scales next to the wall split, so
+        # the record itself shows data-proportional work growing 10×
+        # while the wall grows ~1.8× — i.e. the ratio is scan+shuffle
+        # amortization over the fixed session/plan floor, not a
+        # super-linear operator.  scan_sec times ONLY the pruned fact
+        # scan the query starts from (count of the same projection +
+        # filter); the remainder of the wall is join/agg/rank work.
+        from pyspark.sql import functions as _F
+
+        def _deciles_counters(d: str) -> dict:
+            o = _src.load_table(spark, d, "orders").select(
+                "o_custkey",
+                _F.col("o_totalprice").cast("decimal(18,6)").alias("_p"),
+            )
+            scan = _timed(lambda: o.count())
+            spend = o.groupBy("o_custkey").agg(_F.sum("_p").alias("spend"))
+            spend_sec = _timed(lambda: spend.count())
+            return {
+                "fact_rows": o.count(),
+                "rank_rows": o.select("o_custkey").distinct().count(),
+                "output_rows": 10,
+                "scan_sec": scan,
+                # the data-proportional phase (fact shuffle + DECIMAL
+                # agg), timed alone: if this stays ~flat while the
+                # full wall grows, the wall growth is the rank
+                # machinery's fixed multi-job floor (range-boundary
+                # sampling, checkpoint materialization, counts branch)
+                # amortizing — not super-linear operator work
+                "spend_agg_sec": spend_sec,
+            }
+
+        def _flows_counters(d: str) -> dict:
+            li = _src.load_table(spark, d, "lineitem").select(
+                "l_orderkey", "l_shipdate"
+            ).filter(
+                (_F.col("l_shipdate") >= _F.lit("1996-01-01").cast("timestamp"))
+                & (_F.col("l_shipdate") < _F.lit("1998-01-01").cast("timestamp"))
+            )
+            scan = _timed(lambda: li.count())
+            return {"fact_rows_after_filter": li.count(), "scan_sec": scan}
+
+        report["customer_value_deciles_detail"] = {
+            "1x": _deciles_counters(sf_dir),
+            "10x": _deciles_counters(tmp),
+        }
+        report["nation_trade_flows_detail"] = {
+            "1x": _flows_counters(sf_dir),
+            "10x": _flows_counters(tmp),
+        }
+        print(f"# deciles_detail: {report['customer_value_deciles_detail']}")
+        print(f"# flows_detail: {report['nation_trade_flows_detail']}")
+
+    # ---- 100× decade check (r10 verdict #5): replay the three
+    # heaviest document-tier entries on a 100× corpus and record the
+    # 100×-vs-10× (one further decade) ratio.  Only documents is
+    # replicated: all three read nothing else.
+    #
+    # READING THE DECADE RATIO: the ≤2-per-10× ratios at toy walls
+    # measure fixed-cost amortization — as real work rises out of the
+    # multi-job session floor, the wall ratio on a FIXED 32-core box
+    # must converge toward the data ratio (10).  The posture claim at
+    # 100 TB is therefore per-row cost, not wall: docs_per_sec must
+    # RISE (or hold) decade over decade.  Wall flatness at constant
+    # per-row cost is what scale-OUT (the 1000-executor premise)
+    # buys, not what a fixed box can show.  dedup_components also
+    # records its 100× fixpoint rounds: pointer-doubling adds rounds
+    # logarithmically, one extra pass per ~decade of diameter growth.
+    from cass_cdc_pg_spark.operators import dedup as _dedup2
+    from cass_cdc_pg_spark.registry import _DEDUP_PAIR_PARAMS as _PP
+    from cass_cdc_pg_spark.registry import dedup_cluster_sizes_q as _dcs
+    from cass_cdc_pg_spark.registry import dedup_components_q as _dcc
+    from cass_cdc_pg_spark.registry import docs_fuzzy_pairs_q as _dfp
+
+    hundred = {
+        "docs_fuzzy_pairs": _dfp,
+        "dedup_components": _dcc,
+        "dedup_cluster_sizes": _dcs,
+    }
+    n_docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    with tempfile.TemporaryDirectory() as tmp100:
+        _replicate_docs(spark, sf_dir, tmp100, replicas=100)
+        report["100x"] = {}
+        for name, fn in hundred.items():
+            t10 = report["queries"][name]["sec_10x"]
+            fn(spark, tmp100).count()  # warm (codegen, file listing)
+            t100 = min(
+                _timed(lambda: fn(spark, tmp100).count()) for _ in range(2)
+            )
+            report["100x"][name] = {
+                "sec_10x": t10,
+                "sec_100x": t100,
+                "ratio_per_decade_10x_to_100x": round(t100 / t10, 2)
+                if t10
+                else None,
+                "docs_per_sec_10x": round(10 * n_docs_1x / t10, 1),
+                "docs_per_sec_100x": round(100 * n_docs_1x / t100, 1),
+            }
+            print(f"# 100x {name}: 10x={t10}s 100x={t100}s "
+                  f"decade ratio={t100 / t10:.2f}")
+        st100: dict = {}
+        pairs100 = _dedup2.minhash_lsh_pairs(
+            spark.read.parquet(f"{tmp100}/documents.parquet"), **_PP
+        ).localCheckpoint(eager=True)
+        cc100 = _dedup2.connected_components(
+            pairs100.select("doc_a", "doc_b"), stats=st100
+        )
+        report["100x"]["dedup_components"].update(
+            pairs_100x=pairs100.count(),
+            nodes_100x=cc100.count(),
+            fixpoint_rounds_100x=st100["rounds"],
+        )
+        print(f"# 100x components detail: "
+              f"{report['100x']['dedup_components']}")
+
     with open(out_json, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
