@@ -7036,15 +7036,19 @@ def sales_promo_bundles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(b1 | b2 | b3)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(rev).cast("decimal(18,6)").alias("revenue"),
+            # DECIMAL accumulation (exact), DOUBLE on the way out: the
+            # driver's pandas canonicalizer is decimal-unsafe
+            # (tests/test_oracle_dtypes), and casting the identical
+            # exact decimal gives the identical double in both engines
+            F.sum(rev).cast("double").alias("revenue"),
             F.sum(F.when(b1, rev).otherwise(zero))
-            .cast("decimal(18,6)")
+            .cast("double")
             .alias("rev_bundle1"),
             F.sum(F.when(b2, rev).otherwise(zero))
-            .cast("decimal(18,6)")
+            .cast("double")
             .alias("rev_bundle2"),
             F.sum(F.when(b3, rev).otherwise(zero))
-            .cast("decimal(18,6)")
+            .cast("double")
             .alias("rev_bundle3"),
         )
     )
@@ -7064,13 +7068,13 @@ WITH j AS (
      OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30)
      OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 25 AND 50))
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(rev) AS DECIMAL(18,6)) AS revenue,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
        CAST(SUM(CASE WHEN b1 THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
-            AS DECIMAL(18,6)) AS rev_bundle1,
+            AS DOUBLE) AS rev_bundle1,
        CAST(SUM(CASE WHEN b2 THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
-            AS DECIMAL(18,6)) AS rev_bundle2,
+            AS DOUBLE) AS rev_bundle2,
        CAST(SUM(CASE WHEN b3 THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
-            AS DECIMAL(18,6)) AS rev_bundle3
+            AS DOUBLE) AS rev_bundle3
 FROM j
 WHERE b1 OR b2 OR b3
 """
