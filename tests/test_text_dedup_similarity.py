@@ -1613,3 +1613,26 @@ def test_ivfpq_full_probe_equals_full_scan_adc(spark):
         ).collect()
     )
     assert full_probe == full_scan
+
+
+def test_pq_encode_kernels_bit_identical_at_production_ksub(spark):
+    """The kernels-bit-identical contract at the PRODUCTION resolution
+    (m=16, ksub=256 — 8-bit sub-quantizers): the registry runs the
+    Arrow kernel in bulk and the 4096-fold JVM expression exists as
+    the cross-check, so the pin must hold where the codebooks actually
+    live, not only at the toy ksub=16.  Bounded to 50 vectors: the
+    JVM expression's cost is analysis (plan-size), not rows."""
+    from cass_cdc_pg_spark import registry
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    books = registry._pq_codebooks(sf)
+    assert len(books[0]) == 256  # production resolution under test
+    a = {r["vec_id"]: list(r["codes"])
+         for r in similarity.pq_encode(emb, books).collect()}
+    j = {r["vec_id"]: list(r["codes"])
+         for r in similarity.pq_encode(emb, books, kernel="jvm").collect()}
+    assert a == j and len(a) == 50
