@@ -1132,6 +1132,60 @@ def l2_topk(
     )
 
 
+def pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval (the FAISS search-then-refine pattern): the
+    ADC pass over CODES produces a *shortlist* of candidates per query,
+    and only those ≤ Q·shortlist rows are re-ranked by EXACT squared
+    L2 on the full vectors — the standard production shape where the
+    compressed index bounds how many real vectors a query ever touches
+    (at shortlist=50 a query reads 50 vectors out of the corpus, at
+    any corpus size).
+
+    Scale shape: the shortlist (tiny by construction) BROADCASTS back
+    against the corpus for the vector fetch — the corpus is scanned
+    once and never shuffled; the query vectors broadcast as a literal
+    relation; the exact distance is the module's left-to-right JVM
+    fold (bit-identical to ``_L2DIST_SQL``); only the ≤ Q·shortlist
+    scored rows reach the ranking Exchange."""
+    sl = pq_topk(
+        corpus, queries, codebooks, k=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    l2 = (
+        "aggregate(zip_with(_qv, _nv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        nvec.join(F.broadcast(sl), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id", "neighbor_id", F.round(F.expr(l2), 6).alias("dist")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
 def ivfpq_index(
     corpus: DataFrame,
     centroids: list[list[float]],

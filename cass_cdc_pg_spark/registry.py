@@ -7329,6 +7329,201 @@ GROUP BY 1, 2
 """
 
 
+_PQ_REFINE_SHORTLIST = 50
+
+
+def ann_pq_refine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (FAISS search-then-refine): PQ-ADC shortlist
+    of 50 over codes, exact-L2 re-rank of ONLY those rows — a query
+    touches 50 real vectors at any corpus size.  The production ANN
+    answer shape: compressed-index recall, exact-metric ordering."""
+    key = (
+        spark.sparkContext.applicationId,
+        _ivf_fixture_key(sf_dir),
+        "pq_refine", _PQ_M, _PQ_KSUB, _PQ_REFINE_SHORTLIST, _PQ_K,
+    )
+    if key not in _PQ_DF_CACHE:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        _PQ_DF_CACHE[key] = similarity.pq_refine_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            _pq_codebooks(sf_dir),
+            k=_PQ_K,
+            shortlist=_PQ_REFINE_SHORTLIST,
+        )
+    return _PQ_DF_CACHE[key]
+
+
+def _pq_refine_sql(
+    codebooks: list[list[list[float]]], shortlist: int, k: int
+) -> str:
+    """Oracle twin of ``similarity.pq_refine_topk``: the ``_pq_sql``
+    shortlist at k=*shortlist* as a derived table, re-ranked by the
+    same left-to-right exact-L2 fold the Spark expression runs."""
+    l2 = _L2DIST_SQL.format(a="qe.embedding", b="ne.embedding")
+    return f"""
+WITH pqsl AS (SELECT query_id, neighbor_id
+              FROM ({_pq_sql(codebooks, shortlist)}) s),
+scored AS (
+  SELECT p.query_id, p.neighbor_id, ROUND({l2}, 6) AS dist
+  FROM pqsl p
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = p.neighbor_id)
+SELECT query_id, neighbor_id, rank, dist
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+_PQ_REFINE_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def pq_refine_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _PQ_REFINE_SQL_CACHE:
+        try:
+            _PQ_REFINE_SQL_CACHE[key] = _pq_refine_sql(
+                _pq_codebooks(sf_dir), _PQ_REFINE_SHORTLIST, _PQ_K
+            )
+        except OSError:
+            return None
+    return _PQ_REFINE_SQL_CACHE[key]
+
+
+def ann_pq_refine_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of refine-after-shortlist against exact L2 — the gauge
+    that shows the refine stage RECOVERS the exactness the 16-byte
+    codes gave up (measured 1.0 at sf0.01: the true top-5 sits inside
+    the ADC top-50, so re-ranking restores the exact answer; compare
+    0.80 for ADC alone)."""
+    exact = ann_l2_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_pq_refine_topk_q(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_K))).alias(
+            "recall_at_5"
+        ),
+    )
+
+
+_PQ_REFINE_RECALL_SQL_CACHE: dict[str, str] = {}
+
+
+def pq_refine_recall_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    ref = pq_refine_oracle_sql(sf_dir)
+    if ref is None:
+        return None
+    if ref not in _PQ_REFINE_RECALL_SQL_CACHE:
+        _PQ_REFINE_RECALL_SQL_CACHE[ref] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ANN_L2_SQL}) e),
+approx AS (SELECT query_id, neighbor_id FROM ({ref}) a),
+hits AS (
+  SELECT exact.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) / {float(_PQ_K)} AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+    return _PQ_REFINE_RECALL_SQL_CACHE[ref]
+
+
+def docs_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty curve — the dataset-curation gauge
+    for incremental corpus growth: of a doc's DISTINCT 3-token
+    shingles, what fraction first appears in the corpus at this doc
+    (corpus ordered by doc_id)?  Early docs score high, later docs
+    only for genuinely new text; dedup-admission pipelines threshold
+    on exactly this rate.
+
+    Scale shape: one shingle-key shuffle computes each shingle's
+    global first-owner (MIN(doc_id) — a partial-aggregating min, no
+    window over the corpus); the per-doc rollup rides the same
+    exploded relation joined back on the shingle key.  Shingle
+    strings cross the shuffle once; docs with <3 tokens have no
+    shingles and are excluded by construction."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("tk"),
+    ).filter(F.size("tk") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.get("tk", i),
+                    F.get("tk", i + 1),
+                    F.get("tk", i + 2),
+                ),
+            )
+        ).alias("sh"),
+    ).distinct()
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> array_to_string(tk[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(tk) >= 3),
+first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+FROM sh s JOIN first f USING (sh)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     # ================= r11 driver window (first 50) =================
     # Composition (r10 verdict #2 discipline): new queries FIRST (they
@@ -7398,10 +7593,17 @@ QUERIES = {
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r12, oldest evidence first:
-    # (1) the r8-green remainder (5 entries, last driver row r8 — the
-    #     only entries whose evidence is older than r9), (2) the 47
-    #     r9-green entries, (3) the 44 r10-green entries below them.
-    # ---- r8-green remainder (5 entries — FIRST r12 leads) ----
+    # (0) the three NEW r11 queries below, landed after the window
+    #     froze (never driver-checked — enter the r12 window with any
+    #     r12 new queries), (1) the r8-green remainder (5 entries,
+    #     last driver row r8 — the only entries whose evidence is
+    #     older than r9), (2) the 47 r9-green entries, (3) the 44
+    #     r10-green entries below them.
+    # ---- new in r11, past-cap (replay + pytest evidence only) ----
+    "ann_pq_refine_topk": ann_pq_refine_topk_q,
+    "ann_pq_refine_recall": ann_pq_refine_recall_q,
+    "docs_ngram_novelty": docs_ngram_novelty_q,
+    # ---- r8-green remainder (5 entries — r12 leads after the new) ----
     "sales_top_suppliers": sales_top_suppliers_q,
     "sales_region_share": sales_region_share_q,
     "embedding_semdedup_keep": embedding_semdedup_keep_q,
@@ -7508,6 +7710,7 @@ ORACLE = {
     "lineitem_part_copurchase": COPURCHASE_SQL,
     "docs_vocab_coverage": VOCAB_COVERAGE_SQL,
     "events_robust_outliers": ROBUST_OUTLIERS_SQL,
+    "docs_ngram_novelty": NGRAM_NOVELTY_SQL,
     "q1_row_count": Q1_SQL,
     "q2_checksums": Q2_SQL,
     "q3_checksum_diff": Q3_SQL,
@@ -7684,4 +7887,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     ipr = ivfpq_recall_oracle_sql(sf_dir)
     if ipr is not None:
         out["ann_ivfpq_recall"] = ipr
+    rf = pq_refine_oracle_sql(sf_dir)
+    if rf is not None:
+        out["ann_pq_refine_topk"] = rf
+    rfr = pq_refine_recall_oracle_sql(sf_dir)
+    if rfr is not None:
+        out["ann_pq_refine_recall"] = rfr
     return out

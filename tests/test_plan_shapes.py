@@ -1568,3 +1568,36 @@ def test_robust_outliers_one_key_reused_shuffle(spark):
     df.collect()
     final = _plan(df)
     assert "ReusedExchange" in final, final
+
+
+def test_pq_refine_corpus_never_shuffles(spark):
+    """ann_pq_refine_topk (r11): the vector-fetch join must stream the
+    corpus against a BROADCAST shortlist (a query touches `shortlist`
+    real vectors at any corpus size — a shuffled fetch would move the
+    whole corpus), and the only hash Exchanges are the two tiny
+    query_id-keyed ranking shuffles (the ADC shortlist's top-50 window
+    and the refine top-5 window — both carry ≤ Q·shortlist rows,
+    never vectors)."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.ann_pq_refine_topk_q(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "query_id" in ln, ln
+
+
+def test_ngram_novelty_single_shingle_shuffle(spark):
+    """docs_ngram_novelty (r11): the shingle first-owner is a
+    partial-aggregating MIN on the shingle key — no window over the
+    corpus, no Python, and shingle strings cross at most two hash
+    Exchanges (distinct + min/rollup reuse the same key)."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(registry.docs_ngram_novelty_q(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1636,3 +1636,28 @@ def test_pq_encode_kernels_bit_identical_at_production_ksub(spark):
     j = {r["vec_id"]: list(r["codes"])
          for r in similarity.pq_encode(emb, books, kernel="jvm").collect()}
     assert a == j and len(a) == 50
+
+
+def test_pq_refine_recovers_exact_topk(spark):
+    """Search-then-refine (r11): re-ranking the ADC top-50 by exact L2
+    must reproduce the exact top-5 VERBATIM on this fixture (measured
+    recall 1.0 at sf0.001 and sf0.01 — the true neighbors sit inside
+    the shortlist), i.e. the refine stage recovers the exactness the
+    16-byte codes gave up."""
+    from cass_cdc_pg_spark import registry
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = registry._pq_codebooks(sf)
+    exact = sorted(
+        tuple(r) for r in similarity.l2_topk(emb, q, k=5).collect()
+    )
+    refined = sorted(
+        tuple(r)
+        for r in similarity.pq_refine_topk(
+            emb, q, books, k=5, shortlist=50
+        ).collect()
+    )
+    assert refined == exact
