@@ -264,3 +264,107 @@ def test_weighted_sample_equals_priority_model(spark, n, k):
         for rank, (_, _, i) in enumerate(members[:k], 1):
             expected.append((g, i, rank))
     assert got == sorted(expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_robust_outliers_matches_numpy_model(spark, data):
+    """events_robust_outliers (r11): the explicit rank-selection
+    median/MAD must equal a numpy recompute group for group on random
+    inputs — medians, MADs, outlier counts, and fractions.  The two
+    engines' agreement rests on both picking the SAME stored doubles;
+    this pins the Spark side to the mathematical model."""
+    import tempfile
+
+    import numpy as np
+
+    from cass_cdc_pg_spark import registry
+
+    n = data.draw(st.integers(4, 40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                data.draw(st.sampled_from(["x", "y"])),
+                # two UTC days' worth of microsecond offsets
+                data.draw(st.integers(0, 2 * 86400 - 1)) * 1_000_000,
+                float(
+                    data.draw(
+                        st.floats(
+                            min_value=-100,
+                            max_value=100,
+                            allow_nan=False,
+                            allow_infinity=False,
+                            width=64,
+                        )
+                    )
+                ),
+            )
+        )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (eid, et, __import__("datetime").datetime.utcfromtimestamp(us / 1e6), uid, v)
+                for (eid, et, us, v), uid in zip(rows, range(n))
+            ],
+            "event_id long, event_type string, ts timestamp, user_id long, value double",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r["event_type"], r["day_no"]): r
+            for r in registry.events_robust_outliers_q(spark, d).collect()
+        }
+    groups: dict = {}
+    for eid, et, us, v in rows:
+        groups.setdefault((et, us // 86_400_000_000), []).append(v)
+    assert set(got) == set(groups)
+    for key, vals in groups.items():
+        a = np.array(sorted(vals))
+        med = float(np.median(a))
+        mad = float(np.median(np.abs(np.array(vals) - med)))
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        r = got[key]
+        assert r["n_events"] == len(vals)
+        assert r["median"] == round(med, 6), (key, r["median"], med)
+        assert r["mad"] == round(mad, 6), (key, r["mad"], mad)
+        assert r["n_outliers"] == n_out
+        assert r["outlier_frac"] == round(n_out / len(vals), 6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_ngram_novelty_matches_bruteforce(spark, docs):
+    """docs_ngram_novelty (r11): per-doc distinct-3-gram novelty vs a
+    sequential pure-Python sweep (the definitional model: a shingle is
+    novel at the LOWEST doc_id owning it)."""
+    import tempfile
+
+    from cass_cdc_pg_spark import registry
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: r
+            for r in registry.docs_ngram_novelty_q(spark, d).collect()
+        }
+    first: dict = {}
+    expected: dict = {}
+    for i, t in enumerate(docs):
+        toks = [x for x in t.split(" ") if x]
+        sh = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        }
+        if not sh:
+            continue
+        for s in sh:
+            first.setdefault(s, i)
+        novel = sum(1 for s in sh if first[s] == i)
+        expected[i] = (len(sh), novel)
+    assert set(got) == set(expected)
+    for i, (n_sh, novel) in expected.items():
+        r = got[i]
+        assert (r["n_shingles"], r["n_novel"]) == (n_sh, novel)
+        assert r["novelty_rate"] == round(novel / n_sh, 6)
