@@ -223,6 +223,7 @@ def main() -> None:
 
     from cass_cdc_pg_spark.registry import (
         ann_ivfpq_topk_q,
+        ann_pq_refine_topk_q,
         ann_pq_topk_q,
         docs_fuzzy_pairs_q,
         docs_weighted_sample_q,
@@ -295,6 +296,10 @@ def main() -> None:
         "embedding_pq_codes": embedding_pq_codes_q,
         "ann_pq_topk": ann_pq_topk_q,
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
+        # r11: the two-stage refine (shortlist ADC + exact re-rank of
+        # ≤ Q·50 rows — the re-rank volume is corpus-size independent,
+        # so the ratio tracks the ADC scan alone)
+        "ann_pq_refine_topk": ann_pq_refine_topk_q,
         "events_zorder_scan": events_zorder_scan_q,
         "multimodal_real_decode": multimodal_real_decode_q,
         # r10 late: the blocked fuzzy join (pair volume tracks the
