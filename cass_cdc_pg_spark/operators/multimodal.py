@@ -221,16 +221,201 @@ def wav_features(payload: bytes, fmt: str = "wav") -> list[float]:
     ]
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor (left, up,
+    upper-left) closest to the linear estimate a + b - c, ties broken
+    left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int, height: int, raster: bytes, channels: int = 3
+) -> bytes:
+    """Pure-Python PNG writer (8-bit RGB / RGBA, non-interlaced):
+    signature + IHDR + one zlib IDAT + IEND, CRC32 per chunk.  The
+    scanline filter CYCLES ``row % 5`` through all five filter types
+    (None/Sub/Up/Average/Paeth), so a decoder only round-trips if it
+    implements every reconstruction — a Paeth bug is a raster
+    mismatch, not a silent pass."""
+    import struct
+    import zlib
+
+    if channels not in (3, 4):
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(raster) != stride * height:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, want {stride * height}"
+        )
+    bpp = channels
+    prev = bytes(stride)
+    filtered = bytearray()
+    for y in range(height):
+        row = raster[y * stride : (y + 1) * stride]
+        ft = y % 5
+        filtered.append(ft)
+        if ft == 0:  # None
+            filtered += row
+        elif ft == 1:  # Sub
+            filtered += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            filtered += bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(stride)
+            )
+        elif ft == 3:  # Average
+            filtered += bytes(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            filtered += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2 if channels == 3 else 6, 0, 0, 0
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a PNG (stdlib only — ``zlib`` for IDAT): returns
+    (width, height, channels, raster).  Walks the chunk list verifying
+    each CRC32, concatenates multiple IDAT chunks, and reconstructs
+    all five scanline filters (None/Sub/Up/Average/Paeth).  Supports
+    the 8-bit truecolor types (2 = RGB, 6 = RGBA), non-interlaced —
+    everything else raises (palette/16-bit/Adam7 need no new
+    dependency but aren't in this pipeline's write path)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a png")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated png chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad crc in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not idat:
+        raise ValueError("missing IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported png variant (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    ch = 3 if color == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size does not match dimensions")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row = bytearray(stride)
+        for i in range(stride):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            x = line[i]
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x + a
+            elif ft == 2:
+                v = x + b
+            elif ft == 3:
+                v = x + ((a + b) >> 1)
+            elif ft == 4:
+                v = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"unknown scanline filter {ft}")
+            row[i] = v & 0xFF
+        out += row
+        prev = bytes(row)
+    return w, h, ch, bytes(out)
+
+
+def png_features(payload: bytes, fmt: str = "png") -> list[float]:
+    """Real PNG decode → exact-integer features, same shape as
+    ``ppm_features``: (width, height, n_pixels, sum_r, sum_g, sum_b).
+    The sums are taken over the FILTER-RECONSTRUCTED raster, so any
+    unfiltering bug (Sub offset, Average floor, Paeth tiebreak)
+    changes a sum and hash-mismatches the oracle's analytic
+    recomputation.  RGBA inputs contribute their RGB channels (alpha
+    is validated by the round-trip tests via ``decode_png``)."""
+    w, h, ch, raster = decode_png(payload)
+    sums = [0, 0, 0]
+    for i, b in enumerate(raster):
+        k = i % ch
+        if k < 3:
+            sums[k] += b
+    return [float(w), float(h), float(w * h)] + [float(s) for s in sums]
+
+
 def media_decoder(payload: bytes, fmt: str) -> list[float]:
     """Format-dispatching decoder: real pure-Python codecs for the
-    formats this container can parse without media libraries; every
-    other format raises through the documented injection seam (the
-    per-row error routing in ``extract_features`` turns that into a
-    ``decode_ok=false`` row, the S5 DLQ pattern)."""
+    formats this container can parse without media libraries (PPM,
+    WAV, and PNG — stdlib ``zlib`` covers IDAT); every other format
+    (jpeg/mp4, which genuinely need codec libraries) raises through
+    the documented injection seam (the per-row error routing in
+    ``extract_features`` turns that into a ``decode_ok=false`` row,
+    the S5 DLQ pattern)."""
     if fmt == "ppm":
         return ppm_features(payload, fmt)
     if fmt == "wav":
         return wav_features(payload, fmt)
+    if fmt == "png":
+        return png_features(payload, fmt)
     return default_decoder(payload, fmt)
 
 

@@ -164,10 +164,13 @@ def test_media_decoder_dispatch_and_seam(media):
     assert multimodal.media_decoder(ppm, "ppm")[0] == 1.0
     wav = multimodal.encode_wav(8000, 1, [1])
     assert multimodal.media_decoder(wav, "wav")[0] == 1.0
+    png = multimodal.encode_png(1, 1, bytes([9, 9, 9]))
+    assert multimodal.media_decoder(png, "png")[0] == 1.0
     import pytest as _pytest
 
+    # jpeg/mp4 remain the genuine injection seam (need codec libs)
     with _pytest.raises(NotImplementedError):
-        multimodal.media_decoder(b"\x89PNG", "png")
+        multimodal.media_decoder(b"\xff\xd8\xff\xe0", "jpeg")
 
 
 def test_extract_features_decodes_real_ppm_bytes(spark):
@@ -177,7 +180,8 @@ def test_extract_features_decodes_real_ppm_bytes(spark):
     rows = [
         (1, multimodal.encode_ppm(2, 1, bytes([10, 20, 30, 40, 50, 60])), "ppm"),
         (2, multimodal.encode_wav(8000, 1, [100, -100, 50]), "wav"),
-        (3, b"\x89PNG....", "png"),
+        (3, b"\xff\xd8\xff\xe0....", "jpeg"),
+        (4, multimodal.encode_png(2, 1, bytes([10, 20, 30, 40, 50, 60])), "png"),
     ]
     media = spark.createDataFrame(
         rows, "media_id long, payload binary, fmt string"
@@ -202,6 +206,7 @@ def test_extract_features_decodes_real_ppm_bytes(spark):
     assert out[1]["decode_ok"] and out[1]["feature"] == [2.0, 1.0, 2.0, 50.0, 70.0, 90.0]
     assert out[2]["decode_ok"] and out[2]["feature"][:3] == [1.0, 8000.0, 3.0]
     assert not out[3]["decode_ok"] and "media decoding requires" in out[3]["error"]
+    assert out[4]["decode_ok"] and out[4]["feature"] == [2.0, 1.0, 2.0, 50.0, 70.0, 90.0]
 
 
 # -- property tests: codecs must round-trip arbitrary payloads --------
@@ -258,3 +263,85 @@ def test_wav_roundtrip_property(rate, channels, frames):
         float(sum(samples)),
         float(sum(abs(s) for s in samples)),
     ]
+
+
+# -- PNG codec (r11 verdict #2: the last seam closable with stdlib) --
+
+
+def test_png_roundtrip_bit_exact():
+    raster = bytes(range(3 * 2 * 3))  # 2x3 RGB
+    png = multimodal.encode_png(2, 3, raster)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert multimodal.decode_png(png) == (2, 3, 3, raster)
+
+
+def test_png_all_five_filters_roundtrip():
+    # 6 rows => the encoder cycles through every filter type incl.
+    # Paeth (row 4) and wraps back to None (row 5)
+    w, h = 5, 6
+    raster = bytes((i * 37 + 11) % 256 for i in range(3 * w * h))
+    png = multimodal.encode_png(w, h, raster)
+    assert multimodal.decode_png(png) == (w, h, 3, raster)
+    # the filtered stream really uses all five types
+    import struct as _struct
+    import zlib as _zlib
+
+    pos, idat = 8, b""
+    while pos + 12 <= len(png):
+        (ln,) = _struct.unpack_from(">I", png, pos)
+        if png[pos + 4 : pos + 8] == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = _zlib.decompress(idat)
+    stride = 3 * w
+    assert [raw[y * (stride + 1)] for y in range(h)] == [0, 1, 2, 3, 4, 0]
+
+
+def test_png_rejects_corruption():
+    png = multimodal.encode_png(2, 2, bytes(12))
+    with pytest.raises(ValueError, match="not a png"):
+        multimodal.decode_png(b"\x89PNX" + png[4:])
+    # flip a raster-affecting byte inside IDAT: CRC must catch it
+    idat_at = png.index(b"IDAT") + 4
+    bad = bytearray(png)
+    bad[idat_at + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="bad crc"):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported channel count"):
+        multimodal.encode_png(2, 2, bytes(8), channels=2)
+    with pytest.raises(ValueError, match="raster is"):
+        multimodal.encode_png(2, 2, bytes(11))
+
+
+def test_png_features_exact():
+    # 1x2 RGB: rows exercise None + Sub... dims small but sums exact
+    raster = bytes([1, 2, 3, 250, 251, 252])
+    png = multimodal.encode_png(1, 2, raster)
+    assert multimodal.png_features(png) == [1.0, 2.0, 2.0, 251.0, 253.0, 255.0]
+    # RGBA: alpha is excluded from the RGB sums
+    rgba = bytes([1, 2, 3, 128, 9, 8, 7, 64])
+    png4 = multimodal.encode_png(2, 1, rgba, channels=4)
+    assert multimodal.png_features(png4) == [2.0, 1.0, 2.0, 10.0, 10.0, 10.0]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    channels=st.sampled_from([3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, channels, data):
+    n = channels * w * h
+    raster = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    png = multimodal.encode_png(w, h, raster, channels=channels)
+    assert multimodal.decode_png(png) == (w, h, channels, raster)
+    sums = [0, 0, 0]
+    for i, b in enumerate(raster):
+        if i % channels < 3:
+            sums[i % channels] += b
+    assert multimodal.png_features(png) == [
+        float(w), float(h), float(w * h),
+    ] + [float(s) for s in sums]
