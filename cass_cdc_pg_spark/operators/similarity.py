@@ -1155,6 +1155,9 @@ def pq_refine_topk(
     relation; the exact distance is the module's left-to-right JVM
     fold (bit-identical to ``_L2DIST_SQL``); only the ≤ Q·shortlist
     scored rows reach the ranking Exchange."""
+    # the shortlist bounds the candidate pool, so shortlist < k would
+    # silently return fewer than k rows per query (r11 advice)
+    shortlist = max(shortlist, k)
     sl = pq_topk(
         corpus, queries, codebooks, k=shortlist,
         id_col=id_col, vec_col=vec_col,
@@ -1237,6 +1240,38 @@ def ivfpq_index(
         enc,
         schema=f"neighbor_id {id_type}, cell bigint, codes array<int>",
     )
+
+
+def ivfpq_append(
+    index: DataFrame,
+    new_batch: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF×PQ index maintenance (the FAISS ``add`` on a
+    trained index): cell-assign + PQ-encode ONLY the new batch against
+    the STANDING centroids/codebooks and append the delta to the
+    persisted index relation — the daily-embedding-batch operation a
+    deployment actually runs, completing the incremental symmetry with
+    the dedup standing index (delta admission) and ``ivf_assign``.
+
+    Scale shape: the standing index is READ (a pruned parquet scan of
+    (neighbor_id, cell, codes) — m ints per row, never vectors) and
+    never recomputed or shuffled; the delta pass is the same one-pass
+    no-shuffle constant-folded cell assignment + Arrow-kernel encode
+    as the snapshot build, over the batch alone.  Work per day is
+    O(|new batch|), not O(|corpus|).
+
+    Parity contract (the oracle): cell assignment and codes depend
+    only on the TRAINED literals, never on corpus membership, so
+    ``append(index(base), new) == index(base ∪ new)`` row-for-row —
+    the ``dedup_incremental_components`` precedent."""
+    delta = ivfpq_index(
+        new_batch, centroids, codebooks, id_col=id_col, vec_col=vec_col
+    )
+    return index.select("neighbor_id", "cell", "codes").unionByName(delta)
 
 
 def ivfpq_topk(

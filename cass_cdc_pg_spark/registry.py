@@ -4361,6 +4361,151 @@ LEFT JOIN hits h ON q.query_id = h.query_id
     return _IVFPQ_RECALL_SQL_CACHE[ipq]
 
 
+#: the "daily batch" carve-out for incremental index maintenance:
+#: vec_id ≡ _EMB_APPEND_REM (mod 10) is the new batch, the other 90%
+#: is the standing corpus the persisted base index covers (the
+#: dedup-incremental 90/10 convention)
+_EMB_APPEND_REM = 7
+
+
+def _ivfpq_base_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF×PQ index over the BASE slice (vec_id not in
+    the daily batch) — the standing artifact ``ivfpq_append`` extends.
+    Same durable-state protocol as ``_ivfpq_index`` (atomic rename,
+    parameter-keyed invalidation, cell-partitioned layout)."""
+    key = _ivf_fixture_key(sf_dir)
+    d = _cache_layout_dir(
+        "ivfpq_base_index", key[0], key[1],
+        _IVF_NC, _PQ_M, _PQ_KSUB, _EMB_APPEND_REM,
+    )
+
+    def _build(tmp: str) -> None:
+        base = src.load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 != _EMB_APPEND_REM
+        )
+        similarity.ivfpq_index(
+            base, _ivf_centroids(sf_dir), _pq_codebooks(sf_dir)
+        ).write.partitionBy("cell").mode("overwrite").parquet(tmp)
+
+    _ensure_layout(d, "ivfpq_base_index_", _build)
+    return spark.read.parquet(d)
+
+
+def ann_ivfpq_append_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF×PQ index maintenance (r11 verdict #3): append
+    the daily embedding batch (vec_id ≡ 7 mod 10) onto the PERSISTED
+    base index with ``similarity.ivfpq_append`` — assign + encode ONLY
+    the new rows against the standing centroids/codebooks; the base
+    index is a pruned parquet read of (neighbor_id, cell, codes) that
+    never shuffles and never touches vectors.  The result is the FULL
+    maintained index, codes exploded to scalar columns (list cells are
+    canonicalizer-unsafe, the ``embedding_pq_codes`` precedent).
+
+    ORACLE: the full-corpus analytic recomputation — DuckDB assigns
+    every vector's cell and argmin codes from the trained literals, so
+    a hash match proves incremental == rebuild == analytic (cell
+    assignment and codes depend only on the trained literals, not on
+    corpus membership — the ``dedup_incremental_components``
+    precedent)."""
+    key = (
+        spark.sparkContext.applicationId,
+        _ivf_fixture_key(sf_dir),
+        "ivfpq_append", _IVF_NC, _PQ_M, _PQ_KSUB, _EMB_APPEND_REM,
+    )
+    if key not in _PQ_DF_CACHE:
+        new = src.load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 == _EMB_APPEND_REM
+        )
+        appended = similarity.ivfpq_append(
+            _ivfpq_base_index(spark, sf_dir),
+            new,
+            _ivf_centroids(sf_dir),
+            _pq_codebooks(sf_dir),
+        )
+        _PQ_DF_CACHE[key] = appended.select(
+            "neighbor_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.posexplode("codes").alias("subspace", "code"),
+        ).select(
+            "neighbor_id",
+            "cell",
+            (F.col("subspace") + 1).cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+        )
+    return _PQ_DF_CACHE[key]
+
+
+def _ivfpq_append_sql(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> str:
+    """Oracle twin of the maintained index: every vector's IVF cell
+    (``_ivf_sql`` math) and PQ codes (``_pq_sql`` argmin math) from
+    the trained literals, one row per (vector, subspace)."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    cent_rows = ", ".join(
+        f"({i + 1}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(centroids)
+    )
+    cb_rows = ", ".join(
+        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
+        for j, book in enumerate(codebooks)
+        for c, ctr in enumerate(book)
+    )
+    cos_cent = _cos_sql("vec", "ctr")
+    l2 = _L2DIST_SQL.format(a="sv", b="sctr")
+    return f"""
+WITH cent(cell, ctr) AS (VALUES {cent_rows}),
+cb(j, c, sctr) AS (VALUES {cb_rows}),
+cscore AS (
+  SELECT e.vec_id, e.embedding AS vec, cent.cell, {cos_cent} AS s
+  FROM embeddings e CROSS JOIN cent),
+cassign AS (
+  SELECT vec_id, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore)
+  WHERE rn = 1),
+sub AS (
+  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
+  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
+pdist AS (
+  SELECT vec_id, j, c, {l2} AS d
+  FROM sub JOIN cb USING (j)),
+codes AS (
+  SELECT vec_id, j, c
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, c ASC) AS rn
+        FROM pdist)
+  WHERE rn = 1)
+SELECT a.vec_id AS neighbor_id,
+       CAST(a.cell AS BIGINT) AS cell,
+       CAST(codes.j AS INT) AS subspace,
+       CAST(codes.c AS INT) AS code
+FROM cassign a JOIN codes ON codes.vec_id = a.vec_id
+"""
+
+
+_IVFPQ_APPEND_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def ivfpq_append_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _IVFPQ_APPEND_SQL_CACHE:
+        try:
+            _IVFPQ_APPEND_SQL_CACHE[key] = _ivfpq_append_sql(
+                _ivf_centroids(sf_dir), _pq_codebooks(sf_dir)
+            )
+        except OSError:
+            return None
+    return _IVFPQ_APPEND_SQL_CACHE[key]
+
+
 _L2DIST_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
@@ -7557,92 +7702,233 @@ GROUP BY 1
 """
 
 
+_DISTINCT_TERMS_K = 10
+_DISTINCT_TERMS_MIN = 5
+
+
+def docs_source_distinctive_terms_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source distinctive vocabulary by smoothed odds ratio (the
+    "Fightin' Words" corpus-comparison shape, Monroe et al. 2008,
+    add-one prior): for token t in source s with a = occurrences in s,
+    b = occurrences elsewhere, A/B the source/rest totals, rank by
+    ((a+1)·(B−b+1)) / ((A−a+1)·(b+1)) — the top-10 per source are the
+    tokens that most distinguish the source from the rest of the
+    corpus (the mixture-skew diagnostic an LLM-data pipeline runs per
+    ingest source).
+
+    Determinism: counts are exact BIGINTs; each is < 2^53 so the
+    DOUBLE casts are exact and the single multiply + single divide
+    are IEEE-rounded identically in Spark and DuckDB — the ordering
+    and the 6-dp ratio are bit-identical (ties → token asc).
+
+    Scale shape: one hash aggregate on (source, token); the per-token
+    rest-of-corpus totals reuse the token key (second aggregate +
+    equi-join on token); source totals and the grand total are
+    source-cardinality relations that BROADCAST; the a ≥ 5 floor
+    prunes the rank input, and the per-source top-10 compiles to
+    partial WindowGroupLimit below its Exchange (no task sorts a full
+    source)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    tt = tc.groupBy("tok").agg(F.sum("a").alias("t"))
+    # totals come from a NARROW per-doc token count (no explode): the
+    # broadcast branches re-scan documents, but only (source, text)
+    # with a size() projection — never the exploded token stream
+    stot = (
+        docs.select(
+            "source",
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            )
+            .cast("long")
+            .alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("ntok").alias("src_total"))
+    )
+    g = stot.agg(F.sum("src_total").alias("grand"))
+    b = F.col("t") - F.col("a")  # occurrences elsewhere
+    rest_total = F.col("grand") - F.col("src_total")
+    num = (F.col("a") + F.lit(1)).cast("double") * (
+        rest_total - b + F.lit(1)
+    ).cast("double")
+    den = (F.col("src_total") - F.col("a") + F.lit(1)).cast("double") * (
+        b + F.lit(1)
+    ).cast("double")
+    w = Window.partitionBy("source").orderBy(
+        F.col("odds_ratio").desc(), F.col("tok").asc()
+    )
+    return (
+        tc.filter(F.col("a") >= _DISTINCT_TERMS_MIN)
+        .join(tt, "tok")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "tok",
+            "a",
+            b.cast("long").alias("n_elsewhere"),
+            (num / den).alias("odds_ratio"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _DISTINCT_TERMS_K)
+        .select(
+            "source",
+            F.col("tok").alias("term"),
+            F.col("a").alias("n_in_source"),
+            "n_elsewhere",
+            F.round(F.col("odds_ratio"), 6).alias("odds_ratio"),
+            "rank",
+        )
+    )
+
+
+DISTINCTIVE_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents),
+tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+  FROM toks GROUP BY 1, 2),
+tt AS (SELECT tok, SUM(a) AS t FROM tc GROUP BY 1),
+stot AS (
+  SELECT source,
+         SUM(CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS BIGINT)) AS src_total
+  FROM documents GROUP BY 1),
+g AS (SELECT SUM(src_total) AS grand FROM stot),
+scored AS (
+  SELECT tc.source, tc.tok, tc.a, tt.t - tc.a AS b,
+         (CAST(tc.a + 1 AS DOUBLE)
+          * CAST((g.grand - stot.src_total) - (tt.t - tc.a) + 1 AS DOUBLE))
+         / (CAST(stot.src_total - tc.a + 1 AS DOUBLE)
+            * CAST((tt.t - tc.a) + 1 AS DOUBLE)) AS odds_ratio
+  FROM tc
+  JOIN tt USING (tok)
+  JOIN stot USING (source)
+  CROSS JOIN g
+  WHERE tc.a >= {_DISTINCT_TERMS_MIN})
+SELECT source, tok AS term, a AS n_in_source, b AS n_elsewhere,
+       ROUND(odds_ratio, 6) AS odds_ratio, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY odds_ratio DESC, tok ASC) AS rn
+      FROM scored)
+WHERE rn <= {_DISTINCT_TERMS_K}
+"""
+
+
+def events_weekly_active_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily vs trailing-7-day active users per day (DAU/WAU and the
+    stickiness ratio) — the sliding-window COUNT DISTINCT that a naive
+    per-day sum gets wrong (a user active twice in a week counts
+    once).
+
+    Scale shape: NO range join and NO window function — each distinct
+    (day, user) row contributes itself to the 7 trailing windows it
+    belongs to via a constant ``sequence`` explode (pure column
+    algebra), and both distincts are two-phase hash aggregates on
+    high-cardinality (day, user) keys with map-side partials; the
+    final per-day counts are partial-aggregated to ~one row per day
+    before their Exchange, and the DAU⋈WAU join moves only
+    day-cardinality relations."""
+    du = (
+        _ev(spark, sf_dir)
+        .select(
+            F.expr("ts_us DIV 86400000000").alias("day_no"), "user_id"
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_daily")
+    )
+    wau = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day_no"), F.col("day_no") + F.lit(6))
+            ).alias("day_no"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day_no")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_weekly"))
+    )
+    return (
+        dau.join(wau, "day_no")
+        .select(
+            "day_no",
+            "n_daily",
+            "n_weekly",
+            F.round(
+                F.col("n_daily").cast("double")
+                / F.col("n_weekly").cast("double"),
+                6,
+            ).alias("dau_wau_ratio"),
+        )
+    )
+
+
+WEEKLY_ACTIVE_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_no, user_id
+  FROM events),
+dau AS (
+  SELECT day_no, CAST(COUNT(*) AS BIGINT) AS n_daily
+  FROM du GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT day_no + i AS day_no, user_id
+  FROM du, (SELECT unnest(range(0, 7)) AS i) ii),
+wau AS (
+  SELECT day_no, CAST(COUNT(*) AS BIGINT) AS n_weekly
+  FROM contrib GROUP BY 1)
+SELECT d.day_no, d.n_daily, w.n_weekly,
+       ROUND(CAST(d.n_daily AS DOUBLE) / CAST(w.n_weekly AS DOUBLE), 6)
+           AS dau_wau_ratio
+FROM dau d JOIN wau w USING (day_no)
+"""
+
+
 QUERIES = {
-    # ================= r11 driver window (first 50) =================
-    # Composition (r10 verdict #2 discipline): new queries FIRST (they
-    # take slots by displacement), then entries REWRITTEN this round
-    # (rewritten-stays-in-window contract), then the stale backlog
-    # oldest-evidence-first (the 45 r8-green entries; 40 fit).
-    # ---- (a) new in r11 (never driver-checked) ----
-    "sales_promo_bundles": sales_promo_bundles_q,
-    "lineitem_part_copurchase": lineitem_part_copurchase_q,
-    "docs_vocab_coverage": docs_vocab_coverage_q,
-    "events_robust_outliers": events_robust_outliers_q,
-    # ---- (b) rewritten in r11: the PQ tier retrained at ksub=256
-    # (8-bit sub-quantizers, recall@5 0.28->0.80; nprobe 2->3) — new
-    # codebook literals mean new oracles, so the r10 driver rows no
-    # longer witness this code; and the real-decode query now covers
-    # BOTH pure-Python codecs (WAV folded in, r10 verdict #6) plus the
-    # error-routed png seam ----
-    "ann_pq_topk": ann_pq_topk_q,
-    "ann_pq_recall": ann_pq_recall_q,
-    "embedding_pq_codes": embedding_pq_codes_q,
-    "ann_ivfpq_topk": ann_ivfpq_topk_q,
-    "ann_ivfpq_recall": ann_ivfpq_recall_q,
+    # ================= r12 driver window (first 50) =================
+    # Composition (r10 verdict #2 discipline, r11 verdict #1): new
+    # queries FIRST (they take slots by displacement), then entries
+    # REWRITTEN this round, then the 8-entry evidence backlog the r11
+    # verdict itemized (3 past-cap r11 additions never driver-checked
+    # + the 5-entry r8-green remainder), then the stale backlog
+    # oldest-evidence-first (the 47 r9-green entries; 38 fit).
+    # ---- (a) new in r12 (never driver-checked) ----
+    "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
+    "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
+    "events_weekly_active": events_weekly_active_q,
+    # ---- (b) rewritten in r12: the real-decode query now decodes a
+    # genuine PNG (all five scanline filters on the hash path) for
+    # every tenth doc, with the error seam demonstrated on jpeg — a
+    # new oracle, so the r11 driver row no longer witnesses it ----
     "multimodal_real_decode": multimodal_real_decode_q,
-    # ---- (c) r8-green backlog, oldest driver evidence (40 of 45 in
-    # catalog order; the 5-entry remainder is documented below as the
-    # first r12 leads) ----
-    "docs_duplicated_spans": docs_duplicated_spans_q,
-    "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
-    "corpus_clean_keep": corpus_clean_keep_q,
-    "events_stratified_sample": events_stratified_sample_q,
-    "events_top3_per_user": events_top3_per_user_q,
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "decontam_ngram_overlap": decontam_ngram_overlap_q,
-    "docs_token_percentiles": docs_token_percentiles_q,
-    "docs_mix_upsample": docs_mix_upsample_q,
-    "docs_pack_sequences": docs_pack_sequences_q,
-    "ann_cosine_topk": ann_cosine_topk_q,
-    "similarity_lsh_topk": similarity_lsh_topk_q,
-    "embedding_neardup": embedding_neardup_q,
-    "q9_dlq_stats": q9_dlq_stats,
-    "q10_job_stats": q10_job_stats,
-    "t7_validation_split": t7_validation_split,
-    "t9_ttl_expiry": t9_ttl_expiry,
-    "dedup_exact_groups": dedup_exact_groups,
-    "text_token_stats": text_token_stats_q,
-    "text_repetition_stats": text_repetition_q,
-    "embedding_quantize_int8": embedding_quantize_q,
-    "docs_length_histogram": docs_length_histogram_q,
-    "text_bpe_token_count": text_bpe_token_count_q,
-    "text_quality": text_quality_q,
-    "text_winnow_fps": text_winnow_q,
-    "text_lang_id": text_lang_id_q,
-    "docs_quality_tiers": docs_quality_tiers_q,
-    "docs_source_token_quantiles": docs_source_token_quantiles_q,
-    "docs_lang_mix": docs_lang_mix_q,
-    "ann_ivf_topk": ann_ivf_topk_q,
-    "events_anomaly_stats": events_anomaly_stats_q,
-    "embeddings_cell_stats": embeddings_cell_stats_q,
-    "ann_ivf_recall": ann_ivf_recall_q,
-    "dedup_minhash_lsh": dedup_minhash_lsh_q,
-    "ann_knn_within": ann_knn_within_q,
-    "events_moving_stats": events_moving_stats_q,
-    "events_props_stats": events_props_stats_q,
-    "events_cube_counts": events_cube_counts_q,
-    "events_type_pivot": events_type_pivot_q,
-    # ================ past the 50-cap this round ================
-    # ALL re-verified every round by tools/check_oracle.py + pytest.
-    # Rotation bookkeeping for r12, oldest evidence first:
-    # (0) the three NEW r11 queries below, landed after the window
-    #     froze (never driver-checked — enter the r12 window with any
-    #     r12 new queries), (1) the r8-green remainder (5 entries,
-    #     last driver row r8 — the only entries whose evidence is
-    #     older than r9), (2) the 47 r9-green entries, (3) the 44
-    #     r10-green entries below them.
-    # ---- new in r11, past-cap (replay + pytest evidence only) ----
+    # ---- (c) the r11-verdict evidence backlog (8 entries): the 3
+    # past-cap r11 additions, then the r8-green remainder ----
     "ann_pq_refine_topk": ann_pq_refine_topk_q,
     "ann_pq_refine_recall": ann_pq_refine_recall_q,
     "docs_ngram_novelty": docs_ngram_novelty_q,
-    # ---- r8-green remainder (5 entries — r12 leads after the new) ----
     "sales_top_suppliers": sales_top_suppliers_q,
     "sales_region_share": sales_region_share_q,
     "embedding_semdedup_keep": embedding_semdedup_keep_q,
     "dedup_cluster_sizes": dedup_cluster_sizes_q,
     "orders_priority_late": orders_priority_late_q,
-    # ---- r9-green block (47 entries, CORRECTNESS_r09.json) ----
+    # ---- (d) r9-green backlog, oldest driver evidence (38 of 47 in
+    # catalog order; the 9-entry remainder is documented below as the
+    # first r13 leads) ----
     "part_min_cost_supplier": part_min_cost_supplier_q,
     "sales_returns_by_brand": sales_returns_by_brand_q,
     "segment_status_revenue": segment_status_revenue_q,
@@ -7681,6 +7967,14 @@ QUERIES = {
     "docs_tfidf_topterms": docs_tfidf_topterms_q,
     "events_type_transitions": events_type_transitions_q,
     "sales_rollup_totals": sales_rollup_totals_q,
+    # ================ past the 50-cap this round ================
+    # ALL re-verified every round by tools/check_oracle.py + pytest.
+    # Rotation bookkeeping for r13, oldest evidence first: (1) the
+    # r9-green remainder (9 entries, last driver row r9 — the oldest
+    # evidence in the registry), (2) the 44 r10-green entries, (3)
+    # the 49 r11-green entries below them.  Any NEW r13 queries take
+    # slots by displacement from the bottom of the r9 remainder.
+    # ---- r9-green remainder (9 entries — the first r13 leads) ----
     "dedup_components": dedup_components_q,
     "text_token_rarity": text_token_rarity_q,
     "schema_evolution": schema_evolution_q,
@@ -7691,7 +7985,7 @@ QUERIES = {
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
     # ---- r10-green block (44 entries, CORRECTNESS_r10.json; the
-    # r10 window minus the six entries rewritten in r11 above) ----
+    # r10 window minus the six entries rewritten in r11) ----
     "q1_row_count": q1_row_count,
     "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
@@ -7736,6 +8030,57 @@ QUERIES = {
     "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
     "lineitem_discount_bands": lineitem_discount_bands_q,
     "docs_split_stats": docs_split_stats_q,
+    # ---- r11-green block (49 entries, CORRECTNESS_r11.json; the
+    # r11 window minus multimodal_real_decode, rewritten in r12) ----
+    "sales_promo_bundles": sales_promo_bundles_q,
+    "lineitem_part_copurchase": lineitem_part_copurchase_q,
+    "docs_vocab_coverage": docs_vocab_coverage_q,
+    "events_robust_outliers": events_robust_outliers_q,
+    "ann_pq_topk": ann_pq_topk_q,
+    "ann_pq_recall": ann_pq_recall_q,
+    "embedding_pq_codes": embedding_pq_codes_q,
+    "ann_ivfpq_topk": ann_ivfpq_topk_q,
+    "ann_ivfpq_recall": ann_ivfpq_recall_q,
+    "docs_duplicated_spans": docs_duplicated_spans_q,
+    "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
+    "corpus_clean_keep": corpus_clean_keep_q,
+    "events_stratified_sample": events_stratified_sample_q,
+    "events_top3_per_user": events_top3_per_user_q,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "decontam_ngram_overlap": decontam_ngram_overlap_q,
+    "docs_token_percentiles": docs_token_percentiles_q,
+    "docs_mix_upsample": docs_mix_upsample_q,
+    "docs_pack_sequences": docs_pack_sequences_q,
+    "ann_cosine_topk": ann_cosine_topk_q,
+    "similarity_lsh_topk": similarity_lsh_topk_q,
+    "embedding_neardup": embedding_neardup_q,
+    "q9_dlq_stats": q9_dlq_stats,
+    "q10_job_stats": q10_job_stats,
+    "t7_validation_split": t7_validation_split,
+    "t9_ttl_expiry": t9_ttl_expiry,
+    "dedup_exact_groups": dedup_exact_groups,
+    "text_token_stats": text_token_stats_q,
+    "text_repetition_stats": text_repetition_q,
+    "embedding_quantize_int8": embedding_quantize_q,
+    "docs_length_histogram": docs_length_histogram_q,
+    "text_bpe_token_count": text_bpe_token_count_q,
+    "text_quality": text_quality_q,
+    "text_winnow_fps": text_winnow_q,
+    "text_lang_id": text_lang_id_q,
+    "docs_quality_tiers": docs_quality_tiers_q,
+    "docs_source_token_quantiles": docs_source_token_quantiles_q,
+    "docs_lang_mix": docs_lang_mix_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
+    "events_anomaly_stats": events_anomaly_stats_q,
+    "embeddings_cell_stats": embeddings_cell_stats_q,
+    "ann_ivf_recall": ann_ivf_recall_q,
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "ann_knn_within": ann_knn_within_q,
+    "events_moving_stats": events_moving_stats_q,
+    "events_props_stats": events_props_stats_q,
+    "events_cube_counts": events_cube_counts_q,
+    "events_type_pivot": events_type_pivot_q,
 }
 
 ORACLE = {
@@ -7883,6 +8228,8 @@ ORACLE = {
     "docs_length_bucketing": LENGTH_BUCKETING_SQL,
     "dedup_minhash_precision": MINHASH_PRECISION_SQL,
     "view_incremental_parity": VIEW_PARITY_SQL,
+    "docs_source_distinctive_terms": DISTINCTIVE_TERMS_SQL,
+    "events_weekly_active": WEEKLY_ACTIVE_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
@@ -7926,4 +8273,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     rfr = pq_refine_recall_oracle_sql(sf_dir)
     if rfr is not None:
         out["ann_pq_refine_recall"] = rfr
+    ap = ivfpq_append_oracle_sql(sf_dir)
+    if ap is not None:
+        out["ann_ivfpq_append_parity"] = ap
     return out

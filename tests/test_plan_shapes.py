@@ -1601,3 +1601,56 @@ def test_ngram_novelty_single_shingle_shuffle(spark):
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_append_delta_only_zero_shuffle(spark):
+    """ann_ivfpq_append_parity (r12): incremental index maintenance
+    must be shuffle-FREE end to end — the standing index is a parquet
+    read of (neighbor_id, cell, codes), the delta is a pushed-filter
+    scan of only the new batch feeding the one Arrow encode pass, and
+    the union + posexplode are narrow.  Any Exchange here means the
+    daily append is paying corpus-sized movement."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.ann_ivfpq_append_parity_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # standing index + batch
+
+
+def test_distinctive_terms_partial_group_limit_broadcast_totals(spark):
+    """docs_source_distinctive_terms (r12): the per-source top-10 must
+    compile to partial WindowGroupLimit below its Exchange (no task
+    sorts a full source's vocabulary); source totals and the grand
+    total join as broadcasts; the only sort-merge-scale join is the
+    token-key equi-join."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.docs_source_distinctive_terms_q(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+
+
+def test_weekly_active_no_range_join_no_window(spark):
+    """events_weekly_active (r12): the sliding 7-day distinct must be
+    the sequence-explode shape — no range join (BNLJ), no window
+    function, and every Exchange keyed on the (day, user) distinct or
+    the day rollup; the DAU⋈WAU join moves day-cardinality relations
+    only."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.events_weekly_active_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan

@@ -1661,3 +1661,38 @@ def test_pq_refine_recovers_exact_topk(spark):
         ).collect()
     )
     assert refined == exact
+
+
+def test_ivfpq_append_equals_full_rebuild(spark):
+    """Incremental index maintenance (r12, r11 verdict #3): appending
+    the 10% batch onto an index built from the other 90% must equal
+    the full rebuild row for row — cell assignment and codes depend
+    only on the trained literals, never on corpus membership — and a
+    shortlist smaller than k must clamp (r11 advice) instead of
+    silently returning fewer than k rows."""
+    from cass_cdc_pg_spark import registry
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.001"
+    emb = src.load_table(spark, sf, "embeddings")
+    books = registry._pq_codebooks(sf)
+    cent = registry._ivf_centroids(sf)
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    appended = sorted(
+        (r["neighbor_id"], r["cell"], tuple(r["codes"]))
+        for r in similarity.ivfpq_append(
+            similarity.ivfpq_index(base, cent, books), new, cent, books
+        ).collect()
+    )
+    rebuilt = sorted(
+        (r["neighbor_id"], r["cell"], tuple(r["codes"]))
+        for r in similarity.ivfpq_index(emb, cent, books).collect()
+    )
+    assert appended == rebuilt and len(appended) == emb.count()
+    # shortlist < k clamps to k (r11 advice): still k rows per query
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.pq_refine_topk(emb, q, books, k=5, shortlist=2)
+    counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}

@@ -39,6 +39,7 @@ CROSS_JOIN_ALLOWED = {
     "customer_order_recency",   # join × 1-row max-date anchor
     "customer_dormant_balance",  # customers × 1-row avg-balance scalar
     "docs_heavy_hitters",       # k-row top-k × two 1-row certify aggs
+    "docs_source_distinctive_terms",  # scored × 1-row grand-total scalar
 }
 
 #: queries whose single-partition window is deliberately bounded: it
