@@ -2256,8 +2256,14 @@ def _ensure_layout(d: str, prefix: str, build) -> None:
             ),
             key=lambda e: e.stat().st_mtime,
         )
-        for e in idx[: -_INC_INDEX_KEEP]:
-            if now - e.stat().st_mtime >= _INC_INDEX_EVICT_AGE_S:
+        # beyond KEEP: evict once untouched for the age window; beyond
+        # the hard cap: evict regardless of age, so a burst of fixture
+        # variants can't grow the cache root unbounded within the
+        # 6-hour window (r11 advice)
+        hard_cap = 4 * _INC_INDEX_KEEP
+        for i, e in enumerate(idx[: -_INC_INDEX_KEEP]):
+            over_cap = len(idx) - i > hard_cap
+            if over_cap or now - e.stat().st_mtime >= _INC_INDEX_EVICT_AGE_S:
                 _shutil.rmtree(e.path, ignore_errors=True)
     except OSError:
         pass  # eviction is best-effort

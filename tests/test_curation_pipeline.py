@@ -98,3 +98,31 @@ def test_pipeline_is_one_lazy_plan_no_intermediate_actions(spark):
     jobs_after = len(tracker.getJobIdsForGroup() or [])
     assert jobs_after == jobs_before  # no action ran while composing
     assert out.columns[-1] == "split"
+
+
+def test_ensure_layout_hard_cap_bounds_cache_even_within_age_window(tmp_path):
+    """A burst of fresh fixture variants must not grow the cache root
+    unbounded just because nothing is 6h old yet (r11 advice): beyond
+    4x KEEP, the oldest evict regardless of age."""
+    import os
+
+    from cass_cdc_pg_spark import registry
+
+    import time
+
+    now = time.time()
+    for i in range(20):
+        d = tmp_path / f"pfx_{i:02d}"
+        d.mkdir()
+        # deterministic mtime order, all well inside the age window
+        os.utime(d, (now - 20 + i, now - 20 + i))
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp)
+
+    registry._ensure_layout(str(tmp_path / "pfx_new"), "pfx_", build)
+    remaining = sorted(p.name for p in tmp_path.iterdir())
+    cap = 4 * registry._INC_INDEX_KEEP
+    assert len(remaining) == cap
+    # newest survive, oldest went first
+    assert "pfx_new" in remaining and "pfx_00" not in remaining

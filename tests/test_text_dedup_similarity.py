@@ -1696,3 +1696,37 @@ def test_ivfpq_append_equals_full_rebuild(spark):
     counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {0: 5, 1: 5, 2: 5}
+
+
+def test_pq_recall_floors_hold_at_sf01(spark):
+    """The r11 recall pins re-run where the bench measures (sf0.1,
+    2000 vectors; r11 verdict #6).  ADC-only recall@5 degrades with
+    corpus density at fixed 16 code bytes — measured 0.80 at 500
+    vectors, 0.56 at 2000 (more true neighbors land inside one
+    quantization cell's distance band) — so its sf0.1 floor is 0.5,
+    justified as the compression-only tier's documented decay; the
+    PRODUCTION answer is the refine tier, pinned here to recover the
+    exact top-5 VERBATIM at this scale (measured recall 1.0 — the
+    true neighbors sit inside the ADC shortlist of 50), which is the
+    FAISS posture: the codes prune, the re-rank restores exactness."""
+    from cass_cdc_pg_spark import registry
+    from cass_cdc_pg_spark.sources import tables as src
+
+    sf = "/root/testdata/sf0.1"
+    emb = src.load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = registry._pq_codebooks(sf)
+    exact_rows = similarity.l2_topk(emb, q, k=5).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(emb, q, books, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+    refined = sorted(
+        tuple(r)
+        for r in similarity.pq_refine_topk(
+            emb, q, books, k=5, shortlist=50
+        ).collect()
+    )
+    assert refined == sorted(tuple(r) for r in exact_rows)

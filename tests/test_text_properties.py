@@ -305,7 +305,19 @@ def test_robust_outliers_matches_numpy_model(spark, data):
     with tempfile.TemporaryDirectory() as d:
         spark.createDataFrame(
             [
-                (eid, et, __import__("datetime").datetime.utcfromtimestamp(us / 1e6), uid, v)
+                # naive-UTC value for the UTC-pinned session
+                # (utcfromtimestamp is deprecated since 3.12)
+                (
+                    eid,
+                    et,
+                    __import__("datetime")
+                    .datetime.fromtimestamp(
+                        us / 1e6, tz=__import__("datetime").timezone.utc
+                    )
+                    .replace(tzinfo=None),
+                    uid,
+                    v,
+                )
                 for (eid, et, us, v), uid in zip(rows, range(n))
             ],
             "event_id long, event_type string, ts timestamp, user_id long, value double",

@@ -39,7 +39,9 @@ sys.path.insert(0, ".")
 REPLICAS = 10
 
 
-def _replicate_docs(spark, sf_dir: str, out: str, replicas: int = None) -> None:
+def _replicate_docs(
+    spark, sf_dir: str, out: str, replicas: int | None = None
+) -> None:
     from pyspark.sql import functions as F
 
     replicas = REPLICAS if replicas is None else replicas
