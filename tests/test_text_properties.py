@@ -380,3 +380,115 @@ def test_ngram_novelty_matches_bruteforce(spark, docs):
         r = got[i]
         assert (r["n_shingles"], r["n_novel"]) == (n_sh, novel)
         assert r["novelty_rate"] == round(novel / n_sh, 6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_distinctive_terms_matches_bruteforce_model(spark, data):
+    """docs_source_distinctive_terms (r12): the smoothed odds-ratio
+    ranking must equal a pure-Python recompute on random corpora —
+    counts, the IEEE double ratio, and the per-source top-10 with
+    token-asc tie-breaks.  Python floats are the same IEEE doubles
+    the two engines use, so the model is exact, not approximate."""
+    import tempfile
+
+    from cass_cdc_pg_spark import registry
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    n = data.draw(st.integers(4, 20))
+    rows = []
+    for i in range(n):
+        toks = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=30)
+        )
+        src_name = data.draw(st.sampled_from(["s1", "s2"]))
+        rows.append((i, " ".join(toks), "en", src_name, 0))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = sorted(
+            tuple(r)
+            for r in registry.docs_source_distinctive_terms_q(
+                spark, d
+            ).collect()
+        )
+    from collections import Counter
+
+    tc: Counter = Counter()
+    for _, t, _, s, _ in rows:
+        for tok in t.split(" "):
+            if tok:
+                tc[(s, tok)] += 1
+    tok_tot = Counter()
+    src_tot = Counter()
+    for (s, tok), a in tc.items():
+        tok_tot[tok] += a
+        src_tot[s] += a
+    grand = sum(src_tot.values())
+    expected = []
+    for s in src_tot:
+        scored = []
+        for (s2, tok), a in tc.items():
+            if s2 != s or a < registry._DISTINCT_TERMS_MIN:
+                continue
+            b = tok_tot[tok] - a
+            num = float(a + 1) * float((grand - src_tot[s]) - b + 1)
+            den = float(src_tot[s] - a + 1) * float(b + 1)
+            scored.append((-(num / den), tok, a, b))
+        scored.sort()
+        for rank, (neg, tok, a, b) in enumerate(
+            scored[: registry._DISTINCT_TERMS_K], 1
+        ):
+            expected.append((s, tok, a, b, round(-neg, 6), rank))
+    assert got == sorted(expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_weekly_active_matches_bruteforce_model(spark, data):
+    """events_weekly_active (r12): the sequence-explode trailing-7-day
+    distinct must equal the definitional model (users with any event
+    in [d-6, d]) for every day that has events — the exact invariant a
+    per-day-sum shortcut gets wrong."""
+    import datetime
+    import tempfile
+
+    from cass_cdc_pg_spark import registry
+
+    n = data.draw(st.integers(3, 40))
+    rows = []
+    for i in range(n):
+        day = data.draw(st.integers(0, 20))
+        sec = data.draw(st.integers(0, 86399))
+        uid = data.draw(st.integers(0, 6))
+        ts = datetime.datetime.fromtimestamp(
+            day * 86400 + sec, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+        rows.append((i, "click", ts, uid, 1.0))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, event_type string, ts timestamp, "
+            "user_id long, value double",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r["day_no"]: (r["n_daily"], r["n_weekly"], r["dau_wau_ratio"])
+            for r in registry.events_weekly_active_q(spark, d).collect()
+        }
+    by_day: dict = {}
+    for _, _, ts, uid, _ in rows:
+        dno = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp()) // 86400
+        by_day.setdefault(dno, set()).add(uid)
+    expected = {}
+    for dno, users in by_day.items():
+        weekly = set()
+        for back in range(7):
+            weekly |= by_day.get(dno - back, set())
+        expected[dno] = (
+            len(users),
+            len(weekly),
+            round(len(users) / len(weekly), 6),
+        )
+    assert got == expected

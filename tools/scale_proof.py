@@ -67,9 +67,12 @@ def _replicate_docs(
     big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
 
-def _replicate_orders(spark, sf_dir: str, out: str) -> tuple[int, int]:
+def _replicate_orders(
+    spark, sf_dir: str, out: str, replicas: int | None = None
+) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
+    replicas = REPLICAS if replicas is None else replicas
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     hi_k = orders.agg(F.max("o_orderkey")).first()[0] + 1
     # custkey stride must clear BOTH tables' key spaces: customers
@@ -82,7 +85,7 @@ def _replicate_orders(spark, sf_dir: str, out: str) -> tuple[int, int]:
         .agg(F.max("c_custkey")).first()[0],
     ) + 1
     parts = []
-    for i in range(REPLICAS):
+    for i in range(replicas):
         parts.append(
             orders.select(
                 (F.col("o_orderkey") + F.lit(i * hi_k)).alias("o_orderkey"),
@@ -224,14 +227,22 @@ def main() -> None:
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
 
     from cass_cdc_pg_spark.registry import (
+        ann_ivfpq_append_parity_q,
         ann_ivfpq_topk_q,
         ann_pq_refine_topk_q,
         ann_pq_topk_q,
         docs_fuzzy_pairs_q,
+        docs_ngram_novelty_q,
+        docs_source_distinctive_terms_q,
+        docs_vocab_coverage_q,
         docs_weighted_sample_q,
         embedding_pq_codes_q,
+        events_robust_outliers_q,
+        events_weekly_active_q,
         events_zorder_scan_q,
+        lineitem_part_copurchase_q,
         multimodal_real_decode_q,
+        sales_promo_bundles_q,
         customer_value_deciles_q,
         dedup_cluster_sizes_q,
         docs_duplicated_spans_q,
@@ -311,6 +322,23 @@ def main() -> None:
         # output constant, scan linear)
         "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
         "docs_weighted_sample": docs_weighted_sample_q,
+        # r12 (r11 verdict #4): measured 10x rows for the five r11
+        # additions — the copurchase self-join (fan-out bounded by
+        # basket size), the double-rank outliers, the TakeOrdered
+        # vocab broadcast, the disjunction-pushdown star join, and
+        # the first-owner MIN novelty curve
+        "sales_promo_bundles": sales_promo_bundles_q,
+        "lineitem_part_copurchase": lineitem_part_copurchase_q,
+        "docs_vocab_coverage": docs_vocab_coverage_q,
+        "events_robust_outliers": events_robust_outliers_q,
+        "docs_ngram_novelty": docs_ngram_novelty_q,
+        # r12 additions: the daily index append (warmup builds the
+        # 10x standing base index + codebooks; the timed ratio is the
+        # O(new batch) delta pass), the odds-ratio term ranker, and
+        # the sequence-explode sliding distinct
+        "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
+        "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
+        "events_weekly_active": events_weekly_active_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -403,6 +431,30 @@ def main() -> None:
             scan = _timed(lambda: li.count())
             return {"fact_rows_after_filter": li.count(), "scan_sec": scan}
 
+        def _rollup_counters(d: str) -> dict:
+            """sales_rollup_totals phase split (r11 verdict #5, the
+            nation_trade_flows_detail precedent): the pruned fact
+            scan and the first fact⋈fact join timed alone — if these
+            data-proportional phases grow ~1x-2x while the full wall
+            grows toward 2x, the wall growth is rollup-expansion +
+            session floor amortizing, not super-linear work."""
+            li = _src.load_table(spark, d, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            )
+            scan = _timed(lambda: li.count())
+            o = _src.load_table(spark, d, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            )
+            joined = li.join(
+                o, _F.col("l_orderkey") == _F.col("o_orderkey")
+            )
+            join_sec = _timed(lambda: joined.count())
+            return {
+                "fact_rows": li.count(),
+                "scan_sec": scan,
+                "li_join_orders_sec": join_sec,
+            }
+
         report["customer_value_deciles_detail"] = {
             "1x": _deciles_counters(sf_dir),
             "10x": _deciles_counters(tmp),
@@ -411,8 +463,60 @@ def main() -> None:
             "1x": _flows_counters(sf_dir),
             "10x": _flows_counters(tmp),
         }
+        report["sales_rollup_totals_detail"] = {
+            "1x": _rollup_counters(sf_dir),
+            "10x": _rollup_counters(tmp),
+        }
         print(f"# deciles_detail: {report['customer_value_deciles_detail']}")
         print(f"# flows_detail: {report['nation_trade_flows_detail']}")
+        print(f"# rollup_detail: {report['sales_rollup_totals_detail']}")
+
+        # ---- workload counters for the two entries whose toy walls
+        # sit past (or at) the ≤2 line: both shuffle volumes genuinely
+        # grow 10× (the detail makes that checkable), so on a fixed
+        # box the wall must converge toward 10× as real work outgrows
+        # the session floor — per-row throughput RISING is the claim.
+        def _novelty_counters(d: str) -> dict:
+            docs = _src.load_table(spark, d, "documents")
+            n_docs = docs.count()
+            toks = docs.select(
+                "doc_id",
+                _F.explode(
+                    _F.filter(
+                        _F.split(_F.col("text"), " "), lambda t: t != ""
+                    )
+                ).alias("tok"),
+            )
+            wall = report["queries"]["docs_ngram_novelty"][
+                "sec_1x" if d == sf_dir else "sec_10x"
+            ]
+            return {
+                "n_docs": n_docs,
+                "token_rows": toks.count(),
+                "docs_per_sec": round(n_docs / wall, 1),
+            }
+
+        def _weekly_counters(d: str) -> dict:
+            ev = _src.load_table(spark, d, "events")
+            n_ev = ev.count()
+            wall = report["queries"]["events_weekly_active"][
+                "sec_1x" if d == sf_dir else "sec_10x"
+            ]
+            return {
+                "n_events": n_ev,
+                "events_per_sec": round(n_ev / wall, 1),
+            }
+
+        report["docs_ngram_novelty_detail"] = {
+            "1x": _novelty_counters(sf_dir),
+            "10x": _novelty_counters(tmp),
+        }
+        report["events_weekly_active_detail"] = {
+            "1x": _weekly_counters(sf_dir),
+            "10x": _weekly_counters(tmp),
+        }
+        print(f"# novelty_detail: {report['docs_ngram_novelty_detail']}")
+        print(f"# weekly_detail: {report['events_weekly_active_detail']}")
 
     # ---- 100× decade check (r10 verdict #5): replay the three
     # heaviest document-tier entries on a 100× corpus and record the
@@ -475,6 +579,34 @@ def main() -> None:
         )
         print(f"# 100x components detail: "
               f"{report['100x']['dedup_components']}")
+
+    # ---- 100× decade point for customer_value_deciles (r11 verdict
+    # #5: it crossed the ≤2-per-10× line at 2.03, and its committed
+    # detail block says the growth is the frozen two-phase rank's
+    # fixed multi-job floor amortizing — the decade point is the test:
+    # on a fixed box, orders/sec must RISE decade over decade as real
+    # work outgrows that floor).  Only orders is replicated: the
+    # query reads nothing else.
+    n_ord_1x = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    with tempfile.TemporaryDirectory() as tmpo:
+        _replicate_orders(spark, sf_dir, tmpo, replicas=100)
+        t10 = report["queries"]["customer_value_deciles"]["sec_10x"]
+        customer_value_deciles_q(spark, tmpo).count()  # warm
+        t100 = min(
+            _timed(lambda: customer_value_deciles_q(spark, tmpo).count())
+            for _ in range(2)
+        )
+        report["100x"]["customer_value_deciles"] = {
+            "sec_10x": t10,
+            "sec_100x": t100,
+            "ratio_per_decade_10x_to_100x": round(t100 / t10, 2)
+            if t10
+            else None,
+            "orders_per_sec_10x": round(10 * n_ord_1x / t10, 1),
+            "orders_per_sec_100x": round(100 * n_ord_1x / t100, 1),
+        }
+        print(f"# 100x customer_value_deciles: 10x={t10}s 100x={t100}s "
+              f"decade ratio={t100 / t10:.2f}")
 
     with open(out_json, "w") as fh:
         json.dump(report, fh, indent=1)
