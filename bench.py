@@ -131,6 +131,20 @@ PIPELINE = [
     "ann_ivfpq_recall",
     "docs_weighted_sample",
     "docs_fuzzy_pairs",
+    # r11 additions (pipeline_total grows by these 7 entries — compare
+    # older rounds against the other 87)
+    "sales_promo_bundles",
+    "lineitem_part_copurchase",
+    "docs_vocab_coverage",
+    "events_robust_outliers",
+    "ann_pq_refine_topk",
+    "ann_pq_refine_recall",
+    "docs_ngram_novelty",
+    # r12 additions (pipeline_total grows by these 3 entries — compare
+    # older rounds against the other 94)
+    "ann_ivfpq_append_parity",
+    "docs_source_distinctive_terms",
+    "events_weekly_active",
 ]
 
 

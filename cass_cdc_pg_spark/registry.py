@@ -7826,7 +7826,8 @@ scored AS (
   JOIN stot USING (source)
   CROSS JOIN g
   WHERE tc.a >= {_DISTINCT_TERMS_MIN})
-SELECT source, tok AS term, a AS n_in_source, b AS n_elsewhere,
+SELECT source, tok AS term, a AS n_in_source,
+       CAST(b AS BIGINT) AS n_elsewhere,
        ROUND(odds_ratio, 6) AS odds_ratio, CAST(rn AS INT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
                                    ORDER BY odds_ratio DESC, tok ASC) AS rn
