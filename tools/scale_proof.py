@@ -507,6 +507,38 @@ def main() -> None:
                 "events_per_sec": round(n_ev / wall, 1),
             }
 
+        def _copurchase_counters(d: str) -> dict:
+            """lineitem_part_copurchase workload: the deduped
+            (order, part) relation and the post-join pair count — if
+            both grow ~10x while rows/sec rises, the >2 toy wall is
+            the two shuffles' real volume emerging from the floor,
+            not quadratic fan-out (baskets are size-bounded)."""
+            li = _src.load_table(spark, d, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ).distinct()
+            lp_rows = li.count()
+            a = li.select(
+                _F.col("l_orderkey").alias("ok"),
+                _F.col("l_partkey").alias("p1"),
+            )
+            b = li.select(
+                _F.col("l_orderkey").alias("ok2"),
+                _F.col("l_partkey").alias("p2"),
+            )
+            pairs = a.join(
+                b,
+                (_F.col("ok") == _F.col("ok2"))
+                & (_F.col("p1") < _F.col("p2")),
+            ).count()
+            wall = report["queries"]["lineitem_part_copurchase"][
+                "sec_1x" if d == sf_dir else "sec_10x"
+            ]
+            return {
+                "distinct_order_part_rows": lp_rows,
+                "candidate_pairs": pairs,
+                "rows_per_sec": round(lp_rows / wall, 1),
+            }
+
         report["docs_ngram_novelty_detail"] = {
             "1x": _novelty_counters(sf_dir),
             "10x": _novelty_counters(tmp),
@@ -515,8 +547,16 @@ def main() -> None:
             "1x": _weekly_counters(sf_dir),
             "10x": _weekly_counters(tmp),
         }
+        report["lineitem_part_copurchase_detail"] = {
+            "1x": _copurchase_counters(sf_dir),
+            "10x": _copurchase_counters(tmp),
+        }
         print(f"# novelty_detail: {report['docs_ngram_novelty_detail']}")
         print(f"# weekly_detail: {report['events_weekly_active_detail']}")
+        print(
+            f"# copurchase_detail: "
+            f"{report['lineitem_part_copurchase_detail']}"
+        )
 
     # ---- 100× decade check (r10 verdict #5): replay the three
     # heaviest document-tier entries on a 100× corpus and record the
