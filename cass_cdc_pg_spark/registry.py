@@ -7708,6 +7708,87 @@ GROUP BY 1
 """
 
 
+#: hard-negative mining: ANN shortlist depth and negatives kept per
+#: query (the production shape — negatives are mined from a bounded
+#: shortlist, not the full corpus ranking)
+_HARDNEG_SHORTLIST, _HARDNEG_K = 10, 3
+
+
+def embedding_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): for each query vector, the top-3 MOST similar
+    corpus rows from a cosine top-10 shortlist AFTER excluding
+    near-duplicate pairs (the LSH neardup relation at cos ≥ 0.35) —
+    "similar but not the same", the negatives that actually teach a
+    retriever.  Semantics are shortlist-scoped by design: negatives
+    come from a bounded ANN candidate set, exactly how a deployment
+    mines them (the oracle expresses the same shortlist → exclude →
+    re-rank pipeline, so under-delivery when a shortlist drowns in
+    dups is pinned, not hidden).
+
+    Scale shape: the shortlist is ≤ Q·10 rows (cosine_topk's
+    per-partition prune bounds the ranking Exchange); the exclusion
+    is a BROADCAST anti-join against the bucketed neardup pairs
+    (never all-pairs, never shuffled); the re-rank window carries
+    ≤ Q·10 rows on the query_id key."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    shortlist = similarity.cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=_HARDNEG_SHORTLIST,
+    ).select("query_id", "neighbor_id", "sim")
+    dups = _shared_emb_pairs(spark, sf_dir)
+    ex = dups.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+    ).unionByName(
+        dups.select(
+            F.col("id_b").alias("query_id"),
+            F.col("id_a").alias("neighbor_id"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(
+            F.broadcast(ex), ["query_id", "neighbor_id"], "left_anti"
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_cos_sql('qv', 'cv')}, 6) AS sim
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+topk AS (
+  SELECT query_id, neighbor_id, sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM scored)
+  WHERE rn <= {_HARDNEG_SHORTLIST}),
+dup AS (SELECT id_a, id_b FROM ({EMBEDDING_NEARDUP_SQL}) nd),
+kept AS (
+  SELECT t.query_id, t.neighbor_id, t.sim
+  FROM topk t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE (d.id_a = t.query_id AND d.id_b = t.neighbor_id)
+       OR (d.id_b = t.query_id AND d.id_a = t.neighbor_id)))
+SELECT query_id, neighbor_id, rank, sim
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      FROM kept)
+WHERE rank <= {_HARDNEG_K}
+"""
+
+
 _DISTINCT_TERMS_K = 10
 _DISTINCT_TERMS_MIN = 5
 
@@ -7981,7 +8062,11 @@ QUERIES = {
     # evidence in the registry), (2) the 44 r10-green entries, (3)
     # the 49 r11-green entries below them.  Any NEW r13 queries take
     # slots by displacement from the bottom of the r9 remainder.
-    # ---- r9-green remainder (9 entries — the first r13 leads) ----
+    # ---- new in r12, past-cap (replay + pytest evidence only —
+    # enters the r13 window with any r13 new queries, before the r9
+    # remainder below) ----
+    "embedding_hard_negatives": embedding_hard_negatives_q,
+    # ---- r9-green remainder (9 entries — the next r13 leads) ----
     "dedup_components": dedup_components_q,
     "text_token_rarity": text_token_rarity_q,
     "schema_evolution": schema_evolution_q,
@@ -8237,6 +8322,7 @@ ORACLE = {
     "view_incremental_parity": VIEW_PARITY_SQL,
     "docs_source_distinctive_terms": DISTINCTIVE_TERMS_SQL,
     "events_weekly_active": WEEKLY_ACTIVE_SQL,
+    "embedding_hard_negatives": HARD_NEGATIVES_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

@@ -1654,3 +1654,23 @@ def test_weekly_active_no_range_join_no_window(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+
+
+def test_hard_negatives_broadcast_exclusion_bounded_window(spark):
+    """embedding_hard_negatives (r12): the near-dup exclusion must be
+    a BROADCAST anti-join (the bucketed pair relation never shuffles
+    the shortlist) and the only hash Exchanges are the tiny
+    query_id-keyed ranking windows — no SMJ, no cartesian, and the
+    corpus reaches Python only through the cosine kernel's narrow
+    (id, vector) projection."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.embedding_hard_negatives_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "query_id" in ln, ln

@@ -228,6 +228,7 @@ def main() -> None:
 
     from cass_cdc_pg_spark.registry import (
         ann_ivfpq_append_parity_q,
+        embedding_hard_negatives_q,
         ann_ivfpq_topk_q,
         ann_pq_refine_topk_q,
         ann_pq_topk_q,
@@ -339,6 +340,10 @@ def main() -> None:
         "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
         "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
         "events_weekly_active": events_weekly_active_q,
+        # r12 past-cap addition: shortlist -> broadcast-anti-join ->
+        # re-rank; every stage is bounded by Q*shortlist except the
+        # corpus scan, so the ratio tracks the cosine kernel alone
+        "embedding_hard_negatives": embedding_hard_negatives_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
