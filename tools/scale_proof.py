@@ -552,15 +552,38 @@ def main() -> None:
             "1x": _weekly_counters(sf_dir),
             "10x": _weekly_counters(tmp),
         }
+        def _hardneg_counters(d: str) -> dict:
+            """embedding_hard_negatives workload: the dominant phase
+            is the exact-cosine kernel's corpus scan (Q=10 queries x
+            all vectors x dim) — vectors/sec must RISE as the scan
+            outgrows the session floor; the shortlist/exclusion/
+            re-rank stages are all bounded by Q*shortlist."""
+            n_vec = _src.load_table(spark, d, "embeddings").count()
+            wall = report["queries"]["embedding_hard_negatives"][
+                "sec_1x" if d == sf_dir else "sec_10x"
+            ]
+            return {
+                "corpus_vectors": n_vec,
+                "vectors_per_sec": round(n_vec / wall, 1),
+            }
+
         report["lineitem_part_copurchase_detail"] = {
             "1x": _copurchase_counters(sf_dir),
             "10x": _copurchase_counters(tmp),
+        }
+        report["embedding_hard_negatives_detail"] = {
+            "1x": _hardneg_counters(sf_dir),
+            "10x": _hardneg_counters(tmp),
         }
         print(f"# novelty_detail: {report['docs_ngram_novelty_detail']}")
         print(f"# weekly_detail: {report['events_weekly_active_detail']}")
         print(
             f"# copurchase_detail: "
             f"{report['lineitem_part_copurchase_detail']}"
+        )
+        print(
+            f"# hardneg_detail: "
+            f"{report['embedding_hard_negatives_detail']}"
         )
 
     # ---- 100× decade check (r10 verdict #5): replay the three
