@@ -140,12 +140,13 @@ PIPELINE = [
     "ann_pq_refine_topk",
     "ann_pq_refine_recall",
     "docs_ngram_novelty",
-    # r12 additions (pipeline_total grows by these 4 entries — compare
+    # r12 additions (pipeline_total grows by these 5 entries — compare
     # older rounds against the other 94)
     "ann_ivfpq_append_parity",
     "docs_source_distinctive_terms",
     "events_weekly_active",
     "embedding_hard_negatives",
+    "docs_packing_efficiency",
 ]
 
 

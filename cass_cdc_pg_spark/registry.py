@@ -7789,6 +7789,93 @@ WHERE rank <= {_HARDNEG_K}
 """
 
 
+#: candidate training sequence lengths for the packing-geometry sweep
+_PACK_SWEEP_LENS = [128, 256, 512, 1024, 2048]
+
+
+def docs_packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-geometry sweep: for each candidate sequence length L,
+    the padding waste of the pad-each-doc-to-⌈n/L⌉·L baseline — the
+    diagnostic a training pipeline runs before freezing seq_len (and
+    the counterpart to ``docs_pack_sequences``, which shows what dense
+    packing recovers).  All integer-exact: total tokens, padded slots,
+    and chunk counts are BIGINT sums; the waste fraction is ONE exact
+    division on exactly-representable doubles (engine-identical).
+
+    Scale shape: one documents scan computes per-doc token counts as
+    a narrow projection (no explode of tokens — only the K-length
+    literal array explodes, a constant ×5 fan-out of one small row per
+    doc), then ONE partial-aggregated shuffle on the 5-value seq_len
+    key."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    n = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("long")
+    per_doc = docs.select(
+        n.alias("n_tokens"),
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in _PACK_SWEEP_LENS])
+        ).alias("seq_len"),
+    )
+    chunks = (F.col("n_tokens") + F.col("seq_len") - 1) / F.col("seq_len")
+    per_doc = per_doc.select(
+        "seq_len",
+        "n_tokens",
+        F.floor(chunks).cast("long").alias("n_chunks"),
+    )
+    padded = F.sum(F.col("n_chunks") * F.col("seq_len"))
+    return (
+        per_doc.groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chunks").cast("long").alias("total_chunks"),
+            padded.cast("long").alias("padded_tokens"),
+        )
+        .select(
+            "seq_len",
+            "n_docs",
+            "total_tokens",
+            "total_chunks",
+            "padded_tokens",
+            # all-empty corpora pad zero slots: NULL, not a 0/0 error
+            F.when(
+                F.col("padded_tokens") > 0,
+                F.round(
+                    (F.col("padded_tokens") - F.col("total_tokens")).cast(
+                        "double"
+                    )
+                    / F.col("padded_tokens").cast("double"),
+                    6,
+                ),
+            ).alias("waste_frac"),
+        )
+    )
+
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH per_doc AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+sweep AS (
+  SELECT CAST(L AS BIGINT) AS seq_len, n_tokens,
+         (n_tokens + L - 1) // L AS n_chunks
+  FROM per_doc, (SELECT unnest({_PACK_SWEEP_LENS!r}) AS L) ls)
+SELECT seq_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+       CAST(SUM(n_chunks * seq_len) AS BIGINT) AS padded_tokens,
+       CASE WHEN SUM(n_chunks * seq_len) > 0
+            THEN ROUND(CAST(SUM(n_chunks * seq_len) - SUM(n_tokens) AS DOUBLE)
+                       / CAST(SUM(n_chunks * seq_len) AS DOUBLE), 6)
+            END AS waste_frac
+FROM sweep
+GROUP BY 1
+"""
+
+
 _DISTINCT_TERMS_K = 10
 _DISTINCT_TERMS_MIN = 5
 
@@ -8063,9 +8150,10 @@ QUERIES = {
     # the 49 r11-green entries below them.  Any NEW r13 queries take
     # slots by displacement from the bottom of the r9 remainder.
     # ---- new in r12, past-cap (replay + pytest evidence only —
-    # enters the r13 window with any r13 new queries, before the r9
+    # enter the r13 window with any r13 new queries, before the r9
     # remainder below) ----
     "embedding_hard_negatives": embedding_hard_negatives_q,
+    "docs_packing_efficiency": docs_packing_efficiency_q,
     # ---- r9-green remainder (9 entries — the next r13 leads) ----
     "dedup_components": dedup_components_q,
     "text_token_rarity": text_token_rarity_q,
@@ -8323,6 +8411,7 @@ ORACLE = {
     "docs_source_distinctive_terms": DISTINCTIVE_TERMS_SQL,
     "events_weekly_active": WEEKLY_ACTIVE_SQL,
     "embedding_hard_negatives": HARD_NEGATIVES_SQL,
+    "docs_packing_efficiency": PACKING_EFFICIENCY_SQL,
 }
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:

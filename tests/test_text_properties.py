@@ -492,3 +492,48 @@ def test_weekly_active_matches_bruteforce_model(spark, data):
             round(len(users) / len(weekly), 6),
         )
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=12))
+def test_packing_efficiency_matches_bruteforce_model(spark, docs):
+    """docs_packing_efficiency (r12): per-length padded-slot sums and
+    waste fractions equal the integer-exact Python model (pad each doc
+    to ceil(n/L)*L) for every sweep length, empty docs included."""
+    import tempfile
+
+    from cass_cdc_pg_spark import registry
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["seq_len"]: r
+            for r in registry.docs_packing_efficiency_q(spark, d).collect()
+        }
+    lens = [len([w for w in t.split(" ") if w]) for t in docs]
+    for L in registry._PACK_SWEEP_LENS:
+        chunks = [(n + L - 1) // L for n in lens]
+        padded = sum(c * L for c in chunks)
+        r = got[L]
+        assert r["n_docs"] == len(docs)
+        assert r["total_tokens"] == sum(lens)
+        assert r["total_chunks"] == sum(chunks)
+        assert r["padded_tokens"] == padded
+        # Spark/DuckDB ROUND is half-up on the double's shortest
+        # decimal repr; Python's round() is banker's — model the
+        # engines, not Python
+        from decimal import ROUND_HALF_UP, Decimal
+
+        expect_waste = (
+            float(
+                Decimal(repr((padded - sum(lens)) / padded)).quantize(
+                    Decimal("1e-6"), ROUND_HALF_UP
+                )
+            )
+            if padded
+            else None
+        )
+        assert r["waste_frac"] == expect_waste
