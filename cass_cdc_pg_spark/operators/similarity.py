@@ -1271,7 +1271,17 @@ def ivfpq_append(
     delta = ivfpq_index(
         new_batch, centroids, codebooks, id_col=id_col, vec_col=vec_col
     )
-    return index.select("neighbor_id", "cell", "codes").unionByName(delta)
+    # explicit LONG on both sides: a standing index materialized as
+    # cell-partitioned parquet comes back with 'cell' as INT (partition
+    # -column inference) while the fresh delta carries LONG
+    # (array_position); relying on implicit set-op widening makes the
+    # union schema depend on HOW the index was stored (r12 advice)
+    cast_cell = lambda df: df.withColumn(  # noqa: E731
+        "cell", F.col("cell").cast("long")
+    )
+    return cast_cell(
+        index.select("neighbor_id", "cell", "codes")
+    ).unionByName(cast_cell(delta))
 
 
 def ivfpq_topk(

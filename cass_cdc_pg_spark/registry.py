@@ -1463,8 +1463,14 @@ def multimodal_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (did, "wav", multimodal.encode_wav(rate, ch, samples))
                 )
                 if did % 10 == 0:
-                    # h up to 6 rows => the filter cycle reaches Paeth
-                    wp, hp = 3 + did % 4, 2 + did % 5
+                    # height from did // 10, NOT did % k: under the
+                    # mod-10 selector did % 5 is constant (always 0),
+                    # which would pin hp = 2 and keep the Up/Average/
+                    # Paeth reconstructions OFF the hash path (r12
+                    # advice).  (did // 10) % 5 walks 0..4, so heights
+                    # reach 6 and the writer's per-row filter cycle
+                    # exercises all five scanline filters.
+                    wp, hp = 3 + did % 4, 2 + (did // 10) % 5
                     praster = bytes(
                         (did * 53 + i * 11) % 256
                         for i in range(3 * wp * hp)
@@ -1580,7 +1586,8 @@ FROM (
          SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 53 + i * 11) % 256
                   ELSE 0 END) AS sum_b
   FROM (SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS i
-        FROM (SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 5 AS h
+        FROM (SELECT doc_id, 3 + doc_id % 4 AS w,
+                     2 + (doc_id // 10) % 5 AS h
               FROM documents WHERE doc_id % 10 = 0) pd) ppx
   GROUP BY 1, 2, 3) ps
 UNION ALL
@@ -2182,6 +2189,11 @@ _INC_INDEX_KEEP = 3
 #: once untouched this long, so parallel sessions with >KEEP fixture
 #: variants can't sweep each other's live layouts (r10 advice)
 _INC_INDEX_EVICT_AGE_S = 6 * 3600
+#: eviction age floor once the hard cap (4×KEEP) is breached: short
+#: enough to bound a burst of fixture variants, long enough that a
+#: layout a concurrent session is actively reading (touched at open)
+#: is never rmtree'd mid-read (r12 advice)
+_INC_INDEX_OVERCAP_AGE_S = 300
 
 
 def _cache_layout_dir(prefix: str, *parts) -> str:
@@ -2257,13 +2269,18 @@ def _ensure_layout(d: str, prefix: str, build) -> None:
             key=lambda e: e.stat().st_mtime,
         )
         # beyond KEEP: evict once untouched for the age window; beyond
-        # the hard cap: evict regardless of age, so a burst of fixture
-        # variants can't grow the cache root unbounded within the
-        # 6-hour window (r11 advice)
+        # the hard cap: evict on a much SHORTER age (not zero — r12
+        # advice: an age-0 over-cap rmtree reintroduces the r10 race
+        # where a layout a concurrent session just opened is deleted
+        # mid-read; a few minutes comfortably outlives any one read)
         hard_cap = 4 * _INC_INDEX_KEEP
         for i, e in enumerate(idx[: -_INC_INDEX_KEEP]):
             over_cap = len(idx) - i > hard_cap
-            if over_cap or now - e.stat().st_mtime >= _INC_INDEX_EVICT_AGE_S:
+            min_age = (
+                _INC_INDEX_OVERCAP_AGE_S if over_cap
+                else _INC_INDEX_EVICT_AGE_S
+            )
+            if now - e.stat().st_mtime >= min_age:
                 _shutil.rmtree(e.path, ignore_errors=True)
     except OSError:
         pass  # eviction is best-effort
