@@ -861,8 +861,58 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _cpu_stat() -> tuple[float, float]:
+    """(busy, total) jiffies from /proc/stat's aggregate cpu line.
+    Returns (0.0, 0.0) where /proc isn't available (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [float(v) for v in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle+iowait
+        return sum(vals) - idle, sum(vals)
+    except (OSError, IndexError, ValueError):
+        return 0.0, 0.0
+
+
+def _load_telemetry_start() -> dict:
+    """Ambient-load snapshot at bench start (r12 verdict #3: three
+    rounds of absolute walls swinging with the container while the
+    same-moment DuckDB ratios stayed flat — the machine-load diagnosis
+    should be a recorded fact, not an inference)."""
+    try:
+        la = os.getloadavg()
+    except OSError:
+        la = (0.0, 0.0, 0.0)
+    busy, total = _cpu_stat()
+    return {"la_start": la, "busy0": busy, "total0": total}
+
+
+def _load_telemetry_finish(t0: dict) -> dict:
+    """bench_load_* fields: loadavg at both ends + the whole-machine
+    CPU-busy fraction across the run from a /proc/stat delta.  A
+    quiet dedicated run reads busy_frac ≈ this process's own usage /
+    ncpu; a contended run reads close to 1.0 — the disambiguator for
+    round-over-round absolute-wall swings."""
+    try:
+        la_end = os.getloadavg()
+    except OSError:
+        la_end = (0.0, 0.0, 0.0)
+    busy, total = _cpu_stat()
+    d_total = total - t0["total0"]
+    return {
+        "bench_load_start_1m": round(t0["la_start"][0], 2),
+        "bench_load_start_5m": round(t0["la_start"][1], 2),
+        "bench_load_end_1m": round(la_end[0], 2),
+        "bench_load_end_5m": round(la_end[1], 2),
+        "bench_cpu_busy_frac": round(
+            (busy - t0["busy0"]) / d_total, 4
+        ) if d_total > 0 else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_t0 = _load_telemetry_start()
     from cass_cdc_pg_spark.registry import QUERIES
     from cass_cdc_pg_spark.session import get_spark
 
@@ -1068,6 +1118,7 @@ def main() -> None:
         **zorder_stats,
         **ivf_split,
         **contract,
+        **_load_telemetry_finish(load_t0),
     }
     # Full record: first stdout line + a file next to this script.  The
     # driver keeps only the LAST ~2000 chars of stdout and json-parses
@@ -1102,6 +1153,8 @@ HEADLINE_KEYS = [
     "contract_q1_raw_ratio", "contract_q1_adj_ratio",
     "contract_q3_spark_sec", "contract_q3_duck_sec",
     "contract_q3_raw_ratio", "contract_q3_adj_ratio",
+    "bench_load_start_1m", "bench_load_start_5m",
+    "bench_load_end_1m", "bench_load_end_5m", "bench_cpu_busy_frac",
 ]
 
 
