@@ -986,6 +986,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k (squared-L2 metric, smaller = closer):
     corpus rows are their codes; each query's distance to a row is the
@@ -1001,7 +1002,14 @@ def pq_topk(
     distance by at most 5e-7, so a row with unrounded dist > (k-th
     best unrounded) + 1e-6 rounds strictly above the k-th best's
     rounded value and can never displace it.  Output: query_id,
-    neighbor_id, rank, dist (6 dp; ties → neighbor_id asc)."""
+    neighbor_id, rank, dist (6 dp; ties → neighbor_id asc).
+
+    *codes*: optional precomputed (id_col, codes) relation — e.g. the
+    PERSISTED IVF×PQ index's (neighbor_id, codes) projection.  When
+    given, the per-call ``pq_encode`` pass is skipped entirely and the
+    ADC kernel reads the stored codes; codes MUST have been produced
+    by the same *codebooks* (codes are a pure function of the trained
+    literals, so stored == re-encoded by construction)."""
     import numpy as np
     import pandas as pd
 
@@ -1010,7 +1018,11 @@ def pq_topk(
     qid_arr = np.array(qids)
     m = len(codebooks)
     id_type = corpus.schema[id_col].dataType.simpleString()
-    codes_df = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    codes_df = (
+        codes.select(id_col, "codes")
+        if codes is not None
+        else pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    )
 
     def score(batches):
         for pdf in batches:
@@ -1140,6 +1152,7 @@ def pq_refine_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieval (the FAISS search-then-refine pattern): the
     ADC pass over CODES produces a *shortlist* of candidates per query,
@@ -1160,7 +1173,7 @@ def pq_refine_topk(
     shortlist = max(shortlist, k)
     sl = pq_topk(
         corpus, queries, codebooks, k=shortlist,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, codes=codes,
     ).select("query_id", "neighbor_id")
     nvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")

@@ -1657,12 +1657,14 @@ def test_weekly_active_no_range_join_no_window(spark):
 
 
 def test_hard_negatives_broadcast_exclusion_bounded_window(spark):
-    """embedding_hard_negatives (r12): the near-dup exclusion must be
-    a BROADCAST anti-join (the bucketed pair relation never shuffles
-    the shortlist) and the only hash Exchanges are the tiny
-    query_id-keyed ranking windows — no SMJ, no cartesian, and the
-    corpus reaches Python only through the cosine kernel's narrow
-    (id, vector) projection."""
+    """embedding_hard_negatives (rewritten r13, r12 verdict #2): the
+    shortlist must be INDEX-BACKED — the ADC pass reads the persisted
+    IVF×PQ codes parquet and is the ONLY Python stage (a second Arrow
+    stage would mean the per-call pq_encode vector scan is back);
+    the near-dup exclusion must be a BROADCAST anti-join (the
+    bucketed pair relation never shuffles the shortlist) and the only
+    hash Exchanges are the tiny query_id-keyed ranking windows — no
+    SMJ, no cartesian."""
     from cass_cdc_pg_spark import registry
 
     plan = _plan(
@@ -1671,6 +1673,12 @@ def test_hard_negatives_broadcast_exclusion_bounded_window(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # exactly one Arrow-batched Python stage: the ADC score over the
+    # STORED codes (scanning the standing index parquet), not a
+    # per-call encode of the corpus vectors
+    n_python = plan.count("MapInPandas")
+    assert n_python == 1, plan
+    assert "ivfpq_index" in plan, plan
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "query_id" in ln, ln

@@ -1730,3 +1730,16 @@ def test_pq_recall_floors_hold_at_sf01(spark):
         ).collect()
     )
     assert refined == sorted(tuple(r) for r in exact_rows)
+    # the hard-negative mining depth (r13): refine@k=10 recall at this
+    # density (measured 0.93 — at 2000 vectors a handful of true
+    # top-10 members sit outside the ADC top-50).  This is WHY the
+    # mining query's oracle expresses the analytic ADC-shortlist
+    # pipeline rather than the exact scan: exact-oracle parity would
+    # silently depend on recall staying 1.0 as the corpus grows.
+    exact10 = {(r["query_id"], r["neighbor_id"]) for r in
+               similarity.l2_topk(emb, q, k=10).collect()}
+    refined10 = {(r["query_id"], r["neighbor_id"]) for r in
+                 similarity.pq_refine_topk(
+                     emb, q, books, k=10, shortlist=50
+                 ).collect()}
+    assert len(exact10 & refined10) / len(exact10) >= 0.9

@@ -104,7 +104,9 @@ def _replicate_orders(
     return hi_k, hi_c
 
 
-def _replicate_lineitem(spark, sf_dir: str, out: str, hi_k: int) -> None:
+def _replicate_lineitem(
+    spark, sf_dir: str, out: str, hi_k: int, replicas: int | None = None
+) -> None:
     """10x lineitem with l_orderkey shifted by the SAME stride as the
     orders replication, so order⋈lineitem referential integrity holds
     in the grown corpus (the Q18/Q21-analog joins stay honest);
@@ -112,9 +114,10 @@ def _replicate_lineitem(spark, sf_dir: str, out: str, hi_k: int) -> None:
     deployment."""
     from pyspark.sql import functions as F
 
+    replicas = REPLICAS if replicas is None else replicas
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     parts = []
-    for i in range(REPLICAS):
+    for i in range(replicas):
         parts.append(
             li.select(
                 (F.col("l_orderkey") + F.lit(i * hi_k)).alias("l_orderkey"),
@@ -553,11 +556,13 @@ def main() -> None:
             "10x": _weekly_counters(tmp),
         }
         def _hardneg_counters(d: str) -> dict:
-            """embedding_hard_negatives workload: the dominant phase
-            is the exact-cosine kernel's corpus scan (Q=10 queries x
-            all vectors x dim) — vectors/sec must RISE as the scan
-            outgrows the session floor; the shortlist/exclusion/
-            re-rank stages are all bounded by Q*shortlist."""
+            """embedding_hard_negatives workload (index-backed from
+            r13): the dominant phase is the ADC pass over the
+            PERSISTED IVF×PQ codes (m ints per corpus row — the
+            vectors are only read by the bounded Q·50 re-rank fetch)
+            — vectors/sec must RISE as the code scan outgrows the
+            session floor; the shortlist/exclusion/re-rank stages are
+            all bounded by Q*shortlist."""
             n_vec = _src.load_table(spark, d, "embeddings").count()
             wall = report["queries"]["embedding_hard_negatives"][
                 "sec_1x" if d == sf_dir else "sec_10x"
@@ -607,10 +612,17 @@ def main() -> None:
     from cass_cdc_pg_spark.registry import dedup_components_q as _dcc
     from cass_cdc_pg_spark.registry import docs_fuzzy_pairs_q as _dfp
 
+    from cass_cdc_pg_spark.registry import docs_ngram_novelty_q as _dnn
+
     hundred = {
         "docs_fuzzy_pairs": _dfp,
         "dedup_components": _dcc,
         "dedup_cluster_sizes": _dcs,
+        # r13 (r12 verdict #4): the novelty curve's 10x ratio sat at
+        # 3.3-4.5 for two rounds with honest counters; the decade
+        # point is the dedup-trio treatment — docs/sec must rise as
+        # the shingle shuffle's real volume outgrows the session floor
+        "docs_ngram_novelty": _dnn,
     }
     n_docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     with tempfile.TemporaryDirectory() as tmp100:
@@ -674,6 +686,37 @@ def main() -> None:
             "orders_per_sec_100x": round(100 * n_ord_1x / t100, 1),
         }
         print(f"# 100x customer_value_deciles: 10x={t10}s 100x={t100}s "
+              f"decade ratio={t100 / t10:.2f}")
+
+    # ---- 100× decade point for lineitem_part_copurchase (r12 watch
+    # item 4: 10× at 1.90 with honest counters — the entry nearest the
+    # line whose self-join shape most deserves the decade test).  Only
+    # lineitem is replicated (the query reads nothing else); the
+    # orderkey stride comes from lineitem itself since referential
+    # integrity with orders is irrelevant to a lineitem-only read.
+    from pyspark.sql import functions as _F2
+
+    li_1x = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_li_1x = li_1x.count()
+    hi_lk = li_1x.agg(_F2.max("l_orderkey")).first()[0] + 1
+    with tempfile.TemporaryDirectory() as tmpl:
+        _replicate_lineitem(spark, sf_dir, tmpl, hi_lk, replicas=100)
+        t10 = report["queries"]["lineitem_part_copurchase"]["sec_10x"]
+        lineitem_part_copurchase_q(spark, tmpl).count()  # warm
+        t100 = min(
+            _timed(lambda: lineitem_part_copurchase_q(spark, tmpl).count())
+            for _ in range(2)
+        )
+        report["100x"]["lineitem_part_copurchase"] = {
+            "sec_10x": t10,
+            "sec_100x": t100,
+            "ratio_per_decade_10x_to_100x": round(t100 / t10, 2)
+            if t10
+            else None,
+            "lineitem_rows_per_sec_10x": round(10 * n_li_1x / t10, 1),
+            "lineitem_rows_per_sec_100x": round(100 * n_li_1x / t100, 1),
+        }
+        print(f"# 100x lineitem_part_copurchase: 10x={t10}s 100x={t100}s "
               f"decade ratio={t100 / t10:.2f}")
 
     with open(out_json, "w") as fh:
