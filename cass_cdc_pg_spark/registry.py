@@ -8175,6 +8175,167 @@ FROM dau d JOIN wau w USING (day_no)
 """
 
 
+def weekly_active_incremental_parity_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU/WAU as a MAINTAINED view on the CDC ingest path (r12
+    verdict #5 — ``events_weekly_active`` was batch-only; this ties
+    the sliding-distinct analytics back to the CDC engine): the
+    events fixture replayed as 5 CDC batches against a real
+    ``KeyedTable`` + ``IncrementalAggView`` whose groups are the
+    (day_no, user_id) DISTINCT-CONTRIBUTION pairs — the level the
+    sliding COUNT DISTINCT is additive-with-retraction at (a (day,
+    user) pair enters DAU/WAU when its visible-event count rises
+    from 0 and leaves when it returns to 0; the view maintains
+    exactly that count per pair).  Cross-batch UPDATEs move every
+    ``event_id % 5 == 0`` event ONE DAY LATER (the pair retracts
+    from its old day and lands on the next — a user's last event
+    moving re-draws both day memberships), DELETEs tombstone every
+    ``% 17 == 0`` event (full retraction; ``% 85`` keys get both in
+    one batch, intra-batch LWW keeps the delete).  The DAU/WAU
+    rollup then reads ``view.read()`` — O(active pairs), never the
+    fact table — through the same constant-7 sequence-explode as the
+    batch query.
+
+    Oracle: the closed-form final LWW state aggregated directly from
+    the fixture through the batch WEEKLY_ACTIVE derivation — a hash
+    match states that per-pair delta maintenance (insert +
+    day-move-retract + delete-retract across batch boundaries)
+    composes with the sliding distinct to equal full recomputation.
+    Same plan-tool caveat as the stream-parity queries: local-
+    relation output, the compute surface is the batch replay,
+    memoized per (session, fixture)."""
+    slot = _stream_parity_slot(spark, sf_dir)
+    if "weekly_view" not in slot:
+        import tempfile
+
+        from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
+        from cass_cdc_pg_spark.streaming.incremental_view import (
+            IncrementalAggView,
+        )
+
+        day = F.expr("ts_us DIV 86400000000")
+        base = _ev(spark, sf_dir).select(
+            "event_id",
+            day.alias("day_no"),
+            "user_id",
+            "value",
+            F.lit(False).alias("_cdc_deleted"),
+            F.col("ts_us").alias("_cdc_timestamp_micros"),
+            F.concat(F.lit("e"), F.col("event_id")).alias("_last_event_id"),
+            F.lit(None).cast("long").alias("_ttl_expiry_timestamp_us"),
+        )
+        chunk = F.col("event_id") % 4
+        with tempfile.TemporaryDirectory() as tmp:
+            table = KeyedTable(spark, f"{tmp}/t", ["event_id"], num_buckets=8)
+            view = IncrementalAggView(
+                spark, f"{tmp}/v", table, ["day_no", "user_id"], "value"
+            )
+            for i in range(5):
+                parts = []
+                if i < 4:
+                    parts.append(base.filter(chunk == i))
+                if i > 0:
+                    prev = base.filter(chunk == i - 1)
+                    parts.append(
+                        prev.filter(F.col("event_id") % 5 == 0).select(
+                            "event_id",
+                            (F.col("day_no") + 1).alias("day_no"),
+                            "user_id",
+                            "value",
+                            F.lit(False).alias("_cdc_deleted"),
+                            (F.col("_cdc_timestamp_micros") + 1_000_000_000)
+                            .alias("_cdc_timestamp_micros"),
+                            F.concat(F.lit("u"), F.col("event_id"))
+                            .alias("_last_event_id"),
+                            F.lit(None).cast("long")
+                            .alias("_ttl_expiry_timestamp_us"),
+                        )
+                    )
+                    parts.append(
+                        prev.filter(F.col("event_id") % 17 == 0).select(
+                            "event_id",
+                            "day_no",
+                            "user_id",
+                            "value",
+                            F.lit(True).alias("_cdc_deleted"),
+                            (F.col("_cdc_timestamp_micros") + 2_000_000_000)
+                            .alias("_cdc_timestamp_micros"),
+                            F.concat(F.lit("d"), F.col("event_id"))
+                            .alias("_last_event_id"),
+                            F.lit(None).cast("long")
+                            .alias("_ttl_expiry_timestamp_us"),
+                        )
+                    )
+                batch = parts[0]
+                for p in parts[1:]:
+                    batch = batch.unionByName(p)
+                view.apply_batch(batch, batch_id=i)
+                table.merge(batch)
+            # the rollup reads the VIEW STATE (one row per active
+            # (day, user) pair), never the table or the fixture
+            du = view.read().select("day_no", "user_id")
+            dau = du.groupBy("day_no").agg(
+                F.count(F.lit(1)).cast("long").alias("n_daily")
+            )
+            wau = (
+                du.select(
+                    F.explode(
+                        F.sequence(
+                            F.col("day_no"), F.col("day_no") + F.lit(6)
+                        )
+                    ).alias("day_no"),
+                    "user_id",
+                )
+                .distinct()
+                .groupBy("day_no")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_weekly"))
+            )
+            out = dau.join(wau, "day_no").select(
+                "day_no",
+                "n_daily",
+                "n_weekly",
+                F.round(
+                    F.col("n_daily").cast("double")
+                    / F.col("n_weekly").cast("double"),
+                    6,
+                ).alias("dau_wau_ratio"),
+            )
+            slot["weekly_view"] = [
+                (r["day_no"], r["n_daily"], r["n_weekly"], r["dau_wau_ratio"])
+                for r in out.collect()
+            ]
+    return spark.createDataFrame(
+        slot["weekly_view"],
+        "day_no long, n_daily long, n_weekly long, dau_wau_ratio double",
+    ).orderBy("day_no")
+
+
+WEEKLY_VIEW_PARITY_SQL = """
+WITH final AS (
+  SELECT CASE WHEN event_id % 5 = 0
+              THEN epoch_us(ts) // 86400000000 + 1
+              ELSE epoch_us(ts) // 86400000000 END AS day_no,
+         user_id
+  FROM events
+  WHERE event_id % 17 <> 0),
+du AS (SELECT DISTINCT day_no, user_id FROM final),
+dau AS (
+  SELECT day_no, CAST(COUNT(*) AS BIGINT) AS n_daily
+  FROM du GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT day_no + i AS day_no, user_id
+  FROM du, (SELECT unnest(range(0, 7)) AS i) ii),
+wau AS (
+  SELECT day_no, CAST(COUNT(*) AS BIGINT) AS n_weekly
+  FROM contrib GROUP BY 1)
+SELECT d.day_no, d.n_daily, w.n_weekly,
+       ROUND(CAST(d.n_daily AS DOUBLE) / CAST(w.n_weekly AS DOUBLE), 6)
+           AS dau_wau_ratio
+FROM dau d JOIN wau w USING (day_no)
+"""
+
+
 QUERIES = {
     # ================= r12 driver window (first 50) =================
     # Composition (r10 verdict #2 discipline, r11 verdict #1): new
@@ -8187,6 +8348,7 @@ QUERIES = {
     "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
     "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
     "events_weekly_active": events_weekly_active_q,
+    "weekly_active_incremental_parity": weekly_active_incremental_parity_q,
     # ---- (b) rewritten in r12: the real-decode query now decodes a
     # genuine PNG (all five scanline filters on the hash path) for
     # every tenth doc, with the error seam demonstrated on jpeg — a
@@ -8511,6 +8673,7 @@ ORACLE = {
     "view_incremental_parity": VIEW_PARITY_SQL,
     "docs_source_distinctive_terms": DISTINCTIVE_TERMS_SQL,
     "events_weekly_active": WEEKLY_ACTIVE_SQL,
+    "weekly_active_incremental_parity": WEEKLY_VIEW_PARITY_SQL,
     "embedding_hard_negatives": HARD_NEGATIVES_SQL,
     "docs_packing_efficiency": PACKING_EFFICIENCY_SQL,
 }
