@@ -4042,641 +4042,63 @@ LEFT JOIN hits h ON q.query_id = h.query_id
 
 
 # ---------------------------------------------------------------------------
-# Product quantization (PQ) tier — 32× compressed ANN (see
-# operators/similarity.py PQ section).  Same determinism discipline as
-# IVF: driver-trained codebooks are literals shared with the generated
-# DuckDB oracle; encode argmin and the ADC fold are bit-identical
-# left-to-right float64 sequences in all three computations (JVM
-# expression, Arrow kernel, list_reduce).
+# PQ / IVF×PQ / refine / hard-negative tier — split into registry_ann
+# (r12 verdict #6: keep the per-round diff reviewable).  Every name is
+# re-exported here so QUERIES/ORACLE and all external imports are
+# unchanged.  This import sits BELOW every helper registry_ann reaches
+# back for (fixture keys, cache layout, neardup pairs) — the circular
+# import is safe because registry_ann defers those accesses to call
+# time via the module object.
 # ---------------------------------------------------------------------------
-
-# m=16 (4-dim subspaces), ksub=256 — the FAISS IVFPQ default
-# resolution: one byte per subspace, so codes stay 16 bytes per
-# vector while each sub-codebook is 16× finer than the r10 ksub=16
-# tier.  Measured recall@5 vs exact L2 at sf0.01: 0.80 at ksub=256
-# vs 0.28 at ksub=16 (r10 verdict item 1); the bulk encode is the
-# Arrow kernel, so the m·ksub literal budget no longer constrains
-# ksub (the JVM expression remains the cross-check path only).
-_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_K = 16, 256, 4, 5
-
-#: (embeddings fixture key) → trained codebooks (RAM memo over the
-#: same keying as the on-disk JSON, like _IVF_CENTROID_CACHE)
-_PQ_CODEBOOK_CACHE: dict[tuple[str, int], list] = {}
-
-
-def _pq_codebooks(sf_dir: str) -> list[list[list[float]]]:
-    import json as _json
-    import os as _os
-
-    key = _ivf_fixture_key(sf_dir)
-    if key not in _PQ_CODEBOOK_CACHE:
-        path = (
-            _cache_layout_dir(
-                "pq_codebooks", key[0], key[1], _PQ_M, _PQ_KSUB, _PQ_ITERS
-            )
-            + ".json"
-        )
-        if _os.path.exists(path):
-            with open(path) as f:
-                _PQ_CODEBOOK_CACHE[key] = _json.load(f)
-        else:
-            books = similarity.train_pq_codebooks(
-                key[0], m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS
-            )
-            _PQ_CODEBOOK_CACHE[key] = books
-            try:
-                _os.makedirs(_os.path.dirname(path), exist_ok=True)
-                tmp = f"{path}.tmp.{_os.getpid()}"
-                with open(tmp, "w") as f:
-                    _json.dump(books, f)
-                _os.replace(tmp, path)
-            except OSError:
-                pass  # cache is best-effort; training already succeeded
-    return _PQ_CODEBOOK_CACHE[key]
-
-
-#: (applicationId, fixture key, params) → built DataFrame — the same
-#: prepared-statement memo as _IVF_DF_CACHE (rebuilding re-plans the
-#: encode/ADC kernels and re-reads the codebook JSON).
-_PQ_DF_CACHE: dict[tuple, DataFrame] = {}
-
-
-def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC approximate top-k: Arrow-kernel encode to 16 code bytes/vector (m=16, ksub=256; the JVM expression is the cross-check path), ADC kernel scans codes only (never vectors)."""
-    key = (
-        spark.sparkContext.applicationId,
-        _ivf_fixture_key(sf_dir),
-        "pq_topk", _PQ_M, _PQ_KSUB, _PQ_K,
-    )
-    if key not in _PQ_DF_CACHE:
-        emb = src.load_table(spark, sf_dir, "embeddings")
-        _PQ_DF_CACHE[key] = similarity.pq_topk(
-            emb,
-            emb.filter(F.col("vec_id") < 10),
-            _pq_codebooks(sf_dir),
-            k=_PQ_K,
-        )
-    return _PQ_DF_CACHE[key]
-
-
-def embedding_pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PQ encode pass as its own declared result: one row per
-    (vector, subspace) with the assigned code — the compressed
-    representation a deployment PERSISTS (the daily batch output),
-    checked code-by-code against the oracle's argmin recomputation.
-    Exploded to scalar columns because list cells are canonicalizer-
-    unsafe in the driver's pandas compare (tests/test_oracle_dtypes)."""
-    key = (
-        spark.sparkContext.applicationId,
-        _ivf_fixture_key(sf_dir),
-        "pq_codes", _PQ_M, _PQ_KSUB,
-    )
-    if key not in _PQ_DF_CACHE:
-        emb = src.load_table(spark, sf_dir, "embeddings")
-        codes = similarity.pq_encode(emb, _pq_codebooks(sf_dir))
-        _PQ_DF_CACHE[key] = codes.select(
-            "vec_id", F.posexplode("codes").alias("subspace", "code")
-        ).select(
-            "vec_id",
-            (F.col("subspace") + 1).cast("int").alias("subspace"),
-            F.col("code").cast("int").alias("code"),
-        )
-    return _PQ_DF_CACHE[key]
-
-
-def ann_l2_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact squared-L2 top-k — the recall baseline for the PQ tier (as cosine is for IVF/LSH); Arrow kernel, keep-min pruned."""
-    key = (
-        spark.sparkContext.applicationId,
-        _ivf_fixture_key(sf_dir),
-        "l2_topk", _PQ_K,
-    )
-    if key not in _PQ_DF_CACHE:
-        emb = src.load_table(spark, sf_dir, "embeddings")
-        _PQ_DF_CACHE[key] = similarity.l2_topk(
-            emb, emb.filter(F.col("vec_id") < 10), k=_PQ_K
-        )
-    return _PQ_DF_CACHE[key]
-
-
-def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of PQ-ADC against the exact squared-L2 baseline, per
-    query — the compression-quality gauge a deployment tunes m/ksub
-    against (same join shape as ``ann_ivf_recall``)."""
-    exact = ann_l2_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ann_pq_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_K))).alias(
-            "recall_at_5"
-        ),
-    )
-
-
-# probe depth: measured composed recall@5 at sf0.01/ksub=256 is 0.66
-# at nprobe=2, 0.76 at nprobe=3, 0.76 at nprobe=4 — the extra probe
-# (3/8 of cells vs 2/8) buys back most of the pruning loss and the
-# fourth buys nothing, the classic FAISS nprobe curve knee.
-_IVFPQ_NPROBE = 3
-
-
-def _ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PERSISTED IVF×PQ index relation (neighbor_id, cell, codes)
-    for one embeddings fixture — built once per snapshot under the
-    shared ``.cache`` layout protocol (atomic rename, parameter-keyed
-    invalidation, LRU), written PARTITIONED BY cell so a probe's
-    broadcast join reads nprobe/ncentroids of the files.  Same durable
-    -state posture as the dedup standing index and the z-order layout:
-    queries pay the probe, never the build."""
-    key = _ivf_fixture_key(sf_dir)
-    d = _cache_layout_dir(
-        "ivfpq_index", key[0], key[1], _IVF_NC, _PQ_M, _PQ_KSUB
-    )
-
-    def _build(tmp: str) -> None:
-        emb = src.load_table(spark, sf_dir, "embeddings")
-        similarity.ivfpq_index(
-            emb, _ivf_centroids(sf_dir), _pq_codebooks(sf_dir)
-        ).write.partitionBy("cell").mode("overwrite").parquet(tmp)
-
-    _ensure_layout(d, "ivfpq_index_", _build)
-    return spark.read.parquet(d)
-
-
-def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF×PQ composed index (FAISS IVFPQ shape): inverted-file cell
-    pruning + ADC ranking over 16-byte codes from the PERSISTED index
-    relation — zero Python and zero vector reads at query time; the
-    probe side is a tiny literal relation carrying each query's ADC
-    table, and the join is broadcast hash on cell."""
-    key = (
-        spark.sparkContext.applicationId,
-        _ivf_fixture_key(sf_dir),
-        "ivfpq", _IVF_NC, _PQ_M, _PQ_KSUB, _IVFPQ_NPROBE, _PQ_K,
-    )
-    if key not in _PQ_DF_CACHE:
-        emb = src.load_table(spark, sf_dir, "embeddings")
-        q_rows = (
-            emb.filter(F.col("vec_id") < 10)
-            .select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .collect()  # query side is small by contract
-        )
-        _PQ_DF_CACHE[key] = similarity.ivfpq_topk(
-            _ivfpq_index(spark, sf_dir),
-            spark,
-            q_rows,
-            _ivf_centroids(sf_dir),
-            _pq_codebooks(sf_dir),
-            k=_PQ_K,
-            nprobe=_IVFPQ_NPROBE,
-        )
-    return _PQ_DF_CACHE[key]
-
-
-def _ivfpq_sql(
-    centroids: list[list[float]],
-    codebooks: list[list[list[float]]],
-    nprobe: int,
-    k: int,
-) -> str:
-    """Oracle twin of ``similarity.ivfpq_topk``: IVF cell assignment
-    and probes from the centroid literals (``_ivf_sql`` math), PQ
-    codes and per-query distances from the codebook literals
-    (``_pq_sql`` math), ADC as the same ordered left fold."""
-    m, sub = len(codebooks), len(codebooks[0][0])
-    cent_rows = ", ".join(
-        f"({i + 1}, [{', '.join(repr(float(x)) for x in c)}])"
-        for i, c in enumerate(centroids)
-    )
-    cb_rows = ", ".join(
-        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
-        for j, book in enumerate(codebooks)
-        for c, ctr in enumerate(book)
-    )
-    cos_cent = _cos_sql("vec", "ctr")
-    l2 = _L2DIST_SQL.format(a="sv", b="sctr")
-    return f"""
-WITH cent(cell, ctr) AS (VALUES {cent_rows}),
-cb(j, c, sctr) AS (VALUES {cb_rows}),
-cscore AS (
-  SELECT e.vec_id, e.embedding AS vec, cent.cell, {cos_cent} AS s
-  FROM embeddings e CROSS JOIN cent),
-cassign AS (
-  SELECT vec_id AS neighbor_id, cell
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY s DESC, cell ASC) AS rn
-        FROM cscore)
-  WHERE rn = 1),
-probes AS (
-  SELECT vec_id AS query_id, cell
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY s DESC, cell ASC) AS rn
-        FROM cscore WHERE vec_id < 10)
-  WHERE rn <= {nprobe}),
-sub AS (
-  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
-  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
-pdist AS (
-  SELECT vec_id, j, c, {l2} AS d
-  FROM sub JOIN cb USING (j)),
-codes AS (
-  SELECT vec_id, j, c
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                     ORDER BY d ASC, c ASC) AS rn
-        FROM pdist)
-  WHERE rn = 1),
-qd AS (SELECT vec_id AS query_id, j, c, d FROM pdist WHERE vec_id < 10),
-cand AS (
-  SELECT p.query_id, a.neighbor_id
-  FROM probes p JOIN cassign a USING (cell)
-  WHERE a.neighbor_id <> p.query_id),
-pair AS (
-  SELECT cand.query_id, cand.neighbor_id,
-         ROUND(list_reduce(list(qd.d ORDER BY qd.j), (a, b) -> a + b), 6)
-             AS dist
-  FROM cand
-  JOIN codes ON codes.vec_id = cand.neighbor_id
-  JOIN qd ON qd.query_id = cand.query_id
-         AND qd.j = codes.j AND qd.c = codes.c
-  GROUP BY 1, 2)
-SELECT query_id, neighbor_id, rank, dist
-FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
-      FROM pair)
-WHERE rank <= {k}
-"""
-
-
-_IVFPQ_SQL_CACHE: dict[tuple[str, int], str] = {}
-
-
-def ivfpq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
-    try:
-        key = _ivf_fixture_key(sf_dir)
-    except OSError:
-        return None
-    if key not in _IVFPQ_SQL_CACHE:
-        try:
-            _IVFPQ_SQL_CACHE[key] = _ivfpq_sql(
-                _ivf_centroids(sf_dir),
-                _pq_codebooks(sf_dir),
-                _IVFPQ_NPROBE,
-                _PQ_K,
-            )
-        except OSError:
-            return None
-    return _IVFPQ_SQL_CACHE[key]
-
-
-def ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the IVF×PQ composed index against the exact
-    squared-L2 baseline, per query — the end-to-end quality gauge of
-    the production layout (cell pruning AND code quantization losses
-    together; measured 0.76 vs full-scan ADC's 0.80 at ksub=256,
-    nprobe=3 on the sf0.01 fixture — probing 3/8 cells costs ~0.04
-    recall over scanning all codes)."""
-    exact = ann_l2_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ann_ivfpq_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_K))).alias(
-            "recall_at_5"
-        ),
-    )
-
-
-_IVFPQ_RECALL_SQL_CACHE: dict[str, str] = {}
-
-
-def ivfpq_recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
-    ipq = ivfpq_oracle_sql(sf_dir)
-    if ipq is None:
-        return None
-    if ipq not in _IVFPQ_RECALL_SQL_CACHE:
-        _IVFPQ_RECALL_SQL_CACHE[ipq] = f"""
-WITH exact AS (SELECT query_id, neighbor_id FROM ({ANN_L2_SQL}) e),
-approx AS (SELECT query_id, neighbor_id FROM ({ipq}) a),
-hits AS (
-  SELECT exact.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM exact JOIN approx USING (query_id, neighbor_id)
-  GROUP BY 1)
-SELECT q.query_id,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       COALESCE(h.n_hits, 0) / {float(_PQ_K)} AS recall_at_5
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN hits h ON q.query_id = h.query_id
-"""
-    return _IVFPQ_RECALL_SQL_CACHE[ipq]
-
-
-#: the "daily batch" carve-out for incremental index maintenance:
-#: vec_id ≡ _EMB_APPEND_REM (mod 10) is the new batch, the other 90%
-#: is the standing corpus the persisted base index covers (the
-#: dedup-incremental 90/10 convention)
-_EMB_APPEND_REM = 7
-
-
-def _ivfpq_base_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted IVF×PQ index over the BASE slice (vec_id not in
-    the daily batch) — the standing artifact ``ivfpq_append`` extends.
-    Same durable-state protocol as ``_ivfpq_index`` (atomic rename,
-    parameter-keyed invalidation, cell-partitioned layout)."""
-    key = _ivf_fixture_key(sf_dir)
-    d = _cache_layout_dir(
-        "ivfpq_base_index", key[0], key[1],
-        _IVF_NC, _PQ_M, _PQ_KSUB, _EMB_APPEND_REM,
-    )
-
-    def _build(tmp: str) -> None:
-        base = src.load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id") % 10 != _EMB_APPEND_REM
-        )
-        similarity.ivfpq_index(
-            base, _ivf_centroids(sf_dir), _pq_codebooks(sf_dir)
-        ).write.partitionBy("cell").mode("overwrite").parquet(tmp)
-
-    _ensure_layout(d, "ivfpq_base_index_", _build)
-    return spark.read.parquet(d)
-
-
-def ann_ivfpq_append_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental IVF×PQ index maintenance (r11 verdict #3): append
-    the daily embedding batch (vec_id ≡ 7 mod 10) onto the PERSISTED
-    base index with ``similarity.ivfpq_append`` — assign + encode ONLY
-    the new rows against the standing centroids/codebooks; the base
-    index is a pruned parquet read of (neighbor_id, cell, codes) that
-    never shuffles and never touches vectors.  The result is the FULL
-    maintained index, codes exploded to scalar columns (list cells are
-    canonicalizer-unsafe, the ``embedding_pq_codes`` precedent).
-
-    ORACLE: the full-corpus analytic recomputation — DuckDB assigns
-    every vector's cell and argmin codes from the trained literals, so
-    a hash match proves incremental == rebuild == analytic (cell
-    assignment and codes depend only on the trained literals, not on
-    corpus membership — the ``dedup_incremental_components``
-    precedent)."""
-    key = (
-        spark.sparkContext.applicationId,
-        _ivf_fixture_key(sf_dir),
-        "ivfpq_append", _IVF_NC, _PQ_M, _PQ_KSUB, _EMB_APPEND_REM,
-    )
-    if key not in _PQ_DF_CACHE:
-        new = src.load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id") % 10 == _EMB_APPEND_REM
-        )
-        appended = similarity.ivfpq_append(
-            _ivfpq_base_index(spark, sf_dir),
-            new,
-            _ivf_centroids(sf_dir),
-            _pq_codebooks(sf_dir),
-        )
-        _PQ_DF_CACHE[key] = appended.select(
-            "neighbor_id",
-            F.col("cell").cast("long").alias("cell"),
-            F.posexplode("codes").alias("subspace", "code"),
-        ).select(
-            "neighbor_id",
-            "cell",
-            (F.col("subspace") + 1).cast("int").alias("subspace"),
-            F.col("code").cast("int").alias("code"),
-        )
-    return _PQ_DF_CACHE[key]
-
-
-def _ivfpq_append_sql(
-    centroids: list[list[float]],
-    codebooks: list[list[list[float]]],
-) -> str:
-    """Oracle twin of the maintained index: every vector's IVF cell
-    (``_ivf_sql`` math) and PQ codes (``_pq_sql`` argmin math) from
-    the trained literals, one row per (vector, subspace)."""
-    m, sub = len(codebooks), len(codebooks[0][0])
-    cent_rows = ", ".join(
-        f"({i + 1}, [{', '.join(repr(float(x)) for x in c)}])"
-        for i, c in enumerate(centroids)
-    )
-    cb_rows = ", ".join(
-        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
-        for j, book in enumerate(codebooks)
-        for c, ctr in enumerate(book)
-    )
-    cos_cent = _cos_sql("vec", "ctr")
-    l2 = _L2DIST_SQL.format(a="sv", b="sctr")
-    return f"""
-WITH cent(cell, ctr) AS (VALUES {cent_rows}),
-cb(j, c, sctr) AS (VALUES {cb_rows}),
-cscore AS (
-  SELECT e.vec_id, e.embedding AS vec, cent.cell, {cos_cent} AS s
-  FROM embeddings e CROSS JOIN cent),
-cassign AS (
-  SELECT vec_id, cell
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY s DESC, cell ASC) AS rn
-        FROM cscore)
-  WHERE rn = 1),
-sub AS (
-  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
-  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
-pdist AS (
-  SELECT vec_id, j, c, {l2} AS d
-  FROM sub JOIN cb USING (j)),
-codes AS (
-  SELECT vec_id, j, c
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                     ORDER BY d ASC, c ASC) AS rn
-        FROM pdist)
-  WHERE rn = 1)
-SELECT a.vec_id AS neighbor_id,
-       CAST(a.cell AS BIGINT) AS cell,
-       CAST(codes.j AS INT) AS subspace,
-       CAST(codes.c AS INT) AS code
-FROM cassign a JOIN codes ON codes.vec_id = a.vec_id
-"""
-
-
-_IVFPQ_APPEND_SQL_CACHE: dict[tuple[str, int], str] = {}
-
-
-def ivfpq_append_oracle_sql(
-    sf_dir: str = "/root/testdata/sf0.01",
-) -> str | None:
-    try:
-        key = _ivf_fixture_key(sf_dir)
-    except OSError:
-        return None
-    if key not in _IVFPQ_APPEND_SQL_CACHE:
-        try:
-            _IVFPQ_APPEND_SQL_CACHE[key] = _ivfpq_append_sql(
-                _ivf_centroids(sf_dir), _pq_codebooks(sf_dir)
-            )
-        except OSError:
-            return None
-    return _IVFPQ_APPEND_SQL_CACHE[key]
-
-
-_L2DIST_SQL = (
-    "list_reduce(list_transform(list_zip({a}, {b}),"
-    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
-    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+from cass_cdc_pg_spark.registry_ann import (  # noqa: E402
+    _PQ_M,
+    _PQ_KSUB,
+    _PQ_ITERS,
+    _PQ_K,
+    _PQ_CODEBOOK_CACHE,
+    _pq_codebooks,
+    _PQ_DF_CACHE,
+    ann_pq_topk_q,
+    embedding_pq_codes_q,
+    ann_l2_topk_q,
+    ann_pq_recall_q,
+    _IVFPQ_NPROBE,
+    _ivfpq_index,
+    ann_ivfpq_topk_q,
+    _ivfpq_sql,
+    ivfpq_oracle_sql,
+    ann_ivfpq_recall_q,
+    ivfpq_recall_oracle_sql,
+    _EMB_APPEND_REM,
+    _ivfpq_base_index,
+    ann_ivfpq_append_parity_q,
+    _ivfpq_append_sql,
+    ivfpq_append_oracle_sql,
+    _L2DIST_SQL,
+    ANN_L2_SQL,
+    _pq_sql,
+    _pq_codes_sql,
+    pq_codes_oracle_sql,
+    pq_oracle_sql,
+    pq_recall_oracle_sql,
+    _PQ_REFINE_SHORTLIST,
+    ann_pq_refine_topk_q,
+    _pq_refine_sql,
+    pq_refine_oracle_sql,
+    ann_pq_refine_recall_q,
+    pq_refine_recall_oracle_sql,
+    _HARDNEG_SHORTLIST,
+    _HARDNEG_K,
+    embedding_hard_negatives_q,
+    _hard_negatives_sql,
+    hard_negatives_static_sql,
+    hard_negatives_oracle_sql,
 )
 
-ANN_L2_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id,
-         ROUND({_L2DIST_SQL.format(a='qv', b='cv')}, 6) AS dist
-  FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
-SELECT query_id, neighbor_id, rank, dist
-FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
-      FROM scored)
-WHERE rank <= {_PQ_K}
-"""
-
-
-def _pq_sql(codebooks: list[list[list[float]]], k: int) -> str:
-    """Oracle twin of ``similarity.pq_topk``: same codebook literals,
-    same argmin encode (ties → lowest code), same ordered left fold
-    over subspaces (``list(d ORDER BY j)`` + ``list_reduce``), same
-    tie rules — distances are bit-identical across engines."""
-    m, sub = len(codebooks), len(codebooks[0][0])
-    cb_rows = ", ".join(
-        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
-        for j, book in enumerate(codebooks)
-        for c, ctr in enumerate(book)
-    )
-    l2 = _L2DIST_SQL.format(a="sv", b="ctr")
-    return f"""
-WITH cb(j, c, ctr) AS (VALUES {cb_rows}),
-sub AS (
-  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
-  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
-dist AS (
-  SELECT vec_id, j, c, {l2} AS d
-  FROM sub JOIN cb USING (j)),
-codes AS (
-  SELECT vec_id, j, c
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                     ORDER BY d ASC, c ASC) AS rn
-        FROM dist)
-  WHERE rn = 1),
-qd AS (SELECT vec_id AS query_id, j, c, d FROM dist WHERE vec_id < 10),
-pair AS (
-  SELECT qd.query_id, codes.vec_id AS neighbor_id,
-         ROUND(list_reduce(list(qd.d ORDER BY qd.j), (a, b) -> a + b), 6)
-             AS dist
-  FROM codes JOIN qd ON qd.j = codes.j AND qd.c = codes.c
-  WHERE codes.vec_id <> qd.query_id
-  GROUP BY 1, 2)
-SELECT query_id, neighbor_id, rank, dist
-FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
-      FROM pair)
-WHERE rank <= {k}
-"""
-
-
-def _pq_codes_sql(codebooks: list[list[list[float]]]) -> str:
-    """Oracle twin of the exploded ``pq_encode`` output: same argmin
-    over the same literal distances, one row per (vector, subspace)."""
-    m, sub = len(codebooks), len(codebooks[0][0])
-    cb_rows = ", ".join(
-        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
-        for j, book in enumerate(codebooks)
-        for c, ctr in enumerate(book)
-    )
-    l2 = _L2DIST_SQL.format(a="sv", b="ctr")
-    return f"""
-WITH cb(j, c, ctr) AS (VALUES {cb_rows}),
-sub AS (
-  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
-  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
-dist AS (
-  SELECT vec_id, j, c, {l2} AS d
-  FROM sub JOIN cb USING (j))
-SELECT vec_id, CAST(j AS INT) AS subspace, CAST(c AS INT) AS code
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
-                                   ORDER BY d ASC, c ASC) AS rn
-      FROM dist)
-WHERE rn = 1
-"""
-
-
-_PQ_CODES_SQL_CACHE: dict[tuple[str, int], str] = {}
-
-
-def pq_codes_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
-    try:
-        key = _ivf_fixture_key(sf_dir)
-    except OSError:
-        return None
-    if key not in _PQ_CODES_SQL_CACHE:
-        try:
-            _PQ_CODES_SQL_CACHE[key] = _pq_codes_sql(_pq_codebooks(sf_dir))
-        except OSError:
-            return None
-    return _PQ_CODES_SQL_CACHE[key]
-
-
-_PQ_SQL_CACHE: dict[tuple[str, int], str] = {}
-
-
-def pq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
-    """The PQ oracle for *sf_dir*, trained lazily on the same
-    embeddings fixture; None if the fixture is absent."""
-    try:
-        key = _ivf_fixture_key(sf_dir)
-    except OSError:
-        return None
-    if key not in _PQ_SQL_CACHE:
-        try:
-            _PQ_SQL_CACHE[key] = _pq_sql(_pq_codebooks(sf_dir), _PQ_K)
-        except OSError:
-            return None
-    return _PQ_SQL_CACHE[key]
-
-
-_PQ_RECALL_SQL_CACHE: dict[str, str] = {}
-
-
-def pq_recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
-    """Composed oracle: exact-L2 and PQ SQL texts as derived tables,
-    intersected per query (the ``ivf_recall`` pattern)."""
-    pq = pq_oracle_sql(sf_dir)
-    if pq is None:
-        return None
-    if pq not in _PQ_RECALL_SQL_CACHE:
-        _PQ_RECALL_SQL_CACHE[pq] = f"""
-WITH exact AS (SELECT query_id, neighbor_id FROM ({ANN_L2_SQL}) e),
-approx AS (SELECT query_id, neighbor_id FROM ({pq}) a),
-hits AS (
-  SELECT exact.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM exact JOIN approx USING (query_id, neighbor_id)
-  GROUP BY 1)
-SELECT q.query_id,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       COALESCE(h.n_hits, 0) / {float(_PQ_K)} AS recall_at_5
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN hits h ON q.query_id = h.query_id
-"""
-    return _PQ_RECALL_SQL_CACHE[pq]
+#: materialized HERE (not in registry_ann) because the exact-scan
+#: fallback interpolates EMBEDDING_NEARDUP_SQL, which lives above in
+#: this module — see hard_negatives_static_sql's docstring.
+HARD_NEGATIVES_SQL = hard_negatives_static_sql()
 
 
 def events_anomaly_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7530,121 +6952,6 @@ GROUP BY 1, 2
 """
 
 
-_PQ_REFINE_SHORTLIST = 50
-
-
-def ann_pq_refine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage retrieval (FAISS search-then-refine): PQ-ADC shortlist
-    of 50 over codes, exact-L2 re-rank of ONLY those rows — a query
-    touches 50 real vectors at any corpus size.  The production ANN
-    answer shape: compressed-index recall, exact-metric ordering."""
-    key = (
-        spark.sparkContext.applicationId,
-        _ivf_fixture_key(sf_dir),
-        "pq_refine", _PQ_M, _PQ_KSUB, _PQ_REFINE_SHORTLIST, _PQ_K,
-    )
-    if key not in _PQ_DF_CACHE:
-        emb = src.load_table(spark, sf_dir, "embeddings")
-        _PQ_DF_CACHE[key] = similarity.pq_refine_topk(
-            emb,
-            emb.filter(F.col("vec_id") < 10),
-            _pq_codebooks(sf_dir),
-            k=_PQ_K,
-            shortlist=_PQ_REFINE_SHORTLIST,
-        )
-    return _PQ_DF_CACHE[key]
-
-
-def _pq_refine_sql(
-    codebooks: list[list[list[float]]], shortlist: int, k: int
-) -> str:
-    """Oracle twin of ``similarity.pq_refine_topk``: the ``_pq_sql``
-    shortlist at k=*shortlist* as a derived table, re-ranked by the
-    same left-to-right exact-L2 fold the Spark expression runs."""
-    l2 = _L2DIST_SQL.format(a="qe.embedding", b="ne.embedding")
-    return f"""
-WITH pqsl AS (SELECT query_id, neighbor_id
-              FROM ({_pq_sql(codebooks, shortlist)}) s),
-scored AS (
-  SELECT p.query_id, p.neighbor_id, ROUND({l2}, 6) AS dist
-  FROM pqsl p
-  JOIN embeddings qe ON qe.vec_id = p.query_id
-  JOIN embeddings ne ON ne.vec_id = p.neighbor_id)
-SELECT query_id, neighbor_id, rank, dist
-FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
-      FROM scored)
-WHERE rank <= {k}
-"""
-
-
-_PQ_REFINE_SQL_CACHE: dict[tuple[str, int], str] = {}
-
-
-def pq_refine_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
-    try:
-        key = _ivf_fixture_key(sf_dir)
-    except OSError:
-        return None
-    if key not in _PQ_REFINE_SQL_CACHE:
-        try:
-            _PQ_REFINE_SQL_CACHE[key] = _pq_refine_sql(
-                _pq_codebooks(sf_dir), _PQ_REFINE_SHORTLIST, _PQ_K
-            )
-        except OSError:
-            return None
-    return _PQ_REFINE_SQL_CACHE[key]
-
-
-def ann_pq_refine_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of refine-after-shortlist against exact L2 — the gauge
-    that shows the refine stage RECOVERS the exactness the 16-byte
-    codes gave up (measured 1.0 at sf0.01: the true top-5 sits inside
-    the ADC top-50, so re-ranking restores the exact answer; compare
-    0.80 for ADC alone)."""
-    exact = ann_l2_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ann_pq_refine_topk_q(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_K))).alias(
-            "recall_at_5"
-        ),
-    )
-
-
-_PQ_REFINE_RECALL_SQL_CACHE: dict[str, str] = {}
-
-
-def pq_refine_recall_oracle_sql(
-    sf_dir: str = "/root/testdata/sf0.01",
-) -> str | None:
-    ref = pq_refine_oracle_sql(sf_dir)
-    if ref is None:
-        return None
-    if ref not in _PQ_REFINE_RECALL_SQL_CACHE:
-        _PQ_REFINE_RECALL_SQL_CACHE[ref] = f"""
-WITH exact AS (SELECT query_id, neighbor_id FROM ({ANN_L2_SQL}) e),
-approx AS (SELECT query_id, neighbor_id FROM ({ref}) a),
-hits AS (
-  SELECT exact.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM exact JOIN approx USING (query_id, neighbor_id)
-  GROUP BY 1)
-SELECT q.query_id,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       COALESCE(h.n_hits, 0) / {float(_PQ_K)} AS recall_at_5
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN hits h ON q.query_id = h.query_id
-"""
-    return _PQ_REFINE_RECALL_SQL_CACHE[ref]
 
 
 def docs_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7725,169 +7032,6 @@ GROUP BY 1
 """
 
 
-#: hard-negative mining: ANN shortlist depth and negatives kept per
-#: query (the production shape — negatives are mined from a bounded
-#: shortlist, not the full corpus ranking)
-_HARDNEG_SHORTLIST, _HARDNEG_K = 10, 3
-
-
-def embedding_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training (the DPR/SimCSE
-    data-prep step): for each query vector, the top-3 CLOSEST corpus
-    rows (exact squared-L2) from an index-backed top-10 shortlist
-    AFTER excluding near-duplicate pairs (the LSH neardup relation at
-    cos ≥ 0.35) — "similar but not the same", the negatives that
-    actually teach a retriever.  Semantics are shortlist-scoped by
-    design: negatives come from a bounded ANN candidate set, exactly
-    how a deployment mines them (the oracle expresses the same
-    shortlist → exclude → re-rank pipeline, so under-delivery when a
-    shortlist drowns in dups is pinned, not hidden).
-
-    Rewritten r13 (r12 verdict #2): the shortlist comes from the
-    search-then-refine tier OVER THE PERSISTED IVF×PQ CODES — the ADC
-    pass reads (vec_id, codes) from the standing index parquet
-    (16 ints per row, never vectors; the same artifact every other
-    ANN consumer probes), and only the ≤ Q·50 shortlisted rows are
-    re-ranked by exact L2 — so mining a training set is index-backed
-    like every other ANN read, not a full-corpus exact-kernel scan
-    per batch.  The oracle stays the EXACT full-scan definition: the
-    refine tier's measured recall 1.0 (true top-k inside the ADC
-    top-50, pinned at sf0.1 in ``test_pq_recall_floors_hold_at_sf01``)
-    is what makes index-backed == exact a hash-match, the
-    ``ann_ivfpq_append_parity`` posture.
-
-    Scale shape: ADC shortlist over stored codes (per-batch prune
-    bounds the ranking Exchange at O(Q·50·batches)); the vector fetch
-    broadcasts the shortlist back against the corpus (one pass-through
-    scan, no shuffle); the exclusion is a BROADCAST anti-join against
-    the bucketed neardup pairs (never all-pairs); the re-rank window
-    carries ≤ Q·10 rows on the query_id key."""
-    key = (
-        spark.sparkContext.applicationId,
-        _ivf_fixture_key(sf_dir),
-        "hard_neg", _PQ_M, _PQ_KSUB, _PQ_REFINE_SHORTLIST,
-        _HARDNEG_SHORTLIST,
-    )
-    if key not in _PQ_DF_CACHE:
-        emb = src.load_table(spark, sf_dir, "embeddings")
-        codes = _ivfpq_index(spark, sf_dir).select(
-            F.col("neighbor_id").alias("vec_id"), "codes"
-        )
-        _PQ_DF_CACHE[key] = similarity.pq_refine_topk(
-            emb,
-            emb.filter(F.col("vec_id") < 10),
-            _pq_codebooks(sf_dir),
-            k=_HARDNEG_SHORTLIST,
-            shortlist=_PQ_REFINE_SHORTLIST,
-            codes=codes,
-        ).select("query_id", "neighbor_id", "dist")
-    shortlist = _PQ_DF_CACHE[key]
-    dups = _shared_emb_pairs(spark, sf_dir)
-    ex = dups.select(
-        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
-    ).unionByName(
-        dups.select(
-            F.col("id_b").alias("query_id"),
-            F.col("id_a").alias("neighbor_id"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        shortlist.join(
-            F.broadcast(ex), ["query_id", "neighbor_id"], "left_anti"
-        )
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _HARDNEG_K)
-        .select("query_id", "neighbor_id", "rank", "dist")
-    )
-
-
-def _hard_negatives_sql(codebooks: list[list[list[float]]]) -> str:
-    """Oracle twin of the r13 index-backed mining pipeline: the SAME
-    ADC-shortlist → exact-re-rank derivation as ``_pq_refine_sql``
-    (top-10 from the ADC top-50, codes recomputed analytically from
-    the trained literals) feeding the near-dup exclusion and final
-    top-3 re-rank.  Expressing the SHORTLIST analytically — rather
-    than as an exact full scan — is deliberate: refine@10 recall is
-    1.0 at the driver's sf but 0.93 at sf0.1 (pinned in
-    ``test_pq_recall_floors_hold_at_sf01``), so an exact-scan oracle
-    would make correctness silently scale-dependent; this oracle pins
-    the pipeline the engine actually runs at every scale."""
-    return f"""
-WITH topk AS (
-  SELECT query_id, neighbor_id, dist
-  FROM ({_pq_refine_sql(codebooks, _PQ_REFINE_SHORTLIST,
-                        _HARDNEG_SHORTLIST)}) rf),
-dup AS (SELECT id_a, id_b FROM ({EMBEDDING_NEARDUP_SQL}) nd),
-kept AS (
-  SELECT t.query_id, t.neighbor_id, t.dist
-  FROM topk t
-  WHERE NOT EXISTS (
-    SELECT 1 FROM dup d
-    WHERE (d.id_a = t.query_id AND d.id_b = t.neighbor_id)
-       OR (d.id_b = t.query_id AND d.id_a = t.neighbor_id)))
-SELECT query_id, neighbor_id, rank, dist
-FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
-      FROM kept)
-WHERE rank <= {_HARDNEG_K}
-"""
-
-
-#: static fallback (fixture not materialized): the exact-scan
-#: definition — valid wherever refine recall@10 is 1.0, which holds at
-#: the sf0.001/sf0.01 gate scales; ``oracle_sql()`` swaps in the
-#: analytic pipeline twin whenever the fixture is readable.
-HARD_NEGATIVES_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id,
-         ROUND({_L2DIST_SQL.format(a='qv', b='cv')}, 6) AS dist
-  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
-topk AS (
-  SELECT query_id, neighbor_id, dist
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY dist ASC, neighbor_id ASC) AS rn
-        FROM scored)
-  WHERE rn <= {_HARDNEG_SHORTLIST}),
-dup AS (SELECT id_a, id_b FROM ({EMBEDDING_NEARDUP_SQL}) nd),
-kept AS (
-  SELECT t.query_id, t.neighbor_id, t.dist
-  FROM topk t
-  WHERE NOT EXISTS (
-    SELECT 1 FROM dup d
-    WHERE (d.id_a = t.query_id AND d.id_b = t.neighbor_id)
-       OR (d.id_b = t.query_id AND d.id_a = t.neighbor_id)))
-SELECT query_id, neighbor_id, rank, dist
-FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
-      FROM kept)
-WHERE rank <= {_HARDNEG_K}
-"""
-
-
-_HARDNEG_SQL_CACHE: dict[tuple[str, int], str] = {}
-
-
-def hard_negatives_oracle_sql(
-    sf_dir: str = "/root/testdata/sf0.01",
-) -> str | None:
-    try:
-        key = _ivf_fixture_key(sf_dir)
-    except OSError:
-        return None
-    if key not in _HARDNEG_SQL_CACHE:
-        try:
-            _HARDNEG_SQL_CACHE[key] = _hard_negatives_sql(
-                _pq_codebooks(sf_dir)
-            )
-        except OSError:
-            return None
-    return _HARDNEG_SQL_CACHE[key]
 
 
 #: candidate training sequence lengths for the packing-geometry sweep
