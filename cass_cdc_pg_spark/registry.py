@@ -619,1524 +619,98 @@ FROM events WHERE event_id % 997 = 17
 
 
 # ---------------------------------------------------------------------------
-# training-data pipeline: dedup / text / similarity
+# Training-data pipeline tier (dedup / text / corpus-prep / multimodal
+# / exact-ANN queries) — split into registry_corpus (r12 verdict #6,
+# third tranche).  Re-exported unchanged; same circular-safety
+# argument as the registry_ann import below.
 # ---------------------------------------------------------------------------
-
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups by canonical text digest — hash group-by on the digest, text never shuffles."""
-    return dedup.exact_dup_groups(src.load_table(spark, sf_dir, "documents"))
-
-
-DEDUP_EXACT_SQL = """
-SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
-FROM documents GROUP BY md5(text)
-"""
-
-
-def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index with a stop-shingle cap — quadratic only within buckets."""
-    return dedup.ngram_jaccard_pairs(
-        src.load_table(spark, sf_dir, "documents"), n=2, threshold=0.1
-    )
-
-
-DEDUP_JACCARD_SQL = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(
-           list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
-         )) AS shingle
-  FROM toks),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.1
-"""
-
-
-def docs_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus length histogram: docs bucketed by integer-exact floor(log2(token count))."""
-    return text.length_histogram(src.load_table(spark, sf_dir, "documents"))
-
-
-LENGTH_HISTOGRAM_SQL = """
-WITH t AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
-           FROM documents)
-SELECT CASE WHEN n <= 0 THEN -1 ELSE CAST(length(bin(n)) - 1 AS INT) END AS log2_bucket,
-       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
-       MIN(n) AS min_tokens, MAX(n) AS max_tokens
-FROM t GROUP BY 1
-"""
-
-
-def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition metrics (duplicate line/paragraph and top-gram mass fractions) via HOF folds, zero shuffle."""
-    return text.repetition_stats(src.load_table(spark, sf_dir, "documents"))
-
-
-TEXT_REPETITION_SQL = """
-WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-           FROM documents),
-g AS (
-  SELECT doc_id, tk, len(tk) AS n,
-         list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) AS bg,
-         list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) AS tg
-  FROM t)
-SELECT doc_id,
-       CASE WHEN n > 0 THEN ROUND(CAST(list_max(list_transform(list_distinct(tk),
-              t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE) / n, 4) END AS top_token_frac,
-       CASE WHEN n > 1 THEN ROUND(CAST(list_max(list_transform(list_distinct(bg),
-              t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE) / (n - 1), 4) END AS top_bigram_frac,
-       CASE WHEN n > 2 THEN ROUND(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 4) END AS dup_trigram_frac
-FROM g
-"""
-
-
-#: benchmark split for the decontamination query: every 50th doc plays
-#: the eval set; the remaining 490 are the training corpus.
-_DECONTAM_N = 3
-
-
-def decontam_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: corpus docs sharing n-grams with the broadcast eval set, with overlap counts."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 50 == 0)
-    corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    return text.decontaminate(corpus, bench, n=_DECONTAM_N)
-
-
-DECONTAM_SQL = f"""
-WITH docs AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-  FROM documents),
-grams AS (
-  SELECT doc_id, array_to_string(tk[i:i+{_DECONTAM_N - 1}], ' ') AS g
-  FROM docs, unnest(generate_series(1, len(tk) - {_DECONTAM_N - 1})) AS u(i)
-  WHERE len(tk) >= {_DECONTAM_N}),
-bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
-corpus AS (SELECT * FROM grams WHERE doc_id % 50 != 0),
-sizes AS (
-  SELECT doc_id,
-         CASE WHEN len(tk) >= {_DECONTAM_N} THEN len(tk) - {_DECONTAM_N} + 1 ELSE 0 END AS n_grams
-  FROM docs WHERE doc_id % 50 != 0),
-hits AS (
-  SELECT corpus.doc_id, COUNT(*) AS n_hit_grams
-  FROM corpus JOIN bench USING (g) GROUP BY 1)
-SELECT s.doc_id, s.n_grams,
-       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
-       COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
-FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
-"""
-
-
-_PACK_SEQ_LEN, _PACK_SHARDS = 512, 8
-
-
-def docs_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style sequence packing: concat-and-chunk into fixed-length packs, sharded cumsum, per-doc (pack, offset) provenance."""
-    return text.pack_sequences(
-        src.load_table(spark, sf_dir, "documents"),
-        seq_len=_PACK_SEQ_LEN,
-        n_shards=_PACK_SHARDS,
-    )
-
-
-PACK_SEQUENCES_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
-         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
-  FROM documents),
-r AS (
-  SELECT doc_id, shard, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
-  FROM t)
-SELECT doc_id, shard, n_tokens,
-       CAST(floor(start / {_PACK_SEQ_LEN}) AS BIGINT) AS pack_id,
-       CAST(start % {_PACK_SEQ_LEN} AS BIGINT) AS offset_in_pack
-FROM r
-"""
-
-
-#: chunking params for the declared query: the synthetic docs run
-#: 10-99 tokens, so 32-token windows with 8-token overlap (stride 24)
-#: yield 1-4 chunks per doc — short docs exercise the single-chunk
-#: path, long ones the ragged last window
-_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
-
-
-def docs_chunk_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking with provenance (r9 — the
-    RAG/training prep sibling of ``docs_pack_sequences``): zero
-    shuffle, per-row HOF work only; see
-    :func:`operators.text.chunk_documents`."""
-    return text.chunk_documents(
-        src.load_table(spark, sf_dir, "documents"),
-        chunk_tokens=_CHUNK_TOKENS,
-        overlap=_CHUNK_OVERLAP,
-    )
-
-
-_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
-
-CHUNK_WINDOWS_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents),
-n AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
-c AS (SELECT doc_id, tk, n,
-             CASE WHEN n <= {_CHUNK_TOKENS} THEN 1
-                  ELSE (n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
-                       // {_CHUNK_STRIDE} + 1 END AS n_chunks
-      FROM n),
-x AS (SELECT doc_id, tk, n, unnest(range(n_chunks)) AS i FROM c)
-SELECT doc_id,
-       CAST(i AS INT) AS chunk_index,
-       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS chunk_id,
-       CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
-       CAST(LEAST({_CHUNK_TOKENS}, n - i * {_CHUNK_STRIDE}) AS BIGINT)
-           AS n_chunk_tokens,
-       array_to_string(tk[(i * {_CHUNK_STRIDE} + 1):(i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})],
-                       ' ') AS chunk_text
-FROM x
-"""
-
-
-def text_token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-frequency rarity score per document (CCNet-style LM quality proxy; integer sums keep the oracle bit-exact)."""
-    return text.token_rarity(src.load_table(spark, sf_dir, "documents"))
-
-
-TOKEN_RARITY_SQL = """
-WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-  FROM documents),
-vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
-SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(freq) AS BIGINT) AS sum_freq,
-       ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 4) AS mean_token_freq
-FROM toks JOIN vocab USING (tok)
-GROUP BY doc_id
-"""
-
-
-def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-local symmetric int8 quantization with per-vector scale — zero Exchange."""
-    return similarity.quantize_int8(
-        src.load_table(spark, sf_dir, "embeddings")
-    )
-
-
-QUANTIZE_INT8_SQL = """
-WITH s AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-  FROM embeddings),
-q AS (
-  SELECT vec_id, scale,
-         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
-         END AS qv
-  FROM s)
-SELECT vec_id, scale,
-       CAST(list_sum(qv) AS BIGINT) AS q_sum,
-       CAST(list_max(qv) AS INT) AS q_max,
-       md5(array_to_string(qv, ',')) AS q_digest
-FROM q
-"""
-
-
-#: mix weights for the declared upsampling query: two sources boosted,
-#: one downsampled, rest default 1.0
-_MIX_WEIGHTS = {"src0": 2.3, "src1": 1.5, "src2": 0.4}
-
-
-def docs_mix_upsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mix upsampling plan: per-source repeat factors with deterministic fractional-remainder draws."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    out = text.mix_upsample(docs, _MIX_WEIGHTS)
-    return out.select("doc_id", "source", F.col("copy_n").cast("long").alias("copy_n"))
-
-
-MIX_UPSAMPLE_SQL = """
-WITH w AS (
-  SELECT doc_id, source,
-         CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 1.5
-                     WHEN 'src2' THEN 0.4 ELSE 1.0 END AS wt
-  FROM documents),
-n AS (
-  SELECT doc_id, source,
-         CAST(floor(wt) AS BIGINT)
-           + CASE WHEN ((doc_id % 1000) * 48271) % 1000
-                       < CAST(round((wt - floor(wt)) * 1000) AS BIGINT)
-                  THEN 1 ELSE 0 END AS n_copies
-  FROM w)
-SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS copy_n
-FROM n WHERE n_copies > 0
-"""
-
-
-_TOKEN_BUDGET = 20_000
-
-
-def docs_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budgeted subset selection: docs in descending quality order until the corpus token budget is hit (frozen two-phase global rank)."""
-    return text.token_budget_select(
-        src.load_table(spark, sf_dir, "documents"), _TOKEN_BUDGET
-    )
-
-
-TOKEN_BUDGET_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         len(tk) AS n_tokens,
-         ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS quality
-  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        FROM documents)),
-r AS (
-  SELECT doc_id, n_tokens, quality,
-         CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens
-  FROM t)
-SELECT doc_id, n_tokens, quality, running_tokens
-FROM r WHERE running_tokens - n_tokens < {_TOKEN_BUDGET}
-"""
-
-
-_SOURCE_BUDGET = 8_000
-
-
-def docs_quality_budget_by_source_q(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-source quality-gated token budget (r9 late addition): the
-    domain-mixture construction step — every source contributes its
-    best 'ok'-bucket docs up to an equal token budget.  The global
-    sibling is ``docs_token_budget``; this one partitions by source,
-    so the window is hash-partitioned (no range-boundary hazard) and
-    the exact ``rank <= budget/min_tokens`` prune compiles to a
-    map-side WindowGroupLimit — see the operator docstring."""
-    return text.quality_token_budget_by_source(
-        src.load_table(spark, sf_dir, "documents"), _SOURCE_BUDGET
-    )
-
-
-QUALITY_BUDGET_BY_SOURCE_SQL = f"""
-WITH t AS (
-  SELECT doc_id, source,
-         CAST(len(tk) AS BIGINT) AS n_tokens,
-         ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS unique_ratio
-  FROM (SELECT doc_id, source,
-               list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        FROM documents)
-  WHERE len(tk) >= 20),
-q AS (SELECT * FROM t WHERE unique_ratio >= 0.3),
-r AS (
-  SELECT doc_id, source, n_tokens, unique_ratio,
-         CAST(SUM(n_tokens) OVER (PARTITION BY source
-                                  ORDER BY unique_ratio DESC, doc_id ASC
-                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS running_tokens
-  FROM q)
-SELECT doc_id, source, n_tokens, unique_ratio, running_tokens
-FROM r WHERE running_tokens <= {_SOURCE_BUDGET}
-"""
-
-
-#: Deterministic PII planting for the scrubber's oracle row: the
-#: synthetic corpus contains no digits at all (verified), so these
-#: appended spans are the only PII-pattern matches, and the same CASE
-#: expression is generated in both engines.  ``{S}`` is the dialect's
-#: string type (STRING for Spark, VARCHAR for DuckDB).
-_PII_PLANT_CASE = """CASE CAST(doc_id % 5 AS INT)
-  WHEN 0 THEN ' contact user' || CAST(doc_id AS {S}) || '@example.com and root@test.org'
-  WHEN 1 THEN ' host 10.' || CAST(doc_id % 200 AS {S}) || '.0.7 responded'
-  WHEN 2 THEN ' call +1 555 000 ' || CAST(1000 + doc_id % 9000 AS {S}) || ' now'
-  WHEN 3 THEN ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS {S}) || ' filed'
-  ELSE ''
-END"""
-
-
-def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing over planted emails/phones/SSNs — per-kind redaction counts prove the vectorized regex pipeline ran."""
-    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.withColumn(
-        "text",
-        F.concat(F.col("text"), F.expr(_PII_PLANT_CASE.format(S="STRING"))),
-    )
-    return text.pii_scrub(planted).select(
-        "doc_id", "n_pii_email", "n_pii_ipv4", "n_pii_phone", "n_pii_ssn",
-        "text",
-    )
-
-
-def _pii_scrub_sql() -> str:
-    from .operators.text import PII_PATTERNS
-
-    counts = ",\n       ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_pii_{kind}"
-        for kind, pat in PII_PATTERNS.items()
-    )
-    scrub = "text"
-    for kind, pat in PII_PATTERNS.items():
-        scrub = f"regexp_replace({scrub}, '{pat}', '[{kind.upper()}]', 'g')"
-    plant = _PII_PLANT_CASE.format(S="VARCHAR")
-    return f"""
-WITH planted AS (
-  SELECT doc_id, text || {plant} AS text
-  FROM documents)
-SELECT doc_id,
-       {counts},
-       {scrub} AS text
-FROM planted
-"""
-
-
-PII_SCRUB_SQL = _pii_scrub_sql()
-
-
-def docs_token_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token-count percentiles from a bounded-state mergeable histogram aggregate — no global sort."""
-    return text.token_percentiles(src.load_table(spark, sf_dir, "documents"))
-
-
-TOKEN_PERCENTILES_SQL = """
-WITH t AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
-           FROM documents)
-SELECT COUNT(*) AS n_docs,
-       quantile_cont(n, 0.5) AS p50_tokens,
-       quantile_cont(n, 0.9) AS p90_tokens,
-       quantile_cont(n, 0.99) AS p99_tokens
-FROM t
-"""
-
-
-def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts and length stats — single scan, pure column expressions."""
-    out = text.token_stats(src.load_table(spark, sf_dir, "documents"))
-    return out.select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_unique").cast("long").alias("n_unique"),
-        "avg_token_len",
-    )
-
-
-TEXT_TOKEN_SQL = """
-SELECT doc_id,
-       len(tk) AS n_tokens,
-       len(list_distinct(tk)) AS n_unique,
-       ROUND(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk), 4) AS avg_token_len
-FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-      FROM documents)
-"""
-
-
-def text_bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-tokenizer match counts as the cheap BPE token-cost proxy — pure regexp_count, codegen, no shuffle."""
-    out = text.bpe_token_count(src.load_table(spark, sf_dir, "documents"))
-    return out.select("doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"))
-
-
-TEXT_BPE_SQL = f"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '{text.BPE_ISH_RE}')) AS n_bpe_tokens
-FROM documents
-"""
-
-
-def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style quality heuristics per document: stopword ratio, vocabulary diversity, length bucket."""
-    return text.quality_score(src.load_table(spark, sf_dir, "documents"))
-
-
-_STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
-
-TEXT_QUALITY_SQL = f"""
-SELECT doc_id, n_chars,
-       ROUND(CAST(len(list_filter(tk, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
-       ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS unique_ratio,
-       CASE WHEN len(tk) < 20 THEN 'too_short'
-            WHEN ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) < 0.3 THEN 'repetitive'
-            ELSE 'ok' END AS quality_bucket
-FROM (SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-      FROM documents)
-"""
-
-
-def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive content fingerprint: md5 of each document's sorted distinct token set."""
-    return text.fingerprint(src.load_table(spark, sf_dir, "documents"))
-
-
-TEXT_FP_SQL = """
-SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(
-           list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
-FROM documents
-"""
-
-
-def text_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints: k-gram rolling-window minima, distinct set digested per document."""
-    out = text.winnow_fingerprints(src.load_table(spark, sf_dir, "documents"))
-    return out.select("doc_id", F.col("n_fps").cast("long").alias("n_fps"), "fp_digest")
-
-
-_WINNOW_K, _WINNOW_W = 5, 4
-
-TEXT_WINNOW_SQL = f"""
-WITH g AS (
-  SELECT doc_id,
-         CASE WHEN length(text) >= {_WINNOW_K}
-              THEN list_transform(generate_series(1, length(text) - {_WINNOW_K} + 1),
-                                  i -> md5(substring(text, i, {_WINNOW_K})))
-              ELSE [] END AS grams
-  FROM documents),
-m AS (
-  SELECT doc_id,
-         CASE WHEN len(grams) >= {_WINNOW_W}
-              THEN list_transform(generate_series(1, len(grams) - {_WINNOW_W} + 1),
-                                  j -> list_min(list_slice(grams, j, j + {_WINNOW_W} - 1)))
-              WHEN len(grams) >= 1 THEN [list_min(grams)]
-              ELSE [] END AS mins
-  FROM g)
-SELECT doc_id,
-       len(list_sort(list_distinct(mins))) AS n_fps,
-       md5(array_to_string(list_sort(list_distinct(mins)), '')) AS fp_digest
-FROM m
-"""
-
-
-def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic n-gram language identification per document."""
-    return text.lang_id(src.load_table(spark, sf_dir, "documents"))
-
-
-def _lang_sql() -> str:
-    branches = []
-    for lang, ws in sorted(text.LANG_MARKERS.items()):
-        arr = "['" + "','".join(ws) + "']"
-        branches.append(
-            f"SELECT doc_id, lang AS declared_lang, '{lang}' AS cand,"
-            f" len(list_filter(tkd, t -> list_contains({arr}, t))) AS hits FROM toks"
-        )
-    union = " UNION ALL ".join(branches)
-    return f"""
-WITH toks AS (
-  SELECT doc_id, lang,
-         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tkd
-  FROM documents),
-scores AS ({union})
-SELECT doc_id, declared_lang, cand AS predicted_lang
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                   ORDER BY hits DESC, cand ASC) AS rn
-      FROM scores)
-WHERE rn = 1
-"""
-
-
-TEXT_LANG_SQL = _lang_sql()
-
-
-def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k baseline: query block broadcast, corpus scanned but never shuffled, per-partition then global top-k."""
-    emb = src.load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-
-
-_DOT_SQL = (
-    "list_reduce(list_transform(list_zip({a}, {b}),"
-    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
+    dedup_exact_groups,
+    DEDUP_EXACT_SQL,
+    dedup_ngram_jaccard_q,
+    DEDUP_JACCARD_SQL,
+    docs_length_histogram_q,
+    LENGTH_HISTOGRAM_SQL,
+    text_repetition_q,
+    TEXT_REPETITION_SQL,
+    decontam_ngram_overlap_q,
+    DECONTAM_SQL,
+    docs_pack_sequences_q,
+    PACK_SEQUENCES_SQL,
+    docs_chunk_windows_q,
+    CHUNK_WINDOWS_SQL,
+    text_token_rarity_q,
+    TOKEN_RARITY_SQL,
+    embedding_quantize_q,
+    QUANTIZE_INT8_SQL,
+    docs_mix_upsample_q,
+    MIX_UPSAMPLE_SQL,
+    docs_token_budget_q,
+    TOKEN_BUDGET_SQL,
+    docs_quality_budget_by_source_q,
+    QUALITY_BUDGET_BY_SOURCE_SQL,
+    text_pii_scrub_q,
+    PII_SCRUB_SQL,
+    docs_token_percentiles_q,
+    TOKEN_PERCENTILES_SQL,
+    text_token_stats_q,
+    TEXT_TOKEN_SQL,
+    text_bpe_token_count_q,
+    TEXT_BPE_SQL,
+    text_quality_q,
+    TEXT_QUALITY_SQL,
+    text_fingerprint_q,
+    TEXT_FP_SQL,
+    text_winnow_q,
+    TEXT_WINNOW_SQL,
+    text_lang_id_q,
+    _lang_sql,
+    TEXT_LANG_SQL,
+    ann_cosine_topk_q,
+    _DOT_SQL,
+    _cos_sql,
+    ANN_TOPK_SQL,
+    events_throughput_1min_q,
+    THROUGHPUT_SQL,
+    events_hopping_q,
+    HOPPING_SQL,
+    events_sessionize_q,
+    SESSIONIZE_SQL,
+    events_asof_session_q,
+    events_interval_session_q,
+    INTERVAL_SESSION_SQL,
+    ASOF_SESSION_SQL,
+    multimodal_features_q,
+    MULTIMODAL_SQL,
+    multimodal_real_decode_q,
+    MULTIMODAL_REAL_SQL,
+    schema_evolution_q,
+    SCHEMA_EVOLUTION_SQL,
+    _DEDUP_SHARED_CACHE,
+    _DEDUP_PAIR_PARAMS,
+    _fixture_key,
+    _docs_fixture_key,
+    _dedup_shared,
+    _SHARED_CACHE_MAX,
+    _lru_hit,
+    _evict_oldest,
+    _shared_components,
+    dedup_minhash_lsh_q,
+    _minhash_ctes,
+    DEDUP_MINHASH_SQL,
+    dedup_minhash_precision_q,
+    MINHASH_PRECISION_SQL,
+    dedup_cross_source_matrix_q,
+    CROSS_SOURCE_MATRIX_SQL,
+    dedup_components_q,
+    DEDUP_COMPONENTS_SQL,
+    CORPUS_CLEAN_SQL,
+    corpus_clean_keep_q,
+    dedup_best_of_cluster_q,
+    BEST_OF_CLUSTER_SQL,
+    docs_length_bucketing_q,
+    LENGTH_BUCKETING_SQL,
 )
-
-
-def _cos_sql(a: str, b: str) -> str:
-    d = _DOT_SQL.format(a=a, b=b)
-    na = _DOT_SQL.format(a=a, b=a)
-    nb = _DOT_SQL.format(a=b, b=b)
-    return f"(0.0 + {d}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb}))"
-
-
-ANN_TOPK_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id,
-         ROUND({_cos_sql('qv', 'cv')}, 6) AS sim
-  FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
-SELECT query_id, neighbor_id, rank, sim
-FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
-      FROM scored)
-WHERE rank <= 5
-"""
-
-
-def events_throughput_1min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window throughput aggregate (§2.5): events and distinct
-    users per 1-minute window via ``F.window`` — the same code path
-    runs streaming with a watermark (``operators/windows.py``)."""
-    from cass_cdc_pg_spark.operators.windows import throughput_by_window
-
-    return throughput_by_window(_ev(spark, sf_dir))
-
-
-THROUGHPUT_SQL = """
-SELECT (epoch_us(ts) // 60000000) * 60000000 AS window_start_us,
-       COUNT(*) AS n_events,
-       COUNT(DISTINCT user_id) AS n_users
-FROM events GROUP BY 1
-"""
-
-
-def events_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute windows hopping every minute: each event contributes
-    to 5 overlapping windows (trend smoothing over the raw 1-min
-    tumbling rate)."""
-    from cass_cdc_pg_spark.operators.windows import throughput_by_window
-
-    return throughput_by_window(
-        _ev(spark, sf_dir),
-        window_duration="5 minutes",
-        slide_duration="1 minute",
-    )
-
-
-# epoch-µs arithmetic twin of F.window(w=5min, slide=1min): an event at
-# t lands in every aligned window start k*s with t-w < k*s <= t; all
-# operands are positive so integer // is floor division.
-HOPPING_SQL = """
-WITH e AS (SELECT epoch_us(ts) AS t, user_id FROM events),
-w AS (SELECT t, user_id,
-             unnest(generate_series((t - 300000000) // 60000000 + 1,
-                                    t // 60000000)) AS k
-      FROM e)
-SELECT k * 60000000 AS window_start_us,
-       COUNT(*) AS n_events,
-       COUNT(DISTINCT user_id) AS n_users
-FROM w GROUP BY 1
-"""
-
-
-def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands sessionization of the event stream per user
-    (30-min inactivity gap) — the session-grouping pass a training-data
-    pipeline runs before conversation assembly."""
-    from cass_cdc_pg_spark.operators.windows import sessionize
-
-    out = sessionize(_ev(spark, sf_dir))
-    return out.select(
-        "user_id",
-        "session_start_us",
-        "session_end_us",
-        F.col("n_events").cast("long").alias("n_events"),
-    )
-
-
-SESSIONIZE_SQL = """
-WITH t AS (
-  SELECT user_id, epoch_us(ts) AS ts_us,
-         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                   (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events),
-s AS (
-  SELECT user_id, ts_us,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-                                ROWS UNBOUNDED PRECEDING) AS sess
-  FROM t)
-SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
-       COUNT(*) AS n_events
-FROM s GROUP BY user_id, sess
-"""
-
-
-def events_asof_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join of every event to its session record (latest session
-    start ≤ event ts per user) — the event-time enrichment pattern
-    (attach state/checkpoint/price as-of).  Oracle is DuckDB's native
-    ASOF JOIN; the Spark side is the single-shuffle tagged-union
-    composition (``operators/windows.asof_join``)."""
-    from cass_cdc_pg_spark.operators.windows import asof_join, sessionize
-
-    ev = _ev(spark, sf_dir)
-    sess = sessionize(ev).select(
-        "user_id",
-        "session_start_us",
-        F.col("n_events").alias("session_n_events"),
-    )
-    return asof_join(
-        ev.select("event_id", "user_id", "ts_us"),
-        sess,
-        key_col="user_id",
-        left_ts_col="ts_us",
-        right_ts_col="session_start_us",
-        value_cols=["session_start_us", "session_n_events"],
-    )
-
-
-def events_interval_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join: every event paired with the session interval(s)
-    containing it (exact [start, end] containment, bucketed equi-join
-    under the hood — no nested-loop)."""
-    from cass_cdc_pg_spark.operators.windows import interval_join, sessionize
-
-    ev = _ev(spark, sf_dir)
-    sess = sessionize(ev)
-    out = interval_join(
-        ev.select("event_id", "user_id", "ts_us"),
-        sess,
-        left_ts_col="ts_us",
-        start_col="session_start_us",
-        end_col="session_end_us",
-        bucket_us=3_600_000_000,  # 1 h chunks ~ session scale
-        key_col="user_id",
-    )
-    return out.select(
-        "event_id", "user_id", "ts_us",
-        "session_start_us", "session_end_us",
-    )
-
-
-INTERVAL_SESSION_SQL = """
-WITH t AS (
-  SELECT user_id, epoch_us(ts) AS ts_us,
-         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                   (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events),
-s AS (
-  SELECT user_id, ts_us,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-                                ROWS UNBOUNDED PRECEDING) AS sess
-  FROM t),
-sessions AS (
-  SELECT user_id, MIN(ts_us) AS session_start_us,
-         MAX(ts_us) AS session_end_us
-  FROM s GROUP BY user_id, sess)
-SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-       sn.session_start_us, sn.session_end_us
-FROM events e JOIN sessions sn
-  ON e.user_id = sn.user_id
- AND epoch_us(e.ts) >= sn.session_start_us
- AND epoch_us(e.ts) <= sn.session_end_us
-"""
-
-
-ASOF_SESSION_SQL = """
-WITH t AS (
-  SELECT user_id, epoch_us(ts) AS ts_us,
-         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                   (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events),
-s AS (
-  SELECT user_id, ts_us,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-                                ROWS UNBOUNDED PRECEDING) AS sess
-  FROM t),
-sessions AS (
-  SELECT user_id, MIN(ts_us) AS session_start_us,
-         COUNT(*) AS session_n_events
-  FROM s GROUP BY user_id, sess)
-SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-       sn.session_start_us, sn.session_n_events
-FROM events e ASOF LEFT JOIN sessions sn
-  ON e.user_id = sn.user_id AND epoch_us(e.ts) >= sn.session_start_us
-"""
-
-
-def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction over an opaque binary column: the
-    documents' text bytes stand in for media payloads (the container
-    ships no media codecs), decoded to 8-bin byte histograms by the
-    Arrow-batched ``mapInPandas`` pipeline — schema, batching, and
-    error-routing are the production path; only the codec is the
-    deterministic stand-in (``multimodal.py`` module doc)."""
-    from cass_cdc_pg_spark.operators import multimodal
-
-    docs = src.load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
-    feats = multimodal.extract_features(
-        media, decoder=multimodal.byte_histogram_counts
-    )
-    # The driver's canonicalizer sorts result columns with pandas, which
-    # cannot factorize array cells — so the declared query emits the
-    # 8 histogram bins as scalar double columns (the reference likewise
-    # serializes complex values for the target: type_mapper.py:113-116).
-    return feats.select(
-        "media_id",
-        *[
-            F.coalesce(F.col("feature")[b].cast("double"), F.lit(0.0)).alias(f"bin{b}")
-            for b in range(8)
-        ],
-        "decode_ok",
-        F.col("error").cast("string").alias("error"),
-    )
-
-
-#: documents are pure ASCII (verified fixture property), so per-byte
-#: bins equal per-codepoint bins and DuckDB can recompute the
-#: histogram from characters.
-_MM_BINS = ",\n         ".join(
-    f"CAST(SUM(CASE WHEN code // 32 = {b} THEN 1 ELSE 0 END) AS DOUBLE) AS bin{b}"
-    for b in range(8)
-)
-_MM_BIN_COLS = ", ".join(f"COALESCE(h.bin{b}, 0.0) AS bin{b}" for b in range(8))
-
-MULTIMODAL_SQL = f"""
-WITH codes AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, length(text)+1),
-                               i -> ord(substr(text, i, 1)))) AS code
-  FROM documents),
-hist AS (
-  SELECT doc_id,
-         {_MM_BINS}
-  FROM codes GROUP BY doc_id)
-SELECT d.doc_id AS media_id,
-       {_MM_BIN_COLS},
-       TRUE AS decode_ok,
-       CAST(NULL AS VARCHAR) AS error
-FROM documents d LEFT JOIN hist h ON h.doc_id = d.doc_id
-"""
-
-
-def multimodal_real_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode, all three pure-Python codecs (r9 verdict #5
-    + r10 verdict #6 + r11 verdict #2): each document synthesizes a
-    genuine binary PPM (P6) image AND a genuine RIFF/WAVE 16-bit PCM
-    clip; every tenth doc additionally carries a genuine PNG (8-bit
-    RGB, zlib IDAT, scanline filters cycling through all five types —
-    so the decoder's Sub/Up/Average/Paeth reconstruction is on the
-    hash path), and every doc ≡5 (mod 10) carries an unsupported
-    ``jpeg`` payload that exercises the error-routing seam INSIDE the
-    driver-checked result (decode_ok=false + the seam's message, the
-    S5 DLQ pattern).  All payloads are deterministic functions of
-    doc_id, and all rows flow through the SAME Arrow-batched
-    ``extract_features`` pipeline with the dispatching
-    ``media_decoder``.  The oracle recomputes every feature
-    analytically from the generator functions, so a parser bug in any
-    codec (header grammar, raster offset, channel order, RIFF chunk
-    walk, sample sign, filter reconstruction) is a hash mismatch, not
-    a silent pass.  Feature columns are format-generic: ppm/png →
-    (width, height, n_pixels, sum_r, sum_g, sum_b); wav → (channels,
-    sample_rate, n_frames, sum, sum_abs, NULL)."""
-    from cass_cdc_pg_spark.operators import multimodal
-
-    ids = src.load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = 4 + did % 5, 3 + did % 4
-                raster = bytes(
-                    (did * 31 + i * 7) % 256 for i in range(3 * w * h)
-                )
-                rows.append((did, "ppm", multimodal.encode_ppm(w, h, raster)))
-                ch = 1 + did % 2
-                rate = 8000 + 4000 * (did % 3)
-                frames = 16 + did % 9
-                samples = [
-                    ((did * 131 + i * 17) % 4096) - 2048
-                    for i in range(ch * frames)
-                ]
-                rows.append(
-                    (did, "wav", multimodal.encode_wav(rate, ch, samples))
-                )
-                if did % 10 == 0:
-                    # height from did // 10, NOT did % k: under the
-                    # mod-10 selector did % 5 is constant (always 0),
-                    # which would pin hp = 2 and keep the Up/Average/
-                    # Paeth reconstructions OFF the hash path (r12
-                    # advice).  (did // 10) % 5 walks 0..4, so heights
-                    # reach 6 and the writer's per-row filter cycle
-                    # exercises all five scanline filters.
-                    wp, hp = 3 + did % 4, 2 + (did // 10) % 5
-                    praster = bytes(
-                        (did * 53 + i * 11) % 256
-                        for i in range(3 * wp * hp)
-                    )
-                    rows.append(
-                        (did, "png", multimodal.encode_png(wp, hp, praster))
-                    )
-                if did % 10 == 5:
-                    rows.append(
-                        (did, "jpeg", b"\xff\xd8\xff\xe0" + bytes(8))
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "format", "payload"])
-
-    media = ids.mapInPandas(
-        gen, "media_id long, format string, payload binary"
-    ).select(
-        "media_id",
-        "payload",
-        F.struct(
-            F.when(F.col("format") == "wav", F.lit("audio"))
-            .otherwise(F.lit("image"))
-            .alias("media_type"),
-            F.col("format").alias("format"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-            F.length("payload").cast("long").alias("size_bytes"),
-        ).alias("meta"),
-    )
-    feats = multimodal.extract_features(
-        media, decoder=multimodal.media_decoder, keep_fmt=True
-    )
-    return feats.select(
-        "media_id",
-        F.col("fmt").alias("format"),
-        # F.get, not [i]: wav rows carry 5 features, f6 must be NULL
-        # (ANSI mode errors on out-of-range [i])
-        *[
-            F.get("feature", i).cast("double").alias(f"f{i + 1}")
-            for i in range(6)
-        ],
-        "decode_ok",
-        F.col("error").cast("string").alias("error"),
-    )
-
-
-#: the documented seam's message, verbatim (multimodal.default_decoder)
-#: — the oracle pins the error text the DLQ route carries.
-_MM_SEAM_ERROR = (
-    "media decoding requires an image/audio library not present in "
-    "this environment; inject a decoder via extract_features(decoder=…)"
-)
-# the message is interpolated into a single-quoted SQL literal below —
-# a quote inside it would silently break the oracle (r11 advice)
-assert "'" not in _MM_SEAM_ERROR
-
-MULTIMODAL_REAL_SQL = f"""
-WITH dims AS (
-  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-  FROM documents),
-px AS (
-  SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS i FROM dims),
-s AS (
-  SELECT doc_id, w, h,
-         SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i * 7) % 256
-                  ELSE 0 END) AS sum_r,
-         SUM(CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i * 7) % 256
-                  ELSE 0 END) AS sum_g,
-         SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i * 7) % 256
-                  ELSE 0 END) AS sum_b
-  FROM px GROUP BY 1, 2, 3),
-wdims AS (
-  SELECT doc_id, 1 + doc_id % 2 AS ch,
-         8000 + 4000 * (doc_id % 3) AS rate,
-         16 + doc_id % 9 AS frames
-  FROM documents),
-ws AS (
-  SELECT doc_id, ch, rate, frames, unnest(range(0, ch * frames)) AS i
-  FROM wdims),
-wav AS (
-  SELECT doc_id, ch, rate, frames,
-         SUM(((doc_id * 131 + i * 17) % 4096) - 2048) AS ssum,
-         SUM(ABS(((doc_id * 131 + i * 17) % 4096) - 2048)) AS sabs
-  FROM ws GROUP BY 1, 2, 3, 4)
-SELECT doc_id AS media_id, 'ppm' AS format,
-       CAST(w AS DOUBLE) AS f1,
-       CAST(h AS DOUBLE) AS f2,
-       CAST(w * h AS DOUBLE) AS f3,
-       CAST(sum_r AS DOUBLE) AS f4,
-       CAST(sum_g AS DOUBLE) AS f5,
-       CAST(sum_b AS DOUBLE) AS f6,
-       TRUE AS decode_ok,
-       CAST(NULL AS VARCHAR) AS error
-FROM s
-UNION ALL
-SELECT doc_id, 'wav',
-       CAST(ch AS DOUBLE), CAST(rate AS DOUBLE), CAST(frames AS DOUBLE),
-       CAST(ssum AS DOUBLE), CAST(sabs AS DOUBLE),
-       CAST(NULL AS DOUBLE),
-       TRUE, CAST(NULL AS VARCHAR)
-FROM wav
-UNION ALL
-SELECT doc_id, 'png',
-       CAST(w AS DOUBLE), CAST(h AS DOUBLE), CAST(w * h AS DOUBLE),
-       CAST(sum_r AS DOUBLE), CAST(sum_g AS DOUBLE), CAST(sum_b AS DOUBLE),
-       TRUE, CAST(NULL AS VARCHAR)
-FROM (
-  SELECT doc_id, w, h,
-         SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 53 + i * 11) % 256
-                  ELSE 0 END) AS sum_r,
-         SUM(CASE WHEN i % 3 = 1 THEN (doc_id * 53 + i * 11) % 256
-                  ELSE 0 END) AS sum_g,
-         SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 53 + i * 11) % 256
-                  ELSE 0 END) AS sum_b
-  FROM (SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS i
-        FROM (SELECT doc_id, 3 + doc_id % 4 AS w,
-                     2 + (doc_id // 10) % 5 AS h
-              FROM documents WHERE doc_id % 10 = 0) pd) ppx
-  GROUP BY 1, 2, 3) ps
-UNION ALL
-SELECT doc_id, 'jpeg',
-       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       FALSE, '{_MM_SEAM_ERROR}'
-FROM documents WHERE doc_id % 10 = 5
-"""
-
-
-def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-evolution detection (S8 + schema service): diff the
-    *introspected* orders schema (v1) against a simulated v2 ALTER set
-    (MODIFY o_totalprice→string, DROP o_orderpriority, ADD o_channel)
-    — the detector from ``streaming/schema_evolution.py`` over real
-    schema introspection, like ``schema_service.py:155-207`` over
-    ``system_schema.columns``."""
-    from cass_cdc_pg_spark.streaming.schema_evolution import detect_changes
-
-    st = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
-    old = {
-        f.name: f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
-        for f in st.fields
-    }
-    new = dict(old)
-    new["o_totalprice"] = "string"
-    del new["o_orderpriority"]
-    new["o_channel"] = "string"
-    rows = [
-        (c["type"], c["column"], c["old_type"], c["new_type"])
-        for c in detect_changes(old, new)
-    ]
-    return spark.createDataFrame(
-        rows, "change_type string, column_name string, old_type string, new_type string"
-    )
-
-
-SCHEMA_EVOLUTION_SQL = """
-WITH old AS (
-  SELECT column_name AS c,
-         CASE lower(column_type) WHEN 'varchar' THEN 'string'
-              WHEN 'integer' THEN 'int' ELSE lower(column_type) END AS t
-  FROM (DESCRIBE orders)),
-new AS (
-  SELECT c, CASE c WHEN 'o_totalprice' THEN 'string' ELSE t END AS t
-  FROM old WHERE c <> 'o_orderpriority'
-  UNION ALL SELECT 'o_channel', 'string'),
-j AS (SELECT COALESCE(o.c, n.c) AS column_name, o.t AS old_t, n.t AS new_t
-      FROM old o FULL OUTER JOIN new n ON o.c = n.c)
-SELECT CASE WHEN old_t IS NULL THEN 'ADD_COLUMN'
-            WHEN new_t IS NULL THEN 'DROP_COLUMN'
-            ELSE 'MODIFY_COLUMN' END AS change_type,
-       column_name, old_t AS old_type, new_t AS new_type
-FROM j
-WHERE old_t IS NULL OR new_t IS NULL OR old_t <> new_t
-"""
-
-
-# --- LSH / fingerprint operators with generated DuckDB oracles -------------
-#
-# The oracle SQL below is *generated from the same Python coefficient
-# and hyperplane tables the Spark operators use* (seeded, fixed), so
-# MinHash signatures, SimHash fingerprints, and sign-LSH buckets are
-# bit-identical across engines — these entries get full rows+schema+
-# hash checks instead of the round-1 "no_oracle" rows-only pass.
-
-#: (applicationId, documents fixture key) → {"pairs": DF, "components":
-#: DF}.  The dedup ladder's four declared queries (pairs, components,
-#: cluster sizes, corpus clean) all start from the SAME candidate-pair
-#: computation and three of them from the same connected-components
-#: fixpoint; without the memo each query re-pays the full
-#: shingle→minhash→band-join stage (~1.3 s at sf0.1) and the CC loop
-#: (~0.9 s) per call.  A real pipeline materializes the pair table and
-#: the component assignment exactly once per corpus snapshot — this
-#: memo is that materialization, with the same discipline as the IVF
-#: plan/centroid caches above: keyed by session + (realpath, mtime_ns)
-#: so a regenerated fixture invalidates, checkpoint-backed so the
-#: blocks (hundreds of rows) live in-session, lazily so a pairs-only
-#: consumer never runs the CC fixpoint.
-_DEDUP_SHARED_CACHE: dict[tuple, dict] = {}
-_DEDUP_PAIR_PARAMS = {"num_hashes": 32, "bands": 8, "n": 2, "threshold": 0.2}
-
-
-def _fixture_key(sf_dir: str, table: str) -> tuple[str, int]:
-    """(realpath, mtime_ns) of a fixture table — THE shared
-    invalidation key for every per-fixture cache (dedup memos, IVF
-    centroids + generated oracles, stream-parity replays).  One
-    definition so an invalidation tweak can't silently diverge
-    between caches (r9 review)."""
-    import os as _os
-
-    path = src.table_path(sf_dir, table)
-    return (_os.path.realpath(path), _os.stat(path).st_mtime_ns)
-
-
-def _docs_fixture_key(sf_dir: str) -> tuple[str, int]:
-    return _fixture_key(sf_dir, "documents")
-
-
-def _dedup_shared(spark: SparkSession, sf_dir: str) -> dict:
-    import os as _os
-
-    # escape hatch for scale measurement (tools/scale_proof.py): with
-    # the memo on, a warmed run times the materialized pair table, not
-    # the pair COMPUTATION — set SPARK_GRAFT_NO_DEDUP_MEMO=1 to time
-    # the real per-call pipeline instead
-    if _os.environ.get("SPARK_GRAFT_NO_DEDUP_MEMO"):
-        docs = src.load_table(spark, sf_dir, "documents")
-        return {"pairs": dedup.minhash_lsh_pairs(docs, **_DEDUP_PAIR_PARAMS)}
-    key = (spark.sparkContext.applicationId, _docs_fixture_key(sf_dir))
-    hit = _lru_hit(_DEDUP_SHARED_CACHE, key)
-    if hit is None:
-        _evict_oldest(_DEDUP_SHARED_CACHE)
-        docs = src.load_table(spark, sf_dir, "documents")
-        pairs = dedup.minhash_lsh_pairs(
-            docs, **_DEDUP_PAIR_PARAMS
-        ).localCheckpoint(eager=False)
-        hit = _DEDUP_SHARED_CACHE[key] = {"pairs": pairs}
-    return hit
-
-
-#: long-lived sessions (the HTTP service) page through fixtures; the
-#: memos hold checkpoint-backed DataFrames, so cap each cache and drop
-#: the LEAST-RECENTLY-USED entry — releasing the reference lets the
-#: driver GC free its checkpoint blocks
-_SHARED_CACHE_MAX = 4
-
-
-def _lru_hit(cache: dict, key):
-    """cache[key] or None; a hit moves the entry to the MRU end so
-    eviction is LRU, not FIFO (r8 verdict: a hot fixture must not be
-    evicted just because it was inserted first while cold fixtures
-    page through).  Python dicts preserve insertion order, so
-    pop+reinsert IS move-to-end."""
-    hit = cache.get(key)
-    if hit is not None:
-        cache[key] = cache.pop(key)
-    return hit
-
-
-def _evict_oldest(cache: dict) -> None:
-    while len(cache) >= _SHARED_CACHE_MAX:
-        cache.pop(next(iter(cache)))
-
-
-def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup_shared(spark, sf_dir)["pairs"]
-
-
-def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node, component) for every node in the shared pair graph —
-    the CC fixpoint runs once per (session, fixture); its result is
-    already checkpoint-backed by the loop's last round."""
-    hit = _dedup_shared(spark, sf_dir)
-    if "components" not in hit:
-        hit["components"] = dedup.connected_components(
-            hit["pairs"].select("doc_a", "doc_b")
-        )
-    return hit["components"]
-
-
-def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs: banded signature buckets, estimated Jaccard at or above the threshold."""
-    return _shared_minhash_pairs(spark, sf_dir)
-
-
-def _shingle_list_sql(n: int) -> str:
-    """DuckDB expression for a doc's distinct n-token shingle list
-    over the ``tk`` token array — ONE definition shared by the pair
-    CTEs and the exact-Jaccard ``sets`` CTE, so the shingle width can
-    never diverge between the sketch and its precision oracle."""
-    return (
-        f"list_distinct(list_transform(range(1, len(tk) - {n - 2}), "
-        f"i -> array_to_string(tk[i:i+{n - 1}], ' ')))"
-    )
-
-
-def _minhash_ctes(
-    num_hashes: int | None = None,
-    bands: int | None = None,
-    threshold: float | None = None,
-    n: int | None = None,
-) -> str:
-    """CTE body computing ``pairs(doc_a, doc_b, est_jaccard)`` —
-    shared by the pair query and the connected-components oracle.
-    Defaults come from ``_DEDUP_PAIR_PARAMS`` (the SAME dict the Spark
-    side reads), so a parameter change moves every oracle with it."""
-    p = _DEDUP_PAIR_PARAMS
-    num_hashes = p["num_hashes"] if num_hashes is None else num_hashes
-    bands = p["bands"] if bands is None else bands
-    threshold = p["threshold"] if threshold is None else threshold
-    n = p["n"] if n is None else n
-    coeffs = dedup.minhash_coeffs(num_hashes)
-    P = dedup.MINHASH_P
-    rpb = num_hashes // bands
-    mh_defs = ",\n       ".join(
-        f"MIN((h*{a}+{b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
-    )
-    band_selects = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', "
-        + ", ".join(f"mh{bi * rpb + r}" for r in range(rpb))
-        + ")) AS bucket FROM sig"
-        for bi in range(bands)
-    )
-    eq_sum = " + ".join(
-        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
-    )
-    return f"""
-toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-              FROM documents),
-sh AS (SELECT doc_id, unnest({_shingle_list_sql(n)}) AS shingle
-       FROM toks),
-h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % {P} AS h FROM sh),
-sig AS (SELECT doc_id, {mh_defs} FROM h GROUP BY doc_id),
-bands AS ({band_selects}),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-pairs AS (SELECT doc_a, doc_b, ROUND(({eq_sum}) / {num_hashes}.0, 4) AS est_jaccard
-        FROM cand
-        JOIN sig sa ON sa.doc_id = cand.doc_a
-        JOIN sig sb ON sb.doc_id = cand.doc_b
-        WHERE ROUND(({eq_sum}) / {num_hashes}.0, 4) >= {threshold!r})"""
-
-
-DEDUP_MINHASH_SQL = f"""
-WITH {_minhash_ctes()}
-SELECT doc_a, doc_b, est_jaccard FROM pairs
-"""
-
-
-def dedup_minhash_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-quality eval: for every MinHash-LSH candidate pair,
-    the estimated Jaccard next to the EXACT shingle-set Jaccard — the
-    acceptance report a pipeline runs before trusting a sketch
-    configuration (num_hashes/bands) at the next data scale.
-
-    Scale shape: the expensive all-corpus work is already done — the
-    pair relation comes from the shared memoized materialization, and
-    exact Jaccard is computed ONLY on candidate pairs (never all
-    pairs): two equi-joins attach each side's distinct-shingle array
-    (the small pair side broadcasts; the corpus-side projection is
-    scanned, not shuffled), then the intersection counts are per-row
-    array ops.  Every comparison is INTEGER-exact: exact_num/exact_den
-    are set cardinalities, and ``underestimated`` clears the division
-    — ``k·den < num·32`` with k the signature-agreement count — so no
-    engine can disagree on a boundary pair."""
-    p = _DEDUP_PAIR_PARAMS
-    pairs = _shared_minhash_pairs(spark, sf_dir)
-    docs = src.load_table(spark, sf_dir, "documents")
-    from cass_cdc_pg_spark.operators.text import tokens, zipped_grams
-
-    sets = docs.select(
-        "doc_id",
-        F.array_distinct(zipped_grams(tokens(F.col("text")), p["n"])).alias("sh"),
-    )
-    a = pairs.join(
-        sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sa")),
-        "doc_a",
-    )
-    ab = a.join(
-        sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("_sb")),
-        "doc_b",
-    )
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
-    den = (F.size("_sa") + F.size("_sb")).cast("long") - inter
-    k = F.round(F.col("est_jaccard") * p["num_hashes"]).cast("long")
-    return ab.select(
-        "doc_a",
-        "doc_b",
-        "est_jaccard",
-        inter.alias("exact_num"),
-        den.alias("exact_den"),
-        (k * den < inter * p["num_hashes"]).alias("underestimated"),
-    )
-
-
-_NH = _DEDUP_PAIR_PARAMS["num_hashes"]
-
-MINHASH_PRECISION_SQL = f"""
-WITH {_minhash_ctes()},
-sets AS (
-  SELECT doc_id, {_shingle_list_sql(_DEDUP_PAIR_PARAMS["n"])} AS sh
-  FROM toks),
-j AS (
-  SELECT doc_a, doc_b, est_jaccard,
-         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS exact_num,
-         CAST(len(sa.sh) + len(sb.sh)
-              - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS exact_den,
-         CAST(ROUND(est_jaccard * {_NH}) AS BIGINT) AS k
-  FROM pairs JOIN sets sa ON doc_a = sa.doc_id
-             JOIN sets sb ON doc_b = sb.doc_id)
-SELECT doc_a, doc_b, est_jaccard, exact_num, exact_den,
-       k * exact_den < exact_num * {_NH} AS underestimated
-FROM j
-"""
-
-
-def dedup_cross_source_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source near-duplication matrix: for every unordered pair
-    of corpus sources, how many near-dup pairs bridge them and how
-    similar those bridges are — the standard curation diagnostic for
-    "which feeds are copies of each other" (e.g. a crawl re-serving a
-    wiki dump) before choosing per-source sampling rates.
-
-    Scale shape: the pair table comes from the shared memoized
-    MinHash-LSH materialization (the expensive part, computed once per
-    session+fixture); attaching sources is two equi-joins of the
-    SMALL pair relation against the (doc_id, source) projection, then
-    a ≤|sources|² rollup.  The mean similarity aggregates the INTEGER
-    signature-agreement count k (est_jaccard × num_hashes is exact by
-    construction) and divides once per output row, so no engine can
-    disagree on a float fold order."""
-    p = _DEDUP_PAIR_PARAMS
-    pairs = _shared_minhash_pairs(spark, sf_dir)
-    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    a = pairs.join(
-        docs.select(
-            F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
-        ),
-        "doc_a",
-    )
-    ab = a.join(
-        docs.select(
-            F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
-        ),
-        "doc_b",
-    )
-    k = F.round(F.col("est_jaccard") * p["num_hashes"]).cast("long")
-    return (
-        ab.select(
-            F.least("_sa", "_sb").alias("source_a"),
-            F.greatest("_sa", "_sb").alias("source_b"),
-            k.alias("_k"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(
-                F.sum("_k") / F.lit(float(p["num_hashes"])) / F.count(F.lit(1)),
-                6,
-            ).alias("mean_est_jaccard"),
-        )
-        .orderBy("source_a", "source_b")
-    )
-
-
-CROSS_SOURCE_MATRIX_SQL = f"""
-WITH {_minhash_ctes()},
-lab AS (
-  SELECT LEAST(da.source, db.source) AS source_a,
-         GREATEST(da.source, db.source) AS source_b,
-         CAST(ROUND(est_jaccard * {_NH}) AS BIGINT) AS k
-  FROM pairs
-  JOIN documents da ON doc_a = da.doc_id
-  JOIN documents db ON doc_b = db.doc_id)
-SELECT source_a, source_b,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(SUM(k) / {_NH}.0 / COUNT(*), 6) AS mean_est_jaccard
-FROM lab GROUP BY 1, 2
-ORDER BY 1, 2
-"""
-
-
-def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: MinHash-LSH pairs → connected components by
-    min-label propagation; every document gets a component id (its
-    cluster's smallest doc_id) and a keep/drop flag — the final stage
-    of the dedup ladder (pairs alone don't dedup; clusters do)."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    comp = _shared_components(spark, sf_dir)
-    out = docs.select("doc_id").join(
-        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
-    )
-    return out.select(
-        "doc_id",
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("component_id"),
-    ).withColumn("is_canonical", F.col("component_id") == F.col("doc_id"))
-
-
-DEDUP_COMPONENTS_SQL = f"""
-WITH RECURSIVE {_minhash_ctes()},
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
-)
-SELECT node AS doc_id, MIN(lbl) AS component_id,
-       MIN(lbl) = node AS is_canonical
-FROM reach GROUP BY node
-"""
-
-
-CORPUS_CLEAN_SQL = f"""
-WITH RECURSIVE {_minhash_ctes()},
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
-),
-comp AS (
-  SELECT node AS doc_id, MIN(lbl) AS component_id,
-         MIN(lbl) = node AS is_canonical
-  FROM reach GROUP BY node),
-qual AS (
-  SELECT doc_id,
-         CASE WHEN len(tk) < 20 THEN 'too_short'
-              WHEN ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) < 0.3 THEN 'repetitive'
-              ELSE 'ok' END AS quality_bucket
-  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-        FROM documents))
-SELECT q.doc_id, q.quality_bucket, c.component_id, c.is_canonical,
-       (q.quality_bucket = 'ok' AND c.is_canonical) AS keep
-FROM qual q JOIN comp c ON q.doc_id = c.doc_id
-"""
-
-
-def corpus_clean_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus cleaning as ONE composed plan: C4-style
-    quality gate × near-dup clustering, keep = passes quality AND is
-    its cluster's canonical (smallest-id) member.  This is the
-    composition a real training-data pipeline runs; every stage is an
-    existing oracle-checked operator, composed lazily so Catalyst
-    optimizes across the stage boundaries."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    qual = text.quality_score(docs).select("doc_id", "quality_bucket")
-    comp = dedup_components_q(spark, sf_dir)
-    return (
-        qual.join(comp, "doc_id")
-        .select(
-            "doc_id",
-            "quality_bucket",
-            "component_id",
-            "is_canonical",
-            (
-                (F.col("quality_bucket") == "ok") & F.col("is_canonical")
-            ).alias("keep"),
-        )
-    )
-
-
-def dedup_best_of_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware canonical selection per near-dup cluster: for
-    every MULTI-member cluster, pick the member a curator would keep —
-    quality bucket 'ok' first, then highest vocabulary diversity, then
-    longest, doc_id as the final tiebreak — instead of the smallest-id
-    member that pure graph canonicality keeps.  ``upgraded`` marks
-    clusters where the two rules disagree (real corpora: the crawl
-    copy of a wiki page often has boilerplate bolted on, so min-id is
-    the WRONG keep ~half the time).
-
-    Scale shape: reuses the shared memoized pair/CC materialization;
-    the selection is ONE aggregate with ``max_by`` over a packed
-    ordering struct — partial-aggregated map-side, so the Exchange
-    carries one candidate row per (partition, component), never a
-    window sort.  The ordering is total (doc_id unique), so the chosen
-    member is engine-independent."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    comp = dedup_components_q(spark, sf_dir).select("doc_id", "component_id")
-    qual = text.quality_score(docs).select(
-        "doc_id", "n_chars", "unique_ratio", "quality_bucket"
-    )
-    ordering = F.struct(
-        (F.col("quality_bucket") == "ok").cast("int").alias("ok"),
-        F.col("unique_ratio").alias("u"),
-        F.col("n_chars").alias("c"),
-        (-F.col("doc_id")).alias("negid"),
-    )
-    return (
-        comp.join(qual, "doc_id")
-        .groupBy("component_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("cluster_size"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max_by("doc_id", ordering).alias("best_doc_id"),
-            F.max_by("quality_bucket", ordering).alias("best_quality"),
-        )
-        .filter(F.col("cluster_size") > 1)
-        .withColumn("upgraded", F.col("best_doc_id") != F.col("min_doc_id"))
-        .orderBy("component_id")
-    )
-
-
-BEST_OF_CLUSTER_SQL = f"""
-WITH RECURSIVE {_minhash_ctes()},
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
-),
-comp AS (
-  SELECT node AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY node),
-qual AS (
-  SELECT doc_id, n_chars,
-         ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS unique_ratio,
-         CASE WHEN len(tk) < 20 THEN 'too_short'
-              WHEN ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) < 0.3 THEN 'repetitive'
-              ELSE 'ok' END AS quality_bucket
-  FROM (SELECT doc_id, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-        FROM documents)),
-ranked AS (
-  SELECT c.component_id, q.doc_id, q.quality_bucket,
-         ROW_NUMBER() OVER (
-           PARTITION BY c.component_id
-           ORDER BY (q.quality_bucket = 'ok') DESC, q.unique_ratio DESC,
-                    q.n_chars DESC, q.doc_id ASC) AS rk
-  FROM comp c JOIN qual q ON c.doc_id = q.doc_id)
-SELECT component_id,
-       CAST(COUNT(*) AS BIGINT) AS cluster_size,
-       MIN(doc_id) AS min_doc_id,
-       MIN(doc_id) FILTER (rk = 1) AS best_doc_id,
-       MIN(quality_bucket) FILTER (rk = 1) AS best_quality,
-       MIN(doc_id) FILTER (rk = 1) <> MIN(doc_id) AS upgraded
-FROM ranked GROUP BY 1 HAVING COUNT(*) > 1
-ORDER BY 1
-"""
-
-
-def docs_length_bucketing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Padding-waste report for pad-to-multiple batching (32-token
-    buckets): what fraction of each bucket's compute a non-packing
-    loader burns on pad tokens — the measurement that justifies
-    ``docs_pack_sequences``.  Zero-shuffle per-row bucketing + one
-    tiny rollup; bucket edges integer-exact (add/mod, no float ceil).
-    """
-    return text.padding_waste(src.load_table(spark, sf_dir, "documents"))
-
-
-LENGTH_BUCKETING_SQL = """
-WITH b AS (
-  SELECT n, (n + 31) - ((n + 31) % 32) AS bucket_len
-  FROM (SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-               AS BIGINT) AS n
-        FROM documents)
-  WHERE n > 0)
-SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n) AS BIGINT) AS total_tokens,
-       CAST(SUM(bucket_len - n) AS BIGINT) AS padding_tokens,
-       ROUND(CAST(SUM(bucket_len - n) AS BIGINT)
-             / CAST(bucket_len * COUNT(*) AS DOUBLE), 4) AS waste_ratio
-FROM b GROUP BY 1 ORDER BY 1
-"""
 
 
 # ---------------------------------------------------------------------------
