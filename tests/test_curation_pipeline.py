@@ -101,9 +101,12 @@ def test_pipeline_is_one_lazy_plan_no_intermediate_actions(spark):
 
 
 def test_ensure_layout_hard_cap_bounds_cache_even_within_age_window(tmp_path):
-    """A burst of fresh fixture variants must not grow the cache root
+    """A burst of fixture variants must not grow the cache root
     unbounded just because nothing is 6h old yet (r11 advice): beyond
-    4x KEEP, the oldest evict regardless of age."""
+    4x KEEP, entries evict on the much shorter over-cap age floor.
+    The floor is not zero (r12 advice): a layout a concurrent session
+    just opened (touched minutes ago) survives even over-cap, so a
+    burst can never rmtree a live read out from under its reader."""
     import os
 
     from cass_cdc_pg_spark import registry
@@ -114,8 +117,15 @@ def test_ensure_layout_hard_cap_bounds_cache_even_within_age_window(tmp_path):
     for i in range(20):
         d = tmp_path / f"pfx_{i:02d}"
         d.mkdir()
-        # deterministic mtime order, all well inside the age window
-        os.utime(d, (now - 20 + i, now - 20 + i))
+        # oldest 17 are past the over-cap age floor (evictable when
+        # the cap is breached); the newest 3 were touched seconds ago
+        # (a concurrent session mid-read) and must survive regardless
+        age = (
+            registry._INC_INDEX_OVERCAP_AGE_S + 100 - i
+            if i < 17
+            else 20 - i
+        )
+        os.utime(d, (now - age, now - age))
 
     def build(tmp: str) -> None:
         os.makedirs(tmp)
@@ -123,6 +133,10 @@ def test_ensure_layout_hard_cap_bounds_cache_even_within_age_window(tmp_path):
     registry._ensure_layout(str(tmp_path / "pfx_new"), "pfx_", build)
     remaining = sorted(p.name for p in tmp_path.iterdir())
     cap = 4 * registry._INC_INDEX_KEEP
+    # 21 dirs → 9 over cap; all 9 candidates are past the over-cap
+    # floor (the just-touched 3 sit inside the newest KEEP+cap band)
     assert len(remaining) == cap
-    # newest survive, oldest went first
     assert "pfx_new" in remaining and "pfx_00" not in remaining
+    # the freshly-touched dirs survived
+    for i in (17, 18, 19):
+        assert f"pfx_{i:02d}" in remaining
