@@ -141,6 +141,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    documents: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs:
+    containment(A→B) = |A∩B| / |A| over distinct n-gram shingle sets.
+
+    The case symmetric Jaccard structurally misses: a short document
+    quoted whole inside a much longer one (boilerplate-wrapped
+    articles, quote-expansions, excerpt pages) has |A∩B| ≈ |A| but
+    Jaccard ≈ |A|/|B| → 0 as the wrapper grows.  Training-data dedup
+    wants these pairs — the contained doc contributes no new text —
+    so the pair qualifies when EITHER direction's containment clears
+    *threshold*; both directions are reported (plus Jaccard for
+    context) and the keep/drop policy stays with the caller, like
+    ``ngram_jaccard_pairs``.
+
+    Plan: identical inverted-index shape to ``ngram_jaccard_pairs``
+    (reference parity: the validation/reconcile tier's set-overlap
+    checks) — shingle → 60-bit hash → self-join within shingle
+    buckets only → per-pair intersection count → two divisions.  The
+    shuffle carries 8-byte hashes; *max_doc_freq* is the same
+    stop-shingle guard (containment becomes a lower bound when set)."""
+    sh = shingles(documents, n).select(
+        "doc_id", _token_hash(F.col("shingle")).alias("sh_h")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        stop = (
+            sh.groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("sh_h")
+        )
+        sh = sh.join(F.broadcast(stop), "sh_h", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh_h") == F.col("b.sh_h"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
+    c_a = F.round(F.col("inter").cast("double") / F.col("sz_a"), 4)
+    c_b = F.round(F.col("inter").cast("double") / F.col("sz_b"), 4)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+    )
+
+
 #: pipeline default for the stop-shingle cap: a shingle shared by more
 #: documents than this is boilerplate (headers, licence text), and the
 #: quadratic-within-bucket join must never see it at corpus scale

@@ -627,6 +627,8 @@ FROM events WHERE event_id % 997 = 17
 from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     dedup_exact_groups,
     DEDUP_EXACT_SQL,
+    dedup_containment_pairs_q,
+    DEDUP_CONTAINMENT_SQL,
     dedup_ngram_jaccard_q,
     DEDUP_JACCARD_SQL,
     docs_length_histogram_q,
@@ -1930,6 +1932,137 @@ def incr_assign_oracle_sql(
         except FileNotFoundError:
             return None
     return _INCR_ASSIGN_SQL_CACHE[key]
+
+
+def embedding_cell_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell distribution drift of the daily embedding batch vs the
+    standing corpus (new r13) — the index-health monitor a deployment
+    runs before ``ivfpq_append``: if the new batch's cell shares or
+    its distance-to-centroid profile move away from the base corpus's,
+    the standing centroids are going stale and the index needs
+    retraining, not just appending (the FAISS re-train trigger, and
+    the ANN analog of the Q20 drift-severity check on the CDC side).
+    Batch carve-out is the ``_EMB_APPEND_REM`` convention shared with
+    the append-parity query.
+
+    Determinism across engines: per-vector cosine distance to the
+    assigned centroid (1 − max score) rounds to 6 dp, converts to
+    exact integer micros through DECIMAL(18,6) (the repo-wide
+    sum_micros convention), and aggregates as BIGINT sums — so the
+    only float math after aggregation is one identical
+    multiply/divide/round chain per output column.  One pass, one
+    (cell)-keyed partial-aggregated shuffle; cell assignment is the
+    constant-folded codegen expression (no shuffle, no Python)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(sf_dir)
+    scores = similarity._cell_scores("`embedding`", cents)
+    is_new = F.col("vec_id") % 10 == _EMB_APPEND_REM
+    dist_micros = (
+        F.round(F.lit(1.0) - F.array_max(scores), 6).cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("long")
+    per = (
+        emb.select(
+            F.array_position(scores, F.array_max(scores)).alias("cell"),
+            is_new.alias("_new"),
+            dist_micros.alias("_dm"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(~F.col("_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(~F.col("_new"), F.col("_dm")).otherwise(0))
+            .cast("long")
+            .alias("dm_base"),
+            F.sum(F.when(F.col("_new"), F.col("_dm")).otherwise(0))
+            .cast("long")
+            .alias("dm_new"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_new").alias("t_new")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_base",
+        "n_new",
+        F.round(F.col("n_base") / F.col("t_base"), 6).alias("share_base"),
+        F.round(F.col("n_new") / F.col("t_new"), 6).alias("share_new"),
+        F.round(
+            F.col("n_new") / F.col("t_new") - F.col("n_base") / F.col("t_base"),
+            6,
+        ).alias("share_drift"),
+        F.when(
+            F.col("n_base") > 0,
+            F.round(F.col("dm_base") / (F.col("n_base") * 1e6), 6),
+        ).alias("mean_cosdist_base"),
+        F.when(
+            F.col("n_new") > 0,
+            F.round(F.col("dm_new") / (F.col("n_new") * 1e6), 6),
+        ).alias("mean_cosdist_new"),
+    )
+
+
+def _cell_drift_sql(centroids: list[list[float]]) -> str:
+    rem = _EMB_APPEND_REM
+    return _assign_rollup_sql(
+        centroids,
+        metric_expr=(
+            "CAST(CAST(ROUND(1 - s, 6) AS DECIMAL(18,6)) * 1000000"
+            " AS BIGINT)"
+        ),
+        metric_name="dm",
+        rollup=(
+            f"""SELECT cell, n_base, n_new,
+       ROUND(n_base / (t_base * 1.0), 6) AS share_base,
+       ROUND(n_new / (t_new * 1.0), 6) AS share_new,
+       ROUND(n_new / (t_new * 1.0) - n_base / (t_base * 1.0), 6)
+           AS share_drift,
+       CASE WHEN n_base > 0
+            THEN ROUND(dm_base / (n_base * 1000000.0), 6) END
+           AS mean_cosdist_base,
+       CASE WHEN n_new > 0
+            THEN ROUND(dm_new / (n_new * 1000000.0), 6) END
+           AS mean_cosdist_new
+FROM (SELECT cell,
+             CAST(SUM(CASE WHEN vec_id % 10 = {rem} THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN vec_id % 10 = {rem} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN vec_id % 10 = {rem} THEN 0 ELSE dm END)
+                  AS BIGINT) AS dm_base,
+             CAST(SUM(CASE WHEN vec_id % 10 = {rem} THEN dm ELSE 0 END)
+                  AS BIGINT) AS dm_new
+      FROM cassign GROUP BY cell) roll
+CROSS JOIN (SELECT CAST(SUM(CASE WHEN vec_id % 10 = {rem} THEN 0 ELSE 1 END)
+                        AS BIGINT) AS t_base,
+                   CAST(SUM(CASE WHEN vec_id % 10 = {rem} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS t_new
+            FROM cassign) tot"""
+        ),
+    )
+
+
+_CELL_DRIFT_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def cell_drift_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    try:
+        key = _ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _CELL_DRIFT_SQL_CACHE:
+        try:
+            _CELL_DRIFT_SQL_CACHE[key] = _cell_drift_sql(
+                _ivf_centroids(sf_dir)
+            )
+        except FileNotFoundError:
+            return None
+    return _CELL_DRIFT_SQL_CACHE[key]
 
 
 _CLUSTER_SAMPLE_M = 5
@@ -5394,6 +5527,7 @@ QUERIES = {
     "events_daily_active": events_daily_active_q,
     "lineitem_profile": lineitem_profile_q,
     "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
+    "embedding_cell_drift": embedding_cell_drift_q,
     "docs_chunk_windows": docs_chunk_windows_q,
     "stream_sessionize_parity": stream_sessionize_parity_q,
     "stream_funnel_parity": stream_funnel_parity_q,
@@ -5462,6 +5596,7 @@ QUERIES = {
     "q18_gdpr_erasure": q18_gdpr_erasure,
     "c1_lww_state": c1_lww_state,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_containment_pairs": dedup_containment_pairs_q,
     "text_fingerprint": text_fingerprint_q,
     "q20_drift_severity": q20_drift_severity,
     "q19_retention": q19_retention,
@@ -5577,6 +5712,7 @@ ORACLE = {
     "t9_ttl_expiry": T9_SQL,
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,
     "decontam_ngram_overlap": DECONTAM_SQL,
@@ -5713,6 +5849,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     ia = incr_assign_oracle_sql(sf_dir)
     if ia is not None:
         out["ann_ivf_incremental_assign"] = ia
+    cd = cell_drift_oracle_sql(sf_dir)
+    if cd is not None:
+        out["embedding_cell_drift"] = cd
     rc = ivf_recall_oracle_sql(sf_dir)
     if rc is not None:
         out["ann_ivf_recall"] = rc

@@ -48,6 +48,46 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (new r13): shingle-set
+    containment |A∩B|/|A| per direction, pair kept when either
+    direction ≥ 0.4 — the short-doc-quoted-inside-long-doc
+    duplication that symmetric Jaccard dilutes toward zero as the
+    wrapper grows (the excerpt/boilerplate-wrap case a training-data
+    dedup pass must catch).  Same inverted-index discipline as the
+    Jaccard query: quadratic only within shingle buckets, 8-byte
+    hashes across the shuffle, stop-shingle guard available."""
+    return dedup.shingle_containment_pairs(
+        src.load_table(spark, sf_dir, "documents"), n=2, threshold=0.4
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+         )) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / sa.n_sh, 4) AS containment_a,
+       ROUND(inter * 1.0 / sb.n_sh, 4) AS containment_b,
+       ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE GREATEST(ROUND(inter * 1.0 / sa.n_sh, 4),
+               ROUND(inter * 1.0 / sb.n_sh, 4)) >= 0.4
+"""
+
+
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index with a stop-shingle cap — quadratic only within buckets."""
     return dedup.ngram_jaccard_pairs(
