@@ -840,14 +840,14 @@ def embedding_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.applicationId,
         _reg._ivf_fixture_key(sf_dir),
         "hard_neg", _PQ_M, _PQ_KSUB, _PQ_REFINE_SHORTLIST,
-        _HARDNEG_SHORTLIST,
+        _HARDNEG_SHORTLIST, _HARDNEG_K,
     )
     if key not in _PQ_DF_CACHE:
         emb = src.load_table(spark, sf_dir, "embeddings")
         codes = _ivfpq_index(spark, sf_dir).select(
             F.col("neighbor_id").alias("vec_id"), "codes"
         )
-        _PQ_DF_CACHE[key] = similarity.pq_refine_topk(
+        shortlist = similarity.pq_refine_topk(
             emb,
             emb.filter(F.col("vec_id") < 10),
             _pq_codebooks(sf_dir),
@@ -855,27 +855,35 @@ def embedding_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             shortlist=_PQ_REFINE_SHORTLIST,
             codes=codes,
         ).select("query_id", "neighbor_id", "dist")
-    shortlist = _PQ_DF_CACHE[key]
-    dups = _reg._shared_emb_pairs(spark, sf_dir)
-    ex = dups.select(
-        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
-    ).unionByName(
-        dups.select(
-            F.col("id_b").alias("query_id"),
-            F.col("id_a").alias("neighbor_id"),
+        dups = _reg._shared_emb_pairs(spark, sf_dir)
+        ex = dups.select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+        ).unionByName(
+            dups.select(
+                F.col("id_b").alias("query_id"),
+                F.col("id_a").alias("neighbor_id"),
+            )
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        shortlist.join(
-            F.broadcast(ex), ["query_id", "neighbor_id"], "left_anti"
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
         )
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _HARDNEG_K)
-        .select("query_id", "neighbor_id", "rank", "dist")
-    )
+        # the FULL plan is memoized, not just the shortlist: the
+        # refine subtree carries the per-query ADC tables as a
+        # ~40k-double literal relation, and re-deriving the anti-join
+        # + window on top of it costs ~1.1 s of driver-side analysis
+        # per call at sf0.1 — 2x the plan's whole execution (measured
+        # r13; the reason the r12 10x ratio read 4.5 was plan
+        # REBUILD, not execution)
+        _PQ_DF_CACHE[key] = (
+            shortlist.join(
+                F.broadcast(ex), ["query_id", "neighbor_id"], "left_anti"
+            )
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= _HARDNEG_K)
+            .select("query_id", "neighbor_id", "rank", "dist")
+        )
+    return _PQ_DF_CACHE[key]
 
 
 def _hard_negatives_sql(codebooks: list[list[list[float]]]) -> str:
