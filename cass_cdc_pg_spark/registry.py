@@ -5491,88 +5491,26 @@ FROM dau d JOIN wau w USING (day_no)
 
 
 QUERIES = {
-    # ================= r12 driver window (first 50) =================
-    # Composition (r10 verdict #2 discipline, r11 verdict #1): new
-    # queries FIRST (they take slots by displacement), then entries
-    # REWRITTEN this round, then the 8-entry evidence backlog the r11
-    # verdict itemized (3 past-cap r11 additions never driver-checked
-    # + the 5-entry r8-green remainder), then the stale backlog
-    # oldest-evidence-first (the 47 r9-green entries; 38 fit).
-    # ---- (a) new in r12 (never driver-checked) ----
-    "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
-    "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
-    "events_weekly_active": events_weekly_active_q,
+    # ================= r13 driver window (first 50) =================
+    # Composition (the r10-verdict discipline, prescribed again in the
+    # r12 verdict #1): NEW queries first (driver evidence is the gate
+    # they have never passed), then entries REWRITTEN this round (their
+    # old driver rows no longer witness the current oracle), then the
+    # itemized evidence backlog, then the stale tail oldest-first.
+    # ---- (a) new in r13 (never driver-checked) ----
     "weekly_active_incremental_parity": weekly_active_incremental_parity_q,
-    # ---- (b) rewritten in r12: the real-decode query now decodes a
-    # genuine PNG (all five scanline filters on the hash path) for
-    # every tenth doc, with the error seam demonstrated on jpeg — a
-    # new oracle, so the r11 driver row no longer witnesses it ----
-    "multimodal_real_decode": multimodal_real_decode_q,
-    # ---- (c) the r11-verdict evidence backlog (8 entries): the 3
-    # past-cap r11 additions, then the r8-green remainder ----
-    "ann_pq_refine_topk": ann_pq_refine_topk_q,
-    "ann_pq_refine_recall": ann_pq_refine_recall_q,
-    "docs_ngram_novelty": docs_ngram_novelty_q,
-    "sales_top_suppliers": sales_top_suppliers_q,
-    "sales_region_share": sales_region_share_q,
-    "embedding_semdedup_keep": embedding_semdedup_keep_q,
-    "dedup_cluster_sizes": dedup_cluster_sizes_q,
-    "orders_priority_late": orders_priority_late_q,
-    # ---- (d) r9-green backlog, oldest driver evidence (38 of 47 in
-    # catalog order; the 9-entry remainder is documented below as the
-    # first r13 leads) ----
-    "part_min_cost_supplier": part_min_cost_supplier_q,
-    "sales_returns_by_brand": sales_returns_by_brand_q,
-    "segment_status_revenue": segment_status_revenue_q,
-    "events_daily_active": events_daily_active_q,
-    "lineitem_profile": lineitem_profile_q,
-    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
+    "dedup_containment_pairs": dedup_containment_pairs_q,
     "embedding_cell_drift": embedding_cell_drift_q,
-    "docs_chunk_windows": docs_chunk_windows_q,
-    "stream_sessionize_parity": stream_sessionize_parity_q,
-    "stream_funnel_parity": stream_funnel_parity_q,
-    "stream_dedup_parity": stream_dedup_parity_q,
-    "docs_block_dedup": docs_block_dedup_q,
-    "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
-    "embedding_cluster_sample": embedding_cluster_sample_q,
-    "lineitem_small_qty_revenue": lineitem_small_qty_revenue_q,
-    "orders_big_basket_customers": orders_big_basket_customers_q,
-    "supplier_sole_late_blame": supplier_sole_late_blame_q,
-    "customer_dormant_balance": customer_dormant_balance_q,
-    "docs_heavy_hitters": docs_heavy_hitters_q,
-    "stream_hopping_parity": stream_hopping_parity_q,
-    "dedup_cross_source_matrix": dedup_cross_source_matrix_q,
-    "nation_trade_flows": nation_trade_flows_q,
-    "lineitem_bracket_revenue": lineitem_bracket_revenue_q,
-    "customer_returns_ranking": customer_returns_ranking_q,
-    "part_supplier_diversity": part_supplier_diversity_q,
-    "nation_profit_by_year": nation_profit_by_year_q,
-    "dedup_best_of_cluster": dedup_best_of_cluster_q,
-    "docs_length_bucketing": docs_length_bucketing_q,
-    "dedup_minhash_precision": dedup_minhash_precision_q,
-    "view_incremental_parity": view_incremental_parity_q,
-    "customer_value_deciles": customer_value_deciles_q,
-    "docs_token_budget": docs_token_budget_q,
-    "embedding_semdedup_greedy_stats": embedding_semdedup_greedy_stats_q,
-    "events_funnel": events_funnel_q,
-    "users_retention_cohorts": users_retention_cohorts_q,
-    "docs_ngram_topk": docs_ngram_topk_q,
-    "docs_tfidf_topterms": docs_tfidf_topterms_q,
-    "events_type_transitions": events_type_transitions_q,
-    "sales_rollup_totals": sales_rollup_totals_q,
-    # ================ past the 50-cap this round ================
-    # ALL re-verified every round by tools/check_oracle.py + pytest.
-    # Rotation bookkeeping for r13, oldest evidence first: (1) the
-    # r9-green remainder (9 entries, last driver row r9 — the oldest
-    # evidence in the registry), (2) the 44 r10-green entries, (3)
-    # the 49 r11-green entries below them.  Any NEW r13 queries take
-    # slots by displacement from the bottom of the r9 remainder.
-    # ---- new in r12, past-cap (replay + pytest evidence only —
-    # enter the r13 window with any r13 new queries, before the r9
-    # remainder below) ----
+    # ---- (b) rewritten in r13: hard-negatives now mines from the
+    # persisted IVF×PQ codes with the analytic-pipeline oracle, and
+    # the real-decode PNG fixture heights now reach all five scanline
+    # filters (r12 advice) — both r12 driver rows are stale ----
     "embedding_hard_negatives": embedding_hard_negatives_q,
+    "multimodal_real_decode": multimodal_real_decode_q,
+    # ---- (c) the r12 past-cap addition never driver-checked ----
     "docs_packing_efficiency": docs_packing_efficiency_q,
-    # ---- r9-green remainder (9 entries — the next r13 leads) ----
+    # ---- (d) the 9-entry r9-green remainder (oldest driver
+    # evidence in the registry — the r12-verdict leads) ----
     "dedup_components": dedup_components_q,
     "text_token_rarity": text_token_rarity_q,
     "schema_evolution": schema_evolution_q,
@@ -5582,8 +5520,9 @@ QUERIES = {
     "events_sessionize": events_sessionize_q,
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
-    # ---- r10-green block (44 entries, CORRECTNESS_r10.json; the
-    # r10 window minus the six entries rewritten in r11) ----
+    # ---- (e) r10-green backlog, oldest driver evidence (35 of 44
+    # in catalog order; the 9-entry remainder below is the first
+    # r14 lead) ----
     "q1_row_count": q1_row_count,
     "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
@@ -5596,7 +5535,6 @@ QUERIES = {
     "q18_gdpr_erasure": q18_gdpr_erasure,
     "c1_lww_state": c1_lww_state,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "dedup_containment_pairs": dedup_containment_pairs_q,
     "text_fingerprint": text_fingerprint_q,
     "q20_drift_severity": q20_drift_severity,
     "q19_retention": q19_retention,
@@ -5620,6 +5558,14 @@ QUERIES = {
     "dedup_incremental_pairs": dedup_incremental_pairs_q,
     "dedup_incremental_components": dedup_incremental_components_q,
     "dedup_incremental_admission": dedup_incremental_admission_q,
+    # ================ past the 50-cap this round ================
+    # ALL re-verified every round by tools/check_oracle.py + pytest.
+    # Rotation bookkeeping for r14, oldest evidence first: (1) the
+    # r10-green remainder (9 entries — the next r14 leads), (2) the
+    # 49 r11-green entries, (3) the 49 r12-green entries.  Any NEW
+    # r14 queries take slots by displacement from the bottom of the
+    # r10 remainder.
+    # ---- r10-green remainder (9 entries — the next r14 leads) ----
     "events_zorder_scan": events_zorder_scan_q,
     "ann_l2_topk": ann_l2_topk_q,
     "nation_market_share": nation_market_share_q,
@@ -5629,8 +5575,7 @@ QUERIES = {
     "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
     "lineitem_discount_bands": lineitem_discount_bands_q,
     "docs_split_stats": docs_split_stats_q,
-    # ---- r11-green block (49 entries, CORRECTNESS_r11.json; the
-    # r11 window minus multimodal_real_decode, rewritten in r12) ----
+    # ---- r11-green block (49 entries, CORRECTNESS_r11.json) ----
     "sales_promo_bundles": sales_promo_bundles_q,
     "lineitem_part_copurchase": lineitem_part_copurchase_q,
     "docs_vocab_coverage": docs_vocab_coverage_q,
@@ -5680,6 +5625,57 @@ QUERIES = {
     "events_props_stats": events_props_stats_q,
     "events_cube_counts": events_cube_counts_q,
     "events_type_pivot": events_type_pivot_q,
+    # ---- r12-green block (49 entries — the r12 driver window minus
+    # the two entries rewritten in r13) ----
+    "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
+    "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
+    "events_weekly_active": events_weekly_active_q,
+    "ann_pq_refine_topk": ann_pq_refine_topk_q,
+    "ann_pq_refine_recall": ann_pq_refine_recall_q,
+    "docs_ngram_novelty": docs_ngram_novelty_q,
+    "sales_top_suppliers": sales_top_suppliers_q,
+    "sales_region_share": sales_region_share_q,
+    "embedding_semdedup_keep": embedding_semdedup_keep_q,
+    "dedup_cluster_sizes": dedup_cluster_sizes_q,
+    "orders_priority_late": orders_priority_late_q,
+    "part_min_cost_supplier": part_min_cost_supplier_q,
+    "sales_returns_by_brand": sales_returns_by_brand_q,
+    "segment_status_revenue": segment_status_revenue_q,
+    "events_daily_active": events_daily_active_q,
+    "lineitem_profile": lineitem_profile_q,
+    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
+    "docs_chunk_windows": docs_chunk_windows_q,
+    "stream_sessionize_parity": stream_sessionize_parity_q,
+    "stream_funnel_parity": stream_funnel_parity_q,
+    "stream_dedup_parity": stream_dedup_parity_q,
+    "docs_block_dedup": docs_block_dedup_q,
+    "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
+    "embedding_cluster_sample": embedding_cluster_sample_q,
+    "lineitem_small_qty_revenue": lineitem_small_qty_revenue_q,
+    "orders_big_basket_customers": orders_big_basket_customers_q,
+    "supplier_sole_late_blame": supplier_sole_late_blame_q,
+    "customer_dormant_balance": customer_dormant_balance_q,
+    "docs_heavy_hitters": docs_heavy_hitters_q,
+    "stream_hopping_parity": stream_hopping_parity_q,
+    "dedup_cross_source_matrix": dedup_cross_source_matrix_q,
+    "nation_trade_flows": nation_trade_flows_q,
+    "lineitem_bracket_revenue": lineitem_bracket_revenue_q,
+    "customer_returns_ranking": customer_returns_ranking_q,
+    "part_supplier_diversity": part_supplier_diversity_q,
+    "nation_profit_by_year": nation_profit_by_year_q,
+    "dedup_best_of_cluster": dedup_best_of_cluster_q,
+    "docs_length_bucketing": docs_length_bucketing_q,
+    "dedup_minhash_precision": dedup_minhash_precision_q,
+    "view_incremental_parity": view_incremental_parity_q,
+    "customer_value_deciles": customer_value_deciles_q,
+    "docs_token_budget": docs_token_budget_q,
+    "embedding_semdedup_greedy_stats": embedding_semdedup_greedy_stats_q,
+    "events_funnel": events_funnel_q,
+    "users_retention_cohorts": users_retention_cohorts_q,
+    "docs_ngram_topk": docs_ngram_topk_q,
+    "docs_tfidf_topterms": docs_tfidf_topterms_q,
+    "events_type_transitions": events_type_transitions_q,
+    "sales_rollup_totals": sales_rollup_totals_q,
 }
 
 ORACLE = {

@@ -40,6 +40,7 @@ CROSS_JOIN_ALLOWED = {
     "customer_dormant_balance",  # customers × 1-row avg-balance scalar
     "docs_heavy_hitters",       # k-row top-k × two 1-row certify aggs
     "docs_source_distinctive_terms",  # scored × 1-row grand-total scalar
+    "embedding_cell_drift",  # per-cell rollup × 1-row corpus totals
 }
 
 #: queries whose single-partition window is deliberately bounded: it
