@@ -1682,3 +1682,37 @@ def test_hard_negatives_broadcast_exclusion_bounded_window(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "query_id" in ln, ln
+
+
+def test_containment_pairs_inverted_index_shape(spark):
+    """dedup_containment_pairs (new r13): same scale discipline as the
+    Jaccard pass — the self-join must be an equi-join on the shingle
+    hash (quadratic only WITHIN buckets; no cartesian, no BNLJ), and
+    nothing reaches Python."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.dedup_containment_pairs_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+    assert "sh_h" in plan, plan  # the hash, not the string, is the key
+
+
+def test_cell_drift_single_pass_no_python(spark):
+    """embedding_cell_drift (new r13): cell assignment is the
+    constant-folded codegen expression (no shuffle before the rollup),
+    the only hash Exchange is the cell-keyed partial aggregate, the
+    1-row totals ride a broadcast, and no Python stage exists."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.embedding_cell_drift_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "cell" in ln, ln

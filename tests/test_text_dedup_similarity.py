@@ -36,6 +36,50 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (1, 4) not in got
 
 
+def test_containment_catches_subdoc_that_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted whole inside
+    a long wrapper has containment_a = 1.0 while Jaccard dilutes
+    toward |A|/|B| — below any useful symmetric threshold."""
+    short = "alpha beta gamma delta epsilon"
+    wrapper = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, wrapper), (3, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.shingle_containment_pairs(
+            docs, n=2, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["containment_a"] == 1.0  # every shingle of A is in B
+    assert r["jaccard"] < 0.1  # the symmetric score that misses it
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_containment_bounds_and_symmetry_with_jaccard(docs):
+    """Invariants on real pair output: jaccard ≤ min(containments) ≤
+    max(containments) ≤ 1, and pairs agree with the Jaccard operator
+    where both qualify (same inverted index, same intersection)."""
+    pairs = dedup.shingle_containment_pairs(
+        docs, n=2, threshold=0.0
+    ).collect()
+    assert pairs
+    for r in pairs:
+        lo, hi = sorted([r["containment_a"], r["containment_b"]])
+        assert r["jaccard"] <= lo + 1e-9
+        assert hi <= 1.0 + 1e-9
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    }
+    cont = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    for k, v in jac.items():
+        assert k in cont and abs(cont[k] - v) < 1e-9
+
+
 def test_minhash_lsh_agrees_with_exact_on_dups(docs):
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=2, threshold=0.5)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
@@ -1696,6 +1740,32 @@ def test_ivfpq_append_equals_full_rebuild(spark):
     counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {0: 5, 1: 5, 2: 5}
+
+
+def test_cell_drift_consistent_with_cell_stats(spark):
+    """embedding_cell_drift invariants on the real fixture: per-cell
+    base+new counts reconcile with the cell-stats assignment (same
+    constant-folded argmax), totals cover the corpus with the 90/10
+    batch carve-out, shares sum to 1 per side, and the micros-exact
+    means sit in [0, 2] (cosine distance range)."""
+    from cass_cdc_pg_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    drift = registry.embedding_cell_drift_q(spark, sf).collect()
+    stats = {
+        r["cell"]: r["n_vectors"]
+        for r in registry.embeddings_cell_stats_q(spark, sf).collect()
+    }
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r["n_base"] + r["n_new"] for r in drift) == n
+    assert sum(r["n_new"] for r in drift) == n // 10  # vec_id ≡ 7 (mod 10)
+    for r in drift:
+        assert r["n_base"] + r["n_new"] == stats[r["cell"]]
+        for m in (r["mean_cosdist_base"], r["mean_cosdist_new"]):
+            if m is not None:
+                assert 0.0 <= m <= 2.0
+    assert abs(sum(r["share_base"] for r in drift) - 1.0) < 1e-4
+    assert abs(sum(r["share_new"] for r in drift) - 1.0) < 1e-4
 
 
 def test_pq_recall_floors_hold_at_sf01(spark):
