@@ -159,14 +159,17 @@ def _copy_dims(spark, sf_dir: str, out: str) -> None:
         ).parquet(f"{out}/{t}.parquet")
 
 
-def _replicate_events(spark, sf_dir: str, out: str) -> None:
+def _replicate_events(
+    spark, sf_dir: str, out: str, replicas: int | None = None
+) -> None:
     from pyspark.sql import functions as F
 
+    replicas = REPLICAS if replicas is None else replicas
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     hi_e = ev.agg(F.max("event_id")).first()[0] + 1
     hi_u = ev.agg(F.max("user_id")).first()[0] + 1
     parts = []
-    for i in range(REPLICAS):
+    for i in range(replicas):
         # shift BOTH ids: distinct keys scale 10x while each key keeps
         # its per-user row distribution — the grown-corpus shape the
         # skew profiler must stay sub-linear on (hot-key share is
@@ -717,6 +720,31 @@ def main() -> None:
             "lineitem_rows_per_sec_100x": round(100 * n_li_1x / t100, 1),
         }
         print(f"# 100x lineitem_part_copurchase: 10x={t10}s 100x={t100}s "
+              f"decade ratio={t100 / t10:.2f}")
+
+    # ---- 100× decade point for events_weekly_active (r13: its 10×
+    # ratio drifted into the 1.6-2.2 band across rounds; the decade
+    # point settles whether the constant-7× contribution explode
+    # stays aggregate-bound).  Only events is replicated.
+    n_ev_1x = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    with tempfile.TemporaryDirectory() as tmpe:
+        _replicate_events(spark, sf_dir, tmpe, replicas=100)
+        t10 = report["queries"]["events_weekly_active"]["sec_10x"]
+        events_weekly_active_q(spark, tmpe).count()  # warm
+        t100 = min(
+            _timed(lambda: events_weekly_active_q(spark, tmpe).count())
+            for _ in range(2)
+        )
+        report["100x"]["events_weekly_active"] = {
+            "sec_10x": t10,
+            "sec_100x": t100,
+            "ratio_per_decade_10x_to_100x": round(t100 / t10, 2)
+            if t10
+            else None,
+            "events_per_sec_10x": round(10 * n_ev_1x / t10, 1),
+            "events_per_sec_100x": round(100 * n_ev_1x / t100, 1),
+        }
+        print(f"# 100x events_weekly_active: 10x={t10}s 100x={t100}s "
               f"decade ratio={t100 / t10:.2f}")
 
     with open(out_json, "w") as fh:
