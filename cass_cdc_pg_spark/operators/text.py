@@ -71,6 +71,69 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-unigram-LM log-probability per document — the
+    perplexity-proxy quality signal of CCNet/C4-style filtering, at
+    the unigram tier: score(d) = Σ_t log10 P(t) with P the corpus MLE
+    (count(t) / total tokens).  Low mean log-prob = rare-token-heavy
+    (OCR noise, codepage garbage, exotic boilerplate); the score
+    ranks documents for LM-quality filtering without any external
+    model.
+
+    Cross-engine determinism: log10 is libm-dependent (JVM
+    ``Math.log10`` vs DuckDB's C library can differ in the last ulp),
+    so NEITHER engine computes it — the log table is built ONCE in
+    Python over the distinct count values and shipped to both sides
+    as exact integer micros (count → round(log10(count), 6)·10⁶).
+    Both engines then do only integer sums and ONE final divide.
+
+    Scale shape: tokens explode once and shuffle on the token key
+    (counts), the count→micros lookup joins via BROADCAST (its size
+    is the number of DISTINCT COUNT VALUES — O(√total) under Zipf,
+    a few thousand rows at petabyte scale — NOT vocabulary size),
+    and the per-doc rollup is a partial-aggregated (doc_id) shuffle.
+    The driver materializes only the distinct count values and the
+    one-row total."""
+    import math
+
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # bounded driver materialization: distinct COUNT VALUES, not vocab
+    cvals = sorted(r["c"] for r in counts.select("c").distinct().collect())
+    total = int(counts.agg(F.sum("c")).first()[0])
+    micros = {
+        c: int(round(round(math.log10(c), 6) * 1_000_000)) for c in cvals
+    }
+    total_micros = int(round(round(math.log10(total), 6) * 1_000_000))
+    lp_rel = spark.createDataFrame(
+        [(c, m) for c, m in micros.items()], "c long, lp_micros long"
+    )
+    scored = toks.join(counts.join(F.broadcast(lp_rel), "c"), "tok")
+    n = F.col("n_tokens")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp_micros").cast("long").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_s") - n * F.lit(total_micros))
+            .cast("long")
+            .alias("sum_logprob_micros"),
+            F.round(
+                (F.col("_s") - n * F.lit(total_micros))
+                / (n * F.lit(1_000_000.0)),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """doc_id, n_chars, stopword_ratio, unique_ratio, quality_bucket.
 

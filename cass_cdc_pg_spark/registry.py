@@ -629,6 +629,10 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     DEDUP_EXACT_SQL,
     dedup_containment_pairs_q,
     DEDUP_CONTAINMENT_SQL,
+    docs_unigram_logprob_q,
+    unigram_logprob_oracle_sql,
+    docs_shard_balance_q,
+    DOCS_SHARD_BALANCE_SQL,
     dedup_ngram_jaccard_q,
     DEDUP_JACCARD_SQL,
     docs_length_histogram_q,
@@ -5499,6 +5503,8 @@ QUERIES = {
     # itemized evidence backlog, then the stale tail oldest-first.
     # ---- (a) new in r13 (never driver-checked) ----
     "weekly_active_incremental_parity": weekly_active_incremental_parity_q,
+    "docs_unigram_logprob": docs_unigram_logprob_q,
+    "docs_shard_balance": docs_shard_balance_q,
     "dedup_containment_pairs": dedup_containment_pairs_q,
     "embedding_cell_drift": embedding_cell_drift_q,
     # ---- (b) rewritten in r13: hard-negatives now mines from the
@@ -5556,8 +5562,6 @@ QUERIES = {
     "q21_dlq_replay_select": q21_dlq_replay_select,
     "q22_resolve_update": q22_resolve_update,
     "dedup_incremental_pairs": dedup_incremental_pairs_q,
-    "dedup_incremental_components": dedup_incremental_components_q,
-    "dedup_incremental_admission": dedup_incremental_admission_q,
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r14, oldest evidence first: (1) the
@@ -5565,7 +5569,9 @@ QUERIES = {
     # 49 r11-green entries, (3) the 49 r12-green entries.  Any NEW
     # r14 queries take slots by displacement from the bottom of the
     # r10 remainder.
-    # ---- r10-green remainder (9 entries — the next r14 leads) ----
+    # ---- r10-green remainder (11 entries — the next r14 leads) ----
+    "dedup_incremental_components": dedup_incremental_components_q,
+    "dedup_incremental_admission": dedup_incremental_admission_q,
     "events_zorder_scan": events_zorder_scan_q,
     "ann_l2_topk": ann_l2_topk_q,
     "nation_market_share": nation_market_share_q,
@@ -5709,6 +5715,7 @@ ORACLE = {
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
+    "docs_shard_balance": DOCS_SHARD_BALANCE_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,
     "decontam_ngram_overlap": DECONTAM_SQL,
@@ -5848,6 +5855,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     cd = cell_drift_oracle_sql(sf_dir)
     if cd is not None:
         out["embedding_cell_drift"] = cd
+    ug = unigram_logprob_oracle_sql(sf_dir)
+    if ug is not None:
+        out["docs_unigram_logprob"] = ug
     rc = ivf_recall_oracle_sql(sf_dir)
     if rc is not None:
         out["ann_ivf_recall"] = rc

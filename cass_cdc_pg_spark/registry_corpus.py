@@ -267,6 +267,156 @@ FROM x
 """
 
 
+#: (applicationId, docs fixture key) → built unigram-logprob DataFrame
+#: (the operator's two bounded driver collects — distinct count values
+#: + the 1-row total — run once per session+fixture)
+_UNIGRAM_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def docs_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM log-prob per document (new r13) — the
+    perplexity-proxy quality filter of CCNet/C4 pipelines at the
+    unigram tier: rare-token-heavy documents (OCR noise, codepage
+    garbage) rank low, fluent ones high, no external model needed.
+    log10 never runs inside EITHER engine: the count→log-micros
+    table is computed once in Python (the single source of truth)
+    and shipped to both sides as exact integers, so the whole
+    pipeline is integer sums + one final divide — bit-identical by
+    construction (see ``text.unigram_logprob``)."""
+    key = (spark.sparkContext.applicationId, _docs_fixture_key(sf_dir))
+    if key not in _UNIGRAM_DF_CACHE:
+        _UNIGRAM_DF_CACHE[key] = text.unigram_logprob(
+            src.load_table(spark, sf_dir, "documents")
+        )
+    return _UNIGRAM_DF_CACHE[key]
+
+
+#: training-output shard fan-out for the balance diagnostic
+_SHARD_N = 16
+
+
+def docs_shard_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment + balance diagnostic (new r13): the
+    step that splits a corpus into N output shards for data-loader
+    consumption.  Greedy size-aware bin packing is inherently
+    sequential, so the 100 TB answer is a DETERMINISTIC HASH shard
+    (16-bit Fibonacci multiplicative hash of doc_id — exact integer
+    arithmetic, no engine hash builtin, so both engines agree
+    bit-for-bit) and this query IS the monitor that says whether
+    hashing balanced the shards: per-shard docs, tokens, token share,
+    and the imbalance factor share·N (1.0 = perfect).  One narrow
+    projection, one partial-aggregated shuffle on the 16-value shard
+    key, one broadcast of the 1-row total."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("long")
+    shard = (
+        (F.col("doc_id") % 65536) * 40503 % 65536 * _SHARD_N / F.lit(65536)
+    ).cast("long")
+    per = (
+        docs.select(shard.alias("shard"), n_tok.alias("_n"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("total_tokens").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("_t"), 6).alias("token_share"),
+        F.round(
+            F.col("total_tokens") * _SHARD_N / F.col("_t"), 6
+        ).alias("imbalance"),
+    )
+
+
+DOCS_SHARD_BALANCE_SQL = f"""
+WITH per AS (
+  SELECT CAST((doc_id % 65536) * 40503 % 65536 * {_SHARD_N} // 65536
+              AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS total_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS t FROM per)
+SELECT shard, n_docs, total_tokens,
+       ROUND(total_tokens / (t * 1.0), 6) AS token_share,
+       ROUND(total_tokens * {_SHARD_N} / (t * 1.0), 6) AS imbalance
+FROM per CROSS JOIN tot
+"""
+
+
+_UNIGRAM_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def unigram_logprob_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Generated oracle twin of ``docs_unigram_logprob``: DuckDB
+    recomputes the token counts from scratch, but the count→micros
+    log table is the SAME Python-computed literal relation the Spark
+    side joins (VALUES rows generated here) — the determinism
+    contract is that no libm log ever runs inside an engine."""
+    import math
+    import os as _os
+
+    try:
+        key = _docs_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _UNIGRAM_SQL_CACHE:
+        import duckdb
+
+        path = _os.path.join(sf_dir, "documents.parquet")
+        con = duckdb.connect()
+        try:
+            rows = con.execute(
+                f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM read_parquet('{path}')),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1)
+SELECT DISTINCT c FROM counts ORDER BY c"""
+            ).fetchall()
+            total = con.execute(
+                f"""
+SELECT COUNT(*) FROM (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+  FROM read_parquet('{path}')) t"""
+            ).fetchone()[0]
+        finally:
+            con.close()
+        micros = {
+            int(c): int(round(round(math.log10(int(c)), 6) * 1_000_000))
+            for (c,) in rows
+        }
+        t_micros = int(round(round(math.log10(int(total)), 6) * 1_000_000))
+        vals = ", ".join(f"({c}, {m})" for c, m in sorted(micros.items()))
+        _UNIGRAM_SQL_CACHE[key] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+lp(c, lp_micros) AS (VALUES {vals}),
+scored AS (
+  SELECT t.doc_id, l.lp_micros
+  FROM toks t JOIN counts USING (tok) JOIN lp l USING (c))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp_micros) - COUNT(*) * {t_micros} AS BIGINT)
+           AS sum_logprob_micros,
+       ROUND((SUM(lp_micros) - COUNT(*) * {t_micros})
+             / (COUNT(*) * 1000000.0), 6) AS mean_logprob
+FROM scored GROUP BY 1
+"""
+    return _UNIGRAM_SQL_CACHE[key]
+
+
 def text_token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-frequency rarity score per document (CCNet-style LM quality proxy; integer sums keep the oracle bit-exact)."""
     return text.token_rarity(src.load_table(spark, sf_dir, "documents"))

@@ -41,6 +41,7 @@ CROSS_JOIN_ALLOWED = {
     "docs_heavy_hitters",       # k-row top-k × two 1-row certify aggs
     "docs_source_distinctive_terms",  # scored × 1-row grand-total scalar
     "embedding_cell_drift",  # per-cell rollup × 1-row corpus totals
+    "docs_shard_balance",    # per-shard rollup × 1-row token total
 }
 
 #: queries whose single-partition window is deliberately bounded: it
