@@ -633,6 +633,7 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     unigram_logprob_oracle_sql,
     docs_shard_balance_q,
     DOCS_SHARD_BALANCE_SQL,
+    _SHARD_N,
     dedup_ngram_jaccard_q,
     DEDUP_JACCARD_SQL,
     docs_length_histogram_q,

@@ -1742,6 +1742,42 @@ def test_ivfpq_append_equals_full_rebuild(spark):
     assert counts == {0: 5, 1: 5, 2: 5}
 
 
+def test_unigram_logprob_ranks_rare_token_docs_low(spark):
+    """The scorer's reason to exist: a document of corpus-common
+    tokens must out-score one of hapax tokens, every mean is ≤ 0
+    (P(t) ≤ 1), and the per-doc token counts cover the corpus."""
+    common = "the cat sat on the mat " * 5
+    rare = "zqx1 zqx2 zqx3 zqx4 zqx5 zqx6"
+    docs = spark.createDataFrame(
+        [(1, common.strip()), (2, common.strip()), (3, rare)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.unigram_logprob(docs).collect()}
+    assert out[3]["mean_logprob"] < out[1]["mean_logprob"] <= 0.0
+    assert out[1]["mean_logprob"] == out[2]["mean_logprob"]  # same text
+    n_total = sum(r["n_tokens"] for r in out.values())
+    assert n_total == 30 + 30 + 6
+    # exact-integer contract: sum_logprob_micros is the rounded
+    # per-token table summed, so equal docs have EQUAL sums
+    assert out[1]["sum_logprob_micros"] == out[2]["sum_logprob_micros"]
+
+
+def test_shard_balance_covers_corpus(spark):
+    """Hash sharding must partition the corpus: shard ids in [0, N),
+    doc totals reconcile, imbalance is share·N."""
+    from cass_cdc_pg_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry.docs_shard_balance_q(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(0 <= r["shard"] < registry._SHARD_N for r in rows)
+    tot = sum(r["total_tokens"] for r in rows)
+    for r in rows:
+        assert abs(r["token_share"] - r["total_tokens"] / tot) < 1e-5
+        assert abs(r["imbalance"] - r["token_share"] * registry._SHARD_N) < 1e-4
+
+
 def test_cell_drift_consistent_with_cell_stats(spark):
     """embedding_cell_drift invariants on the real fixture: per-cell
     base+new counts reconcile with the cell-stats assignment (same

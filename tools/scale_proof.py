@@ -235,6 +235,10 @@ def main() -> None:
     from cass_cdc_pg_spark.registry import (
         ann_ivfpq_append_parity_q,
         embedding_hard_negatives_q,
+        docs_unigram_logprob_q,
+        docs_shard_balance_q,
+        dedup_containment_pairs_q,
+        embedding_cell_drift_q,
         ann_ivfpq_topk_q,
         ann_pq_refine_topk_q,
         ann_pq_topk_q,
@@ -350,6 +354,16 @@ def main() -> None:
         # re-rank; every stage is bounded by Q*shortlist except the
         # corpus scan, so the ratio tracks the cosine kernel alone
         "embedding_hard_negatives": embedding_hard_negatives_q,
+        # r13 additions: the unigram-LM scorer (token explode + count
+        # join — the heaviest new shuffle), containment (inverted-
+        # index self-join), cell drift + shard balance (single
+        # partial-agg shuffles), and the maintained-view replay
+        # (compute surface is the 5-batch CDC replay; ratio tracks
+        # the per-batch maintenance volume)
+        "docs_unigram_logprob": docs_unigram_logprob_q,
+        "docs_shard_balance": docs_shard_balance_q,
+        "dedup_containment_pairs": dedup_containment_pairs_q,
+        "embedding_cell_drift": embedding_cell_drift_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
