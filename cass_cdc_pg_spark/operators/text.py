@@ -103,6 +103,12 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     # bounded driver materialization: distinct COUNT VALUES, not vocab
     cvals = sorted(r["c"] for r in counts.select("c").distinct().collect())
+    if not cvals:  # token-free corpus: no scoreable documents
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_tokens long, sum_logprob_micros long, "
+            "mean_logprob double",
+        )
     total = int(counts.agg(F.sum("c")).first()[0])
     micros = {
         c: int(round(round(math.log10(c), 6) * 1_000_000)) for c in cvals

@@ -537,3 +537,74 @@ def test_packing_efficiency_matches_bruteforce_model(spark, docs):
             else None
         )
         assert r["waste_frac"] == expect_waste
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(_doc, min_size=2, max_size=8))
+def test_containment_pairs_match_bruteforce(spark, docs):
+    """shingle_containment_pairs against the set-algebra definition:
+    for every unordered pair with a non-empty shingle intersection,
+    containment per direction and Jaccard equal the Python-set
+    recompute, and the threshold filter keeps exactly the pairs where
+    either direction clears it."""
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup_mod.shingle_containment_pairs(
+            df, n=2, threshold=0.3
+        ).collect()
+    }
+
+    def sh(d):
+        toks = [t for t in d.split(" ") if t]
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = sh(docs[a]), sh(docs[b])
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            ca, cb = round(inter / len(sa), 4), round(inter / len(sb), 4)
+            if max(ca, cb) >= 0.3:
+                expect[(a, b)] = (
+                    ca, cb, round(inter / len(sa | sb), 4))
+    assert set(got) == set(expect)
+    for k, (ca, cb, j) in expect.items():
+        r = got[k]
+        assert (r["containment_a"], r["containment_b"], r["jaccard"]) == (
+            ca, cb, j)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_unigram_logprob_matches_bruteforce(spark, docs):
+    """unigram_logprob against the Python model: identical count→
+    micros table, identical integer sums, identical single divide."""
+    import math
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_ops.unigram_logprob(df).collect()}
+    toks_all = [t for d in docs for t in d.split(" ") if t]
+    if not toks_all:
+        assert got == {}
+        return
+    counts = Counter(toks_all)
+    total = sum(counts.values())
+    t_mu = int(round(round(math.log10(total), 6) * 1_000_000))
+    for i, d in enumerate(docs):
+        toks = [t for t in d.split(" ") if t]
+        if not toks:
+            assert i not in got
+            continue
+        s = sum(
+            int(round(round(math.log10(counts[t]), 6) * 1_000_000))
+            for t in toks
+        ) - len(toks) * t_mu
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["sum_logprob_micros"] == s
+        assert got[i]["mean_logprob"] == round(
+            s / (len(toks) * 1_000_000.0), 6)
