@@ -49,32 +49,46 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dups (new r13): shingle-set
+    """Asymmetric containment near-dups (new r13): 3-gram shingle-set
     containment |A∩B|/|A| per direction, pair kept when either
-    direction ≥ 0.4 — the short-doc-quoted-inside-long-doc
+    direction ≥ 0.3 — the short-doc-quoted-inside-long-doc
     duplication that symmetric Jaccard dilutes toward zero as the
     wrapper grows (the excerpt/boilerplate-wrap case a training-data
     dedup pass must catch).  Same inverted-index discipline as the
     Jaccard query: quadratic only within shingle buckets, 8-byte
-    hashes across the shuffle, stop-shingle guard available."""
+    hashes across the shuffle.  Trigram shingles + the df>1000
+    stop-shingle guard are the scale levers (measured at sf0.1:
+    bigram buckets are corpus-common on this vocabulary — Σdf² = 73M
+    join rows, 17 s; trigram Σdf² = 2.8M, 3.3 s), and the guard is
+    MODELED IN THE ORACLE (empty stop set at the gate fixtures, so
+    the hash also pins that nothing was dropped) — semantics stay
+    scale-independent, the hard-negatives lesson."""
     return dedup.shingle_containment_pairs(
-        src.load_table(spark, sf_dir, "documents"), n=2, threshold=0.4
+        src.load_table(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.3,
+        max_doc_freq=dedup.DEFAULT_MAX_DOC_FREQ,
     )
 
 
-DEDUP_CONTAINMENT_SQL = """
+DEDUP_CONTAINMENT_SQL = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
   FROM documents),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
-           list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+           list_transform(range(1, len(tk) - 1),
+                          i -> array_to_string(tk[i:i+2], ' '))
          )) AS shingle
-  FROM toks),
+  FROM toks WHERE len(tk) >= 3),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+stop AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) > {dedup.DEFAULT_MAX_DOC_FREQ}),
+sh_f AS (SELECT doc_id, shingle FROM sh
+         WHERE shingle NOT IN (SELECT shingle FROM stop)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh_f a JOIN sh_f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        ROUND(inter * 1.0 / sa.n_sh, 4) AS containment_a,
@@ -84,7 +98,7 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE GREATEST(ROUND(inter * 1.0 / sa.n_sh, 4),
-               ROUND(inter * 1.0 / sb.n_sh, 4)) >= 0.4
+               ROUND(inter * 1.0 / sb.n_sh, 4)) >= 0.3
 """
 
 
