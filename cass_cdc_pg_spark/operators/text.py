@@ -119,23 +119,38 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
     scored = toks.join(counts.join(F.broadcast(lp_rel), "c"), "tok")
     n = F.col("n_tokens")
+    s = (F.col("_s") - n * F.lit(total_micros)).cast("long")
+    # mean at 6 dp WITHOUT a float round: s ≤ 0 always (P(t) ≤ 1), so
+    # round-half-away(s / n) in micros is -((2·(-s) + n) DIV (2·n)) in
+    # exact integer arithmetic, and the only float op left is one
+    # exact-integer-to-double division.  A ROUND(s/(n·1e6), 6) here
+    # would tie at .5 ulps where Spark (BigDecimal HALF_UP on the
+    # shortest repr) and other engines (scaled-double libm round) can
+    # legitimately disagree — caught by the hypothesis model in
+    # tests/test_text_properties.py.
+    # sign-symmetric so a rounded-micros s that lands at 0 or (at
+    # extreme corpus sizes, where adjacent counts round to the same
+    # 6 dp log) marginally positive still divides exactly like the
+    # SQL twin — both DIV operands stay nonnegative on both engines
+    mean_micros = F.expr(
+        "CASE WHEN _sum_lp < 0"
+        " THEN -(((-_sum_lp) * 2 + n_tokens) DIV (2 * n_tokens))"
+        " ELSE ((_sum_lp * 2 + n_tokens) DIV (2 * n_tokens)) END"
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.sum("lp_micros").cast("long").alias("_s"),
         )
+        .withColumn("_sum_lp", s)
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("_s") - n * F.lit(total_micros))
-            .cast("long")
-            .alias("sum_logprob_micros"),
-            F.round(
-                (F.col("_s") - n * F.lit(total_micros))
-                / (n * F.lit(1_000_000.0)),
-                6,
-            ).alias("mean_logprob"),
+            F.col("_sum_lp").alias("sum_logprob_micros"),
+            (mean_micros.cast("double") / F.lit(1_000_000.0)).alias(
+                "mean_logprob"
+            ),
         )
     )
 

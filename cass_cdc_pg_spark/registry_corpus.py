@@ -420,13 +420,18 @@ lp(c, lp_micros) AS (VALUES {vals}),
 scored AS (
   SELECT t.doc_id, l.lp_micros
   FROM toks t JOIN counts USING (tok) JOIN lp l USING (c))
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(lp_micros) - COUNT(*) * {t_micros} AS BIGINT)
-           AS sum_logprob_micros,
-       ROUND((SUM(lp_micros) - COUNT(*) * {t_micros})
-             / (COUNT(*) * 1000000.0), 6) AS mean_logprob
-FROM scored GROUP BY 1
+SELECT doc_id, n_tokens, sum_logprob_micros,
+       CAST(CASE WHEN sum_logprob_micros < 0
+                 THEN -(((-sum_logprob_micros) * 2 + n_tokens)
+                        // (2 * n_tokens))
+                 ELSE ((sum_logprob_micros * 2 + n_tokens)
+                       // (2 * n_tokens)) END
+            AS DOUBLE) / 1000000.0 AS mean_logprob
+FROM (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lp_micros) - COUNT(*) * {t_micros} AS BIGINT)
+                 AS sum_logprob_micros
+      FROM scored GROUP BY 1) per
 """
     return _UNIGRAM_SQL_CACHE[key]
 

@@ -606,5 +606,9 @@ def test_unigram_logprob_matches_bruteforce(spark, docs):
         ) - len(toks) * t_mu
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["sum_logprob_micros"] == s
-        assert got[i]["mean_logprob"] == round(
-            s / (len(toks) * 1_000_000.0), 6)
+        # integer half-away mean (the operator's tie-proof formula)
+        if s < 0:
+            mean_mu = -((-s * 2 + len(toks)) // (2 * len(toks)))
+        else:
+            mean_mu = (s * 2 + len(toks)) // (2 * len(toks))
+        assert got[i]["mean_logprob"] == mean_mu / 1_000_000.0
