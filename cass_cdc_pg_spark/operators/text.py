@@ -97,9 +97,17 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     import math
 
     spark = documents.sparkSession
+    # the token HASH is the shuffle/join key — the count aggregate and
+    # the count-fetch join are this operator's entire shuffle volume,
+    # and an 8-byte long beats a string key with string compares in
+    # the probe loop.  xxhash64, not the dedup module's portable md5
+    # hash: this hash never crosses engines (the oracle joins on the
+    # token STRINGS — equality is equivalent modulo a 64-bit collision
+    # the hash-match run would expose), so the cheap native codegen
+    # hash is the right choice where md5's portability buys nothing.
     toks = documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    )
+        "doc_id", F.explode(tokens(F.col("text"))).alias("_t")
+    ).select("doc_id", F.xxhash64("_t").alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     # bounded driver materialization: distinct COUNT VALUES, not vocab
     cvals = sorted(r["c"] for r in counts.select("c").distinct().collect())

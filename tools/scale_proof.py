@@ -564,10 +564,40 @@ def main() -> None:
                 "rows_per_sec": round(lp_rows / wall, 1),
             }
 
+        def _unigram_counters(d: str) -> dict:
+            """docs_unigram_logprob workload: the token explode is the
+            shuffle volume (count aggregate + count-fetch join, both
+            on the 8-byte xxhash64 token key); docs/sec must rise as
+            that volume outgrows the session floor."""
+            docs = _src.load_table(spark, d, "documents")
+            n_docs = docs.count()
+            tok_rows = docs.select(
+                _F.explode(
+                    _F.filter(
+                        _F.split(_F.col("text"), " "), lambda t: t != ""
+                    )
+                ).alias("tok")
+            ).count()
+            wall = report["queries"]["docs_unigram_logprob"][
+                "sec_1x" if d == sf_dir else "sec_10x"
+            ]
+            return {
+                "n_docs": n_docs,
+                "token_rows": tok_rows,
+                "docs_per_sec": round(n_docs / wall, 1),
+            }
+
         report["docs_ngram_novelty_detail"] = {
             "1x": _novelty_counters(sf_dir),
             "10x": _novelty_counters(tmp),
         }
+        report["docs_unigram_logprob_detail"] = {
+            "1x": _unigram_counters(sf_dir),
+            "10x": _unigram_counters(tmp),
+        }
+        print(
+            f"# unigram_detail: {report['docs_unigram_logprob_detail']}"
+        )
         report["events_weekly_active_detail"] = {
             "1x": _weekly_counters(sf_dir),
             "10x": _weekly_counters(tmp),
