@@ -660,11 +660,16 @@ def main() -> None:
     from cass_cdc_pg_spark.registry import docs_fuzzy_pairs_q as _dfp
 
     from cass_cdc_pg_spark.registry import docs_ngram_novelty_q as _dnn
+    from cass_cdc_pg_spark.registry import docs_unigram_logprob_q as _dul
 
     hundred = {
         "docs_fuzzy_pairs": _dfp,
         "dedup_components": _dcc,
         "dedup_cluster_sizes": _dcs,
+        # r13: the unigram scorer entered at a floor-bound >2 ratio
+        # with rising docs/sec; the decade point is its settle-or-fix
+        # evidence, same as the novelty curve got
+        "docs_unigram_logprob": _dul,
         # r13 (r12 verdict #4): the novelty curve's 10x ratio sat at
         # 3.3-4.5 for two rounds with honest counters; the decade
         # point is the dedup-trio treatment — docs/sec must rise as
