@@ -441,7 +441,18 @@ def test_distinctive_terms_matches_bruteforce_model(spark, data):
         for rank, (neg, tok, a, b) in enumerate(
             scored[: registry._DISTINCT_TERMS_K], 1
         ):
-            expected.append((s, tok, a, b, round(-neg, 6), rank))
+            # engines round HALF_UP on the shortest decimal repr;
+            # Python round() is banker's — at an exactly-representable
+            # 6-dp tie (e.g. 13/128 = 0.1015625) they disagree, so
+            # model the engines (the packing-sweep model's fix)
+            from decimal import ROUND_HALF_UP, Decimal
+
+            score6 = float(
+                Decimal(repr(-neg)).quantize(
+                    Decimal("1e-6"), ROUND_HALF_UP
+                )
+            )
+            expected.append((s, tok, a, b, score6, rank))
     assert got == sorted(expected)
 
 
