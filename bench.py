@@ -147,12 +147,13 @@ PIPELINE = [
     "events_weekly_active",
     "embedding_hard_negatives",
     "docs_packing_efficiency",
-    # r13 additions (pipeline_total grows by these 5 entries — compare
+    # r13 additions (pipeline_total grows by these 6 entries — compare
     # older rounds against the other 99)
     "weekly_active_incremental_parity",
     "dedup_containment_pairs",
     "embedding_cell_drift",
     "docs_unigram_logprob",
+    "docs_bigram_logprob",
     "docs_shard_balance",
 ]
 

@@ -163,6 +163,126 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-bigram-LM log-probability per document — the
+    conditional-probability step up from :func:`unigram_logprob`:
+    score(d) = Σ_{i≥2} log10 P(t_i | t_{i-1}) with the corpus MLE
+    P(t|p) = c(p,t) / c(p,·) (bigram count over prefix-position
+    count).  No smoothing needed: every observed bigram has count
+    ≥ 1 and its prefix count bounds it from above, so every
+    contribution is a log of a ratio in (0, 1] — fluent word order
+    scores high, shuffled/garbled text scores low even when its
+    unigram profile is normal (exactly what the unigram tier cannot
+    see).
+
+    Same determinism contract as the unigram scorer: the count →
+    log-micros table is computed ONCE in Python over the distinct
+    count values of BOTH relations (bigram counts and prefix counts)
+    and shipped to both engines as exact integers; the per-token
+    contribution is lp(c_bigram) − lp(c_prefix), all BIGINT sums,
+    and the mean is the tie-proof integer half-away division.
+
+    Scale shape: bigrams explode once; two partial-aggregated count
+    shuffles and two count-fetch joins, all keyed on 8-byte xxhash64
+    (strings never cross a shuffle); the lp lookup joins broadcast
+    (distinct count values — O(√total) under Zipf); one (doc_id)
+    rollup."""
+    import math
+
+    spark = documents.sparkSession
+    toks = tokens(F.col("text"))
+    bgs = (
+        documents.filter(F.size(toks) >= 2)  # sequence(0, n-2) needs n ≥ 2
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ", F.get(toks, i), F.get(toks, i + 1)
+                        ).alias("bg"),
+                        F.get(toks, i).alias("pfx"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(F.col("_p.bg")).alias("bg_h"),
+            F.xxhash64(F.col("_p.pfx")).alias("pfx_h"),
+        )
+    )
+    bg_counts = bgs.groupBy("bg_h").agg(F.count(F.lit(1)).alias("c_bg"))
+    pfx_counts = bgs.groupBy("pfx_h").agg(F.count(F.lit(1)).alias("c_pfx"))
+    cvals = sorted(
+        {r["c_bg"] for r in bg_counts.select("c_bg").distinct().collect()}
+        | {
+            r["c_pfx"]
+            for r in pfx_counts.select("c_pfx").distinct().collect()
+        }
+    )
+    if not cvals:  # no doc has two tokens
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_bigrams long, sum_logprob_micros long, "
+            "mean_logprob double",
+        )
+    micros = {
+        c: int(round(round(math.log10(c), 6) * 1_000_000)) for c in cvals
+    }
+    lp_rel = spark.createDataFrame(
+        [(c, m) for c, m in micros.items()], "c long, lp_micros long"
+    )
+    scored = (
+        bgs.join(
+            bg_counts.join(
+                F.broadcast(
+                    lp_rel.select(
+                        F.col("c").alias("c_bg"),
+                        F.col("lp_micros").alias("_lp_bg"),
+                    )
+                ),
+                "c_bg",
+            ),
+            "bg_h",
+        )
+        .join(
+            pfx_counts.join(
+                F.broadcast(
+                    lp_rel.select(
+                        F.col("c").alias("c_pfx"),
+                        F.col("lp_micros").alias("_lp_pfx"),
+                    )
+                ),
+                "c_pfx",
+            ),
+            "pfx_h",
+        )
+        .select("doc_id", (F.col("_lp_bg") - F.col("_lp_pfx")).alias("_lp"))
+    )
+    mean_micros = F.expr(
+        "CASE WHEN _sum_lp < 0"
+        " THEN -(((-_sum_lp) * 2 + n_bigrams) DIV (2 * n_bigrams))"
+        " ELSE ((_sum_lp * 2 + n_bigrams) DIV (2 * n_bigrams)) END"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_lp").cast("long").alias("_sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("_sum_lp").alias("sum_logprob_micros"),
+            (mean_micros.cast("double") / F.lit(1_000_000.0)).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """doc_id, n_chars, stopword_ratio, unique_ratio, quality_bucket.
 

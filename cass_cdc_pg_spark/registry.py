@@ -631,6 +631,8 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     DEDUP_CONTAINMENT_SQL,
     docs_unigram_logprob_q,
     unigram_logprob_oracle_sql,
+    docs_bigram_logprob_q,
+    bigram_logprob_oracle_sql,
     docs_shard_balance_q,
     DOCS_SHARD_BALANCE_SQL,
     _SHARD_N,
@@ -5505,6 +5507,7 @@ QUERIES = {
     # ---- (a) new in r13 (never driver-checked) ----
     "weekly_active_incremental_parity": weekly_active_incremental_parity_q,
     "docs_unigram_logprob": docs_unigram_logprob_q,
+    "docs_bigram_logprob": docs_bigram_logprob_q,
     "docs_shard_balance": docs_shard_balance_q,
     "dedup_containment_pairs": dedup_containment_pairs_q,
     "embedding_cell_drift": embedding_cell_drift_q,
@@ -5562,7 +5565,6 @@ QUERIES = {
     "q17_table_counts": q17_table_counts,
     "q21_dlq_replay_select": q21_dlq_replay_select,
     "q22_resolve_update": q22_resolve_update,
-    "dedup_incremental_pairs": dedup_incremental_pairs_q,
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r14, oldest evidence first: (1) the
@@ -5570,7 +5572,8 @@ QUERIES = {
     # 49 r11-green entries, (3) the 49 r12-green entries.  Any NEW
     # r14 queries take slots by displacement from the bottom of the
     # r10 remainder.
-    # ---- r10-green remainder (11 entries — the next r14 leads) ----
+    # ---- r10-green remainder (12 entries — the next r14 leads) ----
+    "dedup_incremental_pairs": dedup_incremental_pairs_q,
     "dedup_incremental_components": dedup_incremental_components_q,
     "dedup_incremental_admission": dedup_incremental_admission_q,
     "events_zorder_scan": events_zorder_scan_q,
@@ -5859,6 +5862,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     ug = unigram_logprob_oracle_sql(sf_dir)
     if ug is not None:
         out["docs_unigram_logprob"] = ug
+    bg = bigram_logprob_oracle_sql(sf_dir)
+    if bg is not None:
+        out["docs_bigram_logprob"] = bg
     rc = ivf_recall_oracle_sql(sf_dir)
     if rc is not None:
         out["ann_ivf_recall"] = rc

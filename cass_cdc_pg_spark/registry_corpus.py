@@ -364,6 +364,113 @@ FROM per CROSS JOIN tot
 """
 
 
+def docs_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM log-prob per document (new r13) — the
+    conditional tier above ``docs_unigram_logprob``: score(d) =
+    Σ log10 P(tᵢ | tᵢ₋₁) under the corpus MLE, ranking garbled word
+    ORDER low even when the unigram profile is normal.  Same
+    no-libm-in-engine contract: one Python-computed count→log-micros
+    table serves both relations (bigram and prefix counts) on both
+    engines; everything else is integer sums, xxhash64 shuffle keys,
+    and the tie-proof integer mean (see ``text.bigram_logprob``)."""
+    key = (
+        spark.sparkContext.applicationId,
+        _docs_fixture_key(sf_dir),
+        "bigram",
+    )
+    if key not in _UNIGRAM_DF_CACHE:
+        _UNIGRAM_DF_CACHE[key] = text.bigram_logprob(
+            src.load_table(spark, sf_dir, "documents")
+        )
+    return _UNIGRAM_DF_CACHE[key]
+
+
+_BIGRAM_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+#: the bigram relation as SQL, shared by the oracle body and the
+#: generator's distinct-count probe (one definition — DuckDB zips the
+#: two same-length unnests positionally, so bg and pfx stay aligned)
+_BIGRAM_REL_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM {src}),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> array_to_string(tk[i:i+1], ' '))) AS bg,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS pfx
+  FROM toks WHERE len(tk) >= 2)
+"""
+
+
+def bigram_logprob_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Generated oracle twin of ``docs_bigram_logprob`` — the unigram
+    generator's pattern: DuckDB recomputes bigram AND prefix counts
+    from scratch, the count→micros log table is Python-computed
+    literals over the union of both relations' distinct count
+    values."""
+    import math
+    import os as _os
+
+    try:
+        key = _docs_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _BIGRAM_SQL_CACHE:
+        import duckdb
+
+        path = _os.path.join(sf_dir, "documents.parquet")
+        rel = _BIGRAM_REL_SQL.format(src=f"read_parquet('{path}')")
+        con = duckdb.connect()
+        try:
+            rows = con.execute(
+                rel
+                + """
+SELECT DISTINCT c FROM (
+  SELECT COUNT(*) AS c FROM b GROUP BY bg
+  UNION
+  SELECT COUNT(*) AS c FROM b GROUP BY pfx) u ORDER BY c"""
+            ).fetchall()
+        finally:
+            con.close()
+        if not rows:
+            return None
+        micros = {
+            int(c): int(round(round(math.log10(int(c)), 6) * 1_000_000))
+            for (c,) in rows
+        }
+        vals = ", ".join(f"({c}, {m})" for c, m in sorted(micros.items()))
+        _BIGRAM_SQL_CACHE[key] = (
+            _BIGRAM_REL_SQL.format(src="documents")
+            + f""",
+bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM b GROUP BY 1),
+pfc AS (SELECT pfx, CAST(COUNT(*) AS BIGINT) AS c_pfx FROM b GROUP BY 1),
+lp(c, lp_micros) AS (VALUES {vals}),
+scored AS (
+  SELECT b.doc_id, l1.lp_micros - l2.lp_micros AS lp
+  FROM b
+  JOIN bgc USING (bg)
+  JOIN pfc USING (pfx)
+  JOIN lp l1 ON l1.c = bgc.c_bg
+  JOIN lp l2 ON l2.c = pfc.c_pfx)
+SELECT doc_id, n_bigrams, sum_logprob_micros,
+       CAST(CASE WHEN sum_logprob_micros < 0
+                 THEN -(((-sum_logprob_micros) * 2 + n_bigrams)
+                        // (2 * n_bigrams))
+                 ELSE ((sum_logprob_micros * 2 + n_bigrams)
+                       // (2 * n_bigrams)) END
+            AS DOUBLE) / 1000000.0 AS mean_logprob
+FROM (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lp) AS BIGINT) AS sum_logprob_micros
+      FROM scored GROUP BY 1) per
+"""
+        )
+    return _BIGRAM_SQL_CACHE[key]
+
+
 _UNIGRAM_SQL_CACHE: dict[tuple[str, int], str] = {}
 
 

@@ -623,3 +623,66 @@ def test_unigram_logprob_matches_bruteforce(spark, docs):
         else:
             mean_mu = (s * 2 + len(toks)) // (2 * len(toks))
         assert got[i]["mean_logprob"] == mean_mu / 1_000_000.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_bigram_logprob_matches_bruteforce(spark, docs):
+    """bigram_logprob against the Python conditional-MLE model:
+    identical count→micros table over BOTH relations (bigram and
+    prefix counts), identical integer sums, tie-proof mean."""
+    import math
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_ops.bigram_logprob(df).collect()}
+    bg_all, pfx_all = Counter(), Counter()
+    per_doc = {}
+    for i, d in enumerate(docs):
+        toks = [t for t in d.split(" ") if t]
+        pairs = list(zip(toks, toks[1:]))
+        per_doc[i] = pairs
+        for p, t in pairs:
+            bg_all[(p, t)] += 1
+            pfx_all[p] += 1
+    if not bg_all:
+        assert got == {}
+        return
+
+    def mu(c):
+        return int(round(round(math.log10(c), 6) * 1_000_000))
+
+    for i, pairs in per_doc.items():
+        if not pairs:
+            assert i not in got
+            continue
+        s = sum(mu(bg_all[(p, t)]) - mu(pfx_all[p]) for p, t in pairs)
+        n = len(pairs)
+        if s < 0:
+            mean_mu = -((-s * 2 + n) // (2 * n))
+        else:
+            mean_mu = (s * 2 + n) // (2 * n)
+        assert got[i]["n_bigrams"] == n
+        assert got[i]["sum_logprob_micros"] == s
+        assert got[i]["mean_logprob"] == mean_mu / 1_000_000.0
+
+
+def test_bigram_logprob_ranks_scrambled_order_low(spark):
+    """The conditional tier's reason to exist: same unigram profile,
+    different word ORDER — the fluent doc must out-score the
+    scrambled one (unigram_logprob cannot separate them)."""
+    fluent = "the cat sat on the mat " * 6
+    # same multiset of tokens, order scrambled deterministically
+    toks = fluent.split()
+    scrambled = " ".join(
+        toks[i] for i in sorted(range(len(toks)), key=lambda i: (i * 17) % len(toks))
+    )
+    df = spark.createDataFrame(
+        [(1, fluent.strip()), (2, scrambled)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text_ops.bigram_logprob(df).collect()}
+    assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
+    uni = {r["doc_id"]: r for r in text_ops.unigram_logprob(df).collect()}
+    assert (
+        abs(uni[1]["mean_logprob"] - uni[2]["mean_logprob"]) < 0.02
+    )  # unigram barely separates them

@@ -236,6 +236,7 @@ def main() -> None:
         ann_ivfpq_append_parity_q,
         embedding_hard_negatives_q,
         docs_unigram_logprob_q,
+        docs_bigram_logprob_q,
         docs_shard_balance_q,
         dedup_containment_pairs_q,
         embedding_cell_drift_q,
@@ -361,6 +362,7 @@ def main() -> None:
         # (compute surface is the 5-batch CDC replay; ratio tracks
         # the per-batch maintenance volume)
         "docs_unigram_logprob": docs_unigram_logprob_q,
+        "docs_bigram_logprob": docs_bigram_logprob_q,
         "docs_shard_balance": docs_shard_balance_q,
         "dedup_containment_pairs": dedup_containment_pairs_q,
         "embedding_cell_drift": embedding_cell_drift_q,
