@@ -1021,6 +1021,12 @@ def main() -> None:
         # r9 wave 4: sketch precision reads the shared pair table —
         # cold = full pair recompute + exact-Jaccard joins
         "dedup_minhash_precision",
+        # r13: the LM scorers memoize their built plan per fixture
+        # (the bigram one also rides a lazy localCheckpoint of the
+        # exploded relation, which materializes on first action) —
+        # cold = fresh build: count-table collects + full explode
+        "docs_unigram_logprob",
+        "docs_bigram_logprob",
     ]
     # one-time standing-index build (the incremental tier's capex):
     # drop the on-disk index and rebuild it, timed, so the cold loop
@@ -1038,6 +1044,7 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
+    os.environ["SPARK_GRAFT_NO_LM_MEMO"] = "1"  # r13: the LM scorers
     try:
         for name in MEMO_CONSUMERS:
             t0 = time.time()
@@ -1045,6 +1052,7 @@ def main() -> None:
             cold[f"{name}_cold_sec"] = round(time.time() - t0, 3)
     finally:
         del os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"]
+        del os.environ["SPARK_GRAFT_NO_LM_MEMO"]
     pipeline_total_cold = round(
         sum(pipeline.values())
         - sum(pipeline[n] for n in MEMO_CONSUMERS if n in pipeline)

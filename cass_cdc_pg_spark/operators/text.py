@@ -212,6 +212,11 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             F.xxhash64(F.col("_p.bg")).alias("bg_h"),
             F.xxhash64(F.col("_p.pfx")).alias("pfx_h"),
         )
+        # lazy checkpoint: the relation feeds BOTH count aggregates
+        # and the score join — without it the tokenize+explode runs
+        # three times per action (the _inc_standing_index precedent;
+        # measured 5.9 s → the explode is the whole 1× wall at sf0.1)
+        .localCheckpoint(eager=False)
     )
     bg_counts = bgs.groupBy("bg_h").agg(F.count(F.lit(1)).alias("c_bg"))
     pfx_counts = bgs.groupBy("pfx_h").agg(F.count(F.lit(1)).alias("c_pfx"))

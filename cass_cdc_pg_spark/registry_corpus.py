@@ -297,6 +297,16 @@ def docs_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shipped to both sides as exact integers, so the whole
     pipeline is integer sums + one final divide — bit-identical by
     construction (see ``text.unigram_logprob``)."""
+    import os as _os
+
+    # own cold-wall knob, NOT the dedup one: the count→log-micros
+    # table is a trained artifact (the IVF-centroid precedent), so
+    # scale_proof's dedup-memo bypass must keep measuring the SCORING
+    # pass; only bench's cold loop pays the build here
+    if _os.environ.get("SPARK_GRAFT_NO_LM_MEMO"):
+        return text.unigram_logprob(
+            src.load_table(spark, sf_dir, "documents")
+        )
     key = (spark.sparkContext.applicationId, _docs_fixture_key(sf_dir))
     if key not in _UNIGRAM_DF_CACHE:
         _UNIGRAM_DF_CACHE[key] = text.unigram_logprob(
@@ -373,6 +383,12 @@ def docs_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     table serves both relations (bigram and prefix counts) on both
     engines; everything else is integer sums, xxhash64 shuffle keys,
     and the tie-proof integer mean (see ``text.bigram_logprob``)."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_LM_MEMO"):  # see unigram note
+        return text.bigram_logprob(
+            src.load_table(spark, sf_dir, "documents")
+        )
     key = (
         spark.sparkContext.applicationId,
         _docs_fixture_key(sf_dir),
