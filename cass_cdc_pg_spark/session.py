@@ -60,7 +60,16 @@ def get_spark(app_name: str = "cass-cdc-pg-spark", shuffle_partitions: int | Non
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus)),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode = ONE JVM for driver + all 32 task threads; 8g
+        # was borderline at the scale-proof's 100x self-joins (32
+        # concurrent partial-agg hash maps — two of six r13 proof runs
+        # OOM'd in the same stage) on a 128 GiB box.  Overridable via
+        # SPARK_DRIVER_MEMORY; on a real cluster executor memory is
+        # its own setting and this conf only sizes the driver.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
