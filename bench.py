@@ -919,6 +919,10 @@ def _load_telemetry_finish(t0: dict) -> dict:
 
 
 def main() -> None:
+    # the measurement harness sizes the local JVM itself (r13 advice:
+    # the library default is memory-aware-conservative; the 100x-ready
+    # 24g heap belongs to bench/scale_proof, which run on the bench box)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_t0 = _load_telemetry_start()
     from cass_cdc_pg_spark.registry import QUERIES

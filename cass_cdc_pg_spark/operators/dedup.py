@@ -105,7 +105,15 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
-        # broadcast the (small) stop set, not its (huge) complement
+        # broadcast the (small) stop set, not its (huge) complement.
+        # The df is counted on the HASH, the oracle counts it on the
+        # shingle STRING — same collision caveat as the join key
+        # above: a 60-bit collision merging two shingles' df past the
+        # cap would drop both on this side only.  P ≈ n_shingles²/2⁶¹
+        # and the hash-match run pins the fixtures collision-free;
+        # counting df on the string instead would put ~20-byte strings
+        # back on this groupBy's shuffle — the exact volume term the
+        # hash exists to remove (r13 advice: documented trade).
         stop = (
             sh.groupBy("sh_h")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -171,6 +179,9 @@ def shingle_containment_pairs(
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
+        # df counted on the hash, oracle counts it on the string —
+        # the documented 60-bit-collision trade; see the identical
+        # guard in ngram_jaccard_pairs for the full caveat
         stop = (
             sh.groupBy("sh_h")
             .agg(F.count(F.lit(1)).alias("_df"))

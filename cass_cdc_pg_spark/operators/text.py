@@ -105,9 +105,17 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     # token STRINGS — equality is equivalent modulo a 64-bit collision
     # the hash-match run would expose), so the cheap native codegen
     # hash is the right choice where md5's portability buys nothing.
-    toks = documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("_t")
-    ).select("doc_id", F.xxhash64("_t").alias("tok"))
+    toks = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("_t")
+        )
+        .select("doc_id", F.xxhash64("_t").alias("tok"))
+        # lazy checkpoint (the bigram scorer's pattern, r13 advice):
+        # the relation feeds the count aggregate (collected twice —
+        # distinct values + total) AND the score join, so without it
+        # the tokenize+explode re-executes per action
+        .localCheckpoint(eager=False)
+    )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     # bounded driver materialization: distinct COUNT VALUES, not vocab
     cvals = sorted(r["c"] for r in counts.select("c").distinct().collect())

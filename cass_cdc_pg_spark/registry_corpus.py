@@ -335,8 +335,15 @@ def docs_shard_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(
         F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     ).cast("long")
-    shard = (
-        (F.col("doc_id") % 65536) * 40503 % 65536 * _SHARD_N / F.lit(65536)
+    # engine-identical for ALL long doc_ids (r13 advice): pmod keeps
+    # the residue nonnegative (Spark % and DuckDB % are both
+    # sign-of-dividend, so a negative id would otherwise shard
+    # differently — down to -1), and with every intermediate
+    # nonnegative, integer DIV (Spark, truncating) and // (DuckDB,
+    # flooring) agree.  The DuckDB twin spells pmod as
+    # ((x % m + m) % m).
+    shard = F.expr(
+        f"pmod(doc_id, 65536) * 40503 % 65536 * {_SHARD_N} DIV 65536"
     ).cast("long")
     per = (
         docs.select(shard.alias("shard"), n_tok.alias("_n"))
@@ -360,8 +367,8 @@ def docs_shard_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOCS_SHARD_BALANCE_SQL = f"""
 WITH per AS (
-  SELECT CAST((doc_id % 65536) * 40503 % 65536 * {_SHARD_N} // 65536
-              AS BIGINT) AS shard,
+  SELECT CAST(((doc_id % 65536 + 65536) % 65536) * 40503 % 65536
+              * {_SHARD_N} // 65536 AS BIGINT) AS shard,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
               AS BIGINT) AS total_tokens

@@ -47,6 +47,32 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_memory() -> str:
+    """Conservative local-mode heap: a quarter of visible system
+    memory, clamped to [2g, 24g].  Reads the cgroup-v2 limit when one
+    is set (containers lie in /proc/meminfo), else MemTotal."""
+    limit_gib = None
+    try:
+        with open("/sys/fs/cgroup/memory.max") as fh:
+            raw = fh.read().strip()
+        if raw != "max":
+            limit_gib = int(raw) / (1 << 30)
+    except OSError:
+        pass
+    if limit_gib is None:
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemTotal:"):
+                        limit_gib = int(line.split()[1]) / (1 << 20)
+                        break
+        except OSError:
+            pass
+    if limit_gib is None:
+        return "4g"
+    return f"{max(2, min(24, int(limit_gib // 4)))}g"
+
+
 def get_spark(app_name: str = "cass-cdc-pg-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a local session tuned for the test harness.
 
@@ -63,12 +89,17 @@ def get_spark(app_name: str = "cass-cdc-pg-spark", shuffle_partitions: int | Non
         # local-mode = ONE JVM for driver + all 32 task threads; 8g
         # was borderline at the scale-proof's 100x self-joins (32
         # concurrent partial-agg hash maps — two of six r13 proof runs
-        # OOM'd in the same stage) on a 128 GiB box.  Overridable via
-        # SPARK_DRIVER_MEMORY; on a real cluster executor memory is
-        # its own setting and this conf only sizes the driver.
+        # OOM'd in the same stage) on a 128 GiB box.  The LIBRARY
+        # default stays conservative and memory-aware (r13 advice: a
+        # blanket 24g would get the JVM OOM-killed on hosts with <24
+        # GiB cgroup limits, where 8g was safe): a quarter of visible
+        # system memory, clamped to [2g, 24g].  The measurement
+        # harnesses (bench.py, tools/scale_proof.py) export
+        # SPARK_DRIVER_MEMORY=24g themselves — the 100x heavy lifting
+        # is theirs, not every library consumer's.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -231,6 +231,9 @@ def main() -> None:
     # materialized-pairs memo (registry._dedup_shared) — with the memo
     # on, a warmed run measures a few hundred cached rows
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
+    # the proof harness sizes the local JVM itself (r13 advice): two
+    # of six r13 100x runs OOM'd the self-join stage on an 8g heap
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
     from cass_cdc_pg_spark.registry import (
         ann_ivfpq_append_parity_q,
