@@ -155,6 +155,10 @@ PIPELINE = [
     "docs_unigram_logprob",
     "docs_bigram_logprob",
     "docs_shard_balance",
+    # r14 additions (pipeline_total grows by these 2 entries —
+    # compare older rounds against the other 105)
+    "unigram_logprob_incremental_parity",
+    "bigram_logprob_incremental_parity",
 ]
 
 
@@ -1025,12 +1029,18 @@ def main() -> None:
         # r9 wave 4: sketch precision reads the shared pair table —
         # cold = full pair recompute + exact-Jaccard joins
         "dedup_minhash_precision",
-        # r13: the LM scorers memoize their built plan per fixture
-        # (the bigram one also rides a lazy localCheckpoint of the
-        # exploded relation, which materializes on first action) —
-        # cold = fresh build: count-table collects + full explode
+        # r13/r14: the LM scorers memoize their built plan per
+        # fixture; from r14 the count tables are PERSISTED standing
+        # artifacts, so cold = index-backed score (read counts +
+        # explode + count-fetch join); the count build is capex,
+        # published above as lm_{unigram,bigram}_build_sec
         "docs_unigram_logprob",
         "docs_bigram_logprob",
+        # r14: the maintained-LM parity queries — cold = the real
+        # daily job (read standing counts, count the batch, merge,
+        # score the corpus)
+        "unigram_logprob_incremental_parity",
+        "bigram_logprob_incremental_parity",
     ]
     # one-time standing-index build (the incremental tier's capex):
     # drop the on-disk index and rebuild it, timed, so the cold loop
@@ -1045,6 +1055,21 @@ def main() -> None:
     t0 = time.time()
     _reg._inc_standing_index(spark, sf_dir)
     inc_index_build_sec = round(time.time() - t0, 3)
+
+    # r14: same capex split for the LM count artifacts — drop the
+    # persisted count relations and rebuild them, timed, so the LM
+    # cold rows below measure the index-backed daily score (r13's
+    # 6.3 s bigram cold wall was the count build, now capex here)
+    from cass_cdc_pg_spark import registry_corpus as _regc
+
+    shutil.rmtree(_regc._lm_unigram_dir(sf_dir), ignore_errors=True)
+    t0 = time.time()
+    _regc._lm_unigram_counts(spark, sf_dir)
+    lm_unigram_build_sec = round(time.time() - t0, 3)
+    shutil.rmtree(_regc._lm_bigram_dir(sf_dir), ignore_errors=True)
+    t0 = time.time()
+    _regc._lm_bigram_counts(spark, sf_dir)
+    lm_bigram_build_sec = round(time.time() - t0, 3)
 
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
@@ -1122,6 +1147,8 @@ def main() -> None:
         "pipeline_total": round(sum(pipeline.values()), 3),
         "pipeline_total_cold": pipeline_total_cold,
         "inc_index_build_sec": inc_index_build_sec,
+        "lm_unigram_build_sec": lm_unigram_build_sec,
+        "lm_bigram_build_sec": lm_bigram_build_sec,
         **cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm": True,

@@ -71,7 +71,39 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def unigram_logprob(documents: DataFrame) -> DataFrame:
+def unigram_counts(documents: DataFrame) -> DataFrame:
+    """(tok, c): the corpus unigram count relation, keyed on the
+    8-byte xxhash64 token hash (the scorers' shuffle/join key — see
+    :func:`unigram_logprob` for why the hash never needs to cross
+    engines).  This is the LM tier's TRAINED ARTIFACT: counts are
+    additive, so a standing persisted copy is maintained by merging a
+    new batch's counts (``unionByName`` + sum — the idempotent-upsert
+    posture of the IVF×PQ code relation), never by re-counting the
+    corpus."""
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("_t"))
+        .select(F.xxhash64("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def merge_counts(standing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a delta count relation into a standing one (both keyed on
+    the first column, counted in ``c``): additive union + sum, the
+    whole-corpus-never-reshuffles maintenance step shared by every
+    count column the LM tier persists."""
+    key = standing.columns[0]
+    return (
+        standing.unionByName(delta)
+        .groupBy(key)
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def unigram_logprob(
+    documents: DataFrame, counts: DataFrame | None = None
+) -> DataFrame:
     """Corpus-unigram-LM log-probability per document — the
     perplexity-proxy quality signal of CCNet/C4-style filtering, at
     the unigram tier: score(d) = Σ_t log10 P(t) with P the corpus MLE
@@ -93,7 +125,13 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     a few thousand rows at petabyte scale — NOT vocabulary size),
     and the per-doc rollup is a partial-aggregated (doc_id) shuffle.
     The driver materializes only the distinct count values and the
-    one-row total."""
+    one-row total.
+
+    *counts*: optional precomputed (tok, c) relation — pass the
+    PERSISTED standing artifact (see :func:`unigram_counts`) and the
+    corpus-wide count aggregation is skipped entirely: the score pass
+    is then explode + one count-fetch join, index-backed the way the
+    IVF×PQ probes read their persisted codes."""
     import math
 
     spark = documents.sparkSession
@@ -105,18 +143,19 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     # token STRINGS — equality is equivalent modulo a 64-bit collision
     # the hash-match run would expose), so the cheap native codegen
     # hash is the right choice where md5's portability buys nothing.
-    toks = (
-        documents.select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("_t")
-        )
-        .select("doc_id", F.xxhash64("_t").alias("tok"))
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("_t")
+    ).select("doc_id", F.xxhash64("_t").alias("tok"))
+    if counts is None:
         # lazy checkpoint (the bigram scorer's pattern, r13 advice):
         # the relation feeds the count aggregate (collected twice —
         # distinct values + total) AND the score join, so without it
-        # the tokenize+explode re-executes per action
-        .localCheckpoint(eager=False)
-    )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        # the tokenize+explode re-executes per action.  With counts
+        # provided, toks feeds ONE action — no checkpoint needed.
+        toks = toks.localCheckpoint(eager=False)
+        counts = toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
     # bounded driver materialization: distinct COUNT VALUES, not vocab
     cvals = sorted(r["c"] for r in counts.select("c").distinct().collect())
     if not cvals:  # token-free corpus: no scoreable documents
@@ -171,7 +210,57 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
-def bigram_logprob(documents: DataFrame) -> DataFrame:
+def bigram_relation(
+    documents: DataFrame, checkpoint: bool = True
+) -> DataFrame:
+    """(doc_id, bg_h, pfx_h): one row per in-document bigram position,
+    both keys already xxhash64'd (strings never cross a shuffle).
+    *checkpoint* adds the lazy localCheckpoint callers that feed
+    multiple actions need (count aggregates + score join — measured
+    5.9 s of triple-explode without it at sf0.1)."""
+    toks = tokens(F.col("text"))
+    rel = (
+        documents.filter(F.size(toks) >= 2)  # sequence(0, n-2) needs n ≥ 2
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ", F.get(toks, i), F.get(toks, i + 1)
+                        ).alias("bg"),
+                        F.get(toks, i).alias("pfx"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(F.col("_p.bg")).alias("bg_h"),
+            F.xxhash64(F.col("_p.pfx")).alias("pfx_h"),
+        )
+    )
+    return rel.localCheckpoint(eager=False) if checkpoint else rel
+
+
+def bigram_counts(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """((bg_h, c), (pfx_h, c)): the bigram LM's two trained count
+    relations, built from ONE checkpointed bigram explode — the
+    persisted standing artifacts the scorer reads (and the merge-delta
+    maintenance step updates via :func:`merge_counts`)."""
+    bgs = bigram_relation(documents)
+    return (
+        bgs.groupBy("bg_h").agg(F.count(F.lit(1)).cast("long").alias("c")),
+        bgs.groupBy("pfx_h").agg(F.count(F.lit(1)).cast("long").alias("c")),
+    )
+
+
+def bigram_logprob(
+    documents: DataFrame,
+    bg_counts: DataFrame | None = None,
+    pfx_counts: DataFrame | None = None,
+) -> DataFrame:
     """Corpus-bigram-LM log-probability per document — the
     conditional-probability step up from :func:`unigram_logprob`:
     score(d) = Σ_{i≥2} log10 P(t_i | t_{i-1}) with the corpus MLE
@@ -194,46 +283,33 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     shuffles and two count-fetch joins, all keyed on 8-byte xxhash64
     (strings never cross a shuffle); the lp lookup joins broadcast
     (distinct count values — O(√total) under Zipf); one (doc_id)
-    rollup."""
+    rollup.
+
+    *bg_counts* / *pfx_counts*: optional precomputed (key, c)
+    relations — pass the PERSISTED standing artifacts (see
+    :func:`bigram_counts`) and the two corpus-wide count aggregations
+    are skipped: the score pass is then one explode + two count-fetch
+    joins, index-backed the way the IVF×PQ probes read persisted
+    codes."""
     import math
 
     spark = documents.sparkSession
-    toks = tokens(F.col("text"))
-    bgs = (
-        documents.filter(F.size(toks) >= 2)  # sequence(0, n-2) needs n ≥ 2
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.struct(
-                        F.concat_ws(
-                            " ", F.get(toks, i), F.get(toks, i + 1)
-                        ).alias("bg"),
-                        F.get(toks, i).alias("pfx"),
-                    ),
-                )
-            ).alias("_p"),
+    have_counts = bg_counts is not None and pfx_counts is not None
+    # with standing counts the relation feeds ONE action (no
+    # checkpoint); without, it feeds both count aggregates and the
+    # score join and the checkpoint is load-bearing (see
+    # bigram_relation)
+    bgs = bigram_relation(documents, checkpoint=not have_counts)
+    if not have_counts:
+        bg_counts = bgs.groupBy("bg_h").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
         )
-        .select(
-            "doc_id",
-            F.xxhash64(F.col("_p.bg")).alias("bg_h"),
-            F.xxhash64(F.col("_p.pfx")).alias("pfx_h"),
+        pfx_counts = bgs.groupBy("pfx_h").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
         )
-        # lazy checkpoint: the relation feeds BOTH count aggregates
-        # and the score join — without it the tokenize+explode runs
-        # three times per action (the _inc_standing_index precedent;
-        # measured 5.9 s → the explode is the whole 1× wall at sf0.1)
-        .localCheckpoint(eager=False)
-    )
-    bg_counts = bgs.groupBy("bg_h").agg(F.count(F.lit(1)).alias("c_bg"))
-    pfx_counts = bgs.groupBy("pfx_h").agg(F.count(F.lit(1)).alias("c_pfx"))
     cvals = sorted(
-        {r["c_bg"] for r in bg_counts.select("c_bg").distinct().collect()}
-        | {
-            r["c_pfx"]
-            for r in pfx_counts.select("c_pfx").distinct().collect()
-        }
+        {r["c"] for r in bg_counts.select("c").distinct().collect()}
+        | {r["c"] for r in pfx_counts.select("c").distinct().collect()}
     )
     if not cvals:  # no doc has two tokens
         return spark.createDataFrame(
@@ -252,24 +328,23 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             bg_counts.join(
                 F.broadcast(
                     lp_rel.select(
-                        F.col("c").alias("c_bg"),
-                        F.col("lp_micros").alias("_lp_bg"),
+                        "c", F.col("lp_micros").alias("_lp_bg")
                     )
                 ),
-                "c_bg",
-            ),
+                "c",
+            ).select("bg_h", "_lp_bg"),
             "bg_h",
         )
         .join(
             pfx_counts.join(
                 F.broadcast(
                     lp_rel.select(
-                        F.col("c").alias("c_pfx"),
+                        "c",
                         F.col("lp_micros").alias("_lp_pfx"),
                     )
                 ),
-                "c_pfx",
-            ),
+                "c",
+            ).select("pfx_h", "_lp_pfx"),
             "pfx_h",
         )
         .select("doc_id", (F.col("_lp_bg") - F.col("_lp_pfx")).alias("_lp"))

@@ -287,6 +287,59 @@ FROM x
 _UNIGRAM_DF_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _lm_unigram_dir(sf_dir: str) -> str:
+    key = _docs_fixture_key(sf_dir)
+    return _reg._cache_layout_dir("lm_unigram", key[0], key[1])
+
+
+def _lm_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED unigram count relation (tok, c) for one documents
+    fixture — the LM tier's standing trained artifact under the shared
+    ``.cache`` layout protocol (atomic rename, fixture-keyed
+    invalidation, LRU), same durable-state posture as the IVF×PQ code
+    relation: scorers pay an index READ, never the corpus count
+    (r13 verdict #3)."""
+    d = _lm_unigram_dir(sf_dir)
+
+    def _build(tmp: str) -> None:
+        text.unigram_counts(
+            src.load_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(tmp)
+
+    _reg._ensure_layout(d, "lm_unigram_", _build)
+    return spark.read.parquet(d)
+
+
+def _lm_bigram_dir(sf_dir: str) -> str:
+    key = _docs_fixture_key(sf_dir)
+    return _reg._cache_layout_dir("lm_bigram", key[0], key[1])
+
+
+def _lm_bigram_counts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTED bigram-LM count relations ((bg_h, c), (pfx_h, c))
+    for one documents fixture — both written from ONE checkpointed
+    bigram explode into one atomically-published layout dir (two
+    parquet subdirs), so the pair can never be half-updated."""
+    import os as _os
+
+    d = _lm_bigram_dir(sf_dir)
+
+    def _build(tmp: str) -> None:
+        bg, pfx = text.bigram_counts(
+            src.load_table(spark, sf_dir, "documents")
+        )
+        bg.write.mode("overwrite").parquet(_os.path.join(tmp, "bg"))
+        pfx.write.mode("overwrite").parquet(_os.path.join(tmp, "pfx"))
+
+    _reg._ensure_layout(d, "lm_bigram_", _build)
+    return (
+        spark.read.parquet(_os.path.join(d, "bg")),
+        spark.read.parquet(_os.path.join(d, "pfx")),
+    )
+
+
 def docs_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM log-prob per document (new r13) — the
     perplexity-proxy quality filter of CCNet/C4 pipelines at the
@@ -296,21 +349,28 @@ def docs_unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is computed once in Python (the single source of truth)
     and shipped to both sides as exact integers, so the whole
     pipeline is integer sums + one final divide — bit-identical by
-    construction (see ``text.unigram_logprob``)."""
+    construction (see ``text.unigram_logprob``).
+
+    INDEX-BACKED from r14 (r13 verdict #3): the count relation is the
+    persisted standing artifact (``_lm_unigram_counts``), so a cold
+    call is explode + count-fetch join against an on-disk read — the
+    corpus-wide count aggregation is capex paid once per snapshot
+    (bench publishes it as ``lm_unigram_build_sec``).  The
+    SPARK_GRAFT_NO_LM_MEMO knob bypasses only the per-session DF memo
+    (the bounded distinct-count-values collect), never un-persists
+    the artifact — same knob semantics as the dedup standing index."""
     import os as _os
 
-    # own cold-wall knob, NOT the dedup one: the count→log-micros
-    # table is a trained artifact (the IVF-centroid precedent), so
-    # scale_proof's dedup-memo bypass must keep measuring the SCORING
-    # pass; only bench's cold loop pays the build here
     if _os.environ.get("SPARK_GRAFT_NO_LM_MEMO"):
         return text.unigram_logprob(
-            src.load_table(spark, sf_dir, "documents")
+            src.load_table(spark, sf_dir, "documents"),
+            counts=_lm_unigram_counts(spark, sf_dir),
         )
     key = (spark.sparkContext.applicationId, _docs_fixture_key(sf_dir))
     if key not in _UNIGRAM_DF_CACHE:
         _UNIGRAM_DF_CACHE[key] = text.unigram_logprob(
-            src.load_table(spark, sf_dir, "documents")
+            src.load_table(spark, sf_dir, "documents"),
+            counts=_lm_unigram_counts(spark, sf_dir),
         )
     return _UNIGRAM_DF_CACHE[key]
 
@@ -389,12 +449,22 @@ def docs_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-libm-in-engine contract: one Python-computed count→log-micros
     table serves both relations (bigram and prefix counts) on both
     engines; everything else is integer sums, xxhash64 shuffle keys,
-    and the tie-proof integer mean (see ``text.bigram_logprob``)."""
+    and the tie-proof integer mean (see ``text.bigram_logprob``).
+
+    INDEX-BACKED from r14 (r13 verdict #3): both count relations come
+    from the persisted standing artifact (``_lm_bigram_counts``), so
+    a cold call is ONE bigram explode + two count-fetch joins against
+    on-disk reads — the r13 cold wall (6.3 s, the bench's largest) was
+    the two corpus-wide count aggregations, now capex paid once per
+    snapshot (bench publishes it as ``lm_bigram_build_sec``)."""
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_NO_LM_MEMO"):  # see unigram note
+        bg, pfx = _lm_bigram_counts(spark, sf_dir)
         return text.bigram_logprob(
-            src.load_table(spark, sf_dir, "documents")
+            src.load_table(spark, sf_dir, "documents"),
+            bg_counts=bg,
+            pfx_counts=pfx,
         )
     key = (
         spark.sparkContext.applicationId,
@@ -402,8 +472,11 @@ def docs_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigram",
     )
     if key not in _UNIGRAM_DF_CACHE:
+        bg, pfx = _lm_bigram_counts(spark, sf_dir)
         _UNIGRAM_DF_CACHE[key] = text.bigram_logprob(
-            src.load_table(spark, sf_dir, "documents")
+            src.load_table(spark, sf_dir, "documents"),
+            bg_counts=bg,
+            pfx_counts=pfx,
         )
     return _UNIGRAM_DF_CACHE[key]
 
@@ -564,6 +637,140 @@ FROM (SELECT doc_id,
       FROM scored GROUP BY 1) per
 """
     return _UNIGRAM_SQL_CACHE[key]
+
+
+#: the daily-batch carve-out for the LM incremental-parity queries:
+#: docs with pmod(doc_id, 10) == residue are "today's batch"; the rest
+#: are the standing corpus whose counts are the persisted artifact
+_LM_BATCH_RESIDUE = 7
+
+
+def _lm_unigram_base_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted unigram counts over the STANDING subset (everything
+    except the parity batch) — the artifact the merge-delta step
+    updates; separate layout from the full-corpus one."""
+    key = _docs_fixture_key(sf_dir)
+    d = _reg._cache_layout_dir(
+        "lm_unigram_base", key[0], key[1], _LM_BATCH_RESIDUE
+    )
+
+    def _build(tmp: str) -> None:
+        base = src.load_table(spark, sf_dir, "documents").filter(
+            F.expr(f"pmod(doc_id, 10) != {_LM_BATCH_RESIDUE}")
+        )
+        text.unigram_counts(base).write.mode("overwrite").parquet(tmp)
+
+    _reg._ensure_layout(d, "lm_unigram_base_", _build)
+    return spark.read.parquet(d)
+
+
+def unigram_logprob_incremental_parity_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained-LM parity (new r14, r13 verdict #3 — the
+    ``ann_ivfpq_append_parity`` posture for the LM tier): the corpus
+    is split into a standing base (whose unigram counts are the
+    PERSISTED artifact) and a daily batch (pmod(doc_id,10)=7, ~10%);
+    the batch's counts are computed alone — O(batch) explode, the
+    corpus never re-tokenizes — and merged into the standing counts
+    by additive union+sum, then every document is scored from the
+    merged relation.  Counts are additive, so incremental == rebuild
+    EXACTLY; the oracle is the full-corpus recompute (the generated
+    ``docs_unigram_logprob`` twin), and the hash match IS the proof
+    that merge-delta maintenance loses nothing.
+
+    Scale shape: standing counts are an on-disk read; the delta is
+    one batch-sized explode + partial agg; the merge is one (tok)
+    shuffle of vocab-sized relations; scoring reuses the index-backed
+    plan.  The merged relation rides a lazy localCheckpoint — it
+    feeds the scorer's two bounded collects and the score join."""
+    import os as _os
+
+    def _build_df() -> DataFrame:
+        docs = src.load_table(spark, sf_dir, "documents")
+        batch = docs.filter(
+            F.expr(f"pmod(doc_id, 10) = {_LM_BATCH_RESIDUE}")
+        )
+        merged = text.merge_counts(
+            _lm_unigram_base_counts(spark, sf_dir),
+            text.unigram_counts(batch),
+        ).localCheckpoint(eager=False)
+        return text.unigram_logprob(docs, counts=merged)
+
+    if _os.environ.get("SPARK_GRAFT_NO_LM_MEMO"):
+        return _build_df()
+    key = (
+        spark.sparkContext.applicationId,
+        _docs_fixture_key(sf_dir),
+        "uni_parity",
+    )
+    if key not in _UNIGRAM_DF_CACHE:
+        _UNIGRAM_DF_CACHE[key] = _build_df()
+    return _UNIGRAM_DF_CACHE[key]
+
+
+def _lm_bigram_base_counts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Persisted bigram+prefix counts over the standing subset — the
+    two-relation artifact the bigram merge-delta step updates."""
+    import os as _os
+
+    key = _docs_fixture_key(sf_dir)
+    d = _reg._cache_layout_dir(
+        "lm_bigram_base", key[0], key[1], _LM_BATCH_RESIDUE
+    )
+
+    def _build(tmp: str) -> None:
+        base = src.load_table(spark, sf_dir, "documents").filter(
+            F.expr(f"pmod(doc_id, 10) != {_LM_BATCH_RESIDUE}")
+        )
+        bg, pfx = text.bigram_counts(base)
+        bg.write.mode("overwrite").parquet(_os.path.join(tmp, "bg"))
+        pfx.write.mode("overwrite").parquet(_os.path.join(tmp, "pfx"))
+
+    _reg._ensure_layout(d, "lm_bigram_base_", _build)
+    return (
+        spark.read.parquet(_os.path.join(d, "bg")),
+        spark.read.parquet(_os.path.join(d, "pfx")),
+    )
+
+
+def bigram_logprob_incremental_parity_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained-LM parity, bigram tier (new r14): same split and
+    merge-delta discipline as the unigram parity but over BOTH count
+    relations (bigram and prefix) — the batch explodes once (one
+    checkpointed relation feeds both delta aggregates), each delta
+    merges into its persisted standing relation by union+sum, and
+    every document is scored from the merged pair.  Oracle = the
+    generated full-corpus bigram recompute; additive counts make
+    incremental == rebuild exactly, so the hash match proves the
+    two-relation maintenance step."""
+    import os as _os
+
+    def _build_df() -> DataFrame:
+        docs = src.load_table(spark, sf_dir, "documents")
+        batch = docs.filter(
+            F.expr(f"pmod(doc_id, 10) = {_LM_BATCH_RESIDUE}")
+        )
+        bg0, pfx0 = _lm_bigram_base_counts(spark, sf_dir)
+        bg_d, pfx_d = text.bigram_counts(batch)
+        bg = text.merge_counts(bg0, bg_d).localCheckpoint(eager=False)
+        pfx = text.merge_counts(pfx0, pfx_d).localCheckpoint(eager=False)
+        return text.bigram_logprob(docs, bg_counts=bg, pfx_counts=pfx)
+
+    if _os.environ.get("SPARK_GRAFT_NO_LM_MEMO"):
+        return _build_df()
+    key = (
+        spark.sparkContext.applicationId,
+        _docs_fixture_key(sf_dir),
+        "bg_parity",
+    )
+    if key not in _UNIGRAM_DF_CACHE:
+        _UNIGRAM_DF_CACHE[key] = _build_df()
+    return _UNIGRAM_DF_CACHE[key]
 
 
 def text_token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -240,6 +240,8 @@ def main() -> None:
         embedding_hard_negatives_q,
         docs_unigram_logprob_q,
         docs_bigram_logprob_q,
+        unigram_logprob_incremental_parity_q,
+        bigram_logprob_incremental_parity_q,
         docs_shard_balance_q,
         dedup_containment_pairs_q,
         embedding_cell_drift_q,
@@ -369,6 +371,14 @@ def main() -> None:
         "docs_shard_balance": docs_shard_balance_q,
         "dedup_containment_pairs": dedup_containment_pairs_q,
         "embedding_cell_drift": embedding_cell_drift_q,
+        # r14: the maintained-LM parity pair — the timed shape is the
+        # daily job (standing-count read + O(batch) delta + merge +
+        # score); the ratio tracks batch+score volume, the standing
+        # artifact is built in the warmup call
+        "unigram_logprob_incremental_parity":
+            unigram_logprob_incremental_parity_q,
+        "bigram_logprob_incremental_parity":
+            bigram_logprob_incremental_parity_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -393,6 +403,30 @@ def main() -> None:
                 "scale_ratio": round(t10 / t1, 2) if t1 else None,
             }
             print(f"# {name}: 1x={t1}s 10x={t10}s ratio={t10/t1:.2f}")
+        # LM count-table build capex at both scales (r13 advice #5):
+        # the timed ratios above measure the memoized SCORING plan
+        # (the artifact is a standing index from r14); this block
+        # makes the excluded capex visible in the same artifact by
+        # dropping each persisted count layout and rebuilding it timed
+        import shutil as _sh
+
+        from cass_cdc_pg_spark import registry_corpus as _regc
+
+        lm_detail: dict = {}
+        for tier, dirfn, buildfn in (
+            ("unigram", _regc._lm_unigram_dir, _regc._lm_unigram_counts),
+            ("bigram", _regc._lm_bigram_dir, _regc._lm_bigram_counts),
+        ):
+            row = {}
+            for label, d in (("1x", sf_dir), ("10x", tmp)):
+                _sh.rmtree(dirfn(d), ignore_errors=True)
+                row[f"build_sec_{label}"] = _timed(
+                    lambda d=d, f=buildfn: f(spark, d)
+                )
+            lm_detail[tier] = row
+        report["lm_count_build_detail"] = lm_detail
+        print(f"# lm_count_build_detail: {lm_detail}")
+
         # dedup_components detail: pairs/nodes/fixpoint rounds at both
         # scales, making the curve's workload checkable (pairs must be
         # ~10x, rounds must grow at most logarithmically — if pairs
@@ -666,6 +700,10 @@ def main() -> None:
 
     from cass_cdc_pg_spark.registry import docs_ngram_novelty_q as _dnn
     from cass_cdc_pg_spark.registry import docs_unigram_logprob_q as _dul
+    from cass_cdc_pg_spark.registry import docs_bigram_logprob_q as _dbl
+    from cass_cdc_pg_spark.registry import (
+        dedup_containment_pairs_q as _dcp,
+    )
 
     hundred = {
         "docs_fuzzy_pairs": _dfp,
@@ -673,8 +711,18 @@ def main() -> None:
         "dedup_cluster_sizes": _dcs,
         # r13: the unigram scorer entered at a floor-bound >2 ratio
         # with rising docs/sec; the decade point is its settle-or-fix
-        # evidence, same as the novelty curve got
+        # evidence, same as the novelty curve got.  From r14 both LM
+        # scorers read PERSISTED counts — the decade point measures
+        # the index-backed score; the build capex has its own row in
+        # lm_count_build_detail.
         "docs_unigram_logprob": _dul,
+        # r14 (r13 verdict #6): the bigram tier gets the same decade
+        # treatment as its unigram sibling
+        "docs_bigram_logprob": _dbl,
+        # r14 (r13 verdict #2): the claim to prove is that the
+        # df>1000 stop-shingle guard holds the within-bucket
+        # quadratic — wall-per-decade converging while docs/sec rises
+        "dedup_containment_pairs": _dcp,
         # r13 (r12 verdict #4): the novelty curve's 10x ratio sat at
         # 3.3-4.5 for two rounds with honest counters; the decade
         # point is the dedup-trio treatment — docs/sec must rise as
@@ -685,6 +733,20 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp100:
         _replicate_docs(spark, sf_dir, tmp100, replicas=100)
         report["100x"] = {}
+        # 100× LM count-build capex, recorded BEFORE the query loop so
+        # the warm calls there measure the index-backed score alone
+        for tier, dirfn, buildfn in (
+            ("unigram", _regc._lm_unigram_dir, _regc._lm_unigram_counts),
+            ("bigram", _regc._lm_bigram_dir, _regc._lm_bigram_counts),
+        ):
+            _sh.rmtree(dirfn(tmp100), ignore_errors=True)
+            report["lm_count_build_detail"][tier]["build_sec_100x"] = (
+                _timed(lambda d=tmp100, f=buildfn: f(spark, d))
+            )
+        print(
+            f"# lm_count_build_detail(+100x): "
+            f"{report['lm_count_build_detail']}"
+        )
         for name, fn in hundred.items():
             t10 = report["queries"][name]["sec_10x"]
             fn(spark, tmp100).count()  # warm (codegen, file listing)
@@ -775,6 +837,53 @@ def main() -> None:
         }
         print(f"# 100x lineitem_part_copurchase: 10x={t10}s 100x={t100}s "
               f"decade ratio={t100 / t10:.2f}")
+
+        # phase split at 100× (r13 verdict #4: decade 7.93 was the
+        # worst on record — attribute the wall so the basket-size
+        # bound is measured, not argued).  Cumulative-prefix timings:
+        # dedup_sec times the distinct (orderkey, partkey) build;
+        # pairs_cum_sec times dedup + the co-partitioned self-join
+        # fan-out; the full wall adds the (p1,p2) aggregate + top-k.
+        def _copurchase_phases(d: str, wall: float) -> dict:
+            li = (
+                _src.load_table(spark, d, "lineitem")
+                .select("l_orderkey", "l_partkey")
+                .distinct()
+            )
+            t0 = time.time()
+            lp_rows = li.count()
+            dedup_sec = round(time.time() - t0, 3)
+            a = li.select(
+                _F2.col("l_orderkey").alias("ok"),
+                _F2.col("l_partkey").alias("p1"),
+            )
+            b = li.select(
+                _F2.col("l_orderkey").alias("ok2"),
+                _F2.col("l_partkey").alias("p2"),
+            )
+            t0 = time.time()
+            pairs = a.join(
+                b,
+                (_F2.col("ok") == _F2.col("ok2"))
+                & (_F2.col("p1") < _F2.col("p2")),
+            ).count()
+            pairs_cum_sec = round(time.time() - t0, 3)
+            return {
+                "distinct_order_part_rows": lp_rows,
+                "candidate_pairs": pairs,
+                "dedup_sec": dedup_sec,
+                "pairs_cum_sec": pairs_cum_sec,
+                "agg_topk_sec_derived": round(max(0.0, wall - pairs_cum_sec), 3),
+                "pairs_per_distinct_row": round(pairs / lp_rows, 3),
+            }
+
+        report["100x"]["lineitem_part_copurchase"]["phases_100x"] = (
+            _copurchase_phases(tmpl, t100)
+        )
+        print(
+            f"# 100x copurchase phases: "
+            f"{report['100x']['lineitem_part_copurchase']['phases_100x']}"
+        )
 
     # ---- 100× decade point for events_weekly_active (r13: its 10×
     # ratio drifted into the 1.6-2.2 band across rounds; the decade
