@@ -1147,59 +1147,16 @@ WHERE a.is_new
 
 
 
-def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 64-bit SimHash fingerprint (sign-aggregated token hashes, single scan)."""
-    return dedup.simhash(src.load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_fp_ctes(bits: int = 64) -> str:
-    """Shared CTEs computing (doc_id, simhash) — mirrors dedup.simhash."""
-    votes = ",\n       ".join(
-        f"SUM((h{1 if b < 32 else 2} >> {b % 32}) & 1) AS b{b}" for b in range(bits)
-    )
-    terms = []
-    for b in range(bits):
-        one = "(-9223372036854775807 - 1)" if b == 63 else f"{1 << b}"
-        terms.append(f"(CASE WHEN 2*b{b} > n THEN ({one})::BIGINT ELSE 0::BIGINT END)")
-    fp = "\n     + ".join(terms)
-    return f"""
-toks AS (SELECT doc_id,
-                unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
-         FROM documents),
-h AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h1,
-             ('0x'||substr(md5(t),17,15))::BIGINT AS h2 FROM toks),
-votes AS (SELECT doc_id, COUNT(*) AS n, {votes} FROM h GROUP BY doc_id),
-fp AS (SELECT doc_id, ({fp}) AS simhash FROM votes)"""
 
 
-DEDUP_SIMHASH_SQL = f"WITH {_simhash_fp_ctes()}\nSELECT doc_id, simhash FROM fp"
 
 
-def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs via banded Hamming buckets (first-agreeing-band emission, never all-pairs)."""
-    return dedup.simhash_pairs(src.load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_pairs_sql(bits: int = 64, bands: int = 4, max_hamming: int = 3) -> str:
-    width = bits // bands
-    mask = (1 << width) - 1
-    band_selects = "\n  UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS bucket FROM fp"
-        for b in range(bands)
-    )
-    return f"""
-WITH {_simhash_fp_ctes(bits)},
-banded AS ({band_selects}),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                a.simhash AS fa, b.simhash AS fb
-         FROM banded a JOIN banded b
-           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
-"""
 
 
-DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
 def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1487,39 +1444,8 @@ EMBEDDING_NEARDUP_SQL = _neardup_sql()
 # registry
 # ---------------------------------------------------------------------------
 
-# NOTE on ordering: the driver's correctness harness checks at most the
-# FIRST 50 entries of this dict (r3 had 57 declared / 50 checked — the 7
-# absentees were exactly the last 7 keys).  Queries that have never had a
-# green driver row therefore come FIRST, and 8 long-green, low-risk
-# variants (q4-q8, q12, q13, q17 — all re-verified every round by
-# tools/check_oracle.py and pytest) are rotated to the tail.  Rotate the
-# tail each round so every declared query accrues driver coverage.
-def docs_source_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus profile (size / quality survival / internal
-    duplication) — the rollup behind training-mix weighting."""
-    return text.source_stats(src.load_table(spark, sf_dir, "documents"))
 
 
-SOURCE_STATS_SQL = """
-WITH per_doc AS (
-  SELECT doc_id, source, len(tk) AS n_tokens,
-         CASE WHEN len(tk) < 20 THEN 'too_short'
-              WHEN ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) < 0.3 THEN 'repetitive'
-              ELSE 'ok' END AS quality_bucket,
-         md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fp
-  FROM (SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-        FROM documents)),
-dup AS (SELECT fp, COUNT(*) AS n_fp FROM per_doc GROUP BY fp)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(SUM(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
-       CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       ROUND(CAST(SUM(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS ok_ratio,
-       ROUND(CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
-FROM per_doc JOIN dup USING (fp)
-GROUP BY source
-"""
 
 
 def ann_knn_within_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1595,26 +1521,8 @@ from cass_cdc_pg_spark.registry_streams import (  # noqa: E402
 
 
 
-def docs_ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-50 token trigrams — the heavy-hitter /
-    boilerplate profile; shuffle carries (gram, partial count) only,
-    final order is a distributed top-k."""
-    return text.ngram_topk(src.load_table(spark, sf_dir, "documents"), n=3, k=50)
 
 
-NGRAM_TOPK_SQL = """
-WITH toks AS (
-  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents),
-g AS (
-  SELECT unnest(list_transform(range(1, len(tk) - 1),
-                               i -> array_to_string(tk[i:i+2], ' '))) AS gram
-  FROM toks WHERE len(tk) >= 3)
-SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-FROM g GROUP BY 1
-ORDER BY n_occurrences DESC, gram ASC
-LIMIT 50
-"""
 
 
 def embeddings_cell_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1959,47 +1867,12 @@ def cluster_sample_oracle_sql(
     return _CLUSTER_SAMPLE_SQL_CACHE[key]
 
 
-def docs_tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 salient terms per document by scaled tf/df (linear-idf
-    tf-idf; integer-exact across engines)."""
-    return text.tfidf_topterms(src.load_table(spark, sf_dir, "documents"), k=5)
 
 
-TFIDF_SQL = """
-WITH tok AS (
-  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
-SELECT doc_id, term, rank, score_micro
-FROM (SELECT tf.doc_id, tf.term,
-             (tf.tf * 1000000) // df.df AS score_micro,
-             CAST(ROW_NUMBER() OVER (
-                 PARTITION BY tf.doc_id
-                 ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term ASC
-             ) AS INT) AS rank
-      FROM tf JOIN df USING (term))
-WHERE rank <= 5
-"""
 
 
-def docs_source_token_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source exact token-count quantiles — the length profile
-    behind sequence-length / mix decisions."""
-    return text.source_token_quantiles(src.load_table(spark, sf_dir, "documents"))
 
 
-SOURCE_QUANTILES_SQL = """
-WITH t AS (
-  SELECT source,
-         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
-  FROM documents)
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       quantile_cont(n, 0.25) AS p25_tokens,
-       quantile_cont(n, 0.5) AS p50_tokens,
-       quantile_cont(n, 0.75) AS p75_tokens
-FROM t GROUP BY source
-"""
 
 
 def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2116,61 +1989,6 @@ HARD_NEGATIVES_SQL = hard_negatives_static_sql()
 
 
 
-def docs_lang_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus language mix: predicted-language distribution with doc
-    and token shares — the per-language slice sizing that drives
-    multilingual mix decisions.  Genuinely one scan (r6 — the r5
-    version claimed this but planned a doc_id self-join between the
-    lang-ID projection and a token-count projection, i.e. two scans
-    plus a doc_id shuffle of every doc at scale): ``predicted_lang``
-    is a plain Column expression, so both per-doc columns come out of
-    the SAME ``select``; the only Exchange is the tiny per-language
-    rollup.  Join-absence is pinned in test_plan_shapes.py."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            text.predicted_lang(F.col("text")).alias("predicted_lang"),
-            F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        )
-        .groupBy("predicted_lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-        )
-    )
-
-
-def _lang_mix_sql() -> str:
-    # same candidate-scoring shape as _lang_sql (hits over the
-    # distinct token set, ties → language code ascending), rolled up
-    # to the per-language doc/token shares
-    branches = []
-    for lang, ws in sorted(text.LANG_MARKERS.items()):
-        arr = "['" + "','".join(ws) + "']"
-        branches.append(
-            f"SELECT doc_id, n_tokens, '{lang}' AS cand,"
-            f" len(list_filter(tkd, t -> list_contains({arr}, t))) AS hits FROM toks"
-        )
-    union = " UNION ALL ".join(branches)
-    return f"""
-WITH toks AS (
-  SELECT doc_id,
-         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
-         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tkd
-  FROM documents),
-scores AS ({union}),
-p AS (SELECT doc_id, n_tokens, cand AS predicted_lang
-      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                         ORDER BY hits DESC, cand ASC) AS rn
-            FROM scores)
-      WHERE rn = 1)
-SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-FROM p GROUP BY 1
-"""
-
-
-LANG_MIX_SQL = _lang_mix_sql()
 
 
 
@@ -2181,113 +1999,12 @@ LANG_MIX_SQL = _lang_mix_sql()
 
 
 
-# Rotation policy (the driver checks the FIRST 50 entries only): every
-# round, the entries the driver skipped last round move to the FRONT, and
-# an equal number of long-green, untouched entries move to the tail, so no
-# query's most recent driver-green row ever ages past ~2 rounds.  Queries
-# whose implementation changed in the current round must stay inside the
-# first 50 regardless.
-#
-def docs_quality_tiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-count quartile tiers with per-tier stats — the
-    bucket-by-distribution step of corpus curation.
-
-    Bounded-state histogram formulation (r6, closing the r5 verdict's
-    last 100×-scale liability): EVERYTHING — thresholds and per-tier
-    stats — is computed off the ``groupBy(n_tokens).count()``
-    histogram, because count/min/max/sum-of-tokens per tier are all
-    reconstructible from (value, count) rows (``Σ value·count``).  So
-    the plan is ONE scan of documents, a shuffle that carries only
-    distinct token counts, a single tiny window partition holding
-    O(distinct lengths) rows for the cumulative count, and a 4-group
-    final aggregate.  Nothing anywhere holds O(docs) state — compare
-    the previous exact-``percentile`` version whose buffer merged one
-    long per doc into one reducer, and NTILE(4) over a global ORDER
-    BY, which would single-partition-sort every row.
-
-    Quartile thresholds use the exact linear-interpolated rank
-    ``h = p·(n−1)`` definition shared by Spark's ``percentile`` and
-    DuckDB's ``quantile_cont`` (see ``source_token_quantiles``);
-    integer inputs and dyadic p keep the arithmetic exact, so the
-    oracle hash is unchanged.  Threshold ties bucket by ``<=``
-    identically in both engines."""
-    from pyspark.sql import Window
-
-    docs = src.load_table(spark, sf_dir, "documents")
-    n = F.size(text.tokens(F.col("text"))).cast("long")
-    hist = (
-        docs.select(n.alias("n_tokens"))
-        .groupBy("n_tokens")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    w_cum = Window.orderBy("n_tokens").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy("n_tokens").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        "n_tokens",
-        "_c",
-        F.sum("_c").over(w_cum).alias("_cum"),
-        F.sum("_c").over(w_all).alias("_nd"),
-    )
-
-    def _thr(p: float):
-        h = F.lit(p) * (F.col("_nd") - F.lit(1)).cast("double")
-        x_lo = F.min(
-            F.when(F.col("_cum") > F.floor(h), F.col("n_tokens"))
-        ).over(w_all)
-        x_hi = F.min(
-            F.when(F.col("_cum") > F.ceil(h), F.col("n_tokens"))
-        ).over(w_all)
-        frac = h - F.floor(h).cast("double")
-        return x_lo.cast("double") + frac * (x_hi - x_lo).cast("double")
-
-    t = cum.select(
-        "n_tokens",
-        "_c",
-        _thr(0.25).alias("_p25"),
-        _thr(0.5).alias("_p50"),
-        _thr(0.75).alias("_p75"),
-    )
-    tier = (
-        F.when(F.col("n_tokens") <= F.col("_p25"), F.lit(1))
-        .when(F.col("n_tokens") <= F.col("_p50"), F.lit(2))
-        .when(F.col("n_tokens") <= F.col("_p75"), F.lit(3))
-        .otherwise(F.lit(4))
-    )
-    return (
-        t.select(tier.cast("int").alias("tier"), "n_tokens", "_c")
-        .groupBy("tier")
-        .agg(
-            F.sum("_c").cast("long").alias("n_docs"),
-            F.min("n_tokens").alias("min_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
-            F.sum(F.col("n_tokens") * F.col("_c")).cast("long").alias("total_tokens"),
-        )
-    )
 
 
-QUALITY_TIERS_SQL = """
-WITH d AS (
-  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
-  FROM documents),
-t AS (SELECT quantile_cont(n_tokens, 0.25) AS p25,
-             quantile_cont(n_tokens, 0.5) AS p50,
-             quantile_cont(n_tokens, 0.75) AS p75
-      FROM d)
-SELECT CASE WHEN n_tokens <= p25 THEN 1
-            WHEN n_tokens <= p50 THEN 2
-            WHEN n_tokens <= p75 THEN 3
-            ELSE 4 END AS tier,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       MIN(n_tokens) AS min_tokens,
-       MAX(n_tokens) AS max_tokens,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-FROM d CROSS JOIN t
-GROUP BY 1
-"""
+
+
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -2333,42 +2050,8 @@ GROUP BY 1
 
 
 
-def docs_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Certified corpus-wide top-20 tokens via the Misra-Gries
-    sketch-then-confirm pipeline (``operators/sketches.py``) — the
-    bounded-memory alternative to ``docs_ngram_topk``'s full hash
-    aggregate when the term dictionary itself is too large to shuffle.
-
-    The oracle is plain exact SQL: a hash match PROVES the sketch path
-    returned the exact global top-k and that its ``certified``
-    self-check (kth_count × (capacity+1) > total_tokens, the
-    Misra-Gries error bound turned into a column) agrees with the
-    exact computation.
-    """
-    from cass_cdc_pg_spark.operators import sketches
-
-    docs = src.load_table(spark, sf_dir, "documents")
-    return sketches.heavy_hitters(
-        docs, text.tokens(F.col("text")), k=20, capacity=4096
-    )
 
 
-HEAVY_HITTERS_SQL = """
-WITH toks AS (
-  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
-  FROM documents),
-counts AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-  FROM toks GROUP BY 1),
-topk AS (
-  SELECT * FROM counts ORDER BY n_occurrences DESC, token LIMIT 20)
-SELECT token, n_occurrences,
-       ((SELECT MIN(n_occurrences) FROM topk) * 4097
-          > (SELECT COUNT(*) FROM toks)
-        AND (SELECT COUNT(*) FROM topk) >= 20) AS certified
-FROM topk
-ORDER BY n_occurrences DESC, token
-"""
 
 
 
@@ -2551,59 +2234,8 @@ def embedding_semdedup_greedy_stats_q(
     )
 
 
-def dedup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster-size histogram — the first number a curator
-    reads off a dedup run: how many clusters of each size, how many
-    docs they hold (``n_docs − n_clusters`` = rows removed by
-    keep-one-per-cluster).
-
-    Composes on ``dedup_components``'s pipeline: LSH-bucketed pairs →
-    pointer-doubled components, then TWO tiny rollups (cluster → size,
-    size → histogram), each partial-aggregated; singleton docs (no
-    near-dup edge) coalesce to their own id, so every doc is counted
-    exactly once."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    comp = _shared_components(spark, sf_dir)
-    cid = F.coalesce(F.col("component"), F.col("doc_id"))
-    return (
-        docs.select("doc_id")
-        .join(
-            comp.select(
-                F.col("node").alias("doc_id"), "component"
-            ),
-            "doc_id",
-            "left",
-        )
-        .select(cid.alias("_cid"))
-        .groupBy("_cid")
-        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_clusters"),
-            (F.count(F.lit(1)) * F.col("cluster_size"))
-            .cast("long")
-            .alias("n_docs"),
-        )
-    )
 
 
-CLUSTER_SIZES_SQL = f"""
-WITH RECURSIVE {_minhash_ctes()},
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
-),
-comp AS (SELECT node, MIN(lbl) AS cid FROM reach GROUP BY node),
-sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size
-          FROM comp GROUP BY cid)
-SELECT cluster_size,
-       CAST(COUNT(*) AS BIGINT) AS n_clusters,
-       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
-FROM sizes GROUP BY cluster_size
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -2645,54 +2277,6 @@ FROM sizes GROUP BY cluster_size
 
 
 
-def docs_dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate rate per corpus source — the first number a
-    curation run reports (how dirty is each feed?).
-
-    Per-doc dup flag via one hash-grouped count (md5 of the text —
-    identical in both engines) joined back on the 16-byte digest;
-    never an all-pairs comparison.  At 100 TB: two shuffles of
-    (digest, source)-width rows, then a tiny per-source rollup.
-    Cross-source leakage is surfaced too: docs whose text also appears
-    under a DIFFERENT source (licensing/provenance smell)."""
-    docs = src.load_table(spark, sf_dir, "documents").select(
-        "source", F.md5(F.col("text")).alias("_h")
-    )
-    stats = docs.groupBy("_h").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.count_distinct(F.col("source")).alias("_nsrc"),
-    )
-    return (
-        docs.join(stats, "_h")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum((F.col("_cnt") > 1).cast("long")).cast("long").alias("n_dup_docs"),
-            F.sum((F.col("_nsrc") > 1).cast("long")).cast("long")
-            .alias("n_cross_source"),
-            F.round(
-                F.sum((F.col("_cnt") > 1).cast("long")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                4,
-            ).alias("dup_rate"),
-        )
-    )
-
-
-DUP_RATE_SQL = """
-WITH d AS (SELECT source, md5(text) AS h FROM documents),
-c AS (SELECT h, COUNT(*) AS cnt, COUNT(DISTINCT source) AS nsrc
-      FROM d GROUP BY 1)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-       CAST(SUM(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_cross_source,
-       ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
-FROM d JOIN c USING (h)
-GROUP BY 1
-"""
 
 
 
@@ -2715,189 +2299,26 @@ GROUP BY 1
 
 
 
-def docs_split_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test split audit: per (split, lang) doc counts and
-    char volume — the manifest a split step emits for review.
-
-    The assignment (``text.train_val_test_split``) is a pure
-    projection (Lehmer draw against cumulative thresholds), so the
-    whole query is one scan plus a bounded-grid partial-aggregated
-    shuffle; determinism across engines is the oracle check itself."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    return (
-        text.train_val_test_split(docs)
-        .groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-    )
 
 
-SPLIT_STATS_SQL = """
-WITH s AS (
-  SELECT lang, n_chars,
-         CASE WHEN ((doc_id % 10000) * 48271) % 10000 < 9000 THEN 'train'
-              WHEN ((doc_id % 10000) * 48271) % 10000 < 9500 THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents)
-SELECT split, lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM s GROUP BY 1, 2
-"""
 
 
-def docs_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic length-weighted sample of 20 docs per source —
-    the corpus-mix curation step (see
-    ``text.weighted_sample_by_group``: LCG uniform / token-count
-    weight, two correctly-rounded divisions, so both engines pick the
-    SAME sample; the per-group top-k compiles to a partial
-    WindowGroupLimit below one Exchange)."""
-    return text.weighted_sample_by_group(
-        src.load_table(spark, sf_dir, "documents"), k=20
-    )
 
 
-WEIGHTED_SAMPLE_SQL = """
-WITH d AS (
-  SELECT source, doc_id,
-         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-              AS BIGINT) AS n_tokens,
-         ((doc_id * 48271 + 11) % 104729) AS r
-  FROM documents),
-p AS (
-  SELECT source, doc_id, n_tokens,
-         (CAST(r + 1 AS DOUBLE) / 104730.0)
-             / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS priority
-  FROM d)
-SELECT source, doc_id, n_tokens, ROUND(priority, 9) AS priority,
-       CAST(rn AS INT) AS rank
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-                                   ORDER BY priority, doc_id) AS rn
-      FROM p)
-WHERE rn <= 20
-"""
 
 
-def docs_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (edit-distance) similarity join over document prefixes —
-    the typo'd-title near-match tier (see
-    ``dedup.edit_distance_pairs``: first-token + length-band blocking,
-    exactly-once pair join, built-in ``levenshtein`` verify, oversized
-    blocks dropped via the stop-shingle-style cap)."""
-    return dedup.edit_distance_pairs(
-        src.load_table(spark, sf_dir, "documents"),
-        prefix_chars=48,
-        max_dist=6,
-    )
 
 
-FUZZY_PAIRS_SQL = """
-WITH base AS (
-  SELECT doc_id AS id, substr(text, 1, 48) AS prefix,
-         string_split(text, ' ')[1] AS tok
-  FROM documents),
-b AS (
-  SELECT id, prefix, tok,
-         CAST(floor(len(prefix) / 7) AS INT) AS band
-  FROM base WHERE len(tok) > 0),
-big AS (SELECT tok FROM b GROUP BY tok HAVING COUNT(*) > 10000),
-ok_b AS (SELECT * FROM b ANTI JOIN big USING (tok)),
-lft AS (
-  SELECT id AS ida, prefix AS pa, tok, unnest([band - 1, band, band + 1]) AS jb
-  FROM ok_b),
-rgt AS (SELECT id AS idb, prefix AS pb, tok, band AS jb FROM ok_b)
-SELECT ida AS doc_a, idb AS doc_b,
-       CAST(levenshtein(pa, pb) AS INT) AS dist
-FROM lft JOIN rgt USING (tok, jb)
-WHERE ida < idb AND levenshtein(pa, pb) <= 6
-"""
 
 
-def docs_duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicated token-span profile per source — the exact-substring
-    dedup tier (see ``text.duplicated_span_stats``): which feeds carry
-    verbatim-repeated content, and how many docs are majority
-    boilerplate."""
-    return text.duplicated_span_stats(
-        src.load_table(spark, sf_dir, "documents"), span_tokens=8
-    )
 
 
-def docs_block_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicated-block REMOVAL manifest (r9 late addition): the
-    apply step of exact-substring dedup — first occurrence of every
-    20-token block survives, repeats are cut; per-doc blocks/tokens
-    before and after.  ``docs_duplicated_spans`` is the read-only
-    profile of the same tier; this is the cut a pipeline persists."""
-    return text.remove_duplicated_blocks(
-        src.load_table(spark, sf_dir, "documents"), block_tokens=20
-    )
 
 
-BLOCK_DEDUP_SQL = """
-WITH toks AS (
-  SELECT doc_id, source,
-         list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents),
-d AS (
-  SELECT doc_id, source, tk,
-         CAST(len(tk) AS BIGINT) AS n,
-         CAST((len(tk) + 19) // 20 AS BIGINT) AS nb
-  FROM toks WHERE len(tk) > 0),
-b AS (
-  SELECT doc_id, i AS idx,
-         array_to_string(tk[i*20+1 : i*20+20], ' ') AS blk,
-         LEAST(20, n - i*20) AS blen
-  FROM d, unnest(generate_series(0, nb - 1)) AS u(i)),
-r AS (
-  SELECT doc_id, blen,
-         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn,
-         COUNT(*) OVER (PARTITION BY blk) AS c
-  FROM b),
-rem AS (
-  SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_rm,
-         CAST(SUM(blen) AS BIGINT) AS t_rm
-  FROM r WHERE c > 1 AND rn > 1 GROUP BY 1)
-SELECT d.doc_id, d.source,
-       d.nb AS n_blocks,
-       CAST(COALESCE(rem.n_rm, 0) AS BIGINT) AS n_blocks_removed,
-       d.n AS tokens_total,
-       CAST(d.n - COALESCE(rem.t_rm, 0) AS BIGINT) AS tokens_kept
-FROM d LEFT JOIN rem USING (doc_id)
-"""
 
 
-DUP_SPANS_SQL = """
-WITH toks AS (
-  SELECT doc_id, source,
-         list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents),
-w AS (
-  SELECT doc_id, source,
-         unnest(list_transform(range(1, len(tk) - 6),
-                               i -> array_to_string(tk[i:i+7], ' '))) AS win
-  FROM toks WHERE len(tk) >= 8),
-c AS (SELECT win, COUNT(*) AS cnt FROM w GROUP BY 1),
-d AS (
-  SELECT doc_id, source,
-         CAST(COUNT(*) AS BIGINT) AS n_w,
-         CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-  FROM w JOIN c USING (win)
-  GROUP BY 1, 2)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_w) AS BIGINT) AS total_windows,
-       CAST(SUM(n_dup) AS BIGINT) AS dup_windows,
-       ROUND(CAST(SUM(n_dup) AS DOUBLE) / CAST(SUM(n_w) AS DOUBLE), 6)
-           AS dup_window_frac,
-       CAST(SUM(CASE WHEN n_dup * 2 > n_w THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_docs_majority_dup
-FROM d GROUP BY 1
-"""
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -2913,77 +2334,6 @@ FROM d GROUP BY 1
 
 
 
-_VOCAB_K = 500
-
-
-def docs_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary coverage / OOV rate per source: build the corpus
-    top-``_VOCAB_K`` token vocabulary (count desc, token asc — fully
-    deterministic), then measure what fraction of each source's token
-    OCCURRENCES fall outside it — the gauge an LLM-data pipeline runs
-    before committing to a tokenizer/vocab freeze.
-
-    Scale shape: token counts are one hash aggregate; the top-K is
-    TakeOrdered (no global window); the vocabulary (K rows) BROADCASTS
-    back against the token stream, so the coverage pass adds zero
-    shuffles beyond the per-source rollup.  In production the vocab
-    side comes from a sample; the two token-stream passes here share
-    the same scan shape."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(
-            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-        ).alias("tok"),
-    )
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("tok").asc())
-        .limit(_VOCAB_K)
-        .select("tok", F.lit(1).alias("_in_vocab"))
-    )
-    return (
-        toks.join(F.broadcast(vocab), "tok", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0)))
-            .cast("long")
-            .alias("n_in_vocab"),
-        )
-        .select(
-            "source",
-            "n_tokens",
-            "n_in_vocab",
-            F.round(
-                F.lit(1.0) - F.col("n_in_vocab") / F.col("n_tokens"), 6
-            ).alias("oov_rate"),
-        )
-    )
-
-
-VOCAB_COVERAGE_SQL = f"""
-WITH toks AS (
-  SELECT source,
-         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
-  FROM documents),
-vocab AS (
-  SELECT tok FROM (
-    SELECT tok, COUNT(*) AS freq FROM toks GROUP BY 1) t
-  ORDER BY freq DESC, tok ASC LIMIT {_VOCAB_K}),
-cov AS (
-  SELECT t.source,
-         CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_in_vocab
-  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
-  GROUP BY 1)
-SELECT source, n_tokens, n_in_vocab,
-       ROUND(1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-           AS oov_rate
-FROM cov
-"""
 
 
 
@@ -2992,299 +2342,26 @@ FROM cov
 
 
 
-def docs_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 3-gram novelty curve — the dataset-curation gauge
-    for incremental corpus growth: of a doc's DISTINCT 3-token
-    shingles, what fraction first appears in the corpus at this doc
-    (corpus ordered by doc_id)?  Early docs score high, later docs
-    only for genuinely new text; dedup-admission pipelines threshold
-    on exactly this rate.
-
-    Scale shape: one shingle-key shuffle computes each shingle's
-    global first-owner (MIN(doc_id) — a partial-aggregating min, no
-    window over the corpus); the per-doc rollup rides the same
-    exploded relation joined back on the shingle key.  Shingle
-    strings cross the shuffle once; docs with <3 tokens have no
-    shingles and are excluded by construction."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("tk"),
-    ).filter(F.size("tk") >= 3)
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.get("tk", i),
-                    F.get("tk", i + 1),
-                    F.get("tk", i + 2),
-                ),
-            )
-        ).alias("sh"),
-    ).distinct()
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        sh.join(first, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_novel"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
-                "novelty_rate"
-            ),
-        )
-    )
-
-
-NGRAM_NOVELTY_SQL = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, len(tk) - 1),
-                               i -> array_to_string(tk[i:i+2], ' '))) AS sh
-  FROM toks WHERE len(tk) >= 3),
-first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
-SELECT s.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_shingles,
-       CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_novel,
-       ROUND(CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS novelty_rate
-FROM sh s JOIN first f USING (sh)
-GROUP BY 1
-"""
 
 
 
 
-#: candidate training sequence lengths for the packing-geometry sweep
-_PACK_SWEEP_LENS = [128, 256, 512, 1024, 2048]
 
 
-def docs_packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-geometry sweep: for each candidate sequence length L,
-    the padding waste of the pad-each-doc-to-⌈n/L⌉·L baseline — the
-    diagnostic a training pipeline runs before freezing seq_len (and
-    the counterpart to ``docs_pack_sequences``, which shows what dense
-    packing recovers).  All integer-exact: total tokens, padded slots,
-    and chunk counts are BIGINT sums; the waste fraction is ONE exact
-    division on exactly-representable doubles (engine-identical).
-
-    Scale shape: one documents scan computes per-doc token counts as
-    a narrow projection (no explode of tokens — only the K-length
-    literal array explodes, a constant ×5 fan-out of one small row per
-    doc), then ONE partial-aggregated shuffle on the 5-value seq_len
-    key."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    n = F.size(
-        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    ).cast("long")
-    per_doc = docs.select(
-        n.alias("n_tokens"),
-        F.explode(
-            F.array(*[F.lit(x).cast("long") for x in _PACK_SWEEP_LENS])
-        ).alias("seq_len"),
-    )
-    chunks = (F.col("n_tokens") + F.col("seq_len") - 1) / F.col("seq_len")
-    per_doc = per_doc.select(
-        "seq_len",
-        "n_tokens",
-        F.floor(chunks).cast("long").alias("n_chunks"),
-    )
-    padded = F.sum(F.col("n_chunks") * F.col("seq_len"))
-    return (
-        per_doc.groupBy("seq_len")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.sum("n_chunks").cast("long").alias("total_chunks"),
-            padded.cast("long").alias("padded_tokens"),
-        )
-        .select(
-            "seq_len",
-            "n_docs",
-            "total_tokens",
-            "total_chunks",
-            "padded_tokens",
-            # all-empty corpora pad zero slots: NULL, not a 0/0 error
-            F.when(
-                F.col("padded_tokens") > 0,
-                F.round(
-                    (F.col("padded_tokens") - F.col("total_tokens")).cast(
-                        "double"
-                    )
-                    / F.col("padded_tokens").cast("double"),
-                    6,
-                ),
-            ).alias("waste_frac"),
-        )
-    )
 
 
-PACKING_EFFICIENCY_SQL = f"""
-WITH per_doc AS (
-  SELECT CAST(len(list_filter(string_split(text, ' '),
-                              t -> t <> '')) AS BIGINT) AS n_tokens
-  FROM documents),
-sweep AS (
-  SELECT CAST(L AS BIGINT) AS seq_len, n_tokens,
-         (n_tokens + L - 1) // L AS n_chunks
-  FROM per_doc, (SELECT unnest({_PACK_SWEEP_LENS!r}) AS L) ls)
-SELECT seq_len,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
-       CAST(SUM(n_chunks * seq_len) AS BIGINT) AS padded_tokens,
-       CASE WHEN SUM(n_chunks * seq_len) > 0
-            THEN ROUND(CAST(SUM(n_chunks * seq_len) - SUM(n_tokens) AS DOUBLE)
-                       / CAST(SUM(n_chunks * seq_len) AS DOUBLE), 6)
-            END AS waste_frac
-FROM sweep
-GROUP BY 1
-"""
 
 
-_DISTINCT_TERMS_K = 10
-_DISTINCT_TERMS_MIN = 5
 
 
-def docs_source_distinctive_terms_q(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-source distinctive vocabulary by smoothed odds ratio (the
-    "Fightin' Words" corpus-comparison shape, Monroe et al. 2008,
-    add-one prior): for token t in source s with a = occurrences in s,
-    b = occurrences elsewhere, A/B the source/rest totals, rank by
-    ((a+1)·(B−b+1)) / ((A−a+1)·(b+1)) — the top-10 per source are the
-    tokens that most distinguish the source from the rest of the
-    corpus (the mixture-skew diagnostic an LLM-data pipeline runs per
-    ingest source).
-
-    Determinism: counts are exact BIGINTs; each is < 2^53 so the
-    DOUBLE casts are exact and the single multiply + single divide
-    are IEEE-rounded identically in Spark and DuckDB — the ordering
-    and the 6-dp ratio are bit-identical (ties → token asc).
-
-    Scale shape: one hash aggregate on (source, token); the per-token
-    rest-of-corpus totals reuse the token key (second aggregate +
-    equi-join on token); source totals and the grand total are
-    source-cardinality relations that BROADCAST; the a ≥ 5 floor
-    prunes the rank input, and the per-source top-10 compiles to
-    partial WindowGroupLimit below its Exchange (no task sorts a full
-    source)."""
-    docs = src.load_table(spark, sf_dir, "documents")
-    tc = (
-        docs.select(
-            "source",
-            F.explode(
-                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-            ).alias("tok"),
-        )
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("a"))
-    )
-    tt = tc.groupBy("tok").agg(F.sum("a").alias("t"))
-    # totals come from a NARROW per-doc token count (no explode): the
-    # broadcast branches re-scan documents, but only (source, text)
-    # with a size() projection — never the exploded token stream
-    stot = (
-        docs.select(
-            "source",
-            F.size(
-                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-            )
-            .cast("long")
-            .alias("ntok"),
-        )
-        .groupBy("source")
-        .agg(F.sum("ntok").alias("src_total"))
-    )
-    g = stot.agg(F.sum("src_total").alias("grand"))
-    b = F.col("t") - F.col("a")  # occurrences elsewhere
-    rest_total = F.col("grand") - F.col("src_total")
-    num = (F.col("a") + F.lit(1)).cast("double") * (
-        rest_total - b + F.lit(1)
-    ).cast("double")
-    den = (F.col("src_total") - F.col("a") + F.lit(1)).cast("double") * (
-        b + F.lit(1)
-    ).cast("double")
-    w = Window.partitionBy("source").orderBy(
-        F.col("odds_ratio").desc(), F.col("tok").asc()
-    )
-    return (
-        tc.filter(F.col("a") >= _DISTINCT_TERMS_MIN)
-        .join(tt, "tok")
-        .join(F.broadcast(stot), "source")
-        .crossJoin(F.broadcast(g))
-        .select(
-            "source",
-            "tok",
-            "a",
-            b.cast("long").alias("n_elsewhere"),
-            (num / den).alias("odds_ratio"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _DISTINCT_TERMS_K)
-        .select(
-            "source",
-            F.col("tok").alias("term"),
-            F.col("a").alias("n_in_source"),
-            "n_elsewhere",
-            F.round(F.col("odds_ratio"), 6).alias("odds_ratio"),
-            "rank",
-        )
-    )
 
 
-DISTINCTIVE_TERMS_SQL = f"""
-WITH toks AS (
-  SELECT source,
-         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
-  FROM documents),
-tc AS (
-  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
-  FROM toks GROUP BY 1, 2),
-tt AS (SELECT tok, SUM(a) AS t FROM tc GROUP BY 1),
-stot AS (
-  SELECT source,
-         SUM(CAST(len(list_filter(string_split(text, ' '),
-                                  t -> t <> '')) AS BIGINT)) AS src_total
-  FROM documents GROUP BY 1),
-g AS (SELECT SUM(src_total) AS grand FROM stot),
-scored AS (
-  SELECT tc.source, tc.tok, tc.a, tt.t - tc.a AS b,
-         (CAST(tc.a + 1 AS DOUBLE)
-          * CAST((g.grand - stot.src_total) - (tt.t - tc.a) + 1 AS DOUBLE))
-         / (CAST(stot.src_total - tc.a + 1 AS DOUBLE)
-            * CAST((tt.t - tc.a) + 1 AS DOUBLE)) AS odds_ratio
-  FROM tc
-  JOIN tt USING (tok)
-  JOIN stot USING (source)
-  CROSS JOIN g
-  WHERE tc.a >= {_DISTINCT_TERMS_MIN})
-SELECT source, tok AS term, a AS n_in_source,
-       CAST(b AS BIGINT) AS n_elsewhere,
-       ROUND(odds_ratio, 6) AS odds_ratio, CAST(rn AS INT) AS rank
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-                                   ORDER BY odds_ratio DESC, tok ASC) AS rn
-      FROM scored)
-WHERE rn <= {_DISTINCT_TERMS_K}
-"""
+
+
+
+
+
+
 
 
 
@@ -3394,6 +2471,56 @@ from cass_cdc_pg_spark.registry_events import (  # noqa: E402
     users_retention_cohorts_q,
 )
 
+
+from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
+    BLOCK_DEDUP_SQL,
+    CLUSTER_SIZES_SQL,
+    DEDUP_SIMHASH_PAIRS_SQL,
+    DEDUP_SIMHASH_SQL,
+    DISTINCTIVE_TERMS_SQL,
+    DUP_RATE_SQL,
+    DUP_SPANS_SQL,
+    FUZZY_PAIRS_SQL,
+    HEAVY_HITTERS_SQL,
+    LANG_MIX_SQL,
+    NGRAM_NOVELTY_SQL,
+    NGRAM_TOPK_SQL,
+    PACKING_EFFICIENCY_SQL,
+    QUALITY_TIERS_SQL,
+    SOURCE_QUANTILES_SQL,
+    SOURCE_STATS_SQL,
+    SPLIT_STATS_SQL,
+    TFIDF_SQL,
+    VOCAB_COVERAGE_SQL,
+    WEIGHTED_SAMPLE_SQL,
+    _DISTINCT_TERMS_K,
+    _DISTINCT_TERMS_MIN,
+    _PACK_SWEEP_LENS,
+    _VOCAB_K,
+    _lang_mix_sql,
+    _simhash_fp_ctes,
+    _simhash_pairs_sql,
+    dedup_cluster_sizes_q,
+    dedup_simhash_pairs_q,
+    dedup_simhash_q,
+    docs_block_dedup_q,
+    docs_dup_rate_by_source_q,
+    docs_duplicated_spans_q,
+    docs_fuzzy_pairs_q,
+    docs_heavy_hitters_q,
+    docs_lang_mix_q,
+    docs_ngram_novelty_q,
+    docs_ngram_topk_q,
+    docs_packing_efficiency_q,
+    docs_quality_tiers_q,
+    docs_source_distinctive_terms_q,
+    docs_source_stats_q,
+    docs_source_token_quantiles_q,
+    docs_split_stats_q,
+    docs_tfidf_topterms_q,
+    docs_vocab_coverage_q,
+    docs_weighted_sample_q,
+)
 
 QUERIES = {
     # ================= r14 driver window (first 50) =================
