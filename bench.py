@@ -155,10 +155,11 @@ PIPELINE = [
     "docs_unigram_logprob",
     "docs_bigram_logprob",
     "docs_shard_balance",
-    # r14 additions (pipeline_total grows by these 2 entries —
+    # r14 additions (pipeline_total grows by these 3 entries —
     # compare older rounds against the other 105)
     "unigram_logprob_incremental_parity",
     "bigram_logprob_incremental_parity",
+    "dedup_containment_incremental",
 ]
 
 
@@ -1071,6 +1072,18 @@ def main() -> None:
     _regc._lm_bigram_counts(spark, sf_dir)
     lm_bigram_build_sec = round(time.time() - t0, 3)
 
+    # r14: the containment standing inverted index (postings/sizes/df)
+    # — same capex split; the pipeline row above then measures the
+    # daily batch-vs-index feed, not the corpus re-shingle
+    key = _regc._docs_fixture_key(sf_dir)
+    _cidx = _reg._cache_layout_dir(
+        "containment_index", key[0], key[1], _regc._CONTAINMENT_N, "inc10"
+    )
+    shutil.rmtree(_cidx, ignore_errors=True)
+    t0 = time.time()
+    _regc._containment_index(spark, sf_dir)
+    containment_index_build_sec = round(time.time() - t0, 3)
+
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
     os.environ["SPARK_GRAFT_NO_LM_MEMO"] = "1"  # r13: the LM scorers
@@ -1149,6 +1162,7 @@ def main() -> None:
         "inc_index_build_sec": inc_index_build_sec,
         "lm_unigram_build_sec": lm_unigram_build_sec,
         "lm_bigram_build_sec": lm_bigram_build_sec,
+        "containment_index_build_sec": containment_index_build_sec,
         **cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm": True,

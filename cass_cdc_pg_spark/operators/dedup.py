@@ -199,6 +199,17 @@ def shingle_containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _containment_scores(inter, sizes, threshold)
+
+
+def _containment_scores(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared score tail of the containment operators: join per-doc
+    shingle-set sizes onto the per-pair intersection counts, compute
+    both containment directions + Jaccard (ONE expression shape, so
+    the full and incremental variants cannot drift), keep pairs where
+    either direction clears *threshold*."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
     c_a = F.round(F.col("inter").cast("double") / F.col("sz_a"), 4)
@@ -222,6 +233,121 @@ def shingle_containment_pairs(
             >= threshold
         )
     )
+
+
+def containment_index_relations(
+    documents: DataFrame, n: int = 3
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The standing inverted index of the incremental containment
+    path, as three relations a daily pipeline persists beside the
+    corpus snapshot: postings (doc_id, sh_h), sizes (doc_id, n_sh),
+    and the document-frequency table (sh_h, df).  df is stored — not
+    recomputed per batch — so the stop-shingle guard at admission
+    time is a map-side lookup over the standing relation, never a
+    corpus-wide re-aggregation."""
+    sh = shingles(documents, n).select(
+        "doc_id", _token_hash(F.col("shingle")).alias("sh_h")
+    ).localCheckpoint(eager=False)  # feeds all three aggregates
+    return (
+        sh,
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
+        sh.groupBy("sh_h").agg(F.count(F.lit(1)).cast("long").alias("df")),
+    )
+
+
+def incremental_containment_pairs(
+    base_postings: DataFrame,
+    base_sizes: DataFrame,
+    base_df: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Containment near-dup pairs INVOLVING a new daily batch, against
+    a STANDING inverted index (r13 verdict #2's flatten lever): the
+    corpus postings/sizes/df are read from the persisted index —
+    never re-shingled, never re-aggregated — the batch's shingles
+    broadcast into one map-side pass over the postings (new×base
+    candidates), and the batch self-joins for new×new pairs (bounded
+    by batch size).  Semantics: exactly the new-involving subset of
+    :func:`shingle_containment_pairs` over base ∪ batch — the oracle
+    posture is the full recompute restricted to new-involving pairs.
+
+    The stop-shingle guard composes across the split: a shingle is
+    stopped iff its TOTAL df (standing df + batch df) exceeds
+    *max_doc_freq* — identical to the full operator's corpus-wide df,
+    because counts are additive.  The standing df relation is scanned
+    once map-side (broadcast batch df), so the guard costs O(index
+    scan), not a shuffle.
+
+    Scale shape: the corpus crosses NO shuffle — one pruned scan of
+    the postings with a broadcast hash join; everything shuffled is
+    O(batch + candidate pairs)."""
+    new_sh = (
+        shingles(new_docs, n)
+        .select("doc_id", _token_hash(F.col("shingle")).alias("sh_h"))
+        # feeds sizes, batch df, both intersection joins
+        .localCheckpoint(eager=False)
+    )
+    new_sizes = new_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    if max_doc_freq is not None:
+        new_df = new_sh.groupBy("sh_h").agg(
+            F.count(F.lit(1)).cast("long").alias("_df_new")
+        )
+        # total df = standing + batch (additive, so identical to the
+        # full operator's corpus-wide count): one map-side pass over
+        # the standing df relation + the batch-only complement
+        stop = (
+            base_df.join(F.broadcast(new_df), "sh_h", "left")
+            .filter(
+                F.col("df") + F.coalesce(F.col("_df_new"), F.lit(0))
+                > max_doc_freq
+            )
+            .select("sh_h")
+            .unionByName(
+                new_df.filter(F.col("_df_new") > max_doc_freq).select(
+                    "sh_h"
+                )
+            )
+            .distinct()
+        )
+        new_sh = new_sh.join(F.broadcast(stop), "sh_h", "left_anti")
+        base_postings = base_postings.join(
+            F.broadcast(stop), "sh_h", "left_anti"
+        )
+    # new×base: ids are disjoint by construction (the carve-out), so
+    # no self-pair filter is needed; orientation normalized below
+    nb = (
+        base_postings.withColumnRenamed("doc_id", "_base_id")
+        .join(
+            F.broadcast(
+                new_sh.withColumnRenamed("doc_id", "_new_id")
+            ),
+            "sh_h",
+        )
+        .groupBy(
+            F.least("_base_id", "_new_id").alias("doc_a"),
+            F.greatest("_base_id", "_new_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # new×new: the full operator's within-bucket self-join, batch-bounded
+    a = new_sh.alias("a")
+    b = new_sh.alias("b")
+    nn = (
+        a.join(b, F.col("a.sh_h") == F.col("b.sh_h"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = base_sizes.unionByName(new_sizes)
+    return _containment_scores(nb.unionByName(nn), sizes, threshold)
 
 
 #: pipeline default for the stop-shingle cap: a shingle shared by more

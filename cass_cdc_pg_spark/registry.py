@@ -625,10 +625,13 @@ FROM events WHERE event_id % 997 = 17
 # argument as the registry_ann import below.
 # ---------------------------------------------------------------------------
 from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
+    _carveout_sql,
     dedup_exact_groups,
     DEDUP_EXACT_SQL,
     dedup_containment_pairs_q,
     DEDUP_CONTAINMENT_SQL,
+    dedup_containment_incremental_q,
+    CONTAINMENT_INCREMENTAL_SQL,
     docs_unigram_logprob_q,
     unigram_logprob_oracle_sql,
     docs_bigram_logprob_q,
@@ -728,15 +731,9 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
 # r9 — incremental corpus dedup (daily new-batch vs standing corpus)
 # ---------------------------------------------------------------------------
 
-def _carveout_sql(id_expr: str) -> str:
-    """The deterministic ~10% "new batch" carve-out (multiplicative-
-    hash draw, same style as ``text.assign_splits``) as SQL text —
-    ONE definition shared by every oracle site, with
-    :func:`_carveout_col` as its Spark twin, so the two dialects
-    cannot drift (r9 review; the draw was previously written out six
-    times).  Pure string: safe at import time (the Column twin needs
-    an active SparkContext, so it is built lazily)."""
-    return f"(({id_expr} % 10000) * 48271) % 10000 < 1000"
+# _carveout_sql moved to registry_corpus in r14 (the containment
+# standing index needs it at ITS import time, which precedes this
+# module's tail) — imported in the block above, still ONE definition.
 
 
 def _carveout_col(id_col: str) -> Column:
@@ -2530,9 +2527,11 @@ QUERIES = {
     # witness the current implementation), then the itemized
     # evidence backlog, then the stale tail oldest-first.
     # ---- (a) new in r14 (never driver-checked): the maintained-LM
-    # parity pair (r13 verdict #3) ----
+    # parity pair (r13 verdict #3) and the incremental containment
+    # feed against the persisted inverted index (r13 verdict #2) ----
     "unigram_logprob_incremental_parity": unigram_logprob_incremental_parity_q,
     "bigram_logprob_incremental_parity": bigram_logprob_incremental_parity_q,
+    "dedup_containment_incremental": dedup_containment_incremental_q,
     # ---- (b) rewritten in r14: the LM scorers now read the PERSISTED
     # standing count artifacts (index-backed cold path), and the
     # shard hash is now pmod+DIV (engine-identical for negative
@@ -2588,15 +2587,17 @@ QUERIES = {
     "text_repetition_stats": text_repetition_q,
     "embedding_quantize_int8": embedding_quantize_q,
     "docs_length_histogram": docs_length_histogram_q,
-    "text_bpe_token_count": text_bpe_token_count_q,
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r15, oldest evidence first: (1) the
-    # r11-green remainder (16 entries — the next r15 leads), (2) the
-    # 49 r12-green entries, (3) the 47 r13-green entries.  Any NEW
-    # r15 queries take slots by displacement from the bottom of the
-    # r11 remainder.
-    # ---- r11-green remainder (16 entries — the next r15 leads) ----
+    # r11-green remainder (17 entries — the next r15 leads;
+    # text_bpe_token_count displaced from the window bottom by the
+    # new dedup_containment_incremental), (2) the 49 r12-green
+    # entries, (3) the 47 r13-green entries.  Any NEW r15 queries
+    # take slots by displacement from the bottom of the r11
+    # remainder.
+    # ---- r11-green remainder (17 entries — the next r15 leads) ----
+    "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
     "text_winnow_fps": text_winnow_q,
     "text_lang_id": text_lang_id_q,
@@ -2745,6 +2746,7 @@ ORACLE = {
     "dedup_exact_groups": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
+    "dedup_containment_incremental": CONTAINMENT_INCREMENTAL_SQL,
     "docs_shard_balance": DOCS_SHARD_BALANCE_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,

@@ -33,6 +33,19 @@ class _RegistryProxy:
 _reg = _RegistryProxy()
 
 
+def _carveout_sql(id_expr: str) -> str:
+    """The deterministic ~10% "new batch" carve-out (multiplicative-
+    hash draw, same style as ``text.assign_splits``) as SQL text —
+    ONE definition shared by every oracle site, with
+    ``registry._carveout_col`` as its Spark twin, so the two dialects
+    cannot drift (r9 review; the draw was previously written out six
+    times).  Pure string: safe at import time (the Column twin needs
+    an active SparkContext, so it is built lazily).  Lives here (not
+    registry.py) since r14: this module's import-time SQL consts need
+    it before registry.py's tail runs."""
+    return f"(({id_expr} % 10000) * 48271) % 10000 < 1000"
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / text / similarity
 # ---------------------------------------------------------------------------
@@ -99,6 +112,86 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE GREATEST(ROUND(inter * 1.0 / sa.n_sh, 4),
                ROUND(inter * 1.0 / sb.n_sh, 4)) >= 0.3
+"""
+
+
+#: containment query parameters — shared by the full query, the
+#: incremental variant, and both oracles
+_CONTAINMENT_N = 3
+_CONTAINMENT_THRESHOLD = 0.3
+
+
+def _containment_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PERSISTED standing inverted index of the incremental
+    containment path (postings / sizes / df over the base corpus —
+    see ``dedup.containment_index_relations``), under the shared
+    ``.cache`` layout protocol; keyed by the shingle width and the
+    carve-out so a parameter change invalidates it."""
+    import os as _os
+
+    key = _docs_fixture_key(sf_dir)
+    d = _reg._cache_layout_dir(
+        "containment_index", key[0], key[1], _CONTAINMENT_N, "inc10"
+    )
+
+    def _build(tmp: str) -> None:
+        base = src.load_table(spark, sf_dir, "documents").filter(
+            ~_reg._carveout_col("doc_id")
+        )
+        postings, sizes, df_rel = dedup.containment_index_relations(
+            base, n=_CONTAINMENT_N
+        )
+        postings.write.mode("overwrite").parquet(
+            _os.path.join(tmp, "postings")
+        )
+        sizes.write.mode("overwrite").parquet(_os.path.join(tmp, "sizes"))
+        df_rel.write.mode("overwrite").parquet(_os.path.join(tmp, "df"))
+
+    _reg._ensure_layout(d, "containment_index_", _build)
+    return (
+        spark.read.parquet(_os.path.join(d, "postings")),
+        spark.read.parquet(_os.path.join(d, "sizes")),
+        spark.read.parquet(_os.path.join(d, "df")),
+    )
+
+
+def dedup_containment_incremental_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental containment dedup (new r14, r13 verdict #2's
+    flatten lever): the containment pairs a DAILY BATCH creates —
+    new×corpus via one map-side broadcast join over the PERSISTED
+    standing inverted index (postings/sizes/df — the corpus is never
+    re-shingled and never crosses a shuffle), plus the batch's own
+    new×new pairs.  The stop-shingle guard composes additively
+    (standing df + batch df = corpus df), so semantics are EXACTLY
+    the full recompute restricted to new-involving pairs — which is
+    the oracle: the full-corpus containment SQL (guard modeled)
+    filtered to pairs touching the carve-out.  Hash match == a daily
+    containment feed loses nothing vs re-running the whole corpus."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    new = docs.filter(_reg._carveout_col("doc_id"))
+    postings, sizes, df_rel = _containment_index(spark, sf_dir)
+    return dedup.incremental_containment_pairs(
+        postings,
+        sizes,
+        df_rel,
+        new,
+        n=_CONTAINMENT_N,
+        threshold=_CONTAINMENT_THRESHOLD,
+        max_doc_freq=dedup.DEFAULT_MAX_DOC_FREQ,
+    )
+
+
+#: oracle twin of the incremental containment query: the FULL-corpus
+#: recompute (same shingle width, threshold, and modeled stop guard —
+#: reusing DEDUP_CONTAINMENT_SQL verbatim so the two cannot drift)
+#: restricted to pairs involving the carve-out batch
+CONTAINMENT_INCREMENTAL_SQL = f"""
+SELECT * FROM ({DEDUP_CONTAINMENT_SQL})
+WHERE ({_carveout_sql("doc_a")}) OR ({_carveout_sql("doc_b")})
 """
 
 

@@ -1716,3 +1716,23 @@ def test_cell_drift_single_pass_no_python(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "cell" in ln, ln
+
+
+def test_containment_incremental_corpus_never_shuffles(spark):
+    """dedup_containment_incremental (new r14): the standing postings
+    relation must meet the batch through a BROADCAST hash join (the
+    corpus side crosses no Exchange before the intersection join),
+    the stop-guard composition must read the standing df relation
+    map-side, and nothing reaches Python."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.dedup_containment_incremental_q(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "sh_h" in plan, plan  # 8-byte hash keys, not shingle strings

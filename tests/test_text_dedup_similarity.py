@@ -1849,3 +1849,64 @@ def test_pq_recall_floors_hold_at_sf01(spark):
                      emb, q, books, k=10, shortlist=50
                  ).collect()}
     assert len(exact10 & refined10) / len(exact10) >= 0.9
+
+
+def test_incremental_containment_equals_full_restricted(spark):
+    """The incremental containment feed's whole claim (r14): pairs
+    computed batch-vs-standing-index == the full-corpus recompute
+    restricted to new-involving pairs — INCLUDING the stop-shingle
+    guard, which must compose additively across the split (standing
+    df + batch df = corpus df).  The fixture plants a boilerplate
+    shingle whose corpus df crosses the cap only when base and batch
+    counts are SUMMED, so a guard applied on either side alone gives
+    a different (wrong) answer."""
+    boiler = "common header line"
+    base_rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} alpha beta gamma epsilon"),
+        (3, f"{boiler} zeta eta theta iota"),
+        (4, "totally unrelated base document text here"),
+    ]
+    new_rows = [
+        (10, f"{boiler} alpha beta gamma delta"),      # near-dup of 1
+        (11, f"{boiler} kappa lambda mu nu"),
+        (12, "totally unrelated base document text here"),  # dup of 4
+        (13, "brand new content nothing shared anywhere"),
+        (14, "brand new content nothing shared anywhere at all"),  # nn pair
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    full = base.unionByName(new)
+    cap = 4  # boiler trigram df: 3 in base + 2 in new = 5 > 4 — only combined
+    postings, sizes, df_rel = dedup.containment_index_relations(base, n=3)
+    inc = {
+        (r["doc_a"], r["doc_b"]): (
+            r["containment_a"], r["containment_b"], r["jaccard"]
+        )
+        for r in dedup.incremental_containment_pairs(
+            postings, sizes, df_rel, new, n=3, threshold=0.3, max_doc_freq=cap
+        ).collect()
+    }
+    new_ids = {r[0] for r in new_rows}
+    ref = {
+        (r["doc_a"], r["doc_b"]): (
+            r["containment_a"], r["containment_b"], r["jaccard"]
+        )
+        for r in dedup.shingle_containment_pairs(
+            full, n=3, threshold=0.3, max_doc_freq=cap
+        ).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert inc == ref
+    assert inc  # non-vacuous: the fixture produces new-involving pairs
+    assert (13, 14) in inc  # the within-batch (new x new) side
+    assert (1, 10) in inc  # the batch-vs-index side
+    # the guard actually bit: the stopped boiler shingles undercount
+    # the (1, 10) intersection relative to an unguarded run
+    unguarded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.shingle_containment_pairs(
+            full, n=3, threshold=0.3
+        ).collect()
+    }
+    assert unguarded[(1, 10)] > inc[(1, 10)][2]

@@ -242,6 +242,7 @@ def main() -> None:
         docs_bigram_logprob_q,
         unigram_logprob_incremental_parity_q,
         bigram_logprob_incremental_parity_q,
+        dedup_containment_incremental_q,
         docs_shard_balance_q,
         dedup_containment_pairs_q,
         embedding_cell_drift_q,
@@ -379,6 +380,11 @@ def main() -> None:
             unigram_logprob_incremental_parity_q,
         "bigram_logprob_incremental_parity":
             bigram_logprob_incremental_parity_q,
+        # r14 (r13 verdict #2's flatten lever): the daily containment
+        # feed — warmup builds the 10x standing inverted index; the
+        # timed ratio is the batch-vs-index broadcast join + the
+        # batch self-join, the O(batch) claim
+        "dedup_containment_incremental": dedup_containment_incremental_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
