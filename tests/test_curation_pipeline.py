@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 
 from cass_cdc_pg_spark.operators import dedup, text
 
+# multi-minute Spark-heavy suite: excluded from the tight red-green
+# loop (`pytest -m "not slow"`); the round gate runs it always
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _corpus(spark, n=400):
     # every third doc is an exact dup of its predecessor; every

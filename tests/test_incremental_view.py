@@ -7,6 +7,10 @@ from __future__ import annotations
 
 import pytest
 
+# multi-minute Spark-heavy suite: excluded from the tight red-green
+# loop (`pytest -m "not slow"`); the round gate runs it always
+pytestmark = pytest.mark.slow
+
 from cass_cdc_pg_spark.plans.keyed_table import KeyedTable
 from cass_cdc_pg_spark.streaming.incremental_view import IncrementalAggView
 

@@ -13,6 +13,10 @@ import os
 import uuid
 
 import pytest
+
+# multi-minute Spark-heavy suite: excluded from the tight red-green
+# loop (`pytest -m "not slow"`); the round gate runs it always
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -9,6 +9,10 @@ correct.
 from __future__ import annotations
 
 import pytest
+
+# multi-minute Spark-heavy suite: excluded from the tight red-green
+# loop (`pytest -m "not slow"`); the round gate runs it always
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 

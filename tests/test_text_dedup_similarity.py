@@ -3,6 +3,10 @@
 from __future__ import annotations
 
 import pytest
+
+# multi-minute Spark-heavy suite: excluded from the tight red-green
+# loop (`pytest -m "not slow"`); the round gate runs it always
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from cass_cdc_pg_spark.operators import dedup, similarity, text

@@ -12,6 +12,12 @@ from hypothesis import strategies as st
 from cass_cdc_pg_spark.operators import dedup as dedup_mod
 from cass_cdc_pg_spark.operators import text as text_ops
 
+# multi-minute Spark-heavy suite: excluded from the tight red-green
+# loop (`pytest -m "not slow"`); the round gate runs it always
+import pytest
+
+pytestmark = pytest.mark.slow
+
 _tok = st.text(alphabet="abc", min_size=1, max_size=2)
 _doc = st.lists(_tok, min_size=0, max_size=20).map(" ".join)
 
