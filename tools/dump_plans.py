@@ -220,6 +220,18 @@ SELECTED: list[tuple[str, str]] = [
      "scalar anchor broadcast over a one-column scan; no Window"),
     ("events_gap_stats",
      "lag window PARTITIONED by user; partial-aggregated rollup"),
+    ("docs_bigram_logprob",
+     "index-backed LM score (r14): both count relations are parquet "
+     "reads of the persisted standing artifact; ONE bigram explode; "
+     "count-fetch joins on xxhash64 keys; lp table broadcast"),
+    ("unigram_logprob_incremental_parity",
+     "maintained-LM merge-delta (r14): standing counts read from "
+     "parquet, O(batch) delta aggregate, union+sum merge behind a "
+     "lazy localCheckpoint; score join reuses the index-backed shape"),
+    ("dedup_containment_incremental",
+     "daily containment feed (r14): corpus postings cross NO "
+     "Exchange — batch shingles broadcast into one map-side pass; "
+     "stop guard composes df from the standing relation map-side"),
 ]
 
 
