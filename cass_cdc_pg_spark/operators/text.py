@@ -295,11 +295,14 @@ def bigram_logprob(
 
     spark = documents.sparkSession
     have_counts = bg_counts is not None and pfx_counts is not None
-    # with standing counts the relation feeds ONE action (no
-    # checkpoint); without, it feeds both count aggregates and the
-    # score join and the checkpoint is load-bearing (see
-    # bigram_relation)
-    bgs = bigram_relation(documents, checkpoint=not have_counts)
+    # the checkpoint stays ON in BOTH paths: without standing counts
+    # it stops the explode re-running across the count aggregates and
+    # the score join; with them, the returned DataFrame is memoized
+    # and executed repeatedly (bench warm loop, driver gate), and the
+    # materialized relation is what keeps those repeat actions
+    # joins-only (measured r14: dropping it tripled the warm wall,
+    # 1.3 s → 4.7 s at sf0.1 — the explode re-ran per action)
+    bgs = bigram_relation(documents, checkpoint=True)
     if not have_counts:
         bg_counts = bgs.groupBy("bg_h").agg(
             F.count(F.lit(1)).cast("long").alias("c")
