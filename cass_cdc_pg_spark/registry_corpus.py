@@ -170,7 +170,11 @@ def dedup_containment_incremental_q(
     the full recompute restricted to new-involving pairs — which is
     the oracle: the full-corpus containment SQL (guard modeled)
     filtered to pairs touching the carve-out.  Hash match == a daily
-    containment feed loses nothing vs re-running the whole corpus."""
+    containment feed loses nothing vs re-running the whole corpus.
+    Reference posture: incremental validation against maintained
+    state rather than full re-reconciliation
+    (``reconciliation_engine.py``'s scoped-revalidation discipline,
+    the dedup-incremental tier's shared anchor)."""
     docs = src.load_table(spark, sf_dir, "documents")
     new = docs.filter(_reg._carveout_col("doc_id"))
     postings, sizes, df_rel = _containment_index(spark, sf_dir)
@@ -776,7 +780,10 @@ def unigram_logprob_incremental_parity_q(
     one batch-sized explode + partial agg; the merge is one (tok)
     shuffle of vocab-sized relations; scoring reuses the index-backed
     plan.  The merged relation rides a lazy localCheckpoint — it
-    feeds the scorer's two bounded collects and the score join."""
+    feeds the scorer's two bounded collects and the score join.
+    Reference posture: idempotent merge into maintained state, the
+    ``timestamp_conflict_resolver.py:247-285`` upsert discipline
+    applied to the LM tier's trained artifact."""
     import os as _os
 
     def _build_df() -> DataFrame:
