@@ -155,11 +155,12 @@ PIPELINE = [
     "docs_unigram_logprob",
     "docs_bigram_logprob",
     "docs_shard_balance",
-    # r14 additions (pipeline_total grows by these 3 entries —
+    # r14 additions (pipeline_total grows by these 4 entries —
     # compare older rounds against the other 105)
     "unigram_logprob_incremental_parity",
     "bigram_logprob_incremental_parity",
     "dedup_containment_incremental",
+    "docs_bigram_backoff_logprob",
 ]
 
 
@@ -1042,6 +1043,10 @@ def main() -> None:
         # score the corpus)
         "unigram_logprob_incremental_parity",
         "bigram_logprob_incremental_parity",
+        # r14: held-out scoring against the standing LM — cold = read
+        # the base-count artifacts, score the batch through the
+        # three-tier backoff
+        "docs_bigram_backoff_logprob",
     ]
     # one-time standing-index build (the incremental tier's capex):
     # drop the on-disk index and rebuild it, timed, so the cold loop

@@ -374,6 +374,163 @@ def bigram_logprob(
     )
 
 
+#: stupid-backoff discount log10(0.4) in exact 6-dp micros — a shared
+#: LITERAL (never computed in an engine), same contract as the count
+#: log table
+BACKOFF_MICROS = -397_940
+
+
+def bigram_backoff_logprob(
+    documents: DataFrame,
+    bg_counts: DataFrame,
+    pfx_counts: DataFrame,
+    uni_counts: DataFrame,
+) -> DataFrame:
+    """Score HELD-OUT text against a TRAINED corpus LM with stupid
+    backoff — the operation :func:`bigram_logprob` cannot do: its
+    inner count-fetch joins silently DROP bigrams absent from the
+    count relations, which is correct when scoring the training
+    corpus itself (every bigram is present by construction) and
+    silently wrong for new data.  Here every position contributes:
+
+    - bigram seen in the base corpus: log10 c(p,t) − log10 c(p,·)
+      (the MLE, exactly the in-corpus scorer's term);
+    - bigram unseen, predicted token seen: log10 0.4 + log10 c(t) −
+      log10 total (stupid backoff to the unigram MLE — Brants et al.
+      2007, "Large Language Models in Machine Translation", the
+      standard web-scale non-normalized smoothing);
+    - token OOV: log10 0.4 − log10 total (count-1 floor).
+
+    Determinism contract unchanged: ONE Python-built count→log-micros
+    table covers the distinct count values of all three relations
+    plus the corpus total; the backoff discount is the
+    :data:`BACKOFF_MICROS` literal; every per-position contribution
+    is a difference/sum of those integers, and the mean is the
+    tie-proof half-away integer division.
+
+    Scale shape: the held-out batch explodes once (checkpointed —
+    the returned DataFrame is memoized and re-executed), then three
+    LEFT count-fetch joins on 8-byte keys (each count relation
+    pre-joined with the broadcast lp table, so only integer micros
+    ride the probe) and one (doc_id) rollup; the standing relations
+    never re-aggregate.  Output: doc_id, n_positions, n_backoff
+    (positions that fell through to the unigram/OOV tiers),
+    sum_logprob_micros, mean_logprob."""
+    import math
+
+    spark = documents.sparkSession
+    toks = tokens(F.col("text"))
+    pos = (
+        documents.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ", F.get(toks, i), F.get(toks, i + 1)
+                        ).alias("bg"),
+                        F.get(toks, i).alias("pfx"),
+                        F.get(toks, i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(F.col("_p.bg")).alias("bg_h"),
+            F.xxhash64(F.col("_p.pfx")).alias("pfx_h"),
+            F.xxhash64(F.col("_p.cur")).alias("cur_h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cvals = sorted(
+        {r["c"] for r in bg_counts.select("c").distinct().collect()}
+        | {r["c"] for r in pfx_counts.select("c").distinct().collect()}
+        | {r["c"] for r in uni_counts.select("c").distinct().collect()}
+    )
+    if not cvals:  # empty base corpus: every position is OOV-floored
+        total_micros = 0
+        lp_rel = spark.createDataFrame(
+            [(0, 0)], "c long, lp_micros long"
+        )
+    else:
+        total = int(
+            uni_counts.agg(F.sum("c")).first()[0]
+        )  # base corpus token total — bounded 1-row collect
+        micros = {
+            c: int(round(round(math.log10(c), 6) * 1_000_000))
+            for c in cvals
+        }
+        total_micros = int(
+            round(round(math.log10(total), 6) * 1_000_000)
+        )
+        lp_rel = spark.createDataFrame(
+            [(c, m) for c, m in micros.items()], "c long, lp_micros long"
+        )
+
+    def _with_lp(counts: DataFrame, key: str, out: str) -> DataFrame:
+        return counts.join(F.broadcast(lp_rel), "c").select(
+            key, F.col("lp_micros").alias(out)
+        )
+
+    scored = (
+        pos.join(_with_lp(bg_counts, "bg_h", "_lp_bg"), "bg_h", "left")
+        .join(_with_lp(pfx_counts, "pfx_h", "_lp_pfx"), "pfx_h", "left")
+        .join(
+            _with_lp(
+                uni_counts.withColumnRenamed("tok", "cur_h"),
+                "cur_h",
+                "_lp_uni",
+            ),
+            "cur_h",
+            "left",
+        )
+        .select(
+            "doc_id",
+            # a bigram seen in base implies its prefix position exists
+            # in base, so _lp_pfx is non-null whenever _lp_bg is
+            F.when(
+                F.col("_lp_bg").isNotNull(),
+                F.col("_lp_bg") - F.col("_lp_pfx"),
+            )
+            .when(
+                F.col("_lp_uni").isNotNull(),
+                F.lit(BACKOFF_MICROS)
+                + F.col("_lp_uni")
+                - F.lit(total_micros),
+            )
+            .otherwise(F.lit(BACKOFF_MICROS) - F.lit(total_micros))
+            .cast("long")
+            .alias("_lp"),
+            F.col("_lp_bg").isNull().cast("long").alias("_backoff"),
+        )
+    )
+    mean_micros = F.expr(
+        "CASE WHEN _sum_lp < 0"
+        " THEN -(((-_sum_lp) * 2 + n_positions) DIV (2 * n_positions))"
+        " ELSE ((_sum_lp * 2 + n_positions) DIV (2 * n_positions)) END"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum("_backoff").cast("long").alias("n_backoff"),
+            F.sum("_lp").cast("long").alias("_sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_positions",
+            "n_backoff",
+            F.col("_sum_lp").alias("sum_logprob_micros"),
+            (mean_micros.cast("double") / F.lit(1_000_000.0)).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """doc_id, n_chars, stopword_ratio, unique_ratio, quality_bucket.
 

@@ -638,6 +638,8 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     bigram_logprob_oracle_sql,
     unigram_logprob_incremental_parity_q,
     bigram_logprob_incremental_parity_q,
+    docs_bigram_backoff_logprob_q,
+    bigram_backoff_oracle_sql,
     docs_shard_balance_q,
     DOCS_SHARD_BALANCE_SQL,
     _SHARD_N,
@@ -2532,6 +2534,7 @@ QUERIES = {
     "unigram_logprob_incremental_parity": unigram_logprob_incremental_parity_q,
     "bigram_logprob_incremental_parity": bigram_logprob_incremental_parity_q,
     "dedup_containment_incremental": dedup_containment_incremental_q,
+    "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
     # ---- (b) rewritten in r14: the LM scorers now read the PERSISTED
     # standing count artifacts (index-backed cold path), and the
     # shard hash is now pmod+DIV (engine-identical for negative
@@ -2586,17 +2589,17 @@ QUERIES = {
     "text_token_stats": text_token_stats_q,
     "text_repetition_stats": text_repetition_q,
     "embedding_quantize_int8": embedding_quantize_q,
-    "docs_length_histogram": docs_length_histogram_q,
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r15, oldest evidence first: (1) the
-    # r11-green remainder (17 entries — the next r15 leads;
-    # text_bpe_token_count displaced from the window bottom by the
-    # new dedup_containment_incremental), (2) the 49 r12-green
-    # entries, (3) the 47 r13-green entries.  Any NEW r15 queries
-    # take slots by displacement from the bottom of the r11
-    # remainder.
-    # ---- r11-green remainder (17 entries — the next r15 leads) ----
+    # r11-green remainder (18 entries — the next r15 leads;
+    # text_bpe_token_count and docs_length_histogram displaced from
+    # the window bottom by the new dedup_containment_incremental and
+    # docs_bigram_backoff_logprob), (2) the 49 r12-green entries,
+    # (3) the 47 r13-green entries.  Any NEW r15 queries take slots
+    # by displacement from the bottom of the r11 remainder.
+    # ---- r11-green remainder (18 entries — the next r15 leads) ----
+    "docs_length_histogram": docs_length_histogram_q,
     "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
     "text_winnow_fps": text_winnow_q,
@@ -2897,6 +2900,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     if bg is not None:
         out["docs_bigram_logprob"] = bg
         out["bigram_logprob_incremental_parity"] = bg
+    bko = bigram_backoff_oracle_sql(sf_dir)
+    if bko is not None:
+        out["docs_bigram_backoff_logprob"] = bko
     rc = ivf_recall_oracle_sql(sf_dir)
     if rc is not None:
         out["ann_ivf_recall"] = rc

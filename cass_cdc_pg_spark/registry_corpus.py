@@ -873,6 +873,160 @@ def bigram_logprob_incremental_parity_q(
     return _UNIGRAM_DF_CACHE[key]
 
 
+def docs_bigram_backoff_logprob_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out LM scoring with stupid backoff (new r14): score the
+    ~10% carve-out batch against the PERSISTED base-corpus LM — the
+    operation the in-corpus scorer cannot do (its inner count-fetch
+    joins silently drop unseen bigrams; correct on the training
+    corpus, silently wrong on new data).  Seen bigrams get the MLE
+    term, unseen ones back off to 0.4 × the unigram MLE, OOV tokens
+    to the 0.4/total floor (Brants et al. 2007 stupid backoff) —
+    n_backoff in the output counts the fallthroughs, the
+    data-quality signal itself (garbled text backs off constantly).
+    Same no-libm contract: one Python count→log-micros table covers
+    all three standing relations, the discount is an integer literal,
+    the mean is the tie-proof half-away division.  Reference posture:
+    read-side consumer of maintained state (the Q7 point-lookup
+    family over the conflict-resolver's upserted table)."""
+    import os as _os
+
+    def _build_df() -> DataFrame:
+        docs = src.load_table(spark, sf_dir, "documents")
+        batch = docs.filter(
+            F.expr(f"pmod(doc_id, 10) = {_LM_BATCH_RESIDUE}")
+        )
+        bg0, pfx0 = _lm_bigram_base_counts(spark, sf_dir)
+        uni0 = _lm_unigram_base_counts(spark, sf_dir)
+        return text.bigram_backoff_logprob(batch, bg0, pfx0, uni0)
+
+    if _os.environ.get("SPARK_GRAFT_NO_LM_MEMO"):
+        return _build_df()
+    key = (
+        spark.sparkContext.applicationId,
+        _docs_fixture_key(sf_dir),
+        "bg_backoff",
+    )
+    if key not in _UNIGRAM_DF_CACHE:
+        _UNIGRAM_DF_CACHE[key] = _build_df()
+    return _UNIGRAM_DF_CACHE[key]
+
+
+_BACKOFF_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def bigram_backoff_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Generated oracle twin of ``docs_bigram_backoff_logprob``:
+    DuckDB recomputes the base-corpus bigram/prefix/unigram counts
+    from scratch and scores the carve-out batch through the same
+    three-tier CASE; the count→log-micros table, the backoff
+    discount, and the total-tokens log are Python-computed literals
+    shared with the Spark side."""
+    import math
+    import os as _os
+
+    try:
+        key = _docs_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _BACKOFF_SQL_CACHE:
+        import duckdb
+
+        path = _os.path.join(sf_dir, "documents.parquet")
+        carve = f"((doc_id % 10) + 10) % 10 = {_LM_BATCH_RESIDUE}"
+        base_src = (
+            f"(SELECT * FROM read_parquet('{path}') WHERE NOT ({carve}))"
+        )
+        rel = _BIGRAM_REL_SQL.format(src=base_src)
+        con = duckdb.connect()
+        try:
+            rows = con.execute(
+                rel
+                + f""",
+u AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+  FROM {base_src})
+SELECT DISTINCT c FROM (
+  SELECT COUNT(*) AS c FROM b GROUP BY bg
+  UNION
+  SELECT COUNT(*) AS c FROM b GROUP BY pfx
+  UNION
+  SELECT COUNT(*) AS c FROM u GROUP BY t) x ORDER BY c"""
+            ).fetchall()
+            total = con.execute(
+                f"""
+SELECT COUNT(*) FROM (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+  FROM {base_src}) t"""
+            ).fetchone()[0]
+        finally:
+            con.close()
+        if not rows or not total:
+            return None
+        micros = {
+            int(c): int(round(round(math.log10(int(c)), 6) * 1_000_000))
+            for (c,) in rows
+        }
+        t_micros = int(round(round(math.log10(int(total)), 6) * 1_000_000))
+        vals = ", ".join(f"({c}, {m})" for c, m in sorted(micros.items()))
+        bkf = text.BACKOFF_MICROS
+        _BACKOFF_SQL_CACHE[key] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> array_to_string(tk[i:i+1], ' '))) AS bg,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS pfx
+  FROM toks WHERE len(tk) >= 2 AND NOT ({carve})),
+u AS (
+  SELECT unnest(tk) AS t FROM toks WHERE NOT ({carve})),
+bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM b GROUP BY 1),
+pfc AS (SELECT pfx, CAST(COUNT(*) AS BIGINT) AS c_pfx FROM b GROUP BY 1),
+unic AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c_uni FROM u GROUP BY 1),
+lp(c, lp_micros) AS (VALUES {vals}),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> array_to_string(tk[i:i+1], ' '))) AS bg,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS pfx,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS cur
+  FROM toks WHERE len(tk) >= 2 AND ({carve})),
+scored AS (
+  SELECT pos.doc_id,
+         CASE WHEN bgc.c_bg IS NOT NULL
+              THEN lb.lp_micros - lpx.lp_micros
+              WHEN unic.c_uni IS NOT NULL
+              THEN {bkf} + lu.lp_micros - {t_micros}
+              ELSE {bkf} - {t_micros} END AS lp,
+         CASE WHEN bgc.c_bg IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM pos
+  LEFT JOIN bgc ON pos.bg = bgc.bg
+  LEFT JOIN lp lb ON lb.c = bgc.c_bg
+  LEFT JOIN pfc ON pos.pfx = pfc.pfx
+  LEFT JOIN lp lpx ON lpx.c = pfc.c_pfx
+  LEFT JOIN unic ON pos.cur = unic.t
+  LEFT JOIN lp lu ON lu.c = unic.c_uni)
+SELECT doc_id, n_positions, n_backoff, sum_logprob_micros,
+       CAST(CASE WHEN sum_logprob_micros < 0
+                 THEN -(((-sum_logprob_micros) * 2 + n_positions)
+                        // (2 * n_positions))
+                 ELSE ((sum_logprob_micros * 2 + n_positions)
+                       // (2 * n_positions)) END
+            AS DOUBLE) / 1000000.0 AS mean_logprob
+FROM (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_positions,
+             CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+             CAST(SUM(lp) AS BIGINT) AS sum_logprob_micros
+      FROM scored GROUP BY 1) per
+"""
+    return _BACKOFF_SQL_CACHE[key]
+
+
 def text_token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-frequency rarity score per document (CCNet-style LM quality proxy; integer sums keep the oracle bit-exact)."""
     return text.token_rarity(src.load_table(spark, sf_dir, "documents"))

@@ -692,3 +692,55 @@ def test_bigram_logprob_ranks_scrambled_order_low(spark):
     assert (
         abs(uni[1]["mean_logprob"] - uni[2]["mean_logprob"]) < 0.02
     )  # unigram barely separates them
+
+
+def test_bigram_backoff_three_tiers_exact(spark):
+    """The held-out backoff scorer (r14): a hand-built batch drives
+    all three tiers — seen bigram (MLE), unseen bigram of seen
+    tokens (0.4 x unigram MLE), and OOV token (0.4/total floor) —
+    and the integer-micros sum must equal the Python model exactly
+    (the gate fixture's vocabulary is too repetitive to exercise
+    tiers 2-3, so this is their correctness pin)."""
+    import math
+
+    from cass_cdc_pg_spark.operators import text
+
+    base = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # bigrams: ab, ba, ab, bc ; tokens a2 b2 c1
+            (2, "a b"),         # bigram ab              ; tokens a1 b1
+        ],
+        "doc_id long, text string",
+    )
+    # batch: "a b" seen (c=3); "b a" seen (c=1); "c a" UNSEEN bigram,
+    # 'a' seen (c=3); "a z" -> z OOV
+    batch = spark.createDataFrame(
+        [(10, "a b a"), (11, "c a z")], "doc_id long, text string"
+    )
+    uni = text.unigram_counts(base)
+    bg, pfx = text.bigram_counts(base)
+    rows = {
+        r["doc_id"]: r
+        for r in text.bigram_backoff_logprob(batch, bg, pfx, uni).collect()
+    }
+    lp = lambda c: int(round(round(math.log10(c), 6) * 1_000_000))
+    total = 7  # a:3 b:3 c:1
+    # doc 10: "a b"(c_bg=3, c_pfx('a')=3) + "b a"(c_bg=1; 'b' holds
+    # the PREFIX position twice in base — (b,a) and (b,c) — so
+    # c_pfx('b')=2, the prefix-position count, not the token count)
+    exp10 = (lp(3) - lp(3)) + (lp(1) - lp(2))
+    assert rows[10]["n_positions"] == 2
+    assert rows[10]["n_backoff"] == 0
+    assert rows[10]["sum_logprob_micros"] == exp10
+    # doc 11: "c a" unseen bigram, 'a' seen c=3 -> tier 2;
+    #         "a z" -> 'z' OOV -> tier 3
+    exp11 = (text.BACKOFF_MICROS + lp(3) - lp(total)) + (
+        text.BACKOFF_MICROS - lp(total)
+    )
+    assert rows[11]["n_positions"] == 2
+    assert rows[11]["n_backoff"] == 2
+    assert rows[11]["sum_logprob_micros"] == exp11
+    # the mean is the tie-proof half-away integer division
+    m = rows[11]["sum_logprob_micros"]
+    expected_mean = -((-m * 2 + 2) // 4) / 1_000_000.0
+    assert rows[11]["mean_logprob"] == expected_mean

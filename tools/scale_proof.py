@@ -243,6 +243,7 @@ def main() -> None:
         unigram_logprob_incremental_parity_q,
         bigram_logprob_incremental_parity_q,
         dedup_containment_incremental_q,
+        docs_bigram_backoff_logprob_q,
         docs_shard_balance_q,
         dedup_containment_pairs_q,
         embedding_cell_drift_q,
@@ -385,6 +386,9 @@ def main() -> None:
         # timed ratio is the batch-vs-index broadcast join + the
         # batch self-join, the O(batch) claim
         "dedup_containment_incremental": dedup_containment_incremental_q,
+        # r14: held-out backoff scoring — O(batch) explode + three
+        # count-fetch joins against the standing base relations
+        "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
