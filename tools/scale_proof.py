@@ -736,11 +736,18 @@ def main() -> None:
         # the shingle shuffle's real volume outgrows the session floor
         "docs_ngram_novelty": _dnn,
         # r14 (r13 verdict #6): the bigram tier gets the same decade
-        # treatment as its unigram sibling.  LAST on purpose: its
-        # warm call pays the ~60s 100x count build, whose JVM residue
-        # inflated the row that followed it in the r14 closing run
+        # treatment as its unigram sibling.  The LM-artifact-building
+        # entries run LAST on purpose: their warm calls pay the
+        # 100x count builds (~60s for bigram), whose JVM residue
+        # inflated the row that followed in the r14 closing run
         # (the fuzzy-pairs 14.54-vs-4.27 recheck episode).
         "docs_bigram_logprob": _dbl,
+        # r15: decade follow-through for the r14 maintained-LM tier
+        "unigram_logprob_incremental_parity":
+            unigram_logprob_incremental_parity_q,
+        "bigram_logprob_incremental_parity":
+            bigram_logprob_incremental_parity_q,
+        "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
     }
     n_docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     with tempfile.TemporaryDirectory() as tmp100:
