@@ -1740,3 +1740,21 @@ def test_containment_incremental_corpus_never_shuffles(spark):
     assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "sh_h" in plan, plan  # 8-byte hash keys, not shingle strings
+
+
+def test_bigram_backoff_index_backed_no_python(spark):
+    """docs_bigram_backoff_logprob (r14): the three standing count
+    relations are parquet reads (index-backed — no corpus-wide count
+    aggregation in this plan beyond the batch explode), the lp table
+    rides broadcast joins, and nothing reaches Python."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.docs_bigram_backoff_logprob_q(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Scan parquet") >= 3, plan  # the standing relations
