@@ -155,12 +155,13 @@ PIPELINE = [
     "docs_unigram_logprob",
     "docs_bigram_logprob",
     "docs_shard_balance",
-    # r14 additions (pipeline_total grows by these 4 entries —
+    # r14 additions (pipeline_total grows by these 5 entries —
     # compare older rounds against the other 105)
     "unigram_logprob_incremental_parity",
     "bigram_logprob_incremental_parity",
     "dedup_containment_incremental",
     "docs_bigram_backoff_logprob",
+    "dedup_containment_admission",
 ]
 
 

@@ -632,6 +632,8 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     DEDUP_CONTAINMENT_SQL,
     dedup_containment_incremental_q,
     CONTAINMENT_INCREMENTAL_SQL,
+    dedup_containment_admission_q,
+    CONTAINMENT_ADMISSION_SQL,
     docs_unigram_logprob_q,
     unigram_logprob_oracle_sql,
     docs_bigram_logprob_q,
@@ -2529,12 +2531,14 @@ QUERIES = {
     # witness the current implementation), then the itemized
     # evidence backlog, then the stale tail oldest-first.
     # ---- (a) new in r14 (never driver-checked): the maintained-LM
-    # parity pair (r13 verdict #3) and the incremental containment
-    # feed against the persisted inverted index (r13 verdict #2) ----
+    # parity pair (r13 verdict #3), the incremental containment feed
+    # against the persisted inverted index (r13 verdict #2) with its
+    # admission decision, and the held-out backoff scorer ----
     "unigram_logprob_incremental_parity": unigram_logprob_incremental_parity_q,
     "bigram_logprob_incremental_parity": bigram_logprob_incremental_parity_q,
     "dedup_containment_incremental": dedup_containment_incremental_q,
     "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
+    "dedup_containment_admission": dedup_containment_admission_q,
     # ---- (b) rewritten in r14: the LM scorers now read the PERSISTED
     # standing count artifacts (index-backed cold path), and the
     # shard hash is now pmod+DIV (engine-identical for negative
@@ -2588,7 +2592,6 @@ QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "text_token_stats": text_token_stats_q,
     "text_repetition_stats": text_repetition_q,
-    "embedding_quantize_int8": embedding_quantize_q,
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r15, oldest evidence first: (1) the
@@ -2598,7 +2601,11 @@ QUERIES = {
     # docs_bigram_backoff_logprob), (2) the 49 r12-green entries,
     # (3) the 47 r13-green entries.  Any NEW r15 queries take slots
     # by displacement from the bottom of the r11 remainder.
-    # ---- r11-green remainder (18 entries — the next r15 leads) ----
+    # ---- r11-green remainder (19 entries — the next r15 leads;
+    # embedding_quantize_int8, docs_length_histogram and
+    # text_bpe_token_count displaced from the window bottom by the
+    # r14 additions) ----
+    "embedding_quantize_int8": embedding_quantize_q,
     "docs_length_histogram": docs_length_histogram_q,
     "text_bpe_token_count": text_bpe_token_count_q,
     "text_quality": text_quality_q,
@@ -2750,6 +2757,7 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
     "dedup_containment_incremental": CONTAINMENT_INCREMENTAL_SQL,
+    "dedup_containment_admission": CONTAINMENT_ADMISSION_SQL,
     "docs_shard_balance": DOCS_SHARD_BALANCE_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,

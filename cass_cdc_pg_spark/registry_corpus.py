@@ -198,6 +198,103 @@ SELECT * FROM ({DEDUP_CONTAINMENT_SQL})
 WHERE ({_carveout_sql("doc_a")}) OR ({_carveout_sql("doc_b")})
 """
 
+#: admission rejection threshold: a new doc whose shingle set is ≥90%
+#: contained in another doc contributes (almost) no new text
+_CONTAINMENT_ADMIT_MILLIS = 9000  # 0.9 at the 4-dp containment scale
+
+
+def _cmp_millis(col_name: str) -> Column:
+    """ulp-immune threshold test on a 4-dp-rounded double: scale to
+    integer ten-thousandths and round to nearest — both engines
+    compute the same integer even if the stored doubles differ in the
+    last ulp (they print identically at the 6-dp hash canon, but a
+    raw ``>= 0.9`` could still flip on sub-print differences)."""
+    return F.round(F.col(col_name) * 10000, 0)
+
+
+def dedup_containment_admission_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The daily containment ADMISSION decision (late r14): for every
+    new-batch doc, admit iff NO pair from the incremental containment
+    feed shows the doc ≥90% contained in something else — the
+    "contributes no new text" policy on top of
+    ``dedup_containment_incremental``, mirroring the LSH tier's
+    pairs→decision ladder.  An incumbent is never rejected (only the
+    new side of a new×base pair is tested); for a MUTUAL new×new
+    containment the lower id survives (first-seen-wins, the
+    ``incremental_admission`` seniority rule); one-directional
+    new×new containment rejects the contained side regardless of id.
+    Output: (doc_id, n_rejecting_pairs, admit) for every batch doc.
+    Oracle replays the rule over the full-recompute pair feed, so the
+    policy is hash-checked end to end."""
+    pairs = dedup_containment_incremental_q(spark, sf_dir)
+    t = _CONTAINMENT_ADMIT_MILLIS
+    a_new = _reg._carveout_col("doc_a")
+    b_new = _reg._carveout_col("doc_b")
+    rej_a = (
+        a_new
+        & (_cmp_millis("containment_a") >= t)
+        & (
+            ~b_new
+            | (_cmp_millis("containment_b") < t)
+            | (F.col("doc_a") > F.col("doc_b"))
+        )
+    )
+    rej_b = (
+        b_new
+        & (_cmp_millis("containment_b") >= t)
+        & (
+            ~a_new
+            | (_cmp_millis("containment_a") < t)
+            | (F.col("doc_b") > F.col("doc_a"))
+        )
+    )
+    rej = (
+        pairs.filter(rej_a)
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.filter(rej_b).select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    new_ids = (
+        src.load_table(spark, sf_dir, "documents")
+        .filter(_reg._carveout_col("doc_id"))
+        .select("doc_id")
+    )
+    return new_ids.join(rej, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(
+            "n_rejecting_pairs"
+        ),
+        F.col("_n").isNull().alias("admit"),
+    )
+
+
+CONTAINMENT_ADMISSION_SQL = f"""
+WITH cpairs AS ({CONTAINMENT_INCREMENTAL_SQL}),
+rej AS (
+  SELECT doc_a AS doc_id FROM cpairs
+  WHERE ({_carveout_sql("doc_a")})
+    AND ROUND(containment_a * 10000) >= {_CONTAINMENT_ADMIT_MILLIS}
+    AND (NOT ({_carveout_sql("doc_b")})
+         OR ROUND(containment_b * 10000) < {_CONTAINMENT_ADMIT_MILLIS}
+         OR doc_a > doc_b)
+  UNION ALL
+  SELECT doc_b FROM cpairs
+  WHERE ({_carveout_sql("doc_b")})
+    AND ROUND(containment_b * 10000) >= {_CONTAINMENT_ADMIT_MILLIS}
+    AND (NOT ({_carveout_sql("doc_a")})
+         OR ROUND(containment_a * 10000) < {_CONTAINMENT_ADMIT_MILLIS}
+         OR doc_b > doc_a)),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS _n FROM rej GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(cnt._n, 0) AS BIGINT) AS n_rejecting_pairs,
+       cnt._n IS NULL AS admit
+FROM (SELECT doc_id FROM documents WHERE {_carveout_sql("doc_id")}) d
+LEFT JOIN cnt USING (doc_id)
+"""
+
 
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index with a stop-shingle cap — quadratic only within buckets."""

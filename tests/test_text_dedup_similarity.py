@@ -1914,3 +1914,62 @@ def test_incremental_containment_equals_full_restricted(spark):
         ).collect()
     }
     assert unguarded[(1, 10)] > inc[(1, 10)][2]
+
+
+def test_containment_admission_policy_branches(spark, monkeypatch, tmp_path):
+    """The admission decision's three branches (late r14), driven on a
+    synthetic fixture where the gate corpus is too tame: (1) a new doc
+    ≥90% contained in an INCUMBENT is rejected, the incumbent is never
+    tested; (2) MUTUAL new×new containment keeps the lower id
+    (first-seen-wins); (3) one-directional new×new containment rejects
+    the contained side even when it has the LOWER id."""
+    from cass_cdc_pg_spark import registry, registry_corpus
+
+    # carve-out residues: ((id % 10000) * 48271) % 10000 < 1000
+    def is_new(i):
+        return ((i % 10000) * 48271) % 10000 < 1000
+
+    new_ids = [i for i in range(1, 2000) if is_new(i)]
+    base_ids = [i for i in range(1, 2000) if not is_new(i)]
+    text_a = " ".join(f"w{j}" for j in range(30))          # 28 trigrams
+    wrapper = text_a + " " + " ".join(f"x{j}" for j in range(40))
+    text_c = " ".join(f"y{j}" for j in range(30))
+    rows = [
+        (base_ids[0], wrapper),              # incumbent wrapping text_a
+        (new_ids[0], text_a),                # (1) contained in incumbent
+        (new_ids[1], text_c),                # (2) mutual pair, lower id
+        (new_ids[2], text_c),                # (2) mutual pair, higher id
+        (new_ids[3], text_c + " " + " ".join(f"z{j}" for j in range(40))),
+        # ^ wrapper for (3): new_ids[1]/[2] are also contained in it,
+        #   but the branch under test is that a CONTAINED lower id
+        #   loses to one-directional containment
+        (base_ids[1], " ".join(f"q{j}" for j in range(30))),  # unrelated
+        (new_ids[4], " ".join(f"r{j}" for j in range(30))),   # clean admit
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["admit"], r["n_rejecting_pairs"])
+        for r in registry.dedup_containment_admission_q(spark, sf).collect()
+    }
+    assert got[new_ids[0]][0] is False          # branch (1)
+    assert got[new_ids[1]][0] is False          # contained in [2]? mutual
+    assert got[new_ids[2]][0] is False          # mutual loser + contained in [3]
+    assert got[new_ids[3]][0] is True           # the wrapper itself survives
+    assert got[new_ids[4]][0] is True           # clean content admitted
+    # first-seen-wins on the mutual pair alone: [1] is rejected only
+    # via one-directional containment in [3]'s wrapper, never by [2]
+    # (mutual keeps the lower id) — so removing [3] must admit [1].
+    docs2 = spark.createDataFrame(
+        [r for r in rows if r[0] != new_ids[3]],
+        "doc_id long, text string",
+    )
+    sf2 = str(tmp_path / "v2")
+    docs2.write.mode("overwrite").parquet(f"{sf2}/documents.parquet")
+    got2 = {
+        r["doc_id"]: r["admit"]
+        for r in registry.dedup_containment_admission_q(spark, sf2).collect()
+    }
+    assert got2[new_ids[1]] is True             # mutual winner (lower id)
+    assert got2[new_ids[2]] is False            # mutual loser

@@ -389,6 +389,9 @@ def main() -> None:
         # r14: held-out backoff scoring — O(batch) explode + three
         # count-fetch joins against the standing base relations
         "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
+        # r14: the admission decision on top of the containment feed —
+        # pure composition, O(batch + candidate pairs)
+        "dedup_containment_admission": dedup_containment_admission_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -748,6 +751,9 @@ def main() -> None:
         "bigram_logprob_incremental_parity":
             bigram_logprob_incremental_parity_q,
         "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
+        # r14: the admission decision on top of the containment feed —
+        # pure composition, O(batch + candidate pairs)
+        "dedup_containment_admission": dedup_containment_admission_q,
     }
     n_docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     with tempfile.TemporaryDirectory() as tmp100:
