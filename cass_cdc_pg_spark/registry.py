@@ -2560,8 +2560,10 @@ QUERIES = {
     "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
     "lineitem_discount_bands": lineitem_discount_bands_q,
     "docs_split_stats": docs_split_stats_q,
-    # ---- (d) r11-green backlog, oldest driver evidence (33 of 49 in
-    # catalog order; the 16-entry remainder below leads r15) ----
+    # ---- (d) r11-green backlog, oldest driver evidence (30 of 49 in
+    # catalog order; the 19-entry remainder below leads r15 — three
+    # entries displaced from the window bottom by the late-r14
+    # additions) ----
     "sales_promo_bundles": sales_promo_bundles_q,
     "lineitem_part_copurchase": lineitem_part_copurchase_q,
     "docs_vocab_coverage": docs_vocab_coverage_q,
