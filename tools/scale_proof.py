@@ -244,6 +244,7 @@ def main() -> None:
         bigram_logprob_incremental_parity_q,
         dedup_containment_incremental_q,
         docs_bigram_backoff_logprob_q,
+        dedup_containment_admission_q,
         docs_shard_balance_q,
         dedup_containment_pairs_q,
         embedding_cell_drift_q,
