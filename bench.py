@@ -928,8 +928,15 @@ def _load_telemetry_finish(t0: dict) -> dict:
 def main() -> None:
     # the measurement harness sizes the local JVM itself (r13 advice:
     # the library default is memory-aware-conservative; the 100x-ready
-    # 24g heap belongs to bench/scale_proof, which run on the bench box)
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # 24g heap belongs to bench/scale_proof, which run on the bench
+    # box) — but through the same memory-aware probe (r14 advice): a
+    # flat 24g on a host with a <24 GiB cgroup limit gets the JVM
+    # OOM-killed, the exact failure _default_driver_memory exists to
+    # avoid.  On the 128 GiB bench box the probe clamps to 24g, so
+    # the measured configuration is unchanged there.
+    from cass_cdc_pg_spark.session import _default_driver_memory
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", _default_driver_memory())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_t0 = _load_telemetry_start()
     from cass_cdc_pg_spark.registry import QUERIES

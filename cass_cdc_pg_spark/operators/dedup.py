@@ -263,6 +263,7 @@ def incremental_containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Containment near-dup pairs INVOLVING a new daily batch, against
     a STANDING inverted index (r13 verdict #2's flatten lever): the
@@ -283,7 +284,18 @@ def incremental_containment_pairs(
 
     Scale shape: the corpus crosses NO shuffle — one pruned scan of
     the postings with a broadcast hash join; everything shuffled is
-    O(batch + candidate pairs)."""
+    O(batch + candidate pairs).
+
+    *broadcast_new* (r14 advice): the broadcast side is the BATCH
+    SHINGLE-POSTINGS relation — ~16 bytes per distinct (doc, shingle)
+    — so the hard bound is executor/driver broadcast memory in batch
+    *shingles*, not batch docs; a jumbo backfill (or a carve-out
+    proportional to a huge corpus) can exceed Spark's broadcast
+    limits and fail with an OOM rather than degrade.  Set it False
+    there and both intersection joins fall back to a shuffled hash
+    join on ``sh_h`` — the corpus side then shuffles once, which is
+    still linear (the minhash tier's ``broadcast_new`` trade at
+    ``incremental_minhash_pairs``)."""
     new_sh = (
         shingles(new_docs, n)
         .select("doc_id", _token_hash(F.col("shingle")).alias("sh_h"))
@@ -320,12 +332,11 @@ def incremental_containment_pairs(
         )
     # new×base: ids are disjoint by construction (the carve-out), so
     # no self-pair filter is needed; orientation normalized below
+    new_probe = new_sh.withColumnRenamed("doc_id", "_new_id")
     nb = (
         base_postings.withColumnRenamed("doc_id", "_base_id")
         .join(
-            F.broadcast(
-                new_sh.withColumnRenamed("doc_id", "_new_id")
-            ),
+            F.broadcast(new_probe) if broadcast_new else new_probe,
             "sh_h",
         )
         .groupBy(

@@ -143,16 +143,21 @@ def unigram_logprob(
     # token STRINGS — equality is equivalent modulo a 64-bit collision
     # the hash-match run would expose), so the cheap native codegen
     # hash is the right choice where md5's portability buys nothing.
+    # lazy checkpoint in BOTH paths (the bigram scorer's rationale,
+    # r14 advice): without standing counts the relation feeds the
+    # count aggregate (collected twice — distinct values + total) AND
+    # the score join; WITH them the returned DataFrame is memoized
+    # and re-executed repeatedly (bench warm loop, driver gate), and
+    # the materialized relation is what keeps those repeat actions
+    # joins-only instead of re-running the tokenize+explode per
+    # action (the bigram tier measured that regression at 1.3 s →
+    # 4.7 s warm at sf0.1).
     toks = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("_t")
-    ).select("doc_id", F.xxhash64("_t").alias("tok"))
+    ).select("doc_id", F.xxhash64("_t").alias("tok")).localCheckpoint(
+        eager=False
+    )
     if counts is None:
-        # lazy checkpoint (the bigram scorer's pattern, r13 advice):
-        # the relation feeds the count aggregate (collected twice —
-        # distinct values + total) AND the score join, so without it
-        # the tokenize+explode re-executes per action.  With counts
-        # provided, toks feeds ONE action — no checkpoint needed.
-        toks = toks.localCheckpoint(eager=False)
         counts = toks.groupBy("tok").agg(
             F.count(F.lit(1)).cast("long").alias("c")
         )

@@ -2597,12 +2597,13 @@ QUERIES = {
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r15, oldest evidence first: (1) the
-    # r11-green remainder (18 entries — the next r15 leads;
-    # text_bpe_token_count and docs_length_histogram displaced from
-    # the window bottom by the new dedup_containment_incremental and
-    # docs_bigram_backoff_logprob), (2) the 49 r12-green entries,
-    # (3) the 47 r13-green entries.  Any NEW r15 queries take slots
-    # by displacement from the bottom of the r11 remainder.
+    # r11-green remainder (19 entries — the next r15 leads;
+    # embedding_quantize_int8, docs_length_histogram and
+    # text_bpe_token_count displaced from the window bottom by the
+    # r14 additions — the authoritative itemized list is the block
+    # header just below), (2) the 49 r12-green entries, (3) the 47
+    # r13-green entries.  Any NEW r15 queries take slots by
+    # displacement from the bottom of the r11 remainder.
     # ---- r11-green remainder (19 entries — the next r15 leads;
     # embedding_quantize_int8, docs_length_histogram and
     # text_bpe_token_count displaced from the window bottom by the

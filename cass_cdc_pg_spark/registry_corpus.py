@@ -42,8 +42,19 @@ def _carveout_sql(id_expr: str) -> str:
     times).  Pure string: safe at import time (the Column twin needs
     an active SparkContext, so it is built lazily).  Lives here (not
     registry.py) since r14: this module's import-time SQL consts need
-    it before registry.py's tail runs."""
-    return f"(({id_expr} % 10000) * 48271) % 10000 < 1000"
+    it before registry.py's tail runs.
+
+    pmod spelled out (r14 advice): the Spark twin uses ``F.pmod``,
+    and DuckDB's ``%`` is sign-of-dividend, so the inner residue must
+    be normalised nonnegative (``(x % m + m) % m``) for the two
+    dialects to agree on NEGATIVE ids — the exact divergence
+    ``DOCS_SHARD_BALANCE_SQL`` fixed in r14 (gate fixtures carry only
+    nonnegative ids, so values are unchanged there; the shape fix
+    keeps correctness id-sign-independent).  The outer ``% 10000``
+    needs no normalisation: its left operand is already ≥ 0."""
+    return (
+        f"((({id_expr} % 10000) + 10000) % 10000 * 48271) % 10000 < 1000"
+    )
 
 
 # ---------------------------------------------------------------------------

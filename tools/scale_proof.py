@@ -232,8 +232,13 @@ def main() -> None:
     # on, a warmed run measures a few hundred cached rows
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
     # the proof harness sizes the local JVM itself (r13 advice): two
-    # of six r13 100x runs OOM'd the self-join stage on an 8g heap
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # of six r13 100x runs OOM'd the self-join stage on an 8g heap.
+    # Sized through the memory-aware probe (r14 advice, same fix as
+    # bench.py): a flat 24g OOM-kills the JVM under a <24 GiB cgroup
+    # limit; on the 128 GiB bench box the probe still clamps to 24g.
+    from cass_cdc_pg_spark.session import _default_driver_memory
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", _default_driver_memory())
 
     from cass_cdc_pg_spark.registry import (
         ann_ivfpq_append_parity_q,
