@@ -1525,21 +1525,25 @@ def test_promo_bundles_disjunction_pushes_to_both_scans(spark):
     assert any("l_quantity" in ln and "Or(" in ln for ln in pushed), plan
 
 
-def test_copurchase_coparitioned_self_join_takeordered(spark):
-    """lineitem_part_copurchase (r11): the pair join is an equi-join
-    on l_orderkey (co-partitioned self-join of the deduped per-order
-    part sets — the p1 < p2 predicate is a post-join filter, never a
-    cartesian), and the global top-20 is TakeOrderedAndProject, not a
+def test_copurchase_single_agg_pairgen_two_shuffles(spark):
+    """lineitem_part_copurchase (rewritten r15, r14 verdict #3): the
+    per-order part sets collapse in ONE collect_set aggregation (no
+    distinct-then-self-join — the table is scanned once and there is
+    NO join at all), pairs are emitted map-side from the sorted
+    array, and exactly two hash Exchanges remain (orderkey, then the
+    pair key); the global top-20 is TakeOrderedAndProject, not a
     single-partition window."""
     from cass_cdc_pg_spark import registry
 
     plan = _plan(
         registry.lineitem_part_copurchase_q(spark, "/root/testdata/sf0.001")
     )
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan  # covers SMJ/BHJ/BNLJ/cartesian
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "collect_set" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
 
 
 def test_vocab_coverage_broadcast_vocab_takeordered(spark):

@@ -591,35 +591,39 @@ def main() -> None:
             }
 
         def _copurchase_counters(d: str) -> dict:
-            """lineitem_part_copurchase workload: the deduped
-            (order, part) relation and the post-join pair count — if
-            both grow ~10x while rows/sec rises, the >2 toy wall is
-            the two shuffles' real volume emerging from the floor,
-            not quadratic fan-out (baskets are size-bounded)."""
+            """lineitem_part_copurchase workload, matched to the r15
+            single-aggregation plan: the table is scanned ONCE into a
+            collect_set on orderkey (lineitem_rows is that shuffle's
+            input volume) and pairs are emitted map-side from the
+            per-order arrays (emitted_pairs is the second shuffle's
+            volume) — if both grow ~10x while rows/sec rises, the >2
+            toy wall is the two shuffles' real volume emerging from
+            the floor, not quadratic fan-out (baskets are
+            size-bounded, so pairs/order is a constant)."""
             li = _src.load_table(spark, d, "lineitem").select(
                 "l_orderkey", "l_partkey"
-            ).distinct()
-            lp_rows = li.count()
-            a = li.select(
-                _F.col("l_orderkey").alias("ok"),
-                _F.col("l_partkey").alias("p1"),
             )
-            b = li.select(
-                _F.col("l_orderkey").alias("ok2"),
-                _F.col("l_partkey").alias("p2"),
+            n_lines = li.count()
+            agg = (
+                li.groupBy("l_orderkey")
+                .agg(
+                    _F.countDistinct("l_partkey").alias("k")
+                )
+                .filter(_F.col("k") >= 2)
+                .agg(
+                    _F.count(_F.lit(1)).alias("orders"),
+                    _F.sum(_F.expr("k * (k - 1) DIV 2")).alias("pairs"),
+                )
+                .first()
             )
-            pairs = a.join(
-                b,
-                (_F.col("ok") == _F.col("ok2"))
-                & (_F.col("p1") < _F.col("p2")),
-            ).count()
             wall = report["queries"]["lineitem_part_copurchase"][
                 "sec_1x" if d == sf_dir else "sec_10x"
             ]
             return {
-                "distinct_order_part_rows": lp_rows,
-                "candidate_pairs": pairs,
-                "rows_per_sec": round(lp_rows / wall, 1),
+                "lineitem_rows": n_lines,
+                "orders_with_pairs": int(agg["orders"]),
+                "emitted_pairs": int(agg["pairs"]),
+                "rows_per_sec": round(n_lines / wall, 1),
             }
 
         def _unigram_counters(d: str) -> dict:
