@@ -642,6 +642,8 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     bigram_logprob_incremental_parity_q,
     docs_bigram_backoff_logprob_q,
     bigram_backoff_oracle_sql,
+    docs_lm_admission_q,
+    lm_admission_oracle_sql,
     docs_shard_balance_q,
     DOCS_SHARD_BALANCE_SQL,
     _SHARD_N,
@@ -2524,7 +2526,10 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
 )
 
 QUERIES = {
-    # ================= r14 driver window (first 50) =================
+    # ================= r15 driver window (first 50) =================
+    # ---- new in r15 (never driver-checked) ----
+    "docs_lm_admission": docs_lm_admission_q,
+    # ================= r14 driver window below ======================
     # Composition (the r10-verdict discipline): NEW queries first
     # (driver evidence is the gate they have never passed), then
     # entries REWRITTEN this round (their old driver rows no longer
@@ -2914,6 +2919,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     bko = bigram_backoff_oracle_sql(sf_dir)
     if bko is not None:
         out["docs_bigram_backoff_logprob"] = bko
+    lma = lm_admission_oracle_sql(sf_dir)
+    if lma is not None:
+        out["docs_lm_admission"] = lma
     rc = ivf_recall_oracle_sql(sf_dir)
     if rc is not None:
         out["ann_ivf_recall"] = rc

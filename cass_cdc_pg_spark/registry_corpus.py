@@ -1135,6 +1135,146 @@ FROM (SELECT doc_id,
     return _BACKOFF_SQL_CACHE[key]
 
 
+#: LM admission policy literals (exact 6-dp log10 micros + integer
+#: percent bounds — every comparison below is integer-exact on both
+#: engines, the `_cmp_millis` discipline).  A batch doc is DROPPED
+#: when its mean bigram log-prob under the STANDING base LM falls
+#: below the drop band or more than 10% of its positions fell through
+#: to backoff; FLAGGED (admitted, routed to review) in the warning
+#: band or above 1% backoff; KEPT otherwise.  Unscorable docs
+#: (< 2 tokens — no bigram positions) are flagged, never dropped: no
+#: evidence is not negative evidence.
+_LM_DROP_MICROS = -1_505_000
+_LM_FLAG_MICROS = -1_490_000
+_LM_DROP_BACKOFF_PCT = 10
+_LM_FLAG_BACKOFF_PCT = 1
+
+
+def docs_lm_admission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band ADMISSION of the daily batch against the
+    standing LM (new r15, r14 verdict #4 — the decision query the
+    backoff scorer feeds, closing the LM tier's pairs→decision
+    ladder the way ``dedup_containment_admission`` closed the
+    containment tier's): every carve-out doc gets a keep / flag /
+    drop tier from its held-out stupid-backoff score
+    (``docs_bigram_backoff_logprob``) via two signals — the mean
+    log-prob band (garbled text scores low) and the backoff rate
+    (n_backoff / n_positions — text whose bigrams the standing LM
+    has never seen backs off constantly, the novelty-vs-noise
+    signal).  ``admit`` is tier ≠ 'drop'; 'flag' admits but routes
+    to review, the ``docs_quality_tiers`` posture.
+
+    Determinism: the tier comparisons never touch a float — the mean
+    band test recomputes exact integer micros from
+    (sum_logprob_micros, n_positions) with the tie-proof half-away
+    division (the scorer's own expression shape), and the backoff
+    bound is cross-multiplied integers.  Scale shape: the scored
+    relation is O(batch); the decision adds one batch-sized left
+    join and pure column algebra — nothing corpus-sized moves.
+    Reference posture: the validation→resolution ladder
+    (``reconciliation_engine.py`` discrepancy severity → Q22 resolve
+    update): evidence rows become an actionable status."""
+    scored = docs_bigram_backoff_logprob_q(spark, sf_dir)
+    batch_ids = (
+        src.load_table(spark, sf_dir, "documents")
+        .filter(F.expr(f"pmod(doc_id, 10) = {_LM_BATCH_RESIDUE}"))
+        .select("doc_id")
+    )
+    mm = F.expr(
+        "CASE WHEN sum_logprob_micros < 0"
+        " THEN -(((-sum_logprob_micros) * 2 + n_positions)"
+        "        DIV (2 * n_positions))"
+        " ELSE ((sum_logprob_micros * 2 + n_positions)"
+        "       DIV (2 * n_positions)) END"
+    )
+    s = scored.select(
+        "doc_id",
+        "n_positions",
+        "n_backoff",
+        "mean_logprob",
+        mm.alias("_mm"),
+    )
+    bko = F.col("n_backoff") * 100
+    tier = (
+        F.when(F.col("_mm").isNull(), F.lit("flag"))
+        .when(
+            (F.col("_mm") < _LM_DROP_MICROS)
+            | (bko > F.col("n_positions") * _LM_DROP_BACKOFF_PCT),
+            F.lit("drop"),
+        )
+        .when(
+            (F.col("_mm") < _LM_FLAG_MICROS)
+            | (bko > F.col("n_positions") * _LM_FLAG_BACKOFF_PCT),
+            F.lit("flag"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        batch_ids.join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_positions"), F.lit(0))
+            .cast("long")
+            .alias("n_positions"),
+            F.coalesce(F.col("n_backoff"), F.lit(0))
+            .cast("long")
+            .alias("n_backoff"),
+            "mean_logprob",
+            tier.alias("tier"),
+            (tier != F.lit("drop")).alias("admit"),
+        )
+    )
+
+
+def lm_admission_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Generated oracle twin of ``docs_lm_admission``: the held-out
+    backoff recompute (``bigram_backoff_oracle_sql`` verbatim, so the
+    two cannot drift) wrapped in the same integer-exact tier CASE."""
+    body = bigram_backoff_oracle_sql(sf_dir)
+    if body is None:
+        return None
+    carve = f"((doc_id % 10) + 10) % 10 = {_LM_BATCH_RESIDUE}"
+    return f"""
+WITH bscored AS ({body}),
+tiers AS (
+  SELECT doc_id, n_positions, n_backoff, mean_logprob,
+         CASE WHEN sum_logprob_micros < 0
+              THEN -(((-sum_logprob_micros) * 2 + n_positions)
+                     // (2 * n_positions))
+              ELSE ((sum_logprob_micros * 2 + n_positions)
+                    // (2 * n_positions)) END AS mm
+  FROM bscored)
+SELECT b.doc_id,
+       CAST(COALESCE(t.n_positions, 0) AS BIGINT) AS n_positions,
+       CAST(COALESCE(t.n_backoff, 0) AS BIGINT) AS n_backoff,
+       t.mean_logprob,
+       CASE WHEN t.mm IS NULL THEN 'flag'
+            WHEN t.mm < {_LM_DROP_MICROS}
+                 OR t.n_backoff * 100 >
+                    t.n_positions * {_LM_DROP_BACKOFF_PCT}
+            THEN 'drop'
+            WHEN t.mm < {_LM_FLAG_MICROS}
+                 OR t.n_backoff * 100 >
+                    t.n_positions * {_LM_FLAG_BACKOFF_PCT}
+            THEN 'flag'
+            ELSE 'keep' END AS tier,
+       (CASE WHEN t.mm IS NULL THEN 'flag'
+             WHEN t.mm < {_LM_DROP_MICROS}
+                  OR t.n_backoff * 100 >
+                     t.n_positions * {_LM_DROP_BACKOFF_PCT}
+             THEN 'drop'
+             WHEN t.mm < {_LM_FLAG_MICROS}
+                  OR t.n_backoff * 100 >
+                     t.n_positions * {_LM_FLAG_BACKOFF_PCT}
+             THEN 'flag'
+             ELSE 'keep' END) <> 'drop' AS admit
+FROM (SELECT doc_id FROM documents WHERE {carve}) b
+LEFT JOIN tiers t USING (doc_id)
+"""
+
+
 def text_token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-frequency rarity score per document (CCNet-style LM quality proxy; integer sums keep the oracle bit-exact)."""
     return text.token_rarity(src.load_table(spark, sf_dir, "documents"))

@@ -744,3 +744,52 @@ def test_bigram_backoff_three_tiers_exact(spark):
     m = rows[11]["sum_logprob_micros"]
     expected_mean = -((-m * 2 + 2) // 4) / 1_000_000.0
     assert rows[11]["mean_logprob"] == expected_mean
+
+
+def test_lm_admission_three_tiers_both_signals(spark, tmp_path):
+    """docs_lm_admission (r15): a hand-built fixture drives every
+    tier through BOTH decision signals — keep (in-distribution,
+    mean ~0), flag by the mean band (P = 1/31 lands between the flag
+    and drop thresholds), flag by backoff RATE with the mean still in
+    the keep band (proves the rate signal acts independently), drop
+    by the mean band (P = 1/32 falls just below -1.505), drop with
+    saturated backoff, and the unscorable (<2 tokens) doc that is
+    flagged, never dropped.  Batch membership is pmod(doc_id,10)=7;
+    base ids avoid that residue."""
+    from cass_cdc_pg_spark.registry import docs_lm_admission_q
+
+    base_x = "x " + " x ".join(f"a{i}" for i in range(32))  # c_pfx(x)=32
+    base_y = "y " + " y ".join(f"b{i}" for i in range(31))  # c_pfx(y)=31
+    base_z = "z w z w z w z w z"  # z<->w alternation: every ratio = 1
+    rate_flag = " ".join(["z w"] * 25) + " x"  # 50 pos, 1 backoff (2%)
+    rows = [
+        (1, base_x), (2, base_y), (3, base_z),  # standing base corpus
+        (7, "z w"),       # keep: seen bigram, c_bg == c_pfx -> mean 0
+        (17, "y b0"),     # flag: mean = -log10(31) = -1.491361
+        (27, "x a0"),     # drop: mean = -log10(32) = -1.505150
+        (37, rate_flag),  # flag: backoff 1/50 > 1%, mean in keep band
+        (57, "q9 q8"),    # drop: 1/1 positions backoff (> 10%)
+        (47, "solo"),     # unscorable: 1 token -> flag, admitted
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in docs_lm_admission_q(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {7, 17, 27, 37, 47, 57}  # batch only, no base ids
+    assert got[7]["tier"] == "keep" and got[7]["admit"]
+    assert got[17]["tier"] == "flag" and got[17]["admit"]
+    assert got[27]["tier"] == "drop" and not got[27]["admit"]
+    assert got[37]["tier"] == "flag" and got[37]["admit"]
+    assert got[37]["n_backoff"] == 1 and got[37]["n_positions"] == 50
+    assert got[37]["mean_logprob"] >= -1.49  # keep band: rate alone flags
+    assert got[57]["tier"] == "drop" and not got[57]["admit"]
+    assert got[57]["n_backoff"] == got[57]["n_positions"] == 1
+    assert got[47]["tier"] == "flag" and got[47]["admit"]
+    assert got[47]["n_positions"] == 0
+    assert got[47]["mean_logprob"] is None
