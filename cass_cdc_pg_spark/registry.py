@@ -634,6 +634,8 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     CONTAINMENT_INCREMENTAL_SQL,
     dedup_containment_admission_q,
     CONTAINMENT_ADMISSION_SQL,
+    containment_index_append_parity_q,
+    CONTAINMENT_INDEX_PARITY_SQL,
     docs_unigram_logprob_q,
     unigram_logprob_oracle_sql,
     docs_bigram_logprob_q,
@@ -2529,6 +2531,7 @@ QUERIES = {
     # ================= r15 driver window (first 50) =================
     # ---- new in r15 (never driver-checked) ----
     "docs_lm_admission": docs_lm_admission_q,
+    "containment_index_append_parity": containment_index_append_parity_q,
     # ================= r14 driver window below ======================
     # Composition (the r10-verdict discipline): NEW queries first
     # (driver evidence is the gate they have never passed), then
@@ -2766,6 +2769,7 @@ ORACLE = {
     "dedup_containment_pairs": DEDUP_CONTAINMENT_SQL,
     "dedup_containment_incremental": CONTAINMENT_INCREMENTAL_SQL,
     "dedup_containment_admission": CONTAINMENT_ADMISSION_SQL,
+    "containment_index_append_parity": CONTAINMENT_INDEX_PARITY_SQL,
     "docs_shard_balance": DOCS_SHARD_BALANCE_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,

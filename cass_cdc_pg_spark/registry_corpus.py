@@ -307,6 +307,126 @@ LEFT JOIN cnt USING (doc_id)
 """
 
 
+#: digest parameters of the containment-index parity query: residue
+#: modulus for the per-row checksum terms (keeps bucket sums far from
+#: int64 overflow at any realistic scale) and the bucket fan-out
+_PARITY_CHECK_P = 1_000_000_007
+_PARITY_BUCKETS = 64
+
+
+def containment_index_append_parity_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained containment-index parity (new r15, r14 verdict #5
+    — the ``ann_ivfpq_append_parity`` pattern for the containment
+    tier): merge the carve-out batch into the PERSISTED standing
+    inverted index (``dedup.merge_containment_index`` — postings and
+    sizes append on disjoint doc ids, df merges additively) and
+    digest all three merged relations; the oracle digests a
+    FULL-CORPUS REBUILD of the index in DuckDB, so the hash match
+    proves merged == rebuilt relation-for-relation — a daily feed
+    that maintains the index incrementally serves exactly the index
+    a snapshot rebuild would, and the admission path
+    (``dedup_containment_admission``) can read the maintained index
+    forever without drift.
+
+    The digest is 3 × 64 bounded rows: per relation,
+    rows bucketed by the shingle-hash (or doc-id) residue with a row
+    count and two modular checksums — order-free, additive, and
+    engine-exact (integers end to end; the 60-bit md5 shingle hash is
+    the portable one both engines compute bit-identically).
+    Reference posture: post-maintenance full-reconciliation proof,
+    SURVEY §2.4 Q3's checksum-comparison discipline applied to the
+    engine's own maintained state."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    batch = docs.filter(_reg._carveout_col("doc_id"))
+    postings, sizes, df_rel = _containment_index(spark, sf_dir)
+    m_post, m_sizes, m_df = dedup.merge_containment_index(
+        postings, sizes, df_rel, batch, n=_CONTAINMENT_N
+    )
+    P = F.lit(_PARITY_CHECK_P)
+    B = F.lit(_PARITY_BUCKETS)
+    d_post = (
+        m_post.groupBy(F.pmod(F.col("sh_h"), B).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.pmod(F.col("sh_h"), P)).cast("long").alias("checksum_key"),
+            F.sum(F.pmod(F.col("doc_id"), P)).cast("long").alias("checksum_val"),
+        )
+        .select(F.lit("postings").alias("relation"), "bucket", "n_rows",
+                "checksum_key", "checksum_val")
+    )
+    d_sizes = (
+        m_sizes.groupBy(F.pmod(F.col("doc_id"), B).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.pmod(F.col("doc_id"), P)).cast("long").alias("checksum_key"),
+            F.sum("n_sh").cast("long").alias("checksum_val"),
+        )
+        .select(F.lit("sizes").alias("relation"), "bucket", "n_rows",
+                "checksum_key", "checksum_val")
+    )
+    d_df = (
+        m_df.groupBy(F.pmod(F.col("sh_h"), B).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.pmod(F.col("sh_h"), P)).cast("long").alias("checksum_key"),
+            F.sum("df").cast("long").alias("checksum_val"),
+        )
+        .select(F.lit("df").alias("relation"), "bucket", "n_rows",
+                "checksum_key", "checksum_val")
+    )
+    return d_post.unionByName(d_sizes).unionByName(d_df)
+
+
+#: oracle twin of the index-append parity: a FULL-CORPUS rebuild of
+#: the inverted index (same trigram shingling and 60-bit md5 hash as
+#: the Spark builder — the inline expressions mirror
+#: DEDUP_CONTAINMENT_SQL's), digested identically.  sh_h is
+#: nonnegative by construction (60-bit md5 prefix) so plain % is
+#: already pmod there; doc_id gets the sign-safe pmod shape.
+CONTAINMENT_INDEX_PARITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(tk) - 1),
+                          i -> array_to_string(tk[i:i+2], ' '))
+         )) AS shingle
+  FROM toks WHERE len(tk) >= 3),
+p AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+  FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM p GROUP BY doc_id),
+dfr AS (SELECT sh_h, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY sh_h)
+SELECT 'postings' AS relation,
+       CAST(sh_h % {_PARITY_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(sh_h % {_PARITY_CHECK_P}) AS BIGINT) AS checksum_key,
+       CAST(SUM(((doc_id % {_PARITY_CHECK_P}) + {_PARITY_CHECK_P})
+                % {_PARITY_CHECK_P}) AS BIGINT) AS checksum_val
+FROM p GROUP BY 2
+UNION ALL
+SELECT 'sizes',
+       CAST(((doc_id % {_PARITY_BUCKETS}) + {_PARITY_BUCKETS})
+            % {_PARITY_BUCKETS} AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(((doc_id % {_PARITY_CHECK_P}) + {_PARITY_CHECK_P})
+                % {_PARITY_CHECK_P}) AS BIGINT),
+       CAST(SUM(n_sh) AS BIGINT)
+FROM sizes GROUP BY 2
+UNION ALL
+SELECT 'df',
+       CAST(sh_h % {_PARITY_BUCKETS} AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(sh_h % {_PARITY_CHECK_P}) AS BIGINT),
+       CAST(SUM(df) AS BIGINT)
+FROM dfr GROUP BY 2
+"""
+
+
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index with a stop-shingle cap — quadratic only within buckets."""
     return dedup.ngram_jaccard_pairs(

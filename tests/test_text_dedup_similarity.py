@@ -1973,3 +1973,34 @@ def test_containment_admission_policy_branches(spark, monkeypatch, tmp_path):
     }
     assert got2[new_ids[1]] is True             # mutual winner (lower id)
     assert got2[new_ids[2]] is False            # mutual loser
+
+
+def test_merge_containment_index_equals_rebuild(spark):
+    """merge_containment_index (r15): merging a disjoint batch into a
+    standing index must equal a from-scratch rebuild over the union,
+    relation for relation — postings/sizes append on disjoint ids, df
+    is additive.  Exact row-set comparison on a hand-built corpus."""
+    from cass_cdc_pg_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),
+            (2, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "a b c x y z"),
+            (11, "x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    both = base.unionByName(batch)
+    p0, s0, d0 = dedup.containment_index_relations(base, n=3)
+    mp, ms, md = dedup.merge_containment_index(p0, s0, d0, batch, n=3)
+    rp, rs, rd = dedup.containment_index_relations(both, n=3)
+    for merged, rebuilt in ((mp, rp), (ms, rs), (md, rd)):
+        got = sorted(map(tuple, merged.collect()))
+        want = sorted(map(tuple, rebuilt.collect()))
+        assert got == want and len(got) > 0
