@@ -148,9 +148,18 @@ PIPELINE = [
     "embedding_hard_negatives",
     "docs_packing_efficiency",
     # r13 additions (pipeline_total grows by these 6 entries — compare
-    # older rounds against the other 99)
+    # older rounds against the other 99).  dedup_containment_pairs was
+    # DEMOTED out of the routine pipeline in r15 (r14 verdict #2): the
+    # full-corpus containment recompute is the weekly
+    # full-reconciliation audit (SURVEY §2.4 Q3 posture), not the
+    # per-batch production path — that path is
+    # dedup_containment_incremental + dedup_containment_admission
+    # below, reading the maintained standing index.  The audit entry
+    # stays oracle-green in the registry rotation and is timed
+    # separately as audit_dedup_containment_pairs_sec (its own budget
+    # line, like the LM capex); r13/r14 pipeline totals include its
+    # ~4-5 s.
     "weekly_active_incremental_parity",
-    "dedup_containment_pairs",
     "embedding_cell_drift",
     "docs_unigram_logprob",
     "docs_bigram_logprob",
@@ -162,6 +171,20 @@ PIPELINE = [
     "dedup_containment_incremental",
     "docs_bigram_backoff_logprob",
     "dedup_containment_admission",
+    # r15 additions (pipeline_total grows by these 2 entries and
+    # loses the demoted audit entry above — compare older rounds
+    # against the other 109)
+    "docs_lm_admission",
+    "containment_index_append_parity",
+]
+
+#: explicitly-cadenced AUDIT entries (r15): full-recompute
+#: reconciliation passes a deployment runs weekly per corpus
+#: snapshot, not per batch — timed outside pipeline_total under
+#: audit_* keys so the routine total reflects the daily cadence while
+#: the full-recompute budget stays on the record
+AUDIT = [
+    "dedup_containment_pairs",
 ]
 
 
@@ -1055,6 +1078,10 @@ def main() -> None:
         # the base-count artifacts, score the batch through the
         # three-tier backoff
         "docs_bigram_backoff_logprob",
+        # r15: the LM admission decision memoizes its backoff feed —
+        # cold = the real daily job (read base-count artifacts, score,
+        # tier, decide)
+        "docs_lm_admission",
     ]
     # one-time standing-index build (the incremental tier's capex):
     # drop the on-disk index and rebuild it, timed, so the cold loop
@@ -1096,6 +1123,21 @@ def main() -> None:
     t0 = time.time()
     _regc._containment_index(spark, sf_dir)
     containment_index_build_sec = round(time.time() - t0, 3)
+
+    # r15: the weekly audit tier — full-recompute reconciliation
+    # entries demoted from the routine pipeline (r14 verdict #2),
+    # timed min-of-2 like pipeline rows but published under audit_*
+    # keys so pipeline_total carries only the daily cadence
+    audit: dict[str, float] = {}
+    for name in AUDIT:
+        QUERIES[name](spark, sf_dir).count()  # warm
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            k = f"audit_{name}_sec"
+            if k not in audit or dt < audit[k]:
+                audit[k] = dt
 
     cold: dict[str, float] = {}
     os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"] = "1"
@@ -1176,6 +1218,7 @@ def main() -> None:
         "lm_unigram_build_sec": lm_unigram_build_sec,
         "lm_bigram_build_sec": lm_bigram_build_sec,
         "containment_index_build_sec": containment_index_build_sec,
+        **audit,
         **cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm": True,
@@ -1212,7 +1255,7 @@ def main() -> None:
 HEADLINE_KEYS = [
     "metric", "value", "unit", "queries_best3", "queries_floor_adj",
     "headline_floor_sec", "pipeline_total",
-    "pipeline_total_cold", "sf",
+    "pipeline_total_cold", "audit_dedup_containment_pairs_sec", "sf",
     "warm", "ingest_events_per_sec",
     "ingest_eps_run1", "ingest_eps_run2", "ingest_eps_run3",
     "ingest_events_per_sec_256_buckets", "microbatch_p50_sec",

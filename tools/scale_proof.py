@@ -281,6 +281,8 @@ def main() -> None:
         customer_returns_ranking_q,
         dedup_incremental_pairs_q,
         ann_ivf_incremental_assign_q,
+        docs_lm_admission_q,
+        containment_index_append_parity_q,
         part_min_cost_supplier_q,
         sales_rollup_totals_q,
     )
@@ -398,6 +400,13 @@ def main() -> None:
         # r14: the admission decision on top of the containment feed —
         # pure composition, O(batch + candidate pairs)
         "dedup_containment_admission": dedup_containment_admission_q,
+        # r15: the LM admission decision (memoized backoff feed + a
+        # batch-sized left join — ratio tracks the held-out score)
+        # and the containment index append parity (standing index
+        # read + batch delta + df merge + bounded 192-row digest)
+        "docs_lm_admission": docs_lm_admission_q,
+        "containment_index_append_parity":
+            containment_index_append_parity_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -764,6 +773,10 @@ def main() -> None:
         # r14: the admission decision on top of the containment feed —
         # pure composition, O(batch + candidate pairs)
         "dedup_containment_admission": dedup_containment_admission_q,
+        # r15: decade rows from birth for the two new entries
+        "docs_lm_admission": docs_lm_admission_q,
+        "containment_index_append_parity":
+            containment_index_append_parity_q,
     }
     n_docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     with tempfile.TemporaryDirectory() as tmp100:
@@ -808,19 +821,81 @@ def main() -> None:
         )
 
         st100: dict = {}
-        pairs100 = _dedup2.minhash_lsh_pairs(
-            spark.read.parquet(f"{tmp100}/documents.parquet"), **_PP
-        ).localCheckpoint(eager=True)
-        cc100 = _dedup2.connected_components(
-            pairs100.select("doc_a", "doc_b"), stats=st100
-        )
+        pairs100 = None
+
+        def _gen_pairs():
+            nonlocal pairs100
+            pairs100 = _dedup2.minhash_lsh_pairs(
+                spark.read.parquet(f"{tmp100}/documents.parquet"), **_PP
+            ).localCheckpoint(eager=True)
+
+        # r15 (r14 verdict #6): PHASE-SPLIT the cluster pipeline at
+        # 100× the way copurchase was attributed — pair generation
+        # (tokenize/minhash/band join), the pointer-doubling fixpoint,
+        # and the two size rollups are timed separately against
+        # materialized inputs, so the dedup_cluster_sizes decade row
+        # (pairs + fixpoint + rollup in ONE cold call under
+        # NO_DEDUP_MEMO) has its dominant phase named instead of one
+        # opaque wall.
+        pairs_sec = _timed(_gen_pairs)
+        cc100 = None
+
+        def _run_cc():
+            nonlocal cc100
+            cc100 = _dedup2.connected_components(
+                pairs100.select("doc_a", "doc_b"), stats=st100
+            ).localCheckpoint(eager=True)
+
+        fix_sec = _timed(_run_cc)
+        docs100 = spark.read.parquet(f"{tmp100}/documents.parquet")
+
+        def _rollups():
+            from pyspark.sql import functions as _F2
+
+            cid = _F2.coalesce(_F2.col("component"), _F2.col("doc_id"))
+            (
+                docs100.select("doc_id")
+                .join(
+                    cc100.select(
+                        _F2.col("node").alias("doc_id"), "component"
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .select(cid.alias("_cid"))
+                .groupBy("_cid")
+                .agg(_F2.count(_F2.lit(1)).alias("cluster_size"))
+                .groupBy("cluster_size")
+                .agg(_F2.count(_F2.lit(1)).alias("n_clusters"))
+                .count()
+            )
+
+        rollup_sec = _timed(_rollups)
         report["100x"]["dedup_components"].update(
             pairs_100x=pairs100.count(),
             nodes_100x=cc100.count(),
             fixpoint_rounds_100x=st100["rounds"],
         )
+        wall_cs = report["100x"]["dedup_cluster_sizes"]["sec_100x"]
+        report["dedup_cluster_sizes_detail"] = {
+            "pairs_sec_100x": round(pairs_sec, 3),
+            "fixpoint_sec_100x": round(fix_sec, 3),
+            "rollup_sec_100x": round(rollup_sec, 3),
+            "fixpoint_rounds_100x": st100["rounds"],
+            "wall_100x": wall_cs,
+            "dominant_phase": max(
+                (
+                    ("pair_generation", pairs_sec),
+                    ("fixpoint", fix_sec),
+                    ("rollups", rollup_sec),
+                ),
+                key=lambda kv: kv[1],
+            )[0],
+        }
         print(f"# 100x components detail: "
               f"{report['100x']['dedup_components']}")
+        print(f"# cluster_sizes_detail: "
+              f"{report['dedup_cluster_sizes_detail']}")
 
     # ---- 100× decade point for customer_value_deciles (r11 verdict
     # #5: it crossed the ≤2-per-10× line at 2.03, and its committed
