@@ -2529,93 +2529,31 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
 
 QUERIES = {
     # ================= r15 driver window (first 50) =================
-    # ---- new in r15 (never driver-checked) ----
-    "docs_lm_admission": docs_lm_admission_q,
-    "containment_index_append_parity": containment_index_append_parity_q,
-    # ================= r14 driver window below ======================
     # Composition (the r10-verdict discipline): NEW queries first
     # (driver evidence is the gate they have never passed), then
     # entries REWRITTEN this round (their old driver rows no longer
-    # witness the current implementation), then the itemized
-    # evidence backlog, then the stale tail oldest-first.
-    # ---- (a) new in r14 (never driver-checked): the maintained-LM
-    # parity pair (r13 verdict #3), the incremental containment feed
-    # against the persisted inverted index (r13 verdict #2) with its
-    # admission decision, and the held-out backoff scorer ----
-    "unigram_logprob_incremental_parity": unigram_logprob_incremental_parity_q,
-    "bigram_logprob_incremental_parity": bigram_logprob_incremental_parity_q,
-    "dedup_containment_incremental": dedup_containment_incremental_q,
-    "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
-    "dedup_containment_admission": dedup_containment_admission_q,
-    # ---- (b) rewritten in r14: the LM scorers now read the PERSISTED
-    # standing count artifacts (index-backed cold path), and the
-    # shard hash is now pmod+DIV (engine-identical for negative
-    # ids, r13 advice) — all three r13 driver rows are stale ----
-    "docs_shard_balance": docs_shard_balance_q,
-    "docs_unigram_logprob": docs_unigram_logprob_q,
-    "docs_bigram_logprob": docs_bigram_logprob_q,
-    # ---- (c) the 12-entry r10-green remainder (oldest driver evidence
-    # in the registry — the r13-verdict leads) ----
-    "dedup_incremental_pairs": dedup_incremental_pairs_q,
-    "dedup_incremental_components": dedup_incremental_components_q,
-    "dedup_incremental_admission": dedup_incremental_admission_q,
-    "events_zorder_scan": events_zorder_scan_q,
-    "ann_l2_topk": ann_l2_topk_q,
-    "nation_market_share": nation_market_share_q,
-    "customer_order_distribution": customer_order_distribution_q,
-    "stream_enrich_parity": stream_enrich_parity_q,
-    "docs_weighted_sample": docs_weighted_sample_q,
-    "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
-    "lineitem_discount_bands": lineitem_discount_bands_q,
-    "docs_split_stats": docs_split_stats_q,
-    # ---- (d) r11-green backlog, oldest driver evidence (30 of 49 in
-    # catalog order; the 19-entry remainder below leads r15 — three
-    # entries displaced from the window bottom by the late-r14
-    # additions) ----
-    "sales_promo_bundles": sales_promo_bundles_q,
+    # witness the current implementation or oracle text), then the
+    # itemized evidence backlog, then the stale tail oldest-first.
+    # ---- (a) new in r15 (never driver-checked): the LM
+    # perplexity-band admission decision (r14 verdict #4) and the
+    # maintained containment-index append parity (r14 verdict #5) ----
+    "docs_lm_admission": docs_lm_admission_q,
+    "containment_index_append_parity": containment_index_append_parity_q,
+    # ---- (b) rewritten in r15: the copurchase pair build is now one
+    # collect_set aggregation with map-side pair emission (r14
+    # verdict #3 — its r14 driver row witnesses the old plan), and
+    # the five carve-out consumers' ORACLE TEXT changed with the
+    # pmod-shape fix (r14 advice; values identical on nonnegative
+    # ids, but the SQL the driver runs is new) ----
     "lineitem_part_copurchase": lineitem_part_copurchase_q,
-    "docs_vocab_coverage": docs_vocab_coverage_q,
-    "events_robust_outliers": events_robust_outliers_q,
-    "ann_pq_topk": ann_pq_topk_q,
-    "ann_pq_recall": ann_pq_recall_q,
-    "embedding_pq_codes": embedding_pq_codes_q,
-    "ann_ivfpq_topk": ann_ivfpq_topk_q,
-    "ann_ivfpq_recall": ann_ivfpq_recall_q,
-    "docs_duplicated_spans": docs_duplicated_spans_q,
-    "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
-    "corpus_clean_keep": corpus_clean_keep_q,
-    "events_stratified_sample": events_stratified_sample_q,
-    "events_top3_per_user": events_top3_per_user_q,
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "decontam_ngram_overlap": decontam_ngram_overlap_q,
-    "docs_token_percentiles": docs_token_percentiles_q,
-    "docs_mix_upsample": docs_mix_upsample_q,
-    "docs_pack_sequences": docs_pack_sequences_q,
-    "ann_cosine_topk": ann_cosine_topk_q,
-    "similarity_lsh_topk": similarity_lsh_topk_q,
-    "embedding_neardup": embedding_neardup_q,
-    "q9_dlq_stats": q9_dlq_stats,
-    "q10_job_stats": q10_job_stats,
-    "t7_validation_split": t7_validation_split,
-    "t9_ttl_expiry": t9_ttl_expiry,
-    "dedup_exact_groups": dedup_exact_groups,
-    "text_token_stats": text_token_stats_q,
-    "text_repetition_stats": text_repetition_q,
-    # ================ past the 50-cap this round ================
-    # ALL re-verified every round by tools/check_oracle.py + pytest.
-    # Rotation bookkeeping for r15, oldest evidence first: (1) the
-    # r11-green remainder (19 entries — the next r15 leads;
-    # embedding_quantize_int8, docs_length_histogram and
-    # text_bpe_token_count displaced from the window bottom by the
-    # r14 additions — the authoritative itemized list is the block
-    # header just below), (2) the 49 r12-green entries, (3) the 47
-    # r13-green entries.  Any NEW r15 queries take slots by
-    # displacement from the bottom of the r11 remainder.
-    # ---- r11-green remainder (19 entries — the next r15 leads;
-    # embedding_quantize_int8, docs_length_histogram and
-    # text_bpe_token_count displaced from the window bottom by the
-    # r14 additions) ----
+    "dedup_containment_incremental": dedup_containment_incremental_q,
+    "dedup_containment_admission": dedup_containment_admission_q,
+    "dedup_incremental_pairs": dedup_incremental_pairs_q,
+    "dedup_incremental_admission": dedup_incremental_admission_q,
+    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
+    # ---- (c) the 19-entry r11-green remainder (oldest driver
+    # evidence in the registry — the r14-verdict-prescribed r15
+    # leads, all present) ----
     "embedding_quantize_int8": embedding_quantize_q,
     "docs_length_histogram": docs_length_histogram_q,
     "text_bpe_token_count": text_bpe_token_count_q,
@@ -2635,7 +2573,9 @@ QUERIES = {
     "events_props_stats": events_props_stats_q,
     "events_cube_counts": events_cube_counts_q,
     "events_type_pivot": events_type_pivot_q,
-    # ---- r12-green block (49 entries, CORRECTNESS_r12.json) ----
+    # ---- (d) r12-green backlog, oldest driver evidence (23 of the
+    # 49-entry r12 block in catalog order; ann_ivf_incremental_assign
+    # moved up to section (b)) ----
     "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
     "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
     "events_weekly_active": events_weekly_active_q,
@@ -2652,7 +2592,6 @@ QUERIES = {
     "segment_status_revenue": segment_status_revenue_q,
     "events_daily_active": events_daily_active_q,
     "lineitem_profile": lineitem_profile_q,
-    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
     "docs_chunk_windows": docs_chunk_windows_q,
     "stream_sessionize_parity": stream_sessionize_parity_q,
     "stream_funnel_parity": stream_funnel_parity_q,
@@ -2660,6 +2599,15 @@ QUERIES = {
     "docs_block_dedup": docs_block_dedup_q,
     "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
     "embedding_cluster_sample": embedding_cluster_sample_q,
+    # ================ past the 50-cap this round ================
+    # ALL re-verified every round by tools/check_oracle.py + pytest.
+    # Rotation bookkeeping for r16, oldest evidence first: (1) the
+    # r12-green remainder (25 entries — the next r16 leads, itemized
+    # below), (2) the 47 r13-green entries, (3) the 45 r14-green
+    # entries (the r14 window minus the five re-checked in r15).
+    # Any NEW r16 queries take slots by displacement from the bottom
+    # of the r12 remainder.
+    # ---- r12-green remainder (25 entries — the next r16 leads) ----
     "lineitem_small_qty_revenue": lineitem_small_qty_revenue_q,
     "orders_big_basket_customers": orders_big_basket_customers_q,
     "supplier_sole_late_blame": supplier_sole_late_blame_q,
@@ -2685,8 +2633,7 @@ QUERIES = {
     "docs_tfidf_topterms": docs_tfidf_topterms_q,
     "events_type_transitions": events_type_transitions_q,
     "sales_rollup_totals": sales_rollup_totals_q,
-    # ---- r13-green block (47 entries — the r13 driver window minus
-    # the three entries rewritten in r14) ----
+    # ---- r13-green block (47 entries, CORRECTNESS_r13.json) ----
     "weekly_active_incremental_parity": weekly_active_incremental_parity_q,
     "dedup_containment_pairs": dedup_containment_pairs_q,
     "embedding_cell_drift": embedding_cell_drift_q,
@@ -2734,6 +2681,54 @@ QUERIES = {
     "q17_table_counts": q17_table_counts,
     "q21_dlq_replay_select": q21_dlq_replay_select,
     "q22_resolve_update": q22_resolve_update,
+    # ---- r14-green block (45 entries — the r14 driver window minus
+    # lineitem_part_copurchase and the four carve-out consumers
+    # re-checked in r15's window) ----
+    "unigram_logprob_incremental_parity": unigram_logprob_incremental_parity_q,
+    "bigram_logprob_incremental_parity": bigram_logprob_incremental_parity_q,
+    "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
+    "docs_shard_balance": docs_shard_balance_q,
+    "docs_unigram_logprob": docs_unigram_logprob_q,
+    "docs_bigram_logprob": docs_bigram_logprob_q,
+    "dedup_incremental_components": dedup_incremental_components_q,
+    "events_zorder_scan": events_zorder_scan_q,
+    "ann_l2_topk": ann_l2_topk_q,
+    "nation_market_share": nation_market_share_q,
+    "customer_order_distribution": customer_order_distribution_q,
+    "stream_enrich_parity": stream_enrich_parity_q,
+    "docs_weighted_sample": docs_weighted_sample_q,
+    "docs_fuzzy_pairs": docs_fuzzy_pairs_q,
+    "lineitem_discount_bands": lineitem_discount_bands_q,
+    "docs_split_stats": docs_split_stats_q,
+    "sales_promo_bundles": sales_promo_bundles_q,
+    "docs_vocab_coverage": docs_vocab_coverage_q,
+    "events_robust_outliers": events_robust_outliers_q,
+    "ann_pq_topk": ann_pq_topk_q,
+    "ann_pq_recall": ann_pq_recall_q,
+    "embedding_pq_codes": embedding_pq_codes_q,
+    "ann_ivfpq_topk": ann_ivfpq_topk_q,
+    "ann_ivfpq_recall": ann_ivfpq_recall_q,
+    "docs_duplicated_spans": docs_duplicated_spans_q,
+    "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
+    "corpus_clean_keep": corpus_clean_keep_q,
+    "events_stratified_sample": events_stratified_sample_q,
+    "events_top3_per_user": events_top3_per_user_q,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "decontam_ngram_overlap": decontam_ngram_overlap_q,
+    "docs_token_percentiles": docs_token_percentiles_q,
+    "docs_mix_upsample": docs_mix_upsample_q,
+    "docs_pack_sequences": docs_pack_sequences_q,
+    "ann_cosine_topk": ann_cosine_topk_q,
+    "similarity_lsh_topk": similarity_lsh_topk_q,
+    "embedding_neardup": embedding_neardup_q,
+    "q9_dlq_stats": q9_dlq_stats,
+    "q10_job_stats": q10_job_stats,
+    "t7_validation_split": t7_validation_split,
+    "t9_ttl_expiry": t9_ttl_expiry,
+    "dedup_exact_groups": dedup_exact_groups,
+    "text_token_stats": text_token_stats_q,
+    "text_repetition_stats": text_repetition_q,
 }
 
 ORACLE = {

@@ -956,43 +956,46 @@ def main() -> None:
         print(f"# 100x lineitem_part_copurchase: 10x={t10}s 100x={t100}s "
               f"decade ratio={t100 / t10:.2f}")
 
-        # phase split at 100× (r13 verdict #4: decade 7.93 was the
-        # worst on record — attribute the wall so the basket-size
-        # bound is measured, not argued).  Cumulative-prefix timings:
-        # dedup_sec times the distinct (orderkey, partkey) build;
-        # pairs_cum_sec times dedup + the co-partitioned self-join
-        # fan-out; the full wall adds the (p1,p2) aggregate + top-k.
+        # phase split at 100×, matched to the r15 single-aggregation
+        # plan (r13 verdict #4 attributed the old distinct+self-join
+        # wall; r14 verdict #3 retired that build).  Cumulative-prefix
+        # timings: collect_sec times the one collect_set aggregation
+        # (the orderkey shuffle — the only pass over the table);
+        # pairs_cum_sec times aggregation + the map-side array pair
+        # emission; the full wall adds the (p1,p2) aggregate + top-k.
         def _copurchase_phases(d: str, wall: float) -> dict:
-            li = (
-                _src.load_table(spark, d, "lineitem")
-                .select("l_orderkey", "l_partkey")
-                .distinct()
+            li = _src.load_table(spark, d, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            )
+            per = (
+                li.groupBy("l_orderkey")
+                .agg(
+                    _F2.sort_array(
+                        _F2.collect_set("l_partkey")
+                    ).alias("_parts")
+                )
+                .filter(_F2.size("_parts") >= 2)
             )
             t0 = time.time()
-            lp_rows = li.count()
-            dedup_sec = round(time.time() - t0, 3)
-            a = li.select(
-                _F2.col("l_orderkey").alias("ok"),
-                _F2.col("l_partkey").alias("p1"),
-            )
-            b = li.select(
-                _F2.col("l_orderkey").alias("ok2"),
-                _F2.col("l_partkey").alias("p2"),
+            order_rows = per.count()
+            collect_sec = round(time.time() - t0, 3)
+            pair_expr = _F2.expr(
+                "flatten(transform(_parts, (x, i) -> "
+                "transform(slice(_parts, i + 2, size(_parts)), y -> "
+                "struct(x AS p1, y AS p2))))"
             )
             t0 = time.time()
-            pairs = a.join(
-                b,
-                (_F2.col("ok") == _F2.col("ok2"))
-                & (_F2.col("p1") < _F2.col("p2")),
+            pairs = per.select(
+                _F2.explode(pair_expr).alias("_pr")
             ).count()
             pairs_cum_sec = round(time.time() - t0, 3)
             return {
-                "distinct_order_part_rows": lp_rows,
-                "candidate_pairs": pairs,
-                "dedup_sec": dedup_sec,
+                "orders_with_pairs": order_rows,
+                "emitted_pairs": pairs,
+                "collect_sec": collect_sec,
                 "pairs_cum_sec": pairs_cum_sec,
                 "agg_topk_sec_derived": round(max(0.0, wall - pairs_cum_sec), 3),
-                "pairs_per_distinct_row": round(pairs / lp_rows, 3),
+                "pairs_per_order": round(pairs / order_rows, 3),
             }
 
         report["100x"]["lineitem_part_copurchase"]["phases_100x"] = (
