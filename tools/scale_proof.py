@@ -773,7 +773,10 @@ def main() -> None:
         # r14: the admission decision on top of the containment feed —
         # pure composition, O(batch + candidate pairs)
         "dedup_containment_admission": dedup_containment_admission_q,
-        # r15: decade rows from birth for the two new entries
+        # r15: decade rows from birth for the two new entries, plus
+        # the incremental containment feed itself (previously covered
+        # only through the admission composition)
+        "dedup_containment_incremental": dedup_containment_incremental_q,
         "docs_lm_admission": docs_lm_admission_q,
         "containment_index_append_parity":
             containment_index_append_parity_q,
