@@ -171,11 +171,12 @@ PIPELINE = [
     "dedup_containment_incremental",
     "docs_bigram_backoff_logprob",
     "dedup_containment_admission",
-    # r15 additions (pipeline_total grows by these 2 entries and
+    # r15 additions (pipeline_total grows by these 3 entries and
     # loses the demoted audit entry above — compare older rounds
     # against the other 109)
     "docs_lm_admission",
     "containment_index_append_parity",
+    "minhash_index_append_parity",
 ]
 
 #: explicitly-cadenced AUDIT entries (r15): full-recompute

@@ -614,6 +614,40 @@ def lsh_pairs_from_bands(
     )
 
 
+def merge_band_table(
+    band_table: DataFrame,
+    new_docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Merge an ADMITTED batch into the standing MinHash band table
+    (new r15 — the maintenance step the containment index got this
+    round, applied to the LSH tier): a document's signature and band
+    buckets are functions of ITS OWN shingles only, so appending the
+    batch's :func:`banded_signatures` rows to the stored table (doc
+    ids disjoint by the carve-out construction — union IS the merge,
+    nothing reshuffles and the corpus rows never move) yields EXACTLY
+    the table a full-corpus rebuild would produce — the
+    ``minhash_index_append_parity`` query hash-proves it against a
+    full recompute oracle.  Without this step the standing table
+    :func:`incremental_minhash_pairs` probes goes stale after the
+    first admitted batch.  Cost: O(batch) tokenize/minhash + the
+    append; a pipeline persists the result as the next snapshot's
+    standing index (the ``_ensure_layout`` protocol).
+
+    Only the BATCH side rides a lazy checkpoint: consumers that run
+    several actions over the merged table (the parity digest's two
+    branches) must not re-pay the batch minhash per action, while the
+    corpus side stays a plain parquet scan — materializing the whole
+    merged table would trade cheap re-scans for an O(corpus) block
+    write, the wrong trade at 100 TB."""
+    nb = banded_signatures(new_docs, num_hashes, bands, n).localCheckpoint(
+        eager=False
+    )
+    return band_table.select("doc_id", "sig", "band", "bucket").unionByName(nb)
+
+
 def incremental_minhash_pairs(
     band_table: DataFrame,
     new_docs: DataFrame,

@@ -1144,6 +1144,100 @@ WHERE a.is_new
 """
 
 
+#: digest parameters of the band-table parity query — same residue
+#: modulus and doc-bucket fan-out as the containment-index digest
+_BAND_PARITY_P = 1_000_000_007
+_BAND_PARITY_BUCKETS = 64
+
+
+def minhash_index_append_parity_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained band-table parity (new r15 — the
+    ``containment_index_append_parity`` pattern applied to the LSH
+    tier): merge the carve-out batch into the PERSISTED standing
+    band table (``dedup.merge_band_table`` — a doc's signature
+    depends only on its own shingles, so append == rebuild exactly)
+    and digest the merged relation; the oracle digests a FULL-CORPUS
+    band-table recompute in DuckDB (the shared ``_minhash_ctes``
+    signature machinery — same coefficient table, same portable
+    md5 hash), so the hash match proves a daily feed can maintain
+    the LSH index incrementally forever and
+    ``incremental_minhash_pairs`` never probes a stale table.
+
+    Digest rows are bounded (8 band rows + 64 doc-residue rows): per
+    band, the row count plus modular checksums of the member doc ids
+    and the md5 bucket values; per doc-residue group, the signature
+    checksum (sum of the 32 minhash values mod P) — order-free,
+    additive, integer-exact cross-engine."""
+    p = _DEDUP_PAIR_PARAMS
+    bands, _base_cc = _inc_standing_index(spark, sf_dir)
+    _docs, _base, new = _inc_split(spark, sf_dir)
+    merged = dedup.merge_band_table(
+        bands, new, p["num_hashes"], p["bands"], p["n"]
+    )  # batch side checkpointed inside; corpus side stays a scan
+    P = F.lit(_BAND_PARITY_P)
+    d_bands = (
+        merged.groupBy(F.col("band").cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.pmod(F.col("doc_id"), P)).cast("long").alias("checksum_a"),
+            F.sum(
+                F.pmod(
+                    F.conv(F.substring("bucket", 1, 15), 16, 10).cast("long"),
+                    P,
+                )
+            ).cast("long").alias("checksum_b"),
+        )
+        .select(F.lit("bands").alias("relation"), "grp", "n_rows",
+                "checksum_a", "checksum_b")
+    )
+    sig_sum = F.aggregate(
+        "sig", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    d_sig = (
+        merged.filter(F.col("band") == 0)  # one row per doc carries sig
+        .groupBy(
+            F.pmod(F.col("doc_id"), F.lit(_BAND_PARITY_BUCKETS)).alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.pmod(F.col("doc_id"), P)).cast("long").alias("checksum_a"),
+            F.sum(F.pmod(sig_sum, P)).cast("long").alias("checksum_b"),
+        )
+        .select(F.lit("sig").alias("relation"), "grp", "n_rows",
+                "checksum_a", "checksum_b")
+    )
+    return d_bands.unionByName(d_sig)
+
+
+def _band_parity_sql() -> str:
+    """Oracle twin of ``minhash_index_append_parity``: full-corpus
+    band-table recompute via the shared ``_minhash_ctes`` signature
+    CTEs (only the referenced CTEs execute), digested identically.
+    doc_id gets the sign-safe pmod shape; mh values and the bucket
+    hash prefix are nonnegative by construction."""
+    p = _DEDUP_PAIR_PARAMS
+    P = _BAND_PARITY_P
+    B = _BAND_PARITY_BUCKETS
+    sig_sum = " + ".join(f"mh{i}" for i in range(p["num_hashes"]))
+    return f"""
+WITH {_minhash_ctes()}
+SELECT 'bands' AS relation, CAST(band AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(((doc_id % {P}) + {P}) % {P}) AS BIGINT) AS checksum_a,
+       CAST(SUM(('0x' || substr(bucket, 1, 15))::BIGINT % {P})
+            AS BIGINT) AS checksum_b
+FROM bands GROUP BY band
+UNION ALL
+SELECT 'sig', CAST(((doc_id % {B}) + {B}) % {B} AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(((doc_id % {P}) + {P}) % {P}) AS BIGINT),
+       CAST(SUM(({sig_sum}) % {P}) AS BIGINT)
+FROM sig GROUP BY 2
+"""
+
+
 
 
 
@@ -2535,10 +2629,13 @@ QUERIES = {
     # witness the current implementation or oracle text), then the
     # itemized evidence backlog, then the stale tail oldest-first.
     # ---- (a) new in r15 (never driver-checked): the LM
-    # perplexity-band admission decision (r14 verdict #4) and the
-    # maintained containment-index append parity (r14 verdict #5) ----
+    # perplexity-band admission decision (r14 verdict #4), the
+    # maintained containment-index append parity (r14 verdict #5),
+    # and the same maintenance-parity pattern applied to the LSH
+    # band table ----
     "docs_lm_admission": docs_lm_admission_q,
     "containment_index_append_parity": containment_index_append_parity_q,
+    "minhash_index_append_parity": minhash_index_append_parity_q,
     # ---- (b) rewritten in r15: the copurchase pair build is now one
     # collect_set aggregation with map-side pair emission (r14
     # verdict #3 — its r14 driver row witnesses the old plan), and
@@ -2765,6 +2862,7 @@ ORACLE = {
     "dedup_containment_incremental": CONTAINMENT_INCREMENTAL_SQL,
     "dedup_containment_admission": CONTAINMENT_ADMISSION_SQL,
     "containment_index_append_parity": CONTAINMENT_INDEX_PARITY_SQL,
+    "minhash_index_append_parity": _band_parity_sql(),
     "docs_shard_balance": DOCS_SHARD_BALANCE_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,

@@ -2004,3 +2004,32 @@ def test_merge_containment_index_equals_rebuild(spark):
         got = sorted(map(tuple, merged.collect()))
         want = sorted(map(tuple, rebuilt.collect()))
         assert got == want and len(got) > 0
+
+
+def test_merge_band_table_equals_rebuild(spark):
+    """merge_band_table (r15): appending a disjoint batch's band rows
+    to a standing band table must equal a from-scratch rebuild over
+    the union — a doc's signature depends only on its own shingles.
+    Exact row-set comparison on a hand-built corpus."""
+    from cass_cdc_pg_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "a b c d e f g q"), (11, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    both = base.unionByName(batch)
+    bt = dedup.banded_signatures(base, num_hashes=16, bands=4, n=2)
+    merged = dedup.merge_band_table(bt, batch, num_hashes=16, bands=4, n=2)
+    rebuilt = dedup.banded_signatures(both, num_hashes=16, bands=4, n=2)
+    got = sorted((r.doc_id, tuple(r.sig), r.band, r.bucket)
+                 for r in merged.collect())
+    want = sorted((r.doc_id, tuple(r.sig), r.band, r.bucket)
+                  for r in rebuilt.collect())
+    assert got == want and len(got) == 4 * 4  # 4 docs x 4 bands

@@ -283,6 +283,7 @@ def main() -> None:
         ann_ivf_incremental_assign_q,
         docs_lm_admission_q,
         containment_index_append_parity_q,
+        minhash_index_append_parity_q,
         part_min_cost_supplier_q,
         sales_rollup_totals_q,
     )
@@ -407,6 +408,9 @@ def main() -> None:
         "docs_lm_admission": docs_lm_admission_q,
         "containment_index_append_parity":
             containment_index_append_parity_q,
+        # r15: the LSH band-table maintenance parity (standing table
+        # read + O(batch) minhash append + bounded 72-row digest)
+        "minhash_index_append_parity": minhash_index_append_parity_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -780,6 +784,7 @@ def main() -> None:
         "docs_lm_admission": docs_lm_admission_q,
         "containment_index_append_parity":
             containment_index_append_parity_q,
+        "minhash_index_append_parity": minhash_index_append_parity_q,
     }
     n_docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     with tempfile.TemporaryDirectory() as tmp100:
