@@ -2670,7 +2670,7 @@ QUERIES = {
     "events_props_stats": events_props_stats_q,
     "events_cube_counts": events_cube_counts_q,
     "events_type_pivot": events_type_pivot_q,
-    # ---- (d) r12-green backlog, oldest driver evidence (23 of the
+    # ---- (d) r12-green backlog, oldest driver evidence (22 of the
     # 49-entry r12 block in catalog order; ann_ivf_incremental_assign
     # moved up to section (b)) ----
     "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
@@ -2695,16 +2695,17 @@ QUERIES = {
     "stream_dedup_parity": stream_dedup_parity_q,
     "docs_block_dedup": docs_block_dedup_q,
     "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
-    "embedding_cluster_sample": embedding_cluster_sample_q,
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r16, oldest evidence first: (1) the
-    # r12-green remainder (25 entries — the next r16 leads, itemized
-    # below), (2) the 47 r13-green entries, (3) the 45 r14-green
-    # entries (the r14 window minus the five re-checked in r15).
-    # Any NEW r16 queries take slots by displacement from the bottom
-    # of the r12 remainder.
-    # ---- r12-green remainder (25 entries — the next r16 leads) ----
+    # r12-green remainder (26 entries — the next r16 leads, itemized
+    # below; embedding_cluster_sample was displaced from the window
+    # bottom by the late-r15 minhash_index_append_parity), (2) the 47
+    # r13-green entries, (3) the 45 r14-green entries (the r14 window
+    # minus the five re-checked in r15).  Any NEW r16 queries take
+    # slots by displacement from the bottom of the r12 remainder.
+    # ---- r12-green remainder (26 entries — the next r16 leads) ----
+    "embedding_cluster_sample": embedding_cluster_sample_q,
     "lineitem_small_qty_revenue": lineitem_small_qty_revenue_q,
     "orders_big_basket_customers": orders_big_basket_customers_q,
     "supplier_sole_late_blame": supplier_sole_late_blame_q,
