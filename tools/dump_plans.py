@@ -147,9 +147,9 @@ SELECTED: list[tuple[str, str]] = [
      "lineitem); filtered part broadcast; per-bundle conditional "
      "DECIMAL sums inside ONE aggregate"),
     ("lineitem_part_copurchase",
-     "market-basket pairs (r11): dedup-first, co-partitioned "
-     "self-join on l_orderkey (pair fan-out bounded by basket "
-     "size), global top-20 as TakeOrderedAndProject"),
+     "market-basket pairs (rewritten r15): ONE collect_set "
+     "aggregation, map-side array pair emission, no join — exactly "
+     "two hash Exchanges; global top-20 as TakeOrderedAndProject"),
     ("docs_vocab_coverage",
      "top-K vocabulary via TakeOrdered, broadcast back over the "
      "token stream; no global window, one per-source rollup "
@@ -232,6 +232,17 @@ SELECTED: list[tuple[str, str]] = [
      "daily containment feed (r14): corpus postings cross NO "
      "Exchange — batch shingles broadcast into one map-side pass; "
      "stop guard composes df from the standing relation map-side"),
+    ("docs_lm_admission",
+     "LM admission (r15): batch-sized left join onto the memoized "
+     "backoff score, integer tier CASE — nothing corpus-sized moves"),
+    ("containment_index_append_parity",
+     "maintained containment index (r15): standing relations read "
+     "from parquet, O(batch) delta, additive df merge, bounded "
+     "3x64-row digest"),
+    ("minhash_index_append_parity",
+     "maintained band table (r15): corpus side a plain parquet "
+     "scan, batch side checkpointed minhash append, bounded "
+     "72-row digest"),
 ]
 
 
