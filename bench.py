@@ -189,6 +189,23 @@ AUDIT = [
 ]
 
 
+
+def force_full(df) -> int:
+    """Execute a query with ALL output columns computed — the honest
+    measurement action (r15).  ``.count()`` lets Catalyst prune every
+    column the row count doesn't need, and for 12 registered queries
+    that pruning ELIMINATES the dominant joins outright (a LEFT JOIN
+    whose aggregated right side has provably-unique keys and
+    unreferenced columns is dropped by the outer-join eliminator —
+    the admission/decision and recall families all end in exactly
+    that shape), so their timed rows measured a degenerate scan.
+    The built-in `noop` sink computes every column of every row and
+    discards them executor-side — full execution, no driver
+    materialization, no output I/O.  Returns -1 (row counts of timed
+    runs are not used)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
 def ingest_bench(spark, sf_dir: str, warehouse: str, num_buckets: int = 32) -> float:
     """Replay the events table as CDC CREATE events through the full
     merge path; returns events/sec."""
@@ -978,7 +995,7 @@ def main() -> None:
     # one untimed warm pass (codegen + file-listing caches), then the
     # timed pass — matching how the baseline DuckDB numbers are taken
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).count()
+        force_full(QUERIES[name](spark, sf_dir))
 
     # the same per-action session floor the contract line carries,
     # measured HERE so the headline's floor-adjusted column reflects
@@ -1005,7 +1022,7 @@ def main() -> None:
             fn = QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()  # force full execution
+            n = force_full(df)  # all columns, executor-side discard
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
@@ -1020,10 +1037,10 @@ def main() -> None:
     # phantom round-over-round regression on an untouched code path
     pipeline: dict[str, float] = {}
     for name in PIPELINE:
-        QUERIES[name](spark, sf_dir).count()  # warm
+        force_full(QUERIES[name](spark, sf_dir))  # warm
         for _ in range(2):
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).count()
+            force_full(QUERIES[name](spark, sf_dir))
             dt = round(time.time() - t0, 3)
             if name not in pipeline or dt < pipeline[name]:
                 pipeline[name] = dt
@@ -1131,10 +1148,10 @@ def main() -> None:
     # keys so pipeline_total carries only the daily cadence
     audit: dict[str, float] = {}
     for name in AUDIT:
-        QUERIES[name](spark, sf_dir).count()  # warm
+        force_full(QUERIES[name](spark, sf_dir))  # warm
         for _ in range(2):
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).count()
+            force_full(QUERIES[name](spark, sf_dir))
             dt = round(time.time() - t0, 3)
             k = f"audit_{name}_sec"
             if k not in audit or dt < audit[k]:
@@ -1146,7 +1163,7 @@ def main() -> None:
     try:
         for name in MEMO_CONSUMERS:
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).count()
+            force_full(QUERIES[name](spark, sf_dir))
             cold[f"{name}_cold_sec"] = round(time.time() - t0, 3)
     finally:
         del os.environ["SPARK_GRAFT_NO_DEDUP_MEMO"]
@@ -1211,6 +1228,13 @@ def main() -> None:
         # advice — the map is carried once)
         "queries_best3": timings,
         "queries_floor_adj": floor_adj,
+        # r15: every timed query action is a full-column noop-sink
+        # write (see force_full) — .count() let Catalyst eliminate
+        # the dominant joins of 12 queries (admission/decision +
+        # recall families), so pre-r15 rows for those entries
+        # measured a pruned plan; totals are comparable to r14 only
+        # modulo that note
+        "action": "noop_full_columns",
         "headline_floor_sec": headline_floor,
         "pipeline_queries": pipeline,
         "pipeline_total": round(sum(pipeline.values()), 3),
@@ -1254,7 +1278,7 @@ def main() -> None:
 #: round-over-round comparison needs, nothing that can grow with the
 #: query count
 HEADLINE_KEYS = [
-    "metric", "value", "unit", "queries_best3", "queries_floor_adj",
+    "metric", "value", "unit", "action", "queries_best3", "queries_floor_adj",
     "headline_floor_sec", "pipeline_total",
     "pipeline_total_cold", "audit_dedup_containment_pairs_sec", "sf",
     "warm", "ingest_events_per_sec",

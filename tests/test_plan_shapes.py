@@ -1762,3 +1762,26 @@ def test_bigram_backoff_index_backed_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Scan parquet") >= 3, plan  # the standing relations
+
+
+def test_count_action_eliminates_decision_joins(spark):
+    """Why bench/scale_proof time queries with the full-column noop
+    sink (r15): under a bare .count(), Catalyst's outer-join
+    eliminator drops a LEFT JOIN whose aggregated right side has
+    unique keys and unreferenced columns — which is exactly the
+    admission/decision queries' final shape, so counting them
+    executes a degenerate scan instead of the evidence pipeline.
+    This test pins the hazard itself; if a Spark upgrade changes the
+    eliminator, force_full stays correct either way (it always
+    computes all columns)."""
+    from cass_cdc_pg_spark import registry
+
+    df = registry.dedup_containment_admission_q(
+        spark, "/root/testdata/sf0.001"
+    )
+    full = df._jdf.queryExecution().optimizedPlan().toString()
+    cnt = (
+        df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" in full  # the real decision pipeline joins evidence
+    assert "Join" not in cnt  # count() eliminates it — never time this

@@ -217,6 +217,15 @@ def _replicate_embeddings(spark, sf_dir: str, out: str) -> None:
     big.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
+
+def _force_full(df) -> None:
+    """Full-column execution via the noop sink (r15, same fix as
+    bench.force_full): .count() let Catalyst's outer-join eliminator
+    drop the dominant joins of the admission/decision and recall
+    queries, so their timed rows measured a degenerate scan.  Every
+    timed query action below goes through this."""
+    df.write.format("noop").mode("overwrite").save()
+
 def _timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -423,12 +432,26 @@ def main() -> None:
         _replicate_embeddings(spark, sf_dir, tmp)
         # the 10x dir needs every table the query loaders touch; the
         # remaining tables are only read by loaders we don't call here
-        report: dict = {"sf_dir": sf_dir, "replicas": REPLICAS, "queries": {}}
+        report: dict = {
+            "sf_dir": sf_dir,
+            "replicas": REPLICAS,
+            # r15: timed actions force ALL columns via the noop sink
+            # (.count() eliminated the dominant joins of 12 queries);
+            # pre-r15 rows for those entries measured a pruned plan
+            "action": "noop_full_columns",
+            "queries": {},
+        }
         for name, fn in queries.items():
-            fn(spark, sf_dir).count()  # warm (codegen, file listing)
-            t1 = min(_timed(lambda: fn(spark, sf_dir).count()) for _ in range(2))
-            fn(spark, tmp).count()
-            t10 = min(_timed(lambda: fn(spark, tmp).count()) for _ in range(2))
+            _force_full(fn(spark, sf_dir))  # warm (codegen, file listing)
+            t1 = min(
+                _timed(lambda: _force_full(fn(spark, sf_dir)))
+                for _ in range(2)
+            )
+            _force_full(fn(spark, tmp))
+            t10 = min(
+                _timed(lambda: _force_full(fn(spark, tmp)))
+                for _ in range(2)
+            )
             report["queries"][name] = {
                 "sec_1x": t1,
                 "sec_10x": t10,
@@ -792,9 +815,10 @@ def main() -> None:
         report["100x"] = {}
         for name, fn in hundred.items():
             t10 = report["queries"][name]["sec_10x"]
-            fn(spark, tmp100).count()  # warm (codegen, file listing)
+            _force_full(fn(spark, tmp100))  # warm (codegen, file listing)
             t100 = min(
-                _timed(lambda: fn(spark, tmp100).count()) for _ in range(2)
+                _timed(lambda: _force_full(fn(spark, tmp100)))
+                for _ in range(2)
             )
             report["100x"][name] = {
                 "sec_10x": t10,
@@ -916,9 +940,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmpo:
         _replicate_orders(spark, sf_dir, tmpo, replicas=100)
         t10 = report["queries"]["customer_value_deciles"]["sec_10x"]
-        customer_value_deciles_q(spark, tmpo).count()  # warm
+        _force_full(customer_value_deciles_q(spark, tmpo))  # warm
         t100 = min(
-            _timed(lambda: customer_value_deciles_q(spark, tmpo).count())
+            _timed(lambda: _force_full(customer_value_deciles_q(spark, tmpo)))
             for _ in range(2)
         )
         report["100x"]["customer_value_deciles"] = {
@@ -947,9 +971,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmpl:
         _replicate_lineitem(spark, sf_dir, tmpl, hi_lk, replicas=100)
         t10 = report["queries"]["lineitem_part_copurchase"]["sec_10x"]
-        lineitem_part_copurchase_q(spark, tmpl).count()  # warm
+        _force_full(lineitem_part_copurchase_q(spark, tmpl))  # warm
         t100 = min(
-            _timed(lambda: lineitem_part_copurchase_q(spark, tmpl).count())
+            _timed(lambda: _force_full(lineitem_part_copurchase_q(spark, tmpl)))
             for _ in range(2)
         )
         report["100x"]["lineitem_part_copurchase"] = {
@@ -1022,9 +1046,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmpe:
         _replicate_events(spark, sf_dir, tmpe, replicas=100)
         t10 = report["queries"]["events_weekly_active"]["sec_10x"]
-        events_weekly_active_q(spark, tmpe).count()  # warm
+        _force_full(events_weekly_active_q(spark, tmpe))  # warm
         t100 = min(
-            _timed(lambda: events_weekly_active_q(spark, tmpe).count())
+            _timed(lambda: _force_full(events_weekly_active_q(spark, tmpe)))
             for _ in range(2)
         )
         report["100x"]["events_weekly_active"] = {
