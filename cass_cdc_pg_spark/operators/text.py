@@ -772,7 +772,16 @@ def decontaminate(
         grams(benchmark).select(F.explode("grams").alias("g")).distinct()
     )
     corpus_g = grams(corpus)
-    sizes = corpus_g.select("doc_id", F.size("grams").alias("n_grams"))
+    # gram TOTALS are pure arithmetic — max(n_tokens − n + 1, 0) — so
+    # the sizes branch never builds the gram-string arrays
+    # (size(grams) would concat every window just to take the length;
+    # the r15 duplicated_span_stats fix, same hazard)
+    sizes = corpus.select(
+        "doc_id",
+        F.greatest(
+            F.size(tokens(F.col("text"))) - F.lit(n - 1), F.lit(0)
+        ).alias("n_grams"),
+    )
     hits = (
         corpus_g.select("doc_id", F.explode("grams").alias("g"))
         .join(bench, "g")
@@ -1490,7 +1499,16 @@ def duplicated_span_stats(
     # small fraction, instead of shipping every window's count back
     # through a full equi join.  Group labels ride the narrow per-doc
     # branch, never the per-window rows.
-    per_doc = documents.select("doc_id", F.explode(wins).alias("_w"))
+    # lazy checkpoint: the exploded (doc_id, hash) relation feeds BOTH
+    # the count aggregate and the dup semi-probe; without it each
+    # branch re-runs the tokenize + span-1 combine passes (and the
+    # totals branch below used to run them a THIRD time through
+    # size(wins) — measured 3.7 s warm at sf0.1 for a ~1 s pipeline
+    # once the full-column action landed in r15).  16-byte rows, so
+    # the materialization is far cheaper than the recompute.
+    per_doc = documents.select(
+        "doc_id", F.explode(wins).alias("_w")
+    ).localCheckpoint(eager=False)
     counts = per_doc.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     dup_w = counts.filter(F.col("_c") > 1).select("_w")
     n_dup = (
@@ -1498,9 +1516,16 @@ def duplicated_span_stats(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("_n_dup"))
     )
+    # window TOTALS are pure arithmetic — max(n_tokens − span + 1, 0)
+    # — so the totals branch never evaluates the hash-chain array
+    # (size(wins) would compute every window hash just to take the
+    # length)
+    n_w_arith = F.greatest(
+        F.size(toks) - F.lit(span_tokens - 1), F.lit(0)
+    )
     doc_stats = (
         documents.select(
-            "doc_id", F.col(group_col), F.size(wins).alias("_n_w")
+            "doc_id", F.col(group_col), n_w_arith.alias("_n_w")
         )
         .filter(F.col("_n_w") > 0)
         .join(n_dup, "doc_id", "left")
@@ -1580,6 +1605,11 @@ def remove_duplicated_blocks(
         nb.alias("_nb"),
         bh.alias("_bh"),
     ).filter(F.col("_n") > 0)
+    # lazy checkpoint (r15, the duplicated_span_stats fix): the
+    # exploded block relation feeds BOTH the first-occurrence
+    # aggregate and the removal probe — without it each branch
+    # re-runs the tokenize + per-block hash folds; 32-byte rows, so
+    # materializing once is far cheaper than computing twice
     per_block = base.select(
         "doc_id",
         "_n",
@@ -1587,7 +1617,7 @@ def remove_duplicated_blocks(
     ).withColumn(
         "_blen",
         F.least(F.lit(b), F.col("_n") - F.col("idx") * b).cast("long"),
-    )
+    ).localCheckpoint(eager=False)
     dup_first = (
         per_block.groupBy("_h")
         .agg(

@@ -2638,11 +2638,17 @@ QUERIES = {
     "minhash_index_append_parity": minhash_index_append_parity_q,
     # ---- (b) rewritten in r15: the copurchase pair build is now one
     # collect_set aggregation with map-side pair emission (r14
-    # verdict #3 — its r14 driver row witnesses the old plan), and
-    # the five carve-out consumers' ORACLE TEXT changed with the
+    # verdict #3 — its r14 driver row witnesses the old plan); the
+    # five carve-out consumers' ORACLE TEXT changed with the
     # pmod-shape fix (r14 advice; values identical on nonnegative
-    # ids, but the SQL the driver runs is new) ----
+    # ids, but the SQL the driver runs is new); and the three
+    # exact-substring-tier operators were plan-rewritten late-r15
+    # (shared exploded relation + arithmetic window totals — the
+    # full-column action exposed their triple hash-chain recompute) ----
     "lineitem_part_copurchase": lineitem_part_copurchase_q,
+    "docs_duplicated_spans": docs_duplicated_spans_q,
+    "docs_block_dedup": docs_block_dedup_q,
+    "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "dedup_containment_incremental": dedup_containment_incremental_q,
     "dedup_containment_admission": dedup_containment_admission_q,
     "dedup_incremental_pairs": dedup_incremental_pairs_q,
@@ -2670,9 +2676,11 @@ QUERIES = {
     "events_props_stats": events_props_stats_q,
     "events_cube_counts": events_cube_counts_q,
     "events_type_pivot": events_type_pivot_q,
-    # ---- (d) r12-green backlog, oldest driver evidence (22 of the
+    # ---- (d) r12-green backlog, oldest driver evidence (19 of the
     # 49-entry r12 block in catalog order; ann_ivf_incremental_assign
-    # moved up to section (b)) ----
+    # and docs_block_dedup moved up to section (b),
+    # stream_dedup_parity / docs_quality_budget_by_source /
+    # embedding_cluster_sample displaced past the cap) ----
     "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
     "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
     "events_weekly_active": events_weekly_active_q,
@@ -2692,19 +2700,20 @@ QUERIES = {
     "docs_chunk_windows": docs_chunk_windows_q,
     "stream_sessionize_parity": stream_sessionize_parity_q,
     "stream_funnel_parity": stream_funnel_parity_q,
-    "stream_dedup_parity": stream_dedup_parity_q,
-    "docs_block_dedup": docs_block_dedup_q,
-    "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r16, oldest evidence first: (1) the
-    # r12-green remainder (26 entries — the next r16 leads, itemized
-    # below; embedding_cluster_sample was displaced from the window
-    # bottom by the late-r15 minhash_index_append_parity), (2) the 47
-    # r13-green entries, (3) the 45 r14-green entries (the r14 window
-    # minus the five re-checked in r15).  Any NEW r16 queries take
-    # slots by displacement from the bottom of the r12 remainder.
-    # ---- r12-green remainder (26 entries — the next r16 leads) ----
+    # r12-green remainder (27 entries — the next r16 leads, itemized
+    # below), (2) the 47 r13-green entries, (3) the 43 r14-green
+    # entries (the r14 window minus the seven re-checked in r15).
+    # Any NEW r16 queries take slots by displacement from the bottom
+    # of the r12 remainder.
+    # ---- r12-green remainder (27 entries — the next r16 leads;
+    # stream_dedup_parity and docs_quality_budget_by_source displaced
+    # from the window bottom by the late-r15 plan rewrites;
+    # embedding_cluster_sample by minhash_index_append_parity) ----
+    "stream_dedup_parity": stream_dedup_parity_q,
+    "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
     "embedding_cluster_sample": embedding_cluster_sample_q,
     "lineitem_small_qty_revenue": lineitem_small_qty_revenue_q,
     "orders_big_basket_customers": orders_big_basket_customers_q,
@@ -2806,14 +2815,12 @@ QUERIES = {
     "embedding_pq_codes": embedding_pq_codes_q,
     "ann_ivfpq_topk": ann_ivfpq_topk_q,
     "ann_ivfpq_recall": ann_ivfpq_recall_q,
-    "docs_duplicated_spans": docs_duplicated_spans_q,
     "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
     "corpus_clean_keep": corpus_clean_keep_q,
     "events_stratified_sample": events_stratified_sample_q,
     "events_top3_per_user": events_top3_per_user_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "decontam_ngram_overlap": decontam_ngram_overlap_q,
     "docs_token_percentiles": docs_token_percentiles_q,
     "docs_mix_upsample": docs_mix_upsample_q,
     "docs_pack_sequences": docs_pack_sequences_q,
