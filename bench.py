@@ -171,12 +171,13 @@ PIPELINE = [
     "dedup_containment_incremental",
     "docs_bigram_backoff_logprob",
     "dedup_containment_admission",
-    # r15 additions (pipeline_total grows by these 3 entries and
+    # r15 additions (pipeline_total grows by these 4 entries and
     # loses the demoted audit entry above — compare older rounds
     # against the other 109)
     "docs_lm_admission",
     "containment_index_append_parity",
     "minhash_index_append_parity",
+    "dedup_containment_day2",
 ]
 
 #: explicitly-cadenced AUDIT entries (r15): full-recompute
@@ -1142,6 +1143,18 @@ def main() -> None:
     _regc._containment_index(spark, sf_dir)
     containment_index_build_sec = round(time.time() - t0, 3)
 
+    # r15 late: the day-0 (two-band) index the day-2 composition
+    # query reads — same capex split, so its pipeline row measures
+    # merge + feed, never the day-0 build
+    _cidx0 = _reg._cache_layout_dir(
+        "containment_index_d0", key[0], key[1],
+        _regc._CONTAINMENT_N, "bands2",
+    )
+    shutil.rmtree(_cidx0, ignore_errors=True)
+    t0 = time.time()
+    _regc._containment_index_day0(spark, sf_dir)
+    containment_index_d0_build_sec = round(time.time() - t0, 3)
+
     # r15: the weekly audit tier — full-recompute reconciliation
     # entries demoted from the routine pipeline (r14 verdict #2),
     # timed min-of-2 like pipeline rows but published under audit_*
@@ -1243,6 +1256,7 @@ def main() -> None:
         "lm_unigram_build_sec": lm_unigram_build_sec,
         "lm_bigram_build_sec": lm_bigram_build_sec,
         "containment_index_build_sec": containment_index_build_sec,
+        "containment_index_d0_build_sec": containment_index_d0_build_sec,
         **audit,
         **cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -636,6 +636,8 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     CONTAINMENT_ADMISSION_SQL,
     containment_index_append_parity_q,
     CONTAINMENT_INDEX_PARITY_SQL,
+    dedup_containment_day2_q,
+    CONTAINMENT_DAY2_SQL,
     docs_unigram_logprob_q,
     unigram_logprob_oracle_sql,
     docs_bigram_logprob_q,
@@ -2631,11 +2633,14 @@ QUERIES = {
     # ---- (a) new in r15 (never driver-checked): the LM
     # perplexity-band admission decision (r14 verdict #4), the
     # maintained containment-index append parity (r14 verdict #5),
-    # and the same maintenance-parity pattern applied to the LSH
-    # band table ----
+    # the same maintenance-parity pattern applied to the LSH band
+    # table, and the day-2 composition proof (merge batch 1, feed
+    # batch 2 against the MERGED index) ----
     "docs_lm_admission": docs_lm_admission_q,
     "containment_index_append_parity": containment_index_append_parity_q,
     "minhash_index_append_parity": minhash_index_append_parity_q,
+    "dedup_containment_day2": dedup_containment_day2_q,
+    "dedup_containment_day2": dedup_containment_day2_q,
     # ---- (b) rewritten in r15: the copurchase pair build is now one
     # collect_set aggregation with map-side pair emission (r14
     # verdict #3 — its r14 driver row witnesses the old plan); the
@@ -2676,7 +2681,7 @@ QUERIES = {
     "events_props_stats": events_props_stats_q,
     "events_cube_counts": events_cube_counts_q,
     "events_type_pivot": events_type_pivot_q,
-    # ---- (d) r12-green backlog, oldest driver evidence (19 of the
+    # ---- (d) r12-green backlog, oldest driver evidence (18 of the
     # 49-entry r12 block in catalog order; ann_ivf_incremental_assign
     # and docs_block_dedup moved up to section (b),
     # stream_dedup_parity / docs_quality_budget_by_source /
@@ -2699,19 +2704,20 @@ QUERIES = {
     "lineitem_profile": lineitem_profile_q,
     "docs_chunk_windows": docs_chunk_windows_q,
     "stream_sessionize_parity": stream_sessionize_parity_q,
-    "stream_funnel_parity": stream_funnel_parity_q,
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r16, oldest evidence first: (1) the
-    # r12-green remainder (27 entries — the next r16 leads, itemized
+    # r12-green remainder (28 entries — the next r16 leads, itemized
     # below), (2) the 47 r13-green entries, (3) the 43 r14-green
     # entries (the r14 window minus the seven re-checked in r15).
     # Any NEW r16 queries take slots by displacement from the bottom
     # of the r12 remainder.
-    # ---- r12-green remainder (27 entries — the next r16 leads;
-    # stream_dedup_parity and docs_quality_budget_by_source displaced
-    # from the window bottom by the late-r15 plan rewrites;
-    # embedding_cluster_sample by minhash_index_append_parity) ----
+    # ---- r12-green remainder (28 entries — the next r16 leads;
+    # stream_funnel_parity / stream_dedup_parity /
+    # docs_quality_budget_by_source / embedding_cluster_sample were
+    # displaced from the window bottom by the late-r15 additions and
+    # plan rewrites) ----
+    "stream_funnel_parity": stream_funnel_parity_q,
     "stream_dedup_parity": stream_dedup_parity_q,
     "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
     "embedding_cluster_sample": embedding_cluster_sample_q,
@@ -2870,6 +2876,7 @@ ORACLE = {
     "dedup_containment_incremental": CONTAINMENT_INCREMENTAL_SQL,
     "dedup_containment_admission": CONTAINMENT_ADMISSION_SQL,
     "containment_index_append_parity": CONTAINMENT_INDEX_PARITY_SQL,
+    "dedup_containment_day2": CONTAINMENT_DAY2_SQL,
     "minhash_index_append_parity": _band_parity_sql(),
     "docs_shard_balance": DOCS_SHARD_BALANCE_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,

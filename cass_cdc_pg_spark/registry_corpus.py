@@ -427,6 +427,111 @@ FROM dfr GROUP BY 2
 """
 
 
+def _carveout2_sql(id_expr: str) -> str:
+    """Second ~10% batch band of the SAME multiplicative draw as
+    ``_carveout_sql`` (draw in [1000, 2000) instead of [0, 1000)) —
+    "tomorrow's batch" for the day-2 maintenance-loop proof.  Same
+    pmod shape, same engine-identity argument."""
+    return (
+        f"((({id_expr} % 10000) + 10000) % 10000 * 48271) % 10000 "
+        f"BETWEEN 1000 AND 1999"
+    )
+
+
+def _draw_col(id_col: str) -> Column:
+    """The carve-out draw value as a Column (call-time only) — the
+    Spark twin of the draw inside ``_carveout_sql``/``_carveout2_sql``."""
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(10000)) * F.lit(48271), F.lit(10000)
+    )
+
+
+def _containment_index_day0(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Standing containment index over the DAY-0 base — everything
+    outside BOTH batch bands (draw ≥ 2000) — for the day-2 proof;
+    separate layout from the single-band index."""
+    import os as _os
+
+    key = _docs_fixture_key(sf_dir)
+    d = _reg._cache_layout_dir(
+        "containment_index_d0", key[0], key[1], _CONTAINMENT_N, "bands2"
+    )
+
+    def _build(tmp: str) -> None:
+        base = src.load_table(spark, sf_dir, "documents").filter(
+            _draw_col("doc_id") >= 2000
+        )
+        postings, sizes, df_rel = dedup.containment_index_relations(
+            base, n=_CONTAINMENT_N
+        )
+        postings.write.mode("overwrite").parquet(
+            _os.path.join(tmp, "postings")
+        )
+        sizes.write.mode("overwrite").parquet(_os.path.join(tmp, "sizes"))
+        df_rel.write.mode("overwrite").parquet(_os.path.join(tmp, "df"))
+
+    _reg._ensure_layout(d, "containment_index_d0_", _build)
+    return (
+        spark.read.parquet(_os.path.join(d, "postings")),
+        spark.read.parquet(_os.path.join(d, "sizes")),
+        spark.read.parquet(_os.path.join(d, "df")),
+    )
+
+
+def dedup_containment_day2_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Day-2 of the maintained containment index (late r15 — the
+    composition proof the append-parity digest only implies): day 1
+    MERGES batch 1 into the day-0 standing index
+    (``dedup.merge_containment_index`` — nothing is rebuilt), and day
+    2 runs the incremental feed for batch 2 against that MERGED
+    index.  The oracle is the full-corpus containment recompute
+    restricted to batch-2-involving pairs, so the hash match proves
+    end to end that an index maintained by merge serves the NEXT
+    day's feed exactly as a fresh snapshot rebuild would — the
+    day-over-day loop a production pipeline actually runs, closed
+    through the merge rather than around it.  The stop-shingle guard
+    composes twice (day-0 df + batch-1 df merge additively, then the
+    feed adds batch-2 df), and additivity makes the composed total
+    the corpus-wide df exactly.  Scale shape unchanged from the
+    single-day feed: the merged corpus side never crosses an
+    Exchange; everything shuffled is O(batch).
+
+    Reference posture: repeated incremental validation cycles against
+    continuously-maintained state (``reconciliation_engine.py``'s
+    scheduled scoped revalidation), not one-shot reconciliation."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    batch1 = docs.filter(_draw_col("doc_id") < 1000)
+    batch2 = docs.filter(
+        (_draw_col("doc_id") >= 1000) & (_draw_col("doc_id") < 2000)
+    )
+    p0, s0, d0 = _containment_index_day0(spark, sf_dir)
+    p1, s1, d1 = dedup.merge_containment_index(
+        p0, s0, d0, batch1, n=_CONTAINMENT_N
+    )
+    return dedup.incremental_containment_pairs(
+        p1,
+        s1,
+        d1,
+        batch2,
+        n=_CONTAINMENT_N,
+        threshold=_CONTAINMENT_THRESHOLD,
+        max_doc_freq=dedup.DEFAULT_MAX_DOC_FREQ,
+    )
+
+
+#: oracle twin of the day-2 feed: the full-corpus recompute (guard
+#: modeled, DEDUP_CONTAINMENT_SQL verbatim) restricted to pairs
+#: involving the SECOND batch band
+CONTAINMENT_DAY2_SQL = f"""
+SELECT * FROM ({DEDUP_CONTAINMENT_SQL})
+WHERE ({_carveout2_sql("doc_a")}) OR ({_carveout2_sql("doc_b")})
+"""
+
+
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index with a stop-shingle cap — quadratic only within buckets."""
     return dedup.ngram_jaccard_pairs(

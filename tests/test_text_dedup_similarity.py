@@ -2033,3 +2033,34 @@ def test_merge_band_table_equals_rebuild(spark):
     want = sorted((r.doc_id, tuple(r.sig), r.band, r.bucket)
                   for r in rebuilt.collect())
     assert got == want and len(got) == 4 * 4  # 4 docs x 4 bands
+
+
+def test_incremental_containment_shuffle_fallback_parity(spark):
+    """incremental_containment_pairs broadcast_new=False (the r14
+    advice fallback for jumbo batches): the shuffled-hash-join path
+    must return exactly the broadcast path's rows — the flag is a
+    plan choice, never a semantics choice."""
+    from cass_cdc_pg_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "k l m n o p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "a b c d e f g h x y"), (11, "a b c d z w v u s t")],
+        "doc_id long, text string",
+    )
+    postings, sizes, dfr = dedup.containment_index_relations(base, n=3)
+    kw = dict(n=3, threshold=0.2, max_doc_freq=1000)
+    bc = dedup.incremental_containment_pairs(
+        postings, sizes, dfr, batch, broadcast_new=True, **kw
+    )
+    sh = dedup.incremental_containment_pairs(
+        postings, sizes, dfr, batch, broadcast_new=False, **kw
+    )
+    got_bc = sorted(map(tuple, bc.collect()))
+    got_sh = sorted(map(tuple, sh.collect()))
+    assert got_bc == got_sh and len(got_bc) > 0

@@ -293,6 +293,7 @@ def main() -> None:
         docs_lm_admission_q,
         containment_index_append_parity_q,
         minhash_index_append_parity_q,
+        dedup_containment_day2_q,
         part_min_cost_supplier_q,
         sales_rollup_totals_q,
     )
@@ -420,6 +421,9 @@ def main() -> None:
         # r15: the LSH band-table maintenance parity (standing table
         # read + O(batch) minhash append + bounded 72-row digest)
         "minhash_index_append_parity": minhash_index_append_parity_q,
+        # r15 late: the day-2 composition feed (day-0 index read +
+        # batch-1 merge + batch-2 feed — O(two batches) moving parts)
+        "dedup_containment_day2": dedup_containment_day2_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -808,6 +812,7 @@ def main() -> None:
         "containment_index_append_parity":
             containment_index_append_parity_q,
         "minhash_index_append_parity": minhash_index_append_parity_q,
+        "dedup_containment_day2": dedup_containment_day2_q,
     }
     n_docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     with tempfile.TemporaryDirectory() as tmp100:
