@@ -243,6 +243,9 @@ SELECTED: list[tuple[str, str]] = [
      "maintained band table (r15): corpus side a plain parquet "
      "scan, batch side checkpointed minhash append, bounded "
      "72-row digest"),
+    ("dedup_containment_day2",
+     "day-2 composition feed (r15): day-0 index read + batch-1 "
+     "merge + batch-2 feed; merged corpus side crosses no Exchange"),
 ]
 
 
