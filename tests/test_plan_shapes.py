@@ -1785,3 +1785,20 @@ def test_count_action_eliminates_decision_joins(spark):
     )
     assert "Join" in full  # the real decision pipeline joins evidence
     assert "Join" not in cnt  # count() eliminates it — never time this
+
+
+def test_containment_day2_merged_corpus_never_shuffles(spark):
+    """dedup_containment_day2 (r15): the MERGED standing side (day-0
+    postings ∪ batch-1 postings) must meet batch 2 through BROADCAST
+    hash joins — maintenance-by-merge must not cost the corpus its
+    no-Exchange property — and nothing reaches Python."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.dedup_containment_day2_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "sh_h" in plan, plan

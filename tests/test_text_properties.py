@@ -793,3 +793,41 @@ def test_lm_admission_three_tiers_both_signals(spark, tmp_path):
     assert got[47]["tier"] == "flag" and got[47]["admit"]
     assert got[47]["n_positions"] == 0
     assert got[47]["mean_logprob"] is None
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+def test_merge_containment_index_additivity_property(spark, docs, split):
+    """merge_containment_index (r15): for ANY corpus and ANY disjoint
+    base/batch split — including empty sides and docs too short to
+    shingle — merged postings/sizes/df must equal a from-scratch
+    rebuild over the union, relation for relation.  The property the
+    whole maintenance tier rests on: shingle df is additive across
+    disjoint doc sets."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    split = min(split, len(rows))
+    df_all = spark.createDataFrame(
+        rows or [(0, "")], "doc_id long, text string"
+    )
+    if not rows:
+        df_all = df_all.filter("doc_id < 0")  # genuinely empty corpus
+    base = df_all.filter(f"doc_id < {split}")
+    batch = df_all.filter(f"doc_id >= {split}")
+    p0, s0, d0 = dedup_mod.containment_index_relations(base, n=3)
+    mp, ms, md = dedup_mod.merge_containment_index(p0, s0, d0, batch, n=3)
+    rp, rs, rd = dedup_mod.containment_index_relations(df_all, n=3)
+    for merged, rebuilt in ((mp, rp), (ms, rs), (md, rd)):
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
