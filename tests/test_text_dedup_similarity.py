@@ -2064,3 +2064,32 @@ def test_incremental_containment_shuffle_fallback_parity(spark):
     got_bc = sorted(map(tuple, bc.collect()))
     got_sh = sorted(map(tuple, sh.collect()))
     assert got_bc == got_sh and len(got_bc) > 0
+
+
+def test_merge_band_table_empty_sides(spark):
+    """merge_band_table (r15) edge cases: an empty batch leaves the
+    standing table unchanged; an empty standing table makes the merge
+    exactly the batch's band table; docs with fewer tokens than the
+    shingle width contribute no rows on either path."""
+    from cass_cdc_pg_spark.operators import dedup
+
+    schema = "doc_id long, text string"
+    base = spark.createDataFrame([(1, "a b c d"), (2, "x")], schema)
+    empty = spark.createDataFrame([], schema)
+    kw = dict(num_hashes=16, bands=4, n=2)
+    bt = dedup.banded_signatures(base, **kw)
+
+    def rows(df):
+        return sorted((r.doc_id, tuple(r.sig), r.band, r.bucket)
+                      for r in df.collect())
+
+    # empty batch: merge == standing (doc 2 is unshingleable at n=2,
+    # so only doc 1's 4 band rows exist)
+    assert rows(dedup.merge_band_table(bt, empty, **kw)) == rows(bt)
+    assert len(rows(bt)) == 4
+    # empty standing table: merge == batch bands
+    empty_bt = dedup.banded_signatures(empty, **kw)
+    batch = spark.createDataFrame([(10, "p q r s")], schema)
+    assert rows(dedup.merge_band_table(empty_bt, batch, **kw)) == rows(
+        dedup.banded_signatures(batch, **kw)
+    )
