@@ -747,10 +747,13 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
 
 
 def _carveout_col(id_col: str) -> Column:
-    """Spark twin of :func:`_carveout_sql` — call-time only."""
-    return F.pmod(
-        F.pmod(F.col(id_col), F.lit(10000)) * F.lit(48271), F.lit(10000)
-    ) < F.lit(1000)
+    """Spark twin of :func:`_carveout_sql` — call-time only.  The
+    draw itself is ONE definition (`registry_corpus._draw_col`,
+    shared with the day-2 band test) so the two bands can never
+    drift."""
+    from cass_cdc_pg_spark.registry_corpus import _draw_col
+
+    return _draw_col(id_col) < F.lit(1000)
 
 
 _INC_NEW_SQL = _carveout_sql("doc_id")
