@@ -1023,11 +1023,11 @@ def main() -> None:
             fn = QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = force_full(df)  # all columns, executor-side discard
+            force_full(df)  # all columns, executor-side discard
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-            print(f"# pass{_pass} {name}: {n} rows in {dt}s", file=sys.stderr)
+            print(f"# pass{_pass} {name}: {dt}s", file=sys.stderr)
     floor_adj = {
         name: round(max(t - headline_floor, 0.0), 3)
         for name, t in timings.items()

@@ -775,7 +775,16 @@ def decontaminate(
     # gram TOTALS are pure arithmetic — max(n_tokens − n + 1, 0) — so
     # the sizes branch never builds the gram-string arrays
     # (size(grams) would concat every window just to take the length;
-    # the r15 duplicated_span_stats fix, same hazard)
+    # the r15 duplicated_span_stats fix, same hazard).
+    # NULL-text semantics (r15 advice, documented): size(NULL tokens)
+    # is NULL and greatest() skips NULL operands, so a NULL-text doc
+    # reads n_grams = 0 / contaminated = false — which is exactly the
+    # oracle's shape too (DECONTAM_SQL's `CASE WHEN len(tk) >= n`
+    # falls to `ELSE 0` on NULL), whereas the pre-r15 `size(grams)`
+    # yielded NULL here and would have DIVERGED from the oracle.  The
+    # arithmetic rewrite made NULL handling cross-engine-consistent,
+    # not just cheaper; pinned by
+    # test_text_dedup_similarity.py::test_decontaminate_null_text.
     sizes = corpus.select(
         "doc_id",
         F.greatest(

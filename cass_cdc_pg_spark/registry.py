@@ -2643,7 +2643,6 @@ QUERIES = {
     "containment_index_append_parity": containment_index_append_parity_q,
     "minhash_index_append_parity": minhash_index_append_parity_q,
     "dedup_containment_day2": dedup_containment_day2_q,
-    "dedup_containment_day2": dedup_containment_day2_q,
     # ---- (b) rewritten in r15: the copurchase pair build is now one
     # collect_set aggregation with map-side pair emission (r14
     # verdict #3 — its r14 driver row witnesses the old plan); the

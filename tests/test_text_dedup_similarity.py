@@ -434,6 +434,29 @@ def test_decontaminate_flags_overlap_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_decontaminate_null_text(spark):
+    """NULL-text docs read n_grams = 0 / contaminated = false (r15
+    advice closure): greatest() skips the NULL `size - k` operand, so
+    the arithmetic gram total lands on 0 — the same branch the DuckDB
+    oracle's `CASE WHEN len(tk) >= n ... ELSE 0` takes on NULL, so
+    the two engines agree.  The pre-r15 `size(grams)` shape yielded
+    NULL here and would have diverged from the oracle; this pins the
+    cross-engine-consistent behavior, not an accident."""
+    from cass_cdc_pg_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox runs")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert got[1]["n_grams"] == 0
+    assert got[1]["n_hit_grams"] == 0
+    assert got[1]["contaminated"] is False
+    assert got[2]["contaminated"] and got[2]["n_hit_grams"] == 2
+
+
 def test_pii_scrub_counts_and_redacts(spark):
     from cass_cdc_pg_spark.operators.text import pii_scrub
 
