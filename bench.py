@@ -134,7 +134,15 @@ PIPELINE = [
     # r11 additions (pipeline_total grows by these 7 entries — compare
     # older rounds against the other 87)
     "sales_promo_bundles",
-    "lineitem_part_copurchase",
+    # lineitem_part_copurchase was DEMOTED to the audit cadence in r16
+    # (r15 verdict #2 disposition (a)): the exact pair count's 100×
+    # wall is its own 120 M-emitted-pair output volume — linear in
+    # pairs by construction after the r15 plan-optimal rewrite — so
+    # the routine cadence runs the deterministic basket-sampled
+    # heavy-hitter sketch below and the exact count is timed under
+    # audit_lineitem_part_copurchase_sec (the
+    # dedup_containment_pairs precedent); r11-r15 pipeline totals
+    # include its ~1.2-1.5 s.
     "docs_vocab_coverage",
     "events_robust_outliers",
     "ann_pq_refine_topk",
@@ -178,6 +186,10 @@ PIPELINE = [
     "containment_index_append_parity",
     "minhash_index_append_parity",
     "dedup_containment_day2",
+    # r16 additions (pipeline_total grows by these entries and loses
+    # the demoted exact-copurchase entry above — compare older rounds
+    # against the other 112)
+    "lineitem_copurchase_sketch",
 ]
 
 #: explicitly-cadenced AUDIT entries (r15): full-recompute
@@ -187,6 +199,12 @@ PIPELINE = [
 #: the full-recompute budget stays on the record
 AUDIT = [
     "dedup_containment_pairs",
+    # r16: the exact co-purchase pair count (the r15 verdict's one
+    # `weak` row) — plan-optimal since the r15 rewrite; what remains
+    # at 100× is the exact count's own emitted-pair volume, which is
+    # the audit-budget posture, with lineitem_copurchase_sketch as
+    # the routine-cadence estimate
+    "lineitem_part_copurchase",
 ]
 
 
@@ -1294,7 +1312,8 @@ def main() -> None:
 HEADLINE_KEYS = [
     "metric", "value", "unit", "action", "queries_best3", "queries_floor_adj",
     "headline_floor_sec", "pipeline_total",
-    "pipeline_total_cold", "audit_dedup_containment_pairs_sec", "sf",
+    "pipeline_total_cold", "audit_dedup_containment_pairs_sec",
+    "audit_lineitem_part_copurchase_sec", "sf",
     "warm", "ingest_events_per_sec",
     "ingest_eps_run1", "ingest_eps_run2", "ingest_eps_run3",
     "ingest_events_per_sec_256_buckets", "microbatch_p50_sec",

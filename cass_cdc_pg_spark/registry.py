@@ -2509,6 +2509,7 @@ from cass_cdc_pg_spark.registry_sales import (  # noqa: E402
     TOP_SUPPLIERS_SQL,
     TRADE_FLOWS_SQL,
     VALUE_DECILES_SQL,
+    copurchase_sketch_oracle_sql,
     customer_dormant_balance_q,
     customer_order_distribution_q,
     customer_order_recency_q,
@@ -2516,6 +2517,7 @@ from cass_cdc_pg_spark.registry_sales import (  # noqa: E402
     customer_value_deciles_q,
     lineitem_bracket_revenue_q,
     lineitem_discount_bands_q,
+    lineitem_copurchase_sketch_q,
     lineitem_part_copurchase_q,
     lineitem_profile_q,
     lineitem_revenue_forecast_q,
@@ -2639,6 +2641,7 @@ QUERIES = {
     # the same maintenance-parity pattern applied to the LSH band
     # table, and the day-2 composition proof (merge batch 1, feed
     # batch 2 against the MERGED index) ----
+    "lineitem_copurchase_sketch": lineitem_copurchase_sketch_q,
     "docs_lm_admission": docs_lm_admission_q,
     "containment_index_append_parity": containment_index_append_parity_q,
     "minhash_index_append_parity": minhash_index_append_parity_q,
@@ -2709,12 +2712,15 @@ QUERIES = {
     # ================ past the 50-cap this round ================
     # ALL re-verified every round by tools/check_oracle.py + pytest.
     # Rotation bookkeeping for r16, oldest evidence first: (1) the
-    # r12-green remainder (28 entries — the next r16 leads, itemized
-    # below), (2) the 47 r13-green entries, (3) the 43 r14-green
-    # entries (the r14 window minus the seven re-checked in r15).
+    # r12-green remainder (29 entries — the next r16 leads, itemized
+    # below; count VERIFIED r16 against the CORRECTNESS_r* history:
+    # exactly the r12-window keys whose latest driver evidence is
+    # r12 — the r15 header said 28 and SURVEY said 26, both stale),
+    # (2) the 47 r13-green entries, (3) the 43 r14-green entries
+    # (the r14 window minus the seven re-checked in r15).
     # Any NEW r16 queries take slots by displacement from the bottom
     # of the r12 remainder.
-    # ---- r12-green remainder (28 entries — the next r16 leads;
+    # ---- r12-green remainder (29 entries — the next r16 leads;
     # stream_funnel_parity / stream_dedup_parity /
     # docs_quality_budget_by_source / embedding_cluster_sample were
     # displaced from the window bottom by the late-r15 additions and
@@ -3069,4 +3075,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     hn = hard_negatives_oracle_sql(sf_dir)
     if hn is not None:
         out["embedding_hard_negatives"] = hn
+    cps = copurchase_sketch_oracle_sql(sf_dir)
+    if cps is not None:
+        out["lineitem_copurchase_sketch"] = cps
     return out

