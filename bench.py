@@ -190,6 +190,7 @@ PIPELINE = [
     # the demoted exact-copurchase entry above — compare older rounds
     # against the other 112)
     "lineitem_copurchase_sketch",
+    "dedup_minhash_day2",
 ]
 
 #: explicitly-cadenced AUDIT entries (r15): full-recompute

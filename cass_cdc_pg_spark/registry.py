@@ -626,6 +626,7 @@ FROM events WHERE event_id % 997 = 17
 # ---------------------------------------------------------------------------
 from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
     _carveout_sql,
+    _carveout2_sql,
     dedup_exact_groups,
     DEDUP_EXACT_SQL,
     dedup_containment_pairs_q,
@@ -1240,6 +1241,94 @@ SELECT 'sig', CAST(((doc_id % {B}) + {B}) % {B} AS BIGINT),
        CAST(SUM(((doc_id % {P}) + {P}) % {P}) AS BIGINT),
        CAST(SUM(({sig_sum}) % {P}) AS BIGINT)
 FROM sig GROUP BY 2
+"""
+
+
+def _lsh_band_d0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED day-0 LSH band table over the base OUTSIDE both
+    batch bands (draw ≥ 2000) — the standing artifact the day-2
+    composition proof maintains by merge; separate layout from the
+    single-band ``_inc_standing_index`` (whose base is draw ≥ 1000).
+    Same durable-state protocol: atomic rename, parameter-keyed
+    invalidation, LRU."""
+    from cass_cdc_pg_spark.registry_corpus import _draw_col
+
+    p = _DEDUP_PAIR_PARAMS
+    key = _docs_fixture_key(sf_dir)
+    d = _cache_layout_dir(
+        "lsh_band_d0", key[0], key[1],
+        p["num_hashes"], p["bands"], p["n"], "bands2",
+    )
+
+    def _build(tmp: str) -> None:
+        base = src.load_table(spark, sf_dir, "documents").filter(
+            _draw_col("doc_id") >= 2000
+        )
+        dedup.banded_signatures(
+            base, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
+        ).write.mode("overwrite").parquet(f"{tmp}/bands.parquet")
+
+    _ensure_layout(d, "lsh_band_d0_", _build)
+    return spark.read.parquet(f"{d}/bands.parquet")
+
+
+def dedup_minhash_day2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 of the maintained LSH band table (new r16 — the r15
+    verdict #3 composition proof, the ``dedup_containment_day2``
+    pattern applied to the MinHash tier): day 1 MERGES batch 1 (the
+    first carve-out band) into the day-0 standing band table
+    (``dedup.merge_band_table`` — nothing is rebuilt, the corpus
+    rows never move), and day 2 runs ``incremental_minhash_pairs``
+    for batch 2 against that MERGED table.  The oracle is the
+    full-corpus LSH pair recompute (the shared ``_minhash_ctes``
+    signature machinery) restricted to batch-2-involving pairs, so
+    the hash match proves end to end that a band table maintained by
+    append serves the NEXT day's feed exactly as a fresh snapshot
+    rebuild would — pair emission depends only on the two
+    signatures, so {pairs on grown corpus} restricted to batch 2 ==
+    {this}, disjointly.  Scale shape unchanged from the single-day
+    feed: the merged corpus side never crosses an Exchange (batch 2
+    broadcasts; pinned by
+    ``test_plan_shapes.py::test_minhash_day2_merged_corpus_never_shuffles``),
+    everything shuffled is O(batch).
+
+    Reference posture: repeated incremental validation cycles
+    against continuously-maintained state
+    (`src/services/reconciliation_engine.py`'s scheduled scoped
+    revalidation), not one-shot reconciliation."""
+    from cass_cdc_pg_spark.registry_corpus import _draw_col
+
+    p = _DEDUP_PAIR_PARAMS
+    docs = src.load_table(spark, sf_dir, "documents")
+    batch1 = docs.filter(_draw_col("doc_id") < 1000)
+    batch2 = docs.filter(
+        (_draw_col("doc_id") >= 1000) & (_draw_col("doc_id") < 2000)
+    )
+    merged = dedup.merge_band_table(
+        _lsh_band_d0(spark, sf_dir),
+        batch1,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        n=p["n"],
+    )
+    return dedup.incremental_minhash_pairs(
+        merged,
+        batch2,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        n=p["n"],
+        threshold=p["threshold"],
+    )
+
+
+#: oracle twin of the LSH day-2 feed: the full-corpus pair recompute
+#: restricted to pairs involving the SECOND batch band — the
+#: INCREMENTAL_PAIRS_SQL shape on the day-2 carve-out
+MINHASH_DAY2_SQL = f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, est_jaccard FROM pairs
+WHERE ({_carveout2_sql("doc_a")})
+   OR ({_carveout2_sql("doc_b")})
 """
 
 
@@ -2642,6 +2731,7 @@ QUERIES = {
     # table, and the day-2 composition proof (merge batch 1, feed
     # batch 2 against the MERGED index) ----
     "lineitem_copurchase_sketch": lineitem_copurchase_sketch_q,
+    "dedup_minhash_day2": dedup_minhash_day2_q,
     "docs_lm_admission": docs_lm_admission_q,
     "containment_index_append_parity": containment_index_append_parity_q,
     "minhash_index_append_parity": minhash_index_append_parity_q,
@@ -2886,6 +2976,7 @@ ORACLE = {
     "containment_index_append_parity": CONTAINMENT_INDEX_PARITY_SQL,
     "dedup_containment_day2": CONTAINMENT_DAY2_SQL,
     "minhash_index_append_parity": _band_parity_sql(),
+    "dedup_minhash_day2": MINHASH_DAY2_SQL,
     "docs_shard_balance": DOCS_SHARD_BALANCE_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,

@@ -1825,3 +1825,26 @@ def test_containment_day2_merged_corpus_never_shuffles(spark):
     assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "sh_h" in plan, plan
+
+
+def test_minhash_day2_merged_corpus_never_shuffles(spark):
+    """dedup_minhash_day2 (r16, r15 verdict #3): the MERGED standing
+    band table (day-0 parquet ∪ batch-1 band rows) must meet batch 2
+    through ONE broadcast hash join with the corpus side crossing NO
+    Exchange at all — maintenance-by-append must not cost the band
+    table its probe-target property.  The batch band builds ride
+    lazy localCheckpoints, so the feed plan itself is: one parquet
+    scan of the standing table, zero hash Exchanges, nothing in
+    Python."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.dedup_minhash_day2_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan

@@ -831,3 +831,56 @@ def test_merge_containment_index_additivity_property(spark, docs, split):
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, rebuilt.collect())
         )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=0,
+        max_size=9,
+    ),
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=9),
+)
+def test_minhash_day2_composition_property(spark, docs, cut1, cut2):
+    """dedup_minhash_day2's composition claim as a property (r16, the
+    containment-additivity pattern): for ANY corpus and ANY 3-way
+    day0/batch1/batch2 split, the incremental feed of batch 2 against
+    merge_band_table(bands(day0), batch1) equals the full-corpus LSH
+    pair set restricted to batch-2-involving pairs — pair emission
+    depends only on the two signatures, so maintenance-by-append
+    composes across days."""
+    lo, hi = sorted((min(cut1, len(docs)), min(cut2, len(docs))))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df_all = spark.createDataFrame(
+        rows or [(0, "")], "doc_id long, text string"
+    )
+    if not rows:
+        df_all = df_all.filter("doc_id < 0")
+    batch1 = df_all.filter(f"doc_id < {lo}")
+    batch2 = df_all.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+    day0 = df_all.filter(f"doc_id >= {hi}")
+    kw = dict(num_hashes=16, bands=4, n=2)
+    merged = dedup_mod.merge_band_table(
+        dedup_mod.banded_signatures(day0, **kw), batch1, **kw
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup_mod.incremental_minhash_pairs(
+            merged, batch2, threshold=0.0, **kw
+        ).collect()
+    )
+    b2 = set(range(lo, hi))
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup_mod.minhash_lsh_pairs(
+            df_all, threshold=0.0, **kw
+        ).collect()
+        if r["doc_a"] in b2 or r["doc_b"] in b2
+    )
+    assert got == want

@@ -295,6 +295,7 @@ def main() -> None:
         containment_index_append_parity_q,
         minhash_index_append_parity_q,
         dedup_containment_day2_q,
+        dedup_minhash_day2_q,
         part_min_cost_supplier_q,
         sales_rollup_totals_q,
     )
@@ -432,6 +433,10 @@ def main() -> None:
         # lineitem scan grows with the decade; the exact count it
         # replaces is now the audit line below
         "lineitem_copurchase_sketch": lineitem_copurchase_sketch_q,
+        # r16: the LSH-tier day-2 composition feed (day-0 band-table
+        # read + batch-1 band append + batch-2 broadcast probe —
+        # O(two batches) moving parts, corpus crosses no Exchange)
+        "dedup_minhash_day2": dedup_minhash_day2_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
