@@ -191,6 +191,7 @@ PIPELINE = [
     # against the other 112)
     "lineitem_copurchase_sketch",
     "dedup_minhash_day2",
+    "ann_ivfpq_day2",
 ]
 
 #: explicitly-cadenced AUDIT entries (r15): full-recompute

@@ -1305,6 +1305,7 @@ def ivfpq_topk(
     codebooks: list[list[list[float]]],
     k: int = 5,
     nprobe: int = 2,
+    prune_cells: bool = True,
 ) -> DataFrame:
     """IVF×PQ probe over a prebuilt :func:`ivfpq_index` relation —
     the production ANN query shape at 100 TB: a query probes its
@@ -1346,6 +1347,16 @@ def ivfpq_topk(
         probe_rows,
         "query_id long, cell long, qtab array<array<double>>",
     )
+    if prune_cells:
+        # the probed cell set is known driver-side, so make the
+        # partition pruning EXPLICIT (r16): an isin literal filter on
+        # a cell-partitioned index becomes a parquet PartitionFilter
+        # (nprobe/ncentroids of the files are LISTED, not just
+        # join-filtered) instead of leaning on runtime DPP; join
+        # output is unchanged — the broadcast join on cell restricts
+        # to these cells anyway.
+        probe_cells = sorted({c for (_qid, c, _t) in probe_rows})
+        index = index.filter(F.col("cell").isin(probe_cells))
 
     adc = (
         "aggregate(zip_with(codes, qtab, (c, t) -> element_at(t, c + 1)), "

@@ -2151,6 +2151,11 @@ from cass_cdc_pg_spark.registry_ann import (  # noqa: E402
     ann_ivfpq_append_parity_q,
     _ivfpq_append_sql,
     ivfpq_append_oracle_sql,
+    _EMB_DAY2_REM,
+    _ivfpq_base2_index,
+    ann_ivfpq_day2_q,
+    _ivfpq_day2_sql,
+    ivfpq_day2_oracle_sql,
     _L2DIST_SQL,
     ANN_L2_SQL,
     _pq_sql,
@@ -2732,6 +2737,7 @@ QUERIES = {
     # batch 2 against the MERGED index) ----
     "lineitem_copurchase_sketch": lineitem_copurchase_sketch_q,
     "dedup_minhash_day2": dedup_minhash_day2_q,
+    "ann_ivfpq_day2": ann_ivfpq_day2_q,
     "docs_lm_admission": docs_lm_admission_q,
     "containment_index_append_parity": containment_index_append_parity_q,
     "minhash_index_append_parity": minhash_index_append_parity_q,
@@ -3163,6 +3169,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     ap = ivfpq_append_oracle_sql(sf_dir)
     if ap is not None:
         out["ann_ivfpq_append_parity"] = ap
+    d2 = ivfpq_day2_oracle_sql(sf_dir)
+    if d2 is not None:
+        out["ann_ivfpq_day2"] = d2
     hn = hard_negatives_oracle_sql(sf_dir)
     if hn is not None:
         out["embedding_hard_negatives"] = hn

@@ -531,6 +531,198 @@ def ivfpq_append_oracle_sql(
     return _IVFPQ_APPEND_SQL_CACHE[key]
 
 
+#: second "daily batch" band for the day-2 composition proof:
+#: vec_id ≡ 3 (mod 10) is TOMORROW's batch; vec_id ≡ 7 stays day 1's
+#: (the _EMB_APPEND_REM convention), the other 80% is the day-0 base
+_EMB_DAY2_REM = 3
+#: bounded query-side contract for the day-2 probe: the lowest batch-2
+#: ids (≤10 queries at any corpus size — the vec_id < 10 convention of
+#: the other ANN probes, restricted to the batch band)
+_EMB_DAY2_QMAX = 100
+
+
+def _ivfpq_base2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF×PQ index over the day-0 base (NEITHER batch
+    band) — the standing artifact the day-2 proof maintains by
+    append.  Same durable-state protocol as ``_ivfpq_base_index``."""
+    key = _reg._ivf_fixture_key(sf_dir)
+    d = _reg._cache_layout_dir(
+        "ivfpq_base2_index", key[0], key[1],
+        _reg._IVF_NC, _PQ_M, _PQ_KSUB, _EMB_APPEND_REM, _EMB_DAY2_REM,
+    )
+
+    def _build(tmp: str) -> None:
+        base = src.load_table(spark, sf_dir, "embeddings").filter(
+            (F.col("vec_id") % 10 != _EMB_APPEND_REM)
+            & (F.col("vec_id") % 10 != _EMB_DAY2_REM)
+        )
+        similarity.ivfpq_index(
+            base, _reg._ivf_centroids(sf_dir), _pq_codebooks(sf_dir)
+        ).write.partitionBy("cell").mode("overwrite").parquet(tmp)
+
+    _reg._ensure_layout(d, "ivfpq_base2_index_", _build)
+    return spark.read.parquet(d)
+
+
+def ann_ivfpq_day2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 of the maintained IVF×PQ index (new r16 — the r15
+    verdict #4 composition proof): day 1 appends batch 1 (vec_id ≡ 7
+    mod 10) onto the PERSISTED day-0 base index
+    (``similarity.ivfpq_append`` — assign + encode only the new
+    rows), and day 2 PROBES that day-1-merged index with the next
+    day's batch (vec_id ≡ 3, lowest ids as the bounded query set) —
+    the hard-negative/dedup lookup a pipeline actually runs against
+    yesterday's maintained index.  ``ann_ivfpq_append_parity``
+    proves the merged relation equals a rebuild; this proves the
+    merged index SERVES the next day's top-k exactly as an index
+    built fresh over base ∪ batch 1 would (cell assignment and codes
+    depend only on the trained literals).  ORACLE: the full analytic
+    IVF×PQ probe in DuckDB restricted to the day-1 corpus (vec_id
+    not in batch 2) and the batch-2 query band — generated from the
+    same centroid/codebook literals.  Scale shape: the probe reads
+    nprobe/ncentroids of the CELL-PARTITIONED base index via the
+    explicit probe-cell partition filter (``ivfpq_topk
+    prune_cells`` — no full-codes scan, pinned by plan test), the
+    batch-1 delta is O(batch), and the query side is a tiny literal
+    relation."""
+    key = (
+        spark.sparkContext.applicationId,
+        _reg._ivf_fixture_key(sf_dir),
+        "ivfpq_day2", _reg._IVF_NC, _PQ_M, _PQ_KSUB,
+        _EMB_APPEND_REM, _EMB_DAY2_REM, _IVFPQ_NPROBE, _PQ_K,
+    )
+    if key not in _PQ_DF_CACHE:
+        emb = src.load_table(spark, sf_dir, "embeddings")
+        batch1 = emb.filter(F.col("vec_id") % 10 == _EMB_APPEND_REM)
+        merged = similarity.ivfpq_append(
+            _ivfpq_base2_index(spark, sf_dir),
+            batch1,
+            _reg._ivf_centroids(sf_dir),
+            _pq_codebooks(sf_dir),
+        )
+        q_rows = (
+            emb.filter(
+                (F.col("vec_id") % 10 == _EMB_DAY2_REM)
+                & (F.col("vec_id") < _EMB_DAY2_QMAX)
+            )
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()  # ≤10 rows by the band ∩ id-bound contract
+        )
+        _PQ_DF_CACHE[key] = similarity.ivfpq_topk(
+            merged,
+            spark,
+            q_rows,
+            _reg._ivf_centroids(sf_dir),
+            _pq_codebooks(sf_dir),
+            k=_PQ_K,
+            nprobe=_IVFPQ_NPROBE,
+        )
+    return _PQ_DF_CACHE[key]
+
+
+def _ivfpq_day2_sql(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    k: int,
+) -> str:
+    """Oracle twin of ``ann_ivfpq_day2``: the ``_ivfpq_sql`` math
+    with the corpus restricted to the day-1 index membership (vec_id
+    ∉ batch 2) and the probe side restricted to the batch-2 query
+    band — cell assignment and codes depend only on the trained
+    literals, so the analytic recompute IS the merged index."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    corpus = f"vec_id % 10 <> {_EMB_DAY2_REM}"
+    qband = (
+        f"vec_id % 10 = {_EMB_DAY2_REM} AND vec_id < {_EMB_DAY2_QMAX}"
+    )
+    cent_rows = ", ".join(
+        f"({i + 1}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(centroids)
+    )
+    cb_rows = ", ".join(
+        f"({j + 1}, {c}, [{', '.join(repr(float(x)) for x in ctr)}])"
+        for j, book in enumerate(codebooks)
+        for c, ctr in enumerate(book)
+    )
+    cos_cent = _reg._cos_sql("vec", "ctr")
+    l2 = _L2DIST_SQL.format(a="sv", b="sctr")
+    return f"""
+WITH cent(cell, ctr) AS (VALUES {cent_rows}),
+cb(j, c, sctr) AS (VALUES {cb_rows}),
+cscore AS (
+  SELECT e.vec_id, e.embedding AS vec, cent.cell, {cos_cent} AS s
+  FROM embeddings e CROSS JOIN cent),
+cassign AS (
+  SELECT vec_id AS neighbor_id, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore WHERE {corpus})
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM cscore WHERE {qband})
+  WHERE rn <= {nprobe}),
+sub AS (
+  SELECT vec_id, j, embedding[(j-1)*{sub}+1 : (j-1)*{sub}+{sub}] AS sv
+  FROM embeddings, (SELECT unnest(generate_series(1, {m})) AS j) js),
+pdist AS (
+  SELECT vec_id, j, c, {l2} AS d
+  FROM sub JOIN cb USING (j)),
+codes AS (
+  SELECT vec_id, j, c
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, c ASC) AS rn
+        FROM pdist WHERE {corpus})
+  WHERE rn = 1),
+qd AS (SELECT vec_id AS query_id, j, c, d FROM pdist WHERE {qband}),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN cassign a USING (cell)
+  WHERE a.neighbor_id <> p.query_id),
+pair AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_reduce(list(qd.d ORDER BY qd.j), (a, b) -> a + b), 6)
+             AS dist
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.neighbor_id
+  JOIN qd ON qd.query_id = cand.query_id
+         AND qd.j = codes.j AND qd.c = codes.c
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rank, dist
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM pair)
+WHERE rank <= {k}
+"""
+
+
+_IVFPQ_DAY2_SQL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def ivfpq_day2_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    try:
+        key = _reg._ivf_fixture_key(sf_dir)
+    except OSError:
+        return None
+    if key not in _IVFPQ_DAY2_SQL_CACHE:
+        try:
+            _IVFPQ_DAY2_SQL_CACHE[key] = _ivfpq_day2_sql(
+                _reg._ivf_centroids(sf_dir),
+                _pq_codebooks(sf_dir),
+                _IVFPQ_NPROBE,
+                _PQ_K,
+            )
+        except OSError:
+            return None
+    return _IVFPQ_DAY2_SQL_CACHE[key]
+
+
 _L2DIST_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"

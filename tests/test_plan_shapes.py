@@ -1848,3 +1848,35 @@ def test_minhash_day2_merged_corpus_never_shuffles(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_ivfpq_day2_probe_partition_pruned(spark):
+    """ann_ivfpq_day2 (r16, r15 verdict #4): the day-2 probe against
+    the day-1-merged index must stay CELL-PRUNED — the standing base
+    index's parquet scan carries an explicit PartitionFilters cell-IN
+    list (the driver-side probe set, r16 ivfpq_topk prune_cells), so
+    only the probed cells' files are listed, never a full-codes scan.
+    One broadcast hash join on cell; the only Python is the batch-1
+    delta's documented Arrow encode kernel."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.ann_ivfpq_day2_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "PartitionFilters: [cell" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+
+
+def test_ivfpq_topk_probe_partition_pruned(spark):
+    """ann_ivfpq_topk after the r16 prune_cells change: the persisted
+    full-corpus index scan is partition-pruned to the probed cells."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.ann_ivfpq_topk_q(spark, "/root/testdata/sf0.001")
+    )
+    assert "PartitionFilters: [cell" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan

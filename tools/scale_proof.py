@@ -251,6 +251,7 @@ def main() -> None:
 
     from cass_cdc_pg_spark.registry import (
         ann_ivfpq_append_parity_q,
+        ann_ivfpq_day2_q,
         embedding_hard_negatives_q,
         docs_unigram_logprob_q,
         docs_bigram_logprob_q,
@@ -437,6 +438,12 @@ def main() -> None:
         # read + batch-1 band append + batch-2 broadcast probe —
         # O(two batches) moving parts, corpus crosses no Exchange)
         "dedup_minhash_day2": dedup_minhash_day2_q,
+        # r16: the ANN-tier day-2 probe (warmup builds the 10x day-0
+        # base index; the timed shape is O(batch-1 encode) + the
+        # cell-pruned partition-filtered probe — the full-codes scan
+        # never happens, so the ratio tracks the delta encode + the
+        # probed cells alone)
+        "ann_ivfpq_day2": ann_ivfpq_day2_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
