@@ -1880,3 +1880,21 @@ def test_ivfpq_topk_probe_partition_pruned(spark):
     )
     assert "PartitionFilters: [cell" in plan, plan
     assert plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_repetition_stats_single_tokenize_zero_shuffle(spark):
+    """text_repetition_stats (rewritten r16, r15 verdict #5):
+    lambda-containing expressions are excluded from codegen
+    subexpression elimination, so the old single-Project shape
+    re-evaluated the tokens split per reference (34 `split(`
+    occurrences in the executed plan); the nested lambda-binding
+    rewrite carries at most one per output column (3), still with
+    zero Exchange and nothing in Python."""
+    from cass_cdc_pg_spark import registry
+
+    plan = _plan(
+        registry.text_repetition_q(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("split(") <= 3, plan.count("split(")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "Pandas" not in plan, plan

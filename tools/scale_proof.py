@@ -297,6 +297,7 @@ def main() -> None:
         minhash_index_append_parity_q,
         dedup_containment_day2_q,
         dedup_minhash_day2_q,
+        text_repetition_q,
         part_min_cost_supplier_q,
         sales_rollup_totals_q,
     )
@@ -444,6 +445,10 @@ def main() -> None:
         # never happens, so the ratio tracks the delta encode + the
         # probed cells alone)
         "ann_ivfpq_day2": ann_ivfpq_day2_q,
+        # r16: the rewritten repetition metrics (r15 verdict #5 — the
+        # lambda-binding de-recompute; zero-shuffle per-doc folds, the
+        # ratio tracks the one tokenize + three O(n log n) array ops)
+        "text_repetition_stats": text_repetition_q,
     }
 
     with tempfile.TemporaryDirectory() as tmp:
