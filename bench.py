@@ -1226,9 +1226,15 @@ def main() -> None:
     # metric — r9→r10 swung −27% on zero ingest-path commits, the same
     # measurement noise the headline had before ITS best-of-3.  Keep
     # every run's value so the record shows the spread.
+    # r16 (r15 verdict #7): record the 1-minute loadavg BESIDE each
+    # ingest run — best-of-3 swung 43.3k -> 36.1k r14->r15 purely with
+    # ambient load, and without per-run load context every
+    # round-over-round ingest comparison rides the box
     eps_runs = []
+    eps_loads = []
     for _ in range(3):
         with tempfile.TemporaryDirectory() as wh:
+            eps_loads.append(round(os.getloadavg()[0], 2))
             eps_runs.append(ingest_bench(spark, sf_dir, wh))
     eps = max(eps_runs)
     with tempfile.TemporaryDirectory() as wh:
@@ -1285,6 +1291,9 @@ def main() -> None:
         "ingest_eps_run1": round(eps_runs[0], 1),
         "ingest_eps_run2": round(eps_runs[1], 1),
         "ingest_eps_run3": round(eps_runs[2], 1),
+        "ingest_load1m_run1": eps_loads[0],
+        "ingest_load1m_run2": eps_loads[1],
+        "ingest_load1m_run3": eps_loads[2],
         "ingest_events_per_sec_256_buckets": round(eps_256, 1),
         **stream_stats,
         **lsm_stats,
@@ -1318,6 +1327,7 @@ HEADLINE_KEYS = [
     "audit_lineitem_part_copurchase_sec", "sf",
     "warm", "ingest_events_per_sec",
     "ingest_eps_run1", "ingest_eps_run2", "ingest_eps_run3",
+    "ingest_load1m_run1", "ingest_load1m_run2", "ingest_load1m_run3",
     "ingest_events_per_sec_256_buckets", "microbatch_p50_sec",
     "microbatch_p95_sec", "microbatch_p95_run1_sec",
     "microbatch_p95_run2_sec", "kill_restart_crash_injected",

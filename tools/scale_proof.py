@@ -714,9 +714,50 @@ def main() -> None:
                 "docs_per_sec": round(n_docs / wall, 1),
             }
 
+        # r16 (r15 verdict #8): attribute the novelty 10x ratio — the
+        # 3.93 high-water row sat on a sub-second 1x wall, so measure
+        # the session's per-action floor (min-of-5 trivial noop jobs,
+        # the bench.py headline_floor discipline) and publish the
+        # floor-adjusted ratio beside the raw one: if the adjusted
+        # ratio lands near the data ratio with docs/sec rising, the
+        # >2 raw reading was floor emergence, now said by the record
+        # rather than inferred.
+        _floor_probe = (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .groupBy("r_regionkey")
+            .count()
+        )
+        _force_full(_floor_probe)
+        proof_floor = round(
+            min(
+                _timed(lambda: _force_full(_floor_probe))
+                for _ in range(5)
+            ),
+            4,
+        )
+        report["session_floor_sec"] = proof_floor
         report["docs_ngram_novelty_detail"] = {
             "1x": _novelty_counters(sf_dir),
             "10x": _novelty_counters(tmp),
+            "session_floor_sec": proof_floor,
+            "ratio_10x_raw": round(
+                report["queries"]["docs_ngram_novelty"]["sec_10x"]
+                / report["queries"]["docs_ngram_novelty"]["sec_1x"],
+                2,
+            ),
+            "ratio_10x_floor_adj": round(
+                max(
+                    report["queries"]["docs_ngram_novelty"]["sec_10x"]
+                    - proof_floor,
+                    0.0,
+                )
+                / max(
+                    report["queries"]["docs_ngram_novelty"]["sec_1x"]
+                    - proof_floor,
+                    1e-9,
+                ),
+                2,
+            ),
         }
         report["docs_unigram_logprob_detail"] = {
             "1x": _unigram_counters(sf_dir),
@@ -838,6 +879,8 @@ def main() -> None:
             containment_index_append_parity_q,
         "minhash_index_append_parity": minhash_index_append_parity_q,
         "dedup_containment_day2": dedup_containment_day2_q,
+        # r16: decade row from birth for the LSH-tier day-2 feed
+        "dedup_minhash_day2": dedup_minhash_day2_q,
     }
     n_docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     with tempfile.TemporaryDirectory() as tmp100:
@@ -958,6 +1001,106 @@ def main() -> None:
               f"{report['100x']['dedup_components']}")
         print(f"# cluster_sizes_detail: "
               f"{report['dedup_cluster_sizes_detail']}")
+
+        # r16 (r15 verdict #6): PHASE-SPLIT the incremental
+        # containment feed at 100× — the largest incremental wall
+        # without an attribution.  Cumulative-prefix timings against
+        # the PERSISTED standing index (the warm loop above built
+        # it): batch_shingle_sec materializes the carve-out batch's
+        # shingle/hash relation (the tokenize term);
+        # index_probe_sec counts the stop-guarded new×base candidate
+        # rows off the postings scan + broadcast join (the
+        # corpus-linear term); the remainder of the feed wall is the
+        # batch self-join + pair aggregation + scoring.  The
+        # dominant phase is the scale-out lever.
+        def _containment_inc_phases(d: str, wall: float) -> dict:
+            from pyspark.sql import functions as _F3
+
+            from cass_cdc_pg_spark.operators.dedup import (
+                DEFAULT_MAX_DOC_FREQ,
+                _token_hash,
+                shingles,
+            )
+            from cass_cdc_pg_spark.registry import _carveout_col
+
+            docs = _src.load_table(spark, d, "documents")
+            new = docs.filter(_carveout_col("doc_id"))
+            postings, _sizes, df_rel = _regc._containment_index(spark, d)
+            t0 = time.time()
+            new_sh = (
+                shingles(new, _regc._CONTAINMENT_N)
+                .select(
+                    "doc_id",
+                    _token_hash(_F3.col("shingle")).alias("sh_h"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            batch_shingle_sec = round(time.time() - t0, 3)
+            n_batch_sh = new_sh.count()
+            new_df = new_sh.groupBy("sh_h").agg(
+                _F3.count(_F3.lit(1)).cast("long").alias("_df_new")
+            )
+            stop = (
+                df_rel.join(_F3.broadcast(new_df), "sh_h", "left")
+                .filter(
+                    _F3.col("df")
+                    + _F3.coalesce(_F3.col("_df_new"), _F3.lit(0))
+                    > DEFAULT_MAX_DOC_FREQ
+                )
+                .select("sh_h")
+                .unionByName(
+                    new_df.filter(
+                        _F3.col("_df_new") > DEFAULT_MAX_DOC_FREQ
+                    ).select("sh_h")
+                )
+                .distinct()
+            )
+            probe = (
+                postings.join(_F3.broadcast(stop), "sh_h", "left_anti")
+                .join(
+                    _F3.broadcast(
+                        new_sh.join(
+                            _F3.broadcast(stop), "sh_h", "left_anti"
+                        ).withColumnRenamed("doc_id", "_new_id")
+                    ),
+                    "sh_h",
+                )
+            )
+            t0 = time.time()
+            n_cand = probe.count()
+            index_probe_sec = round(time.time() - t0, 3)
+            pair_agg_sec = round(
+                max(0.0, wall - batch_shingle_sec - index_probe_sec), 3
+            )
+            return {
+                "batch_shingle_sec": batch_shingle_sec,
+                "index_probe_sec": index_probe_sec,
+                "pair_agg_sec_derived": pair_agg_sec,
+                "batch_shingle_rows": n_batch_sh,
+                "newxbase_candidate_rows": n_cand,
+                "wall_100x": wall,
+                "dominant_phase": max(
+                    (
+                        ("batch_shingle_build", batch_shingle_sec),
+                        ("index_probe", index_probe_sec),
+                        ("pair_agg_and_score", pair_agg_sec),
+                    ),
+                    key=lambda kv: kv[1],
+                )[0],
+            }
+
+        report["dedup_containment_incremental_detail"] = (
+            _containment_inc_phases(
+                tmp100,
+                report["100x"]["dedup_containment_incremental"][
+                    "sec_100x"
+                ],
+            )
+        )
+        print(
+            f"# containment_incremental_detail: "
+            f"{report['dedup_containment_incremental_detail']}"
+        )
 
     # ---- 100× decade point for customer_value_deciles (r11 verdict
     # #5: it crossed the ≤2-per-10× line at 2.03, and its committed
