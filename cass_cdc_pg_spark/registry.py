@@ -2723,104 +2723,31 @@ from cass_cdc_pg_spark.registry_corpus import (  # noqa: E402
 )
 
 QUERIES = {
-    # ================= r15 driver window (first 50) =================
+    # ================= r16 driver window (first 50) =================
     # Composition (the r10-verdict discipline): NEW queries first
     # (driver evidence is the gate they have never passed), then
     # entries REWRITTEN this round (their old driver rows no longer
-    # witness the current implementation or oracle text), then the
-    # itemized evidence backlog, then the stale tail oldest-first.
-    # ---- (a) new in r15 (never driver-checked): the LM
-    # perplexity-band admission decision (r14 verdict #4), the
-    # maintained containment-index append parity (r14 verdict #5),
-    # the same maintenance-parity pattern applied to the LSH band
-    # table, and the day-2 composition proof (merge batch 1, feed
-    # batch 2 against the MERGED index) ----
+    # witness the current plan), then the itemized evidence backlog
+    # oldest-first.
+    # ---- (a) new in r16 (never driver-checked): the copurchase
+    # heavy-hitter sketch (r15 verdict #2 disposition (a)), and the
+    # two day-2 composition proofs — LSH band table (verdict #3) and
+    # IVF×PQ index (verdict #4) ----
     "lineitem_copurchase_sketch": lineitem_copurchase_sketch_q,
     "dedup_minhash_day2": dedup_minhash_day2_q,
     "ann_ivfpq_day2": ann_ivfpq_day2_q,
-    "docs_lm_admission": docs_lm_admission_q,
-    "containment_index_append_parity": containment_index_append_parity_q,
-    "minhash_index_append_parity": minhash_index_append_parity_q,
-    "dedup_containment_day2": dedup_containment_day2_q,
-    # ---- (b) rewritten in r15: the copurchase pair build is now one
-    # collect_set aggregation with map-side pair emission (r14
-    # verdict #3 — its r14 driver row witnesses the old plan); the
-    # five carve-out consumers' ORACLE TEXT changed with the
-    # pmod-shape fix (r14 advice; values identical on nonnegative
-    # ids, but the SQL the driver runs is new); and the three
-    # exact-substring-tier operators were plan-rewritten late-r15
-    # (shared exploded relation + arithmetic window totals — the
-    # full-column action exposed their triple hash-chain recompute) ----
-    "lineitem_part_copurchase": lineitem_part_copurchase_q,
-    "docs_duplicated_spans": docs_duplicated_spans_q,
-    "docs_block_dedup": docs_block_dedup_q,
-    "decontam_ngram_overlap": decontam_ngram_overlap_q,
-    "dedup_containment_incremental": dedup_containment_incremental_q,
-    "dedup_containment_admission": dedup_containment_admission_q,
-    "dedup_incremental_pairs": dedup_incremental_pairs_q,
-    "dedup_incremental_admission": dedup_incremental_admission_q,
-    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
-    # ---- (c) the 19-entry r11-green remainder (oldest driver
-    # evidence in the registry — the r14-verdict-prescribed r15
-    # leads, all present) ----
-    "embedding_quantize_int8": embedding_quantize_q,
-    "docs_length_histogram": docs_length_histogram_q,
-    "text_bpe_token_count": text_bpe_token_count_q,
-    "text_quality": text_quality_q,
-    "text_winnow_fps": text_winnow_q,
-    "text_lang_id": text_lang_id_q,
-    "docs_quality_tiers": docs_quality_tiers_q,
-    "docs_source_token_quantiles": docs_source_token_quantiles_q,
-    "docs_lang_mix": docs_lang_mix_q,
-    "ann_ivf_topk": ann_ivf_topk_q,
-    "events_anomaly_stats": events_anomaly_stats_q,
-    "embeddings_cell_stats": embeddings_cell_stats_q,
-    "ann_ivf_recall": ann_ivf_recall_q,
-    "dedup_minhash_lsh": dedup_minhash_lsh_q,
-    "ann_knn_within": ann_knn_within_q,
-    "events_moving_stats": events_moving_stats_q,
-    "events_props_stats": events_props_stats_q,
-    "events_cube_counts": events_cube_counts_q,
-    "events_type_pivot": events_type_pivot_q,
-    # ---- (d) r12-green backlog, oldest driver evidence (18 of the
-    # 49-entry r12 block in catalog order; ann_ivf_incremental_assign
-    # and docs_block_dedup moved up to section (b),
-    # stream_dedup_parity / docs_quality_budget_by_source /
-    # embedding_cluster_sample displaced past the cap) ----
-    "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
-    "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
-    "events_weekly_active": events_weekly_active_q,
-    "ann_pq_refine_topk": ann_pq_refine_topk_q,
-    "ann_pq_refine_recall": ann_pq_refine_recall_q,
-    "docs_ngram_novelty": docs_ngram_novelty_q,
-    "sales_top_suppliers": sales_top_suppliers_q,
-    "sales_region_share": sales_region_share_q,
-    "embedding_semdedup_keep": embedding_semdedup_keep_q,
-    "dedup_cluster_sizes": dedup_cluster_sizes_q,
-    "orders_priority_late": orders_priority_late_q,
-    "part_min_cost_supplier": part_min_cost_supplier_q,
-    "sales_returns_by_brand": sales_returns_by_brand_q,
-    "segment_status_revenue": segment_status_revenue_q,
-    "events_daily_active": events_daily_active_q,
-    "lineitem_profile": lineitem_profile_q,
-    "docs_chunk_windows": docs_chunk_windows_q,
-    "stream_sessionize_parity": stream_sessionize_parity_q,
-    # ================ past the 50-cap this round ================
-    # ALL re-verified every round by tools/check_oracle.py + pytest.
-    # Rotation bookkeeping for r16, oldest evidence first: (1) the
-    # r12-green remainder (29 entries — the next r16 leads, itemized
-    # below; count VERIFIED r16 against the CORRECTNESS_r* history:
-    # exactly the r12-window keys whose latest driver evidence is
-    # r12 — the r15 header said 28 and SURVEY said 26, both stale),
-    # (2) the 47 r13-green entries, (3) the 43 r14-green entries
-    # (the r14 window minus the seven re-checked in r15).
-    # Any NEW r16 queries take slots by displacement from the bottom
-    # of the r12 remainder.
-    # ---- r12-green remainder (29 entries — the next r16 leads;
-    # stream_funnel_parity / stream_dedup_parity /
-    # docs_quality_budget_by_source / embedding_cluster_sample were
-    # displaced from the window bottom by the late-r15 additions and
-    # plan rewrites) ----
+    # ---- (b) rewritten in r16: repetition metrics moved to
+    # single-evaluation lambda binding (r15 verdict #5 — the old r14
+    # driver rows witness the 34-split plan), and the two IVF×PQ
+    # probe consumers whose index scan gained the explicit
+    # probe-cell PartitionFilter (ivfpq_topk prune_cells) ----
+    "text_repetition_stats": text_repetition_q,
+    "ann_ivfpq_topk": ann_ivfpq_topk_q,
+    "ann_ivfpq_recall": ann_ivfpq_recall_q,
+    # ---- (c) the 29-entry r12-green remainder (oldest driver
+    # evidence in the registry — the r15-verdict-prescribed r16
+    # leads, all present, count verified against the CORRECTNESS_r*
+    # history) ----
     "stream_funnel_parity": stream_funnel_parity_q,
     "stream_dedup_parity": stream_dedup_parity_q,
     "docs_quality_budget_by_source": docs_quality_budget_by_source_q,
@@ -2850,7 +2777,7 @@ QUERIES = {
     "docs_tfidf_topterms": docs_tfidf_topterms_q,
     "events_type_transitions": events_type_transitions_q,
     "sales_rollup_totals": sales_rollup_totals_q,
-    # ---- r13-green block (47 entries, CORRECTNESS_r13.json) ----
+    # ---- (d) the 15 oldest r13-green entries (catalog order) ----
     "weekly_active_incremental_parity": weekly_active_incremental_parity_q,
     "dedup_containment_pairs": dedup_containment_pairs_q,
     "embedding_cell_drift": embedding_cell_drift_q,
@@ -2866,6 +2793,16 @@ QUERIES = {
     "events_sessionize": events_sessionize_q,
     "events_asof_session": events_asof_session_q,
     "events_interval_session": events_interval_session_q,
+    # ================ past the 50-cap this round ================
+    # ALL re-verified every round by tools/check_oracle.py + pytest.
+    # Rotation bookkeeping for r17, oldest evidence first: (1) the
+    # 32-entry r13-green remainder (the next r17 leads, itemized
+    # below), (2) the 40 r14-green entries (the r14 window minus the
+    # seven re-checked in r15 and the three rewritten into the r16
+    # window), (3) the 50 r15-green entries.  Any NEW r17 queries
+    # take slots by displacement from the bottom of the r13
+    # remainder.
+    # ---- r13-green remainder (32 entries — the next r17 leads) ----
     "q1_row_count": q1_row_count,
     "text_pii_scrub": text_pii_scrub_q,
     "docs_source_stats": docs_source_stats_q,
@@ -2898,9 +2835,7 @@ QUERIES = {
     "q17_table_counts": q17_table_counts,
     "q21_dlq_replay_select": q21_dlq_replay_select,
     "q22_resolve_update": q22_resolve_update,
-    # ---- r14-green block (45 entries — the r14 driver window minus
-    # lineitem_part_copurchase and the four carve-out consumers
-    # re-checked in r15's window) ----
+    # ---- r14-green block (40 entries, CORRECTNESS_r14.json) ----
     "unigram_logprob_incremental_parity": unigram_logprob_incremental_parity_q,
     "bigram_logprob_incremental_parity": bigram_logprob_incremental_parity_q,
     "docs_bigram_backoff_logprob": docs_bigram_backoff_logprob_q,
@@ -2923,8 +2858,6 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk_q,
     "ann_pq_recall": ann_pq_recall_q,
     "embedding_pq_codes": embedding_pq_codes_q,
-    "ann_ivfpq_topk": ann_ivfpq_topk_q,
-    "ann_ivfpq_recall": ann_ivfpq_recall_q,
     "embedding_semdedup_greedy": embedding_semdedup_greedy_q,
     "corpus_clean_keep": corpus_clean_keep_q,
     "events_stratified_sample": events_stratified_sample_q,
@@ -2943,7 +2876,57 @@ QUERIES = {
     "t9_ttl_expiry": t9_ttl_expiry,
     "dedup_exact_groups": dedup_exact_groups,
     "text_token_stats": text_token_stats_q,
-    "text_repetition_stats": text_repetition_q,
+    # ---- r15-green block (50 entries, CORRECTNESS_r15.json) ----
+    "docs_lm_admission": docs_lm_admission_q,
+    "containment_index_append_parity": containment_index_append_parity_q,
+    "minhash_index_append_parity": minhash_index_append_parity_q,
+    "dedup_containment_day2": dedup_containment_day2_q,
+    "lineitem_part_copurchase": lineitem_part_copurchase_q,
+    "docs_duplicated_spans": docs_duplicated_spans_q,
+    "docs_block_dedup": docs_block_dedup_q,
+    "decontam_ngram_overlap": decontam_ngram_overlap_q,
+    "dedup_containment_incremental": dedup_containment_incremental_q,
+    "dedup_containment_admission": dedup_containment_admission_q,
+    "dedup_incremental_pairs": dedup_incremental_pairs_q,
+    "dedup_incremental_admission": dedup_incremental_admission_q,
+    "ann_ivf_incremental_assign": ann_ivf_incremental_assign_q,
+    "embedding_quantize_int8": embedding_quantize_q,
+    "docs_length_histogram": docs_length_histogram_q,
+    "text_bpe_token_count": text_bpe_token_count_q,
+    "text_quality": text_quality_q,
+    "text_winnow_fps": text_winnow_q,
+    "text_lang_id": text_lang_id_q,
+    "docs_quality_tiers": docs_quality_tiers_q,
+    "docs_source_token_quantiles": docs_source_token_quantiles_q,
+    "docs_lang_mix": docs_lang_mix_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
+    "events_anomaly_stats": events_anomaly_stats_q,
+    "embeddings_cell_stats": embeddings_cell_stats_q,
+    "ann_ivf_recall": ann_ivf_recall_q,
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "ann_knn_within": ann_knn_within_q,
+    "events_moving_stats": events_moving_stats_q,
+    "events_props_stats": events_props_stats_q,
+    "events_cube_counts": events_cube_counts_q,
+    "events_type_pivot": events_type_pivot_q,
+    "ann_ivfpq_append_parity": ann_ivfpq_append_parity_q,
+    "docs_source_distinctive_terms": docs_source_distinctive_terms_q,
+    "events_weekly_active": events_weekly_active_q,
+    "ann_pq_refine_topk": ann_pq_refine_topk_q,
+    "ann_pq_refine_recall": ann_pq_refine_recall_q,
+    "docs_ngram_novelty": docs_ngram_novelty_q,
+    "sales_top_suppliers": sales_top_suppliers_q,
+    "sales_region_share": sales_region_share_q,
+    "embedding_semdedup_keep": embedding_semdedup_keep_q,
+    "dedup_cluster_sizes": dedup_cluster_sizes_q,
+    "orders_priority_late": orders_priority_late_q,
+    "part_min_cost_supplier": part_min_cost_supplier_q,
+    "sales_returns_by_brand": sales_returns_by_brand_q,
+    "segment_status_revenue": segment_status_revenue_q,
+    "events_daily_active": events_daily_active_q,
+    "lineitem_profile": lineitem_profile_q,
+    "docs_chunk_windows": docs_chunk_windows_q,
+    "stream_sessionize_parity": stream_sessionize_parity_q,
 }
 
 ORACLE = {
