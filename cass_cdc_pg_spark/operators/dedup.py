@@ -464,13 +464,22 @@ def minhash_signatures(
     sh = shingles(documents, n).withColumn(
         "h", _token_hash(F.col("shingle")) % F.lit(MINHASH_P)
     )
+    # one parsed SQL string per agg instead of ~8 py4j expression
+    # calls each (r16): building the 32 min-aggs operator-by-operator
+    # cost ~0.5 s of DRIVER time per constructed plan — paid on every
+    # timed pass of every minhash-family query.  `{a}L` long literals
+    # reproduce the old lit(int)->long promotion exactly (verified by
+    # row-identical output and the oracle hash).
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        F.expr(f"min((h * {a}L + {b}L) % {MINHASH_P}L) AS mh{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
-        "doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig")
+        "doc_id",
+        F.expr(
+            "array(" + ",".join(f"mh{i}" for i in range(num_hashes)) + ") AS sig"
+        ),
     )
 
 
@@ -490,38 +499,31 @@ def banded_signatures(
     instead of re-hashing the whole corpus."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, n)
+    # single parsed expression for the whole band-struct array (r16):
+    # the per-band struct/md5/element_at construction was ~100 py4j
+    # round trips of driver time per constructed plan.  `sig[i]` is
+    # the 0-based GetArrayItem — identical to the old
+    # element_at(sig, i + 1).
+    bb = "array(" + ",".join(
+        f"struct({bi} AS band, md5(concat_ws(',', "
+        + ",".join(
+            f"sig[{bi * rows_per_band + r}]" for r in range(rows_per_band)
+        )
+        + ")) AS bucket)"
+        for bi in range(bands)
+    ) + ")"
     return sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bb"),
+        "doc_id", "sig", F.explode(F.expr(bb)).alias("bb")
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def _sig_agreement(num_hashes: int):
     """Estimated Jaccard from the two signatures on a joined
     (a, b)-aliased row — symmetric, map-side."""
-    return F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(num_hashes)
+    return F.expr(
+        "cast(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
+        f" eq -> eq)) as double) / {num_hashes}"
+    )
 
 
 def _first_agreeing_band(num_hashes: int, bands: int):
@@ -532,19 +534,15 @@ def _first_agreeing_band(num_hashes: int, bands: int):
     ``dropDuplicates`` Exchange (a real shuffle at 100 TB) with a
     filter computed from the two signatures already on the row."""
     rows_per_band = num_hashes // bands
-    band_agree = F.array(
-        *[
-            F.expr(
-                " AND ".join(
-                    f"a.sig[{bi * rows_per_band + r}] = "
-                    f"b.sig[{bi * rows_per_band + r}]"
-                    for r in range(rows_per_band)
-                )
-            )
-            for bi in range(bands)
-        ]
+    bands_sql = ",".join(
+        "(" + " AND ".join(
+            f"a.sig[{bi * rows_per_band + r}] = "
+            f"b.sig[{bi * rows_per_band + r}]"
+            for r in range(rows_per_band)
+        ) + ")"
+        for bi in range(bands)
     )
-    return F.array_position(band_agree, F.lit(True)) - 1
+    return F.expr(f"array_position(array({bands_sql}), true) - 1")
 
 
 def minhash_lsh_pairs(

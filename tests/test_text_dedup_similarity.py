@@ -2116,3 +2116,58 @@ def test_merge_band_table_empty_sides(spark):
     assert rows(dedup.merge_band_table(empty_bt, batch, **kw)) == rows(
         dedup.banded_signatures(batch, **kw)
     )
+
+
+def test_minhash_signature_matches_pure_python_recompute(spark):
+    """r16 (expr-built signature constructors): the minhash signature
+    and band-bucket relation must equal a fully independent pure-Python
+    recompute — 60-bit md5 token hash, (h*a+b) mod P per coefficient,
+    min over distinct shingles, md5 band buckets over the comma-joined
+    per-band signature slice.  Pins the exact arithmetic/typing of the
+    single-string SQL construction (long literals, 0-based sig[i])
+    against the documented spec, not against another Spark plan."""
+    import hashlib
+
+    from cass_cdc_pg_spark.operators import dedup
+
+    num_hashes, bands, n = 8, 4, 2
+    rows = [(1, "a b c d e"), (2, "c d e f"), (3, "a b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def tok_hash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    coeffs = dedup.minhash_coeffs(num_hashes)
+    P = dedup.MINHASH_P
+    expect_sig = {}
+    for doc_id, text in rows:
+        tk = [t for t in text.split(" ") if t]
+        sh = list(dict.fromkeys(
+            " ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)
+        ))
+        if not sh:
+            continue
+        hs = [tok_hash(s) % P for s in sh]
+        expect_sig[doc_id] = [
+            min((h * a + b) % P for h in hs) for (a, b) in coeffs
+        ]
+
+    got_sig = {
+        r.doc_id: list(r.sig)
+        for r in dedup.minhash_signatures(docs, num_hashes, n).collect()
+    }
+    assert got_sig == expect_sig
+
+    rpb = num_hashes // bands
+    expect_bands = {
+        (doc_id, bi): hashlib.md5(
+            ",".join(str(v) for v in sig[bi * rpb:(bi + 1) * rpb]).encode()
+        ).hexdigest()
+        for doc_id, sig in expect_sig.items()
+        for bi in range(bands)
+    }
+    got_bands = {
+        (r.doc_id, r.band): r.bucket
+        for r in dedup.banded_signatures(docs, num_hashes, bands, n).collect()
+    }
+    assert got_bands == expect_bands
