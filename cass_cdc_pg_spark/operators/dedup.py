@@ -380,8 +380,22 @@ def incremental_containment_pairs(
                 )
             )
             .distinct()
+            # freeze the stop set (r16): it is referenced by BOTH
+            # anti-joins below, and the batch-filtered postings are
+            # themselves referenced three times (new×base probe plus
+            # both sides of the new×new self-join) — without the
+            # freeze the stop subtree (a scan of the standing df
+            # relation + the batch df delta + a distinct) re-expanded
+            # and RE-EXECUTED four times per query, and the plan of
+            # every downstream consumer grew ~4× (the day-2 feed's
+            # executed plan was 80 Exchanges / 1,400 lines).  The
+            # stop set is boilerplate-shingle-sized — bounded at any
+            # corpus scale — so freezing it is free.
+            .localCheckpoint(eager=False)
         )
-        new_sh = new_sh.join(F.broadcast(stop), "sh_h", "left_anti")
+        new_sh = new_sh.join(
+            F.broadcast(stop), "sh_h", "left_anti"
+        ).localCheckpoint(eager=False)  # 3 consumers: nb, nn.a, nn.b
         base_postings = base_postings.join(
             F.broadcast(stop), "sh_h", "left_anti"
         )

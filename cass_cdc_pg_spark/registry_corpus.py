@@ -261,10 +261,27 @@ def dedup_containment_admission_q(
             | (F.col("doc_b") > F.col("doc_a"))
         )
     )
+    # one pass over the pair feed (r16): the old
+    # filter(rej_a) ∪ filter(rej_b) referenced `pairs` twice, so the
+    # whole incremental containment plan (index scan + batch shingle +
+    # two intersection joins) was duplicated into both union branches
+    # and EXECUTED twice per run.  Each pair row contributes doc_a iff
+    # rej_a and doc_b iff rej_b — emit both as conditional array
+    # elements and explode, which is the same multiset from a single
+    # scan (the oracle keeps the two-branch UNION ALL formulation;
+    # hash-identical by construction since rej_a/rej_b are mutually
+    # exclusive only per side, and both-true rows emit both ids on
+    # either formulation).
     rej = (
-        pairs.filter(rej_a)
-        .select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.filter(rej_b).select(F.col("doc_b").alias("doc_id")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.when(rej_a, F.col("doc_a")),
+                    F.when(rej_b, F.col("doc_b")),
+                )
+            ).alias("doc_id")
+        )
+        .filter(F.col("doc_id").isNotNull())
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
     )

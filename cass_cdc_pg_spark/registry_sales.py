@@ -66,8 +66,26 @@ def sales_by_nation_quarter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     ).cast("decimal(18,6)")
+    # r16 rewrite (guide §2.3 "aggregate before you shuffle"): each
+    # order belongs to exactly ONE (nation, yr, qtr) group — o_orderkey
+    # is the orders PK, o_orderdate/c_nationkey are order-level — so
+    # COUNT(DISTINCT o_orderkey) per group equals a plain COUNT(*) over
+    # order-level pre-aggregates, and the decimal revenue sum is
+    # associative across the two levels.  Pre-aggregating lineitem by
+    # l_orderkey first (map-side partials collapse the fact's ~4
+    # rows/order before the only fact-wide exchange) removes the
+    # two-phase distinct re-shuffle of every joined fact row on
+    # (nation, yr, qtr, o_orderkey) and shrinks the three dimension
+    # joins to order-level cardinality.  Hash-identical output
+    # (oracle-green at both fixtures): inner-join semantics are
+    # preserved because pre-aggregation keeps exactly the orderkeys
+    # present in lineitem.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_items"),
+        F.sum(rev).alias("_rev"),
+    )
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -76,9 +94,9 @@ def sales_by_nation_quarter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.quarter("o_orderdate").cast("int").alias("qtr"),
         )
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
-            F.sum(rev).alias("_rev"),
+            F.sum("_items").cast("long").alias("n_items"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("_rev").alias("_rev"),
         )
         .select(
             "nation",
