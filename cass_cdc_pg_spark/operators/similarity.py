@@ -34,6 +34,31 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def recall_vs_exact(
+    exact: DataFrame, approx: DataFrame, k: int
+) -> DataFrame:
+    """Per-query recall@k of *approx* against the *exact* baseline —
+    the shared tail of the four ANN recall gauges (r16: previously
+    each of them referenced the exact relation TWICE — once inner-
+    joined for hits, once distinct-ed for the zero-hit-preserving
+    base — so the brute-force baseline executed two times per run;
+    a LEFT join from exact with a non-null hit marker yields the
+    identical rows from ONE pass over each side: every exact query
+    appears, matches count as hits, zero-hit queries read 0).
+    Inputs are (query_id, neighbor_id) relations with unique rows."""
+    marked = approx.withColumn("_hit", F.lit(1))
+    return (
+        exact.join(marked, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(k))).alias(f"recall_at_{k}"),
+        )
+    )
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

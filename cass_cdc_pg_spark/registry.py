@@ -2078,17 +2078,9 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     single correctly-rounded division — bit-equal across engines."""
     exact = ann_cosine_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_ivf_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
-    )
+    # r16: single-pass left-join recall (the old hits ∪ distinct-base
+    # formulation executed the brute-force baseline twice per run)
+    return similarity.recall_vs_exact(exact, approx, k=5)
 
 
 _IVF_RECALL_SQL_CACHE: dict[str, str] = {}

@@ -167,19 +167,9 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     against (same join shape as ``ann_ivf_recall``)."""
     exact = ann_l2_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_pq_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_K))).alias(
-            "recall_at_5"
-        ),
-    )
+    # r16: single-pass left-join recall (shared tail; the old
+    # hits ∪ distinct-base shape executed the exact baseline twice)
+    return similarity.recall_vs_exact(exact, approx, k=_PQ_K)
 
 
 # probe depth: measured composed recall@5 at sf0.01/ksub=256 is 0.66
@@ -347,19 +337,8 @@ def ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall over scanning all codes)."""
     exact = ann_l2_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_ivfpq_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_K))).alias(
-            "recall_at_5"
-        ),
-    )
+    # r16: single-pass left-join recall (shared tail)
+    return similarity.recall_vs_exact(exact, approx, k=_PQ_K)
 
 
 _IVFPQ_RECALL_SQL_CACHE: dict[str, str] = {}
@@ -949,19 +928,8 @@ def ann_pq_refine_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ann_pq_refine_topk_q(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_PQ_K))).alias(
-            "recall_at_5"
-        ),
-    )
+    # r16: single-pass left-join recall (shared tail)
+    return similarity.recall_vs_exact(exact, approx, k=_PQ_K)
 
 
 _PQ_REFINE_RECALL_SQL_CACHE: dict[str, str] = {}

@@ -146,19 +146,30 @@ def sales_rollup_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     ).cast("decimal(18,6)")
+    # r16: same order-level pre-aggregation as sales_by_nation_quarter
+    # (guide §2.3) — the rollup keys (nation, yr) are order-level and
+    # both aggregates decompose (count → sum of per-order counts,
+    # decimal sum associative), so the fact collapses ~4× before the
+    # dimension joins and the rollup Expand runs over order-level rows
+    # instead of every lineitem.  Hash-identical (oracle-green).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_items"),
+        F.sum(rev).alias("_r"),
+    )
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("yr"),
-            rev.alias("_r"),
+            F.col("_items"),
+            F.col("_r"),
         )
         .rollup("nation", "yr")
         .agg(
             F.grouping_id().cast("int").alias("lvl"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("_items").cast("long").alias("n_items"),
             F.sum("_r").alias("_rev"),
         )
         .select(
