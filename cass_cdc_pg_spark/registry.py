@@ -913,8 +913,8 @@ def _inc_standing_index(spark: SparkSession, sf_dir: str):
 
     _ensure_layout(d, "inc_index_", _build)
     return (
-        spark.read.parquet(f"{d}/bands.parquet"),
-        spark.read.parquet(f"{d}/base_cc.parquet"),
+        src.read_parquet_cached(spark, f"{d}/bands.parquet"),
+        src.read_parquet_cached(spark, f"{d}/base_cc.parquet"),
     )
 
 
@@ -988,7 +988,7 @@ def events_zorder_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     band).  Reference analog: indexed range scans over the CDC event
     store (NhaLeTruc/cass-cdc-pg `src/api/routes/events.py` listing
     filters)."""
-    ev = spark.read.parquet(_zorder_events_layout(spark, sf_dir))
+    ev = src.read_parquet_cached(spark, _zorder_events_layout(spark, sf_dir))
     b = ev.agg(
         F.min("ts_epoch").alias("t0"),
         F.max("ts_epoch").alias("t1"),
@@ -1269,7 +1269,7 @@ def _lsh_band_d0(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(f"{tmp}/bands.parquet")
 
     _ensure_layout(d, "lsh_band_d0_", _build)
-    return spark.read.parquet(f"{d}/bands.parquet")
+    return src.read_parquet_cached(spark, f"{d}/bands.parquet")
 
 
 def dedup_minhash_day2_q(spark: SparkSession, sf_dir: str) -> DataFrame:

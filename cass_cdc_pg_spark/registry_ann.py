@@ -199,7 +199,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.partitionBy("cell").mode("overwrite").parquet(tmp)
 
     _reg._ensure_layout(d, "ivfpq_index_", _build)
-    return spark.read.parquet(d)
+    return src.read_parquet_cached(spark, d)
 
 
 def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,7 +392,7 @@ def _ivfpq_base_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.partitionBy("cell").mode("overwrite").parquet(tmp)
 
     _reg._ensure_layout(d, "ivfpq_base_index_", _build)
-    return spark.read.parquet(d)
+    return src.read_parquet_cached(spark, d)
 
 
 def ann_ivfpq_append_parity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +540,7 @@ def _ivfpq_base2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.partitionBy("cell").mode("overwrite").parquet(tmp)
 
     _reg._ensure_layout(d, "ivfpq_base2_index_", _build)
-    return spark.read.parquet(d)
+    return src.read_parquet_cached(spark, d)
 
 
 def ann_ivfpq_day2_q(spark: SparkSession, sf_dir: str) -> DataFrame:

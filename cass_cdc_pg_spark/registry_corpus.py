@@ -162,9 +162,9 @@ def _containment_index(
 
     _reg._ensure_layout(d, "containment_index_", _build)
     return (
-        spark.read.parquet(_os.path.join(d, "postings")),
-        spark.read.parquet(_os.path.join(d, "sizes")),
-        spark.read.parquet(_os.path.join(d, "df")),
+        src.read_parquet_cached(spark, _os.path.join(d, "postings")),
+        src.read_parquet_cached(spark, _os.path.join(d, "sizes")),
+        src.read_parquet_cached(spark, _os.path.join(d, "df")),
     )
 
 
@@ -491,9 +491,9 @@ def _containment_index_day0(
 
     _reg._ensure_layout(d, "containment_index_d0_", _build)
     return (
-        spark.read.parquet(_os.path.join(d, "postings")),
-        spark.read.parquet(_os.path.join(d, "sizes")),
-        spark.read.parquet(_os.path.join(d, "df")),
+        src.read_parquet_cached(spark, _os.path.join(d, "postings")),
+        src.read_parquet_cached(spark, _os.path.join(d, "sizes")),
+        src.read_parquet_cached(spark, _os.path.join(d, "df")),
     )
 
 
@@ -754,7 +754,7 @@ def _lm_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(tmp)
 
     _reg._ensure_layout(d, "lm_unigram_", _build)
-    return spark.read.parquet(d)
+    return src.read_parquet_cached(spark, d)
 
 
 def _lm_bigram_dir(sf_dir: str) -> str:
@@ -782,8 +782,8 @@ def _lm_bigram_counts(
 
     _reg._ensure_layout(d, "lm_bigram_", _build)
     return (
-        spark.read.parquet(_os.path.join(d, "bg")),
-        spark.read.parquet(_os.path.join(d, "pfx")),
+        src.read_parquet_cached(spark, _os.path.join(d, "bg")),
+        src.read_parquet_cached(spark, _os.path.join(d, "pfx")),
     )
 
 
@@ -1108,7 +1108,7 @@ def _lm_unigram_base_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.unigram_counts(base).write.mode("overwrite").parquet(tmp)
 
     _reg._ensure_layout(d, "lm_unigram_base_", _build)
-    return spark.read.parquet(d)
+    return src.read_parquet_cached(spark, d)
 
 
 def unigram_logprob_incremental_parity_q(
@@ -1181,8 +1181,8 @@ def _lm_bigram_base_counts(
 
     _reg._ensure_layout(d, "lm_bigram_base_", _build)
     return (
-        spark.read.parquet(_os.path.join(d, "bg")),
-        spark.read.parquet(_os.path.join(d, "pfx")),
+        src.read_parquet_cached(spark, _os.path.join(d, "bg")),
+        src.read_parquet_cached(spark, _os.path.join(d, "pfx")),
     )
 
 
@@ -2313,7 +2313,7 @@ def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``system_schema.columns``."""
     from cass_cdc_pg_spark.streaming.schema_evolution import detect_changes
 
-    st = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    st = src.load_table(spark, sf_dir, "orders").schema
     old = {
         f.name: f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
         for f in st.fields

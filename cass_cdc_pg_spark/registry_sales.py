@@ -1123,18 +1123,23 @@ def part_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_p").alias("_tot"),
         )
     )
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("_tot").asc(), F.col("l_suppkey").asc()
+    # r16: the per-part argmin is a MIN over lexicographically-ordered
+    # structs — identical pick to the old row_number()==1 window
+    # (struct comparison orders by _tot asc then l_suppkey asc, the
+    # same key, and (_tot, l_suppkey) is unique per part so n_items
+    # never tiebreaks).  An aggregate partial-aggregates map-side and
+    # needs no Sort, where the window shape sorted every partition and
+    # shipped every (part, supplier) row through the partkey exchange;
+    # at scale a hot part degrades a window task but folds fine in a
+    # partial min.
+    best = per.groupBy("l_partkey").agg(
+        F.min(F.struct("_tot", "l_suppkey", "n_items")).alias("_b")
     )
-    return (
-        per.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "l_partkey",
-            F.col("l_suppkey").alias("best_suppkey"),
-            "n_items",
-            F.round(F.col("_tot").cast("double"), 2).alias("total_price"),
-        )
+    return best.select(
+        "l_partkey",
+        F.col("_b.l_suppkey").alias("best_suppkey"),
+        F.col("_b.n_items").alias("n_items"),
+        F.round(F.col("_b._tot").cast("double"), 2).alias("total_price"),
     )
 
 

@@ -800,16 +800,19 @@ def test_priority_late_semi_join_no_dedup(spark, tmp_path):
 
 
 def test_min_cost_supplier_group_limit_after_partial_agg(spark, tmp_path):
-    """part_min_cost_supplier (r6): per-(part,supplier) totals
-    partial-aggregate before the shuffle, and the rn=1 filter lowers
-    to WindowGroupLimit so each task keeps one candidate row per part
-    pre-shuffle instead of sorting whole groups."""
+    """part_min_cost_supplier: per-(part,supplier) totals
+    partial-aggregate before the shuffle, and the per-part argmin is
+    a partial-aggregated min(struct) (r16 — replaced the
+    rn=1 window, whose WindowGroupLimit shape a hot part could still
+    serialize into one sort task) — so BOTH levels fold map-side and
+    no Window appears in the plan."""
     from cass_cdc_pg_spark.registry import part_min_cost_supplier_q
 
     q = part_min_cost_supplier_q(spark, _write_star_fixture(spark, tmp_path))
     plan = _plan(q)
     assert "partial_sum" in plan, plan
-    assert "WindowGroupLimit" in plan, plan
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
     rows = q.collect()
     assert len(rows) == 7  # one winner per part
     assert len({r.l_partkey for r in rows}) == 7
