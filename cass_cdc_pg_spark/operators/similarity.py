@@ -105,16 +105,21 @@ def _scored_arrow(
     summation and can differ in the last ulp, which 6-dp rounding may
     amplify across a rounding boundary.)
 
-    *prune_k*: when set, each batch emits only candidates that can
+    *prune_k*: when set, each TASK emits only candidates that can
     still reach a per-query top-*prune_k* after 6-dp rounding, instead
     of all N×Q scores.  Exactness: rounding moves a score by at most
     5e-7, so a row with unrounded sim < (k-th best unrounded) - 1e-6
     rounds strictly below the k-th best's rounded value and can never
     displace it; only such rows are dropped.  Self-matches are excluded
-    before picking the k-th value so they never occupy a slot.  This
-    keeps the downstream window top-k (a shuffle) at O(k·Q·batches)
-    rows rather than O(N·Q) — at 100 TB the difference between
-    shuffling gigabytes and kilobytes.
+    before picking the k-th value so they never occupy a slot.  The
+    per-query candidate pool FOLDS ACROSS BATCHES inside the task
+    (r17; previously each Arrow batch emitted its own top-k-reachable
+    rows), so the downstream window top-k (a shuffle) ranks
+    O(k·Q·partitions) rows rather than O(k·Q·batches) — at 100 TB a
+    scan partition holds tens of batches, so this is another order of
+    magnitude off the only Exchange in the plan.  Scores are computed
+    per batch with the identical float-op sequence; the fold only
+    drops rows the per-batch guard provably could never rank.
     """
     import numpy as np
     import pandas as pd
@@ -130,6 +135,12 @@ def _scored_arrow(
     id_type = corpus.schema[id_col].dataType.simpleString()
 
     def score(batches):
+        qid_arr = np.array(qids)
+        nq = len(qids)
+        # per-query candidate pool across batches: (ids, sims) kept
+        # top-k-reachable under the 1e-6 guard — O(k) per query
+        pool_n = [None] * nq
+        pool_s = [None] * nq
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -138,36 +149,49 @@ def _scored_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )  # N x D
             cnorm = np.sqrt(seq_dot(cm, cm))
-            acc = np.zeros((len(ids), len(qids)))
+            acc = np.zeros((len(ids), nq))
             for d in range(cm.shape[1]):
                 acc += np.outer(cm[:, d], qm[:, d])
             sims = acc / np.outer(cnorm, qnorm)
             n, q = sims.shape
-            if prune_k is None or n <= prune_k:
+            if prune_k is None:
                 yield pd.DataFrame(
                     {
-                        "query_id": np.repeat(np.array(qids), n),
+                        "query_id": np.repeat(qid_arr, n),
                         "neighbor_id": np.tile(ids, q),
                         "sim": sims.T.reshape(-1),
                     }
                 )
                 continue
-            out_q, out_n, out_s = [], [], []
-            qid_arr = np.array(qids)
             for j in range(q):
                 col = sims[:, j]
-                cand = col.copy()
-                cand[ids == qid_arr[j]] = -np.inf  # self never holds a slot
-                kth = np.partition(cand, -prune_k)[-prune_k]
-                keep = col >= kth - 1e-6
-                out_q.append(np.full(keep.sum(), qid_arr[j]))
-                out_n.append(ids[keep])
-                out_s.append(col[keep])
+                cids = ids
+                if pool_n[j] is not None:  # fold the standing pool in
+                    cids = np.concatenate([pool_n[j], ids])
+                    col = np.concatenate([pool_s[j], col])
+                if len(col) > prune_k:
+                    cand = col.copy()
+                    cand[cids == qid_arr[j]] = -np.inf  # self holds no slot
+                    kth = np.partition(cand, -prune_k)[-prune_k]
+                    keep = col >= kth - 1e-6
+                    cids, col = cids[keep], col[keep]
+                pool_n[j], pool_s[j] = cids, col
+        if prune_k is not None and any(p is not None for p in pool_n):
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
+                    "query_id": np.concatenate(
+                        [
+                            np.full(len(pool_n[j]), qid_arr[j])
+                            for j in range(nq)
+                            if pool_n[j] is not None
+                        ]
+                    ),
+                    "neighbor_id": np.concatenate(
+                        [p for p in pool_n if p is not None]
+                    ),
+                    "sim": np.concatenate(
+                        [p for p in pool_s if p is not None]
+                    ),
                 }
             )
 
@@ -1022,8 +1046,9 @@ def pq_topk(
     default; the JVM expression is its cross-check), and the ADC
     kernel receives ONLY (id, codes) — m ints per row, never the
     vectors —
-    and per-batch pruning keeps the downstream top-k shuffle at
-    O(k·Q·batches).  Exactness of the prune: 6-dp rounding moves a
+    and per-task keep-min pruning (folded across batches, r17) keeps
+    the downstream top-k shuffle at O(k·Q·partitions).  Exactness of
+    the prune: 6-dp rounding moves a
     distance by at most 5e-7, so a row with unrounded dist > (k-th
     best unrounded) + 1e-6 rounds strictly above the k-th best's
     rounded value and can never displace it.  Output: query_id,
@@ -1050,31 +1075,50 @@ def pq_topk(
     )
 
     def score(batches):
+        # per-query keep-min candidate pool folded ACROSS batches
+        # (r17, the _scored_arrow discipline): the task emits one
+        # top-k-reachable set, so the ranking Exchange sees
+        # O(k·Q·partitions) rows, not O(k·Q·batches)
+        nq = len(qids)
+        pool_n = [None] * nq
+        pool_s = [None] * nq
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
             cm = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
-            acc = np.zeros((len(ids), len(qids)))
+            acc = np.zeros((len(ids), nq))
             for j in range(m):  # left-to-right over subspaces
                 acc += qtab[:, j, :][:, cm[:, j]].T
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
+            for qi in range(nq):
                 col = acc[:, qi]
-                cand = col.copy()
-                cand[ids == qid_arr[qi]] = np.inf  # self never holds a slot
-                kth = np.partition(cand, min(k, len(cand)) - 1)[
-                    min(k, len(cand)) - 1
-                ]
-                keep = col <= kth + 1e-6
-                out_q.append(np.full(int(keep.sum()), qid_arr[qi]))
-                out_n.append(ids[keep])
-                out_s.append(col[keep])
+                cids = ids
+                if pool_n[qi] is not None:
+                    cids = np.concatenate([pool_n[qi], ids])
+                    col = np.concatenate([pool_s[qi], col])
+                if len(col) > k:
+                    cand = col.copy()
+                    cand[cids == qid_arr[qi]] = np.inf  # self holds no slot
+                    kth = np.partition(cand, k - 1)[k - 1]
+                    keep = col <= kth + 1e-6
+                    cids, col = cids[keep], col[keep]
+                pool_n[qi], pool_s[qi] = cids, col
+        if any(p is not None for p in pool_n):
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "dist": np.concatenate(out_s),
+                    "query_id": np.concatenate(
+                        [
+                            np.full(len(pool_n[qi]), qid_arr[qi])
+                            for qi in range(nq)
+                            if pool_n[qi] is not None
+                        ]
+                    ),
+                    "neighbor_id": np.concatenate(
+                        [p for p in pool_n if p is not None]
+                    ),
+                    "dist": np.concatenate(
+                        [p for p in pool_s if p is not None]
+                    ),
                 }
             )
 
@@ -1107,8 +1151,9 @@ def l2_topk(
     recall baseline, as ``cosine_topk`` is for IVF/LSH).  Same Arrow
     kernel discipline as ``_scored_arrow``: per-dimension accumulation
     matches the left-to-right fold bit-for-bit, the query matrix ships
-    in the closure (corpus never shuffles), per-batch keep-min pruning
-    bounds the top-k shuffle (same 1e-6 guard band as ``pq_topk``)."""
+    in the closure (corpus never shuffles), per-task keep-min pruning
+    folded across batches bounds the top-k shuffle at
+    O(k·Q·partitions) (same 1e-6 guard band as ``pq_topk``)."""
     import numpy as np
     import pandas as pd
 
@@ -1119,6 +1164,10 @@ def l2_topk(
     id_type = corpus.schema[id_col].dataType.simpleString()
 
     def score(batches):
+        # keep-min pool folded across batches (r17 — see pq_topk)
+        nq = len(qids)
+        pool_n = [None] * nq
+        pool_s = [None] * nq
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1126,27 +1175,39 @@ def l2_topk(
             cm = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            acc = np.zeros((len(ids), len(qids)))
+            acc = np.zeros((len(ids), nq))
             for d in range(cm.shape[1]):  # left-to-right over dims
                 diff = cm[:, d, None] - qm[None, :, d]
                 acc += diff * diff
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
+            for qi in range(nq):
                 col = acc[:, qi]
-                cand = col.copy()
-                cand[ids == qid_arr[qi]] = np.inf
-                kth = np.partition(cand, min(k, len(cand)) - 1)[
-                    min(k, len(cand)) - 1
-                ]
-                keep = col <= kth + 1e-6
-                out_q.append(np.full(int(keep.sum()), qid_arr[qi]))
-                out_n.append(ids[keep])
-                out_s.append(col[keep])
+                cids = ids
+                if pool_n[qi] is not None:
+                    cids = np.concatenate([pool_n[qi], ids])
+                    col = np.concatenate([pool_s[qi], col])
+                if len(col) > k:
+                    cand = col.copy()
+                    cand[cids == qid_arr[qi]] = np.inf
+                    kth = np.partition(cand, k - 1)[k - 1]
+                    keep = col <= kth + 1e-6
+                    cids, col = cids[keep], col[keep]
+                pool_n[qi], pool_s[qi] = cids, col
+        if any(p is not None for p in pool_n):
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "dist": np.concatenate(out_s),
+                    "query_id": np.concatenate(
+                        [
+                            np.full(len(pool_n[qi]), qid_arr[qi])
+                            for qi in range(nq)
+                            if pool_n[qi] is not None
+                        ]
+                    ),
+                    "neighbor_id": np.concatenate(
+                        [p for p in pool_n if p is not None]
+                    ),
+                    "dist": np.concatenate(
+                        [p for p in pool_s if p is not None]
+                    ),
                 }
             )
 

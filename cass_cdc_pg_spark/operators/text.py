@@ -1534,6 +1534,11 @@ def duplicated_span_stats(
     # with zero intermediate array copies per pass (the zipped_grams
     # r16 rewrite, applied to the integer-hash tier).
     def _win_hash(th: Column, i) -> Column:
+        if span_tokens == 1:
+            # degenerate single-token window: the key is the token
+            # hash itself — the unconditional pairwise combine below
+            # would index one past the array (r16 advice)
+            return F.element_at(th, i)
         acc = F.xxhash64(F.element_at(th, i), F.element_at(th, i + 1))
         for j in range(2, span_tokens):
             acc = F.xxhash64(acc, F.element_at(th, i + j))

@@ -96,8 +96,19 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path, fp)
     if key not in _TABLE_DF_CACHE or fp is None:
         configure(spark)
-        if len(_TABLE_DF_CACHE) > 256:  # stale-fingerprint entries
-            _TABLE_DF_CACHE.clear()
+        # evict superseded entries for the SAME (appId, path) — a
+        # rebuilt fixture/index leaves its old-fingerprint entry dead,
+        # and the old wholesale clear() at >256 keys dropped LIVE
+        # entries with it (r16 advice); insertion order makes the
+        # overflow guard an oldest-first trim instead
+        stale = [
+            k for k in _TABLE_DF_CACHE
+            if k[0] == key[0] and k[1] == path and k[2] != fp
+        ]
+        for k in stale:
+            del _TABLE_DF_CACHE[k]
+        while len(_TABLE_DF_CACHE) > 256:
+            del _TABLE_DF_CACHE[next(iter(_TABLE_DF_CACHE))]
         _TABLE_DF_CACHE[key] = spark.read.parquet(path)
     return _TABLE_DF_CACHE[key]
 

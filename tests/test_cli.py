@@ -373,14 +373,17 @@ def test_cli_table_sync_follows_and_resyncs(spark, tmp_path, capsys):
 
 
 def test_bench_compact_headline_bounded():
-    """The driver parses only the FINAL stdout line and keeps ~2000
-    chars of tail; bench.py's compact headline must stay under that
-    even as the query registry grows (the full map broke this in r6,
-    nulling the machine-readable BENCH record for two rounds)."""
+    """The driver parses only the FINAL stdout line and keeps exactly
+    2000 chars of tail; bench.py's compact headline must stay under
+    that even as the query registry grows (the full map broke this in
+    r6, nulling the machine-readable BENCH record for two rounds), and
+    it must carry the driver-contract "queries" map — headline
+    best-of-3 plus the pinned pipeline walls (r16 verdict #1: without
+    it the driver's per-query/scaling comparisons are empty)."""
     import json
     import sys
     sys.path.insert(0, ".")
-    from bench import HEADLINE, compact_headline
+    from bench import COMPACT_PIPELINE, HEADLINE, compact_headline
 
     full = {
         "metric": "headline_queries_total_wall",
@@ -390,8 +393,12 @@ def test_bench_compact_headline_bounded():
         "queries_best3": {q: 0.123 for q in HEADLINE},
         "queries_floor_adj": {q: 0.105 for q in HEADLINE},
         "headline_floor_sec": 0.018,
-        # simulate a 500-entry pipeline map: must NOT leak into the line
-        "pipeline_queries": {f"query_name_{i}": i / 7.0 for i in range(500)},
+        # simulate a 500-entry pipeline map (plus the real pinned
+        # names): the unpinned bulk must NOT leak into the line
+        "pipeline_queries": {
+            **{f"query_name_{i}": i / 7.0 for i in range(500)},
+            **{n: 1.234 for n in COMPACT_PIPELINE},
+        },
         "pipeline_total": 99.9,
         "sf": 0.1,
         "warm": True,
@@ -417,19 +424,26 @@ def test_bench_compact_headline_bounded():
         "contract_q3_adj_ratio": 0.48,
     }
     line = compact_headline(full)
-    assert len(line) < 1900
+    assert len(line) < 2000
     parsed = json.loads(line)
     assert parsed["contract_q1_raw_ratio"] == 0.73
-    assert len(parsed["pipeline_slowest"]) == 5
     assert "pipeline_queries" not in parsed
-    # the r10 measurement-discipline fields ride the compact line
-    assert parsed["queries_best3"] == {q: 0.123 for q in HEADLINE}
+    assert "query_name_7" not in parsed["queries"]  # unpinned bulk
+    # the driver-contract map: every headline entry at its best-of-3
+    # value, plus the pinned pipeline walls (possibly end-trimmed)
+    for q in HEADLINE:
+        assert parsed["queries"][q] == 0.123
+    kept_pins = [n for n in COMPACT_PIPELINE if n in parsed["queries"]]
+    assert kept_pins, "no pinned pipeline entry survived the budget"
+    # trimming is END-only: the kept set is a prefix of the pin list
+    assert kept_pins == COMPACT_PIPELINE[: len(kept_pins)]
+    assert all(parsed["queries"][n] == 1.23 for n in kept_pins)
     assert parsed["headline_floor_sec"] == 0.018
 
     # pathological: absurdly long query names still stay bounded
     full["queries_best3"] = {"q" * 300 + str(i): 0.1 for i in range(10)}
     full["queries_floor_adj"] = {"q" * 300 + str(i): 0.1 for i in range(10)}
-    assert len(compact_headline(full)) < 1900
+    assert len(compact_headline(full)) < 2000
 
 
 def test_plan_lint_rules():

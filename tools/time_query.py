@@ -42,9 +42,12 @@ def main() -> int:
     if args.all_pipeline:
         import bench
 
-        names = bench.HEADLINE + bench.PIPELINE + [
-            n for n in bench.AUDIT if n not in names
-        ]
+        # keep explicitly-requested queries (an AUDIT-only name was
+        # silently dropped by the old rebuild — r16 advice), then the
+        # standard sweep, deduped in order
+        base = names + bench.HEADLINE + bench.PIPELINE + bench.AUDIT
+        seen: set[str] = set()
+        names = [n for n in base if not (n in seen or seen.add(n))]
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
