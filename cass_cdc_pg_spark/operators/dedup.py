@@ -382,17 +382,24 @@ def incremental_containment_pairs(
                 )
             )
             .distinct()
-            # freeze the stop set (r16): it is referenced by BOTH
-            # anti-joins below, and the batch-filtered postings are
-            # themselves referenced three times (new×base probe plus
-            # both sides of the new×new self-join) — without the
-            # freeze the stop subtree (a scan of the standing df
-            # relation + the batch df delta + a distinct) re-expanded
-            # and RE-EXECUTED four times per query, and the plan of
-            # every downstream consumer grew ~4× (the day-2 feed's
-            # executed plan was 80 Exchanges / 1,400 lines).  The
-            # stop set is boilerplate-shingle-sized — bounded at any
-            # corpus scale — so freezing it is free.
+        )
+        # r17 (was: unconditional freeze + anti-join on BOTH sides,
+        # r16): in broadcast mode the base-postings stop anti-join is
+        # REDUNDANT — the nb join is an inner join against the
+        # already-stop-filtered batch side, so stopped base postings
+        # can never match; they stream through one broadcast probe
+        # either way.  Dropping it leaves the stop set with ONE
+        # consumer, so its subtree inlines into the filtered-batch
+        # materialization below — no separate checkpoint blocks, no
+        # stop broadcast build (2 AQE jobs off every
+        # incremental-family execution, results row-identical).
+        if not broadcast_new:
+            # shuffled-join fallback: base postings DO shuffle on
+            # sh_h, and a stopped boilerplate shingle is exactly the
+            # hot key that must not reach that exchange — keep the
+            # anti-join and freeze the now-twice-consumed stop set
+            # (without the freeze the stop subtree re-expands into
+            # every consumer — the r16 4×-plan-growth disease).
             # Cluster caveat (Spark's localCheckpoint contract): the
             # blocks are executor-local and NON-replicated — an
             # executor loss fails downstream consumers instead of
@@ -402,43 +409,52 @@ def incremental_containment_pairs(
             # state); a deployment running under dynamic allocation
             # should swap these for persist(DISK_ONLY_2) or a real
             # checkpoint directory.
-            .localCheckpoint(eager=False)
-        )
+            stop = stop.localCheckpoint(eager=False)
+            base_postings = base_postings.join(
+                F.broadcast(stop), "sh_h", "left_anti"
+            )
         new_sh = new_sh.join(
             F.broadcast(stop), "sh_h", "left_anti"
         ).localCheckpoint(eager=False)  # 3 consumers: nb, nn.a, nn.b
-        base_postings = base_postings.join(
-            F.broadcast(stop), "sh_h", "left_anti"
-        )
     # new×base: ids are disjoint by construction (the carve-out), so
     # no self-pair filter is needed; orientation normalized below
     new_probe = new_sh.withColumnRenamed("doc_id", "_new_id")
-    nb = (
+    nb_pre = (
         base_postings.withColumnRenamed("doc_id", "_base_id")
         .join(
             F.broadcast(new_probe) if broadcast_new else new_probe,
             "sh_h",
         )
-        .groupBy(
+        .select(
             F.least("_base_id", "_new_id").alias("doc_a"),
             F.greatest("_base_id", "_new_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
     # new×new: the full operator's within-bucket self-join, batch-bounded
     a = new_sh.alias("a")
     b = new_sh.alias("b")
-    nn = (
+    nn_pre = (
         a.join(b, F.col("a.sh_h") == F.col("b.sh_h"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
+    )
+    # ONE per-pair aggregate over the unioned branches instead of one
+    # per branch (r17): the nb (base×new) and nn (new×new) pair key
+    # spaces are disjoint — batch ids never appear in the standing
+    # index — so count-over-union equals the old union-of-counts row
+    # for row, and the plan carries ONE (doc_a, doc_b) Exchange where
+    # it carried two (partial aggregation still folds each branch
+    # map-side before the shuffle).
+    inter = (
+        nb_pre.unionByName(nn_pre)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = base_sizes.unionByName(new_sizes)
-    return _containment_scores(nb.unionByName(nn), sizes, threshold)
+    return _containment_scores(inter, sizes, threshold)
 
 
 #: pipeline default for the stop-shingle cap: a shingle shared by more

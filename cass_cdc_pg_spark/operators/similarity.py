@@ -336,6 +336,17 @@ def train_ivf_centroids(
     return [[float(v) for v in row] for row in cent]
 
 
+def _seq_sqnorm(vec: list[float]) -> float:
+    """Left-to-right float64 sum of squares — the exact op sequence of
+    the JVM ``aggregate(zip_with(v, v, x*y), 0, +)`` fold and the
+    oracle's ``list_reduce``, evaluated driver-side (Python floats ARE
+    IEEE float64, and a sequential ``+=`` is the same add order)."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc
+
+
 def _cell_scores(vec_col: str, centroids: list[list[float]]) -> Column:
     """Array of cosine(vec, centroid_i) — order-pinned fold per
     centroid, identical float sequence to the oracle SQL.
@@ -343,14 +354,29 @@ def _cell_scores(vec_col: str, centroids: list[list[float]]) -> Column:
     Built as ONE SQL string parsed in a single driver call: the
     Column-composition equivalent creates ncentroids*dim literal
     nodes through individual Py4J round trips (512 for 8x64), which
-    dominates query-build latency on a high-RTT driver.  Semantics
-    are unchanged — ``CAST('<repr>' AS DOUBLE)`` round-trips float64
-    exactly like a ``lit(float)``, the fold is the same
-    ``aggregate(zip_with(...))`` leftward sum, and Catalyst constant-
-    folds the centroid-only norms so the per-row work is identical."""
+    dominates query-build latency on a high-RTT driver.
 
-    def _dlit(x: float) -> str:
-        return f"CAST('{x!r}' AS DOUBLE)"
+    r17 tree shrink: the centroid matrix rides in ONE ``from_json``
+    string literal (Catalyst constant-folds it to a single complex
+    Literal node — verified in the optimized plan — so the analyzer/
+    optimizer walk ~20 nodes instead of ~1,500 ncentroids·dim CAST
+    nodes on every fresh QueryExecution), the centroid norms are
+    precomputed driver-side literals (same left-to-right float64
+    fold, so bit-identical to the constant-folded ``SQRT(fold(c,c))``
+    they replace), and the ROW norm is bound once via a single-element
+    ``transform`` scope instead of re-evaluating its 64-element fold
+    once per centroid.  Per-value semantics are unchanged — JSON
+    shortest-repr round-trips float64 exactly like ``CAST('<repr>' AS
+    DOUBLE)``, and the division/multiplication order is identical —
+    verified row-identical against the old formulation and
+    oracle-hash-green at both fixtures."""
+    import json as _json
+    import math as _math
+
+    js = _json.dumps([[float(x) for x in c] for c in centroids])
+    norms = ", ".join(
+        f"CAST('{_math.sqrt(_seq_sqnorm(c))!r}' AS DOUBLE)" for c in centroids
+    )
 
     def _fold(a: str, b: str) -> str:
         return (
@@ -359,14 +385,41 @@ def _cell_scores(vec_col: str, centroids: list[list[float]]) -> Column:
             f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
 
-    def _cos(c: list[float]) -> str:
-        arr = f"array({', '.join(_dlit(float(x)) for x in c)})"
-        return (
-            f"({_fold(vec_col, arr)} / "
-            f"(SQRT({_fold(vec_col, vec_col)}) * SQRT({_fold(arr, arr)})))"
-        )
+    body = (
+        f"element_at(transform(array(SQRT({_fold(vec_col, vec_col)})), "
+        f"vn -> zip_with(from_json('{js}', 'array<array<double>>'), "
+        f"array({norms}), "
+        f"(ctr, nm) -> {_fold(vec_col, 'ctr')} / (vn * nm))), 1)"
+    )
+    return F.expr(body)
 
-    return F.expr(f"array({', '.join(_cos(c) for c in centroids)})")
+
+def _cell_assign(scores: Column) -> Column:
+    """``struct(cell, mx)`` — argmax cell (ties → lowest) and the max
+    score — with the cell-score ARRAY evaluated exactly once (r17).
+    The naive ``array_position(scores, array_max(scores))`` (and the
+    ``round(array_max(scores), 6)`` beside it in ``ivf_assign``)
+    re-evaluates the whole ncentroids·dim interpreted fold per
+    reference — HOF expressions are codegen fallbacks, so there is no
+    common-subexpression elimination to save you.  Single-element
+    ``transform`` scopes bind the array and its max once; values are
+    unchanged."""
+    return F.element_at(
+        F.transform(
+            F.array(scores),
+            lambda s: F.element_at(
+                F.transform(
+                    F.array(F.array_max(s)),
+                    lambda m: F.struct(
+                        F.array_position(s, m).alias("cell"),
+                        m.alias("mx"),
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
 
 
 def ivf_topk(
@@ -389,12 +442,19 @@ def ivf_topk(
     of the table — the inverted-file pruning that IVF is for.  The
     probe side is tiny and broadcast.  Recall < 1.0 by construction;
     ``cosine_topk`` is the exact baseline (recall bound pinned by
-    test)."""
+    test).
+
+    (r17 measured dead end, recorded: computing the probe cells
+    driver-side as a literal relation — the ``ivfpq_topk`` shape —
+    cut the job count 4→3 but measured consistently SLOWER
+    interleaved (1.64 vs 1.28 s best) than this in-plan probe, whose
+    tiny query-side stage overlaps the corpus stage under AQE.
+    Kept the in-plan probe.)"""
     scores = _cell_scores(f"`{vec_col}`", centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.array_position(scores, F.array_max(scores)).alias("cell"),
+        _cell_assign(scores)["cell"].alias("cell"),
     )
     q_cells = (
         queries.select(
@@ -444,11 +504,18 @@ def ivf_assign(
     has drifted enough to retrain.  Output: (id, cell, sim) with sim
     rounded to 6 dp so downstream min/max stats are partition-order
     independent and engine-exact."""
-    scores = _cell_scores(f"`{vec_col}`", centroids)
-    return vectors.select(
+    # two projections on purpose: referencing both struct fields in
+    # ONE select would re-evaluate the whole fold per field (HOFs are
+    # codegen fallbacks — no CSE); CollapseProject keeps the split
+    # because the aliased expression is non-cheap and multiply-used
+    a = vectors.select(
         F.col(id_col),
-        F.array_position(scores, F.array_max(scores)).alias("cell"),
-        F.round(F.array_max(scores), 6).alias("sim"),
+        _cell_assign(_cell_scores(f"`{vec_col}`", centroids)).alias("_a"),
+    )
+    return a.select(
+        F.col(id_col),
+        F.col("_a")["cell"].alias("cell"),
+        F.round(F.col("_a")["mx"], 6).alias("sim"),
     )
 
 
@@ -1313,7 +1380,7 @@ def ivfpq_index(
     scores = _cell_scores(f"`{vec_col}`", centroids)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.array_position(scores, F.array_max(scores)).alias("cell"),
+        _cell_assign(scores)["cell"].alias("cell"),
         F.col(vec_col),
     )
     cent = np.array(codebooks, dtype=np.float64)  # m x ksub x sub
